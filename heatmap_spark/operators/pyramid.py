@@ -1,0 +1,231 @@
+"""The heatmap pyramid: multi-zoom hierarchical rollup + result-set packaging.
+
+Re-expresses the reference's entire dataflow (reference heatmap.py:107-129)
+as DataFrames.  Keys stay as *separate typed columns*
+(user_group, timespan, zoom, row, col) end-to-end — the reference's
+``|``-joined composite string (heatmap.py:18,54-55) is materialized only
+as a sink-side presentation column, which removes the key-corruption
+class of bug (SURVEY.md §1.4) and keeps grouping keys integer-typed for
+cheap hashing at 100 TB.
+
+Two physical strategies with one output contract (SURVEY.md §2.5 C1):
+
+* ``pyramid_explode`` — explode each ingested point into all 16
+  (zoom, row, col) ancestors via integer shifts, then ONE
+  groupBy(user_group, timespan, zoom, row, col).  A single exchange;
+  map-side partial aggregation absorbs the 16× row expansion before the
+  shuffle (coarse zooms combine heavily).  This is the 100 TB path.
+* ``pyramid_cascade`` — aggregate zoom 21 from points, then each coarser
+  zoom from the previous level's aggregates (partial-aggregate reuse,
+  the reference's structure at heatmap.py:109-117) with explicit
+  ``persist()`` per level (the reference relies on implicit shuffle-file
+  reuse; SURVEY.md §2.5).  16 exchanges, but each over already-reduced
+  data — wins when the tile count per level is far below the point count.
+
+Semantics fixes vs the reference (pinned in tests/test_pyramid.py):
+  Q1 (heatmap.py:76 early return) — multi-timespan emission works here.
+  Q2 (heatmap.py:64-70 re-expansion every level) — user groups expand
+  exactly ONCE at ingest; coarser zooms are pure rollups, so 'all' is
+  the true sum of its children rather than ~3×-inflated per level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from heatmap_spark.functions.tiles import (
+    DETAIL_MAX_ZOOM,
+    DETAIL_ZOOM_DELTA,
+    tile_col,
+    tile_id_from_zrc,
+    tile_row,
+)
+from heatmap_spark.functions.timespans import DEFAULT_TIMESPANS, timespan_labels
+
+MIN_PYRAMID_ZOOM = DETAIL_ZOOM_DELTA + 1  # 6 — reference heatmap.py:109 range stop
+
+
+def user_groups_expr(user_id: Column | str) -> Column:
+    """array<string> of user groups for one location row.
+
+    Reference rules (heatmap.py:64-70): every row counts into 'all';
+    user ids starting 'x' are test users (no per-user heatmap,
+    heatmap.py:65); ids starting 'rt-' pool under synthetic user
+    'route' (heatmap.py:66-67); everyone else also gets a per-user
+    heatmap.  Applied once at ingest — see module docstring (Q2).
+    """
+    u = F.col(user_id) if isinstance(user_id, str) else user_id
+    return (
+        F.when(u.startswith("x"), F.array(F.lit("all")))
+        .when(u.startswith("rt-"), F.array(F.lit("all"), F.lit("route")))
+        .otherwise(F.array(F.lit("all"), u))
+    )
+
+
+def ingest_locations(locations: DataFrame, detail_zoom: int = DETAIL_MAX_ZOOM) -> DataFrame:
+    """P1 (reference heatmap.py:25-36): drop 'background' rows, quantize
+    (lat, lon) to integer (row, col) at the detail zoom, project.
+
+    Pure filter+project — pushes down to the scan; no UDF.  ``source``
+    is non-null in our fixtures so ``!=`` matches the reference's
+    Python ``!=`` (null-keeping note in SURVEY.md §2.2).
+    """
+    return locations.where(F.col("source") != "background").select(
+        tile_row("latitude", detail_zoom).alias("row"),
+        tile_col("longitude", detail_zoom).alias("col"),
+        F.col("ts"),
+        F.col("user_id"),
+        F.col("weight"),
+    )
+
+
+def expand_groups_and_timespans(
+    ingested: DataFrame, timespans: tuple[str, ...] = DEFAULT_TIMESPANS
+) -> DataFrame:
+    """P2 (reference heatmap.py:57-77) done once at ingest: one row per
+    (user_group × timespan label)."""
+    return ingested.select(
+        F.explode(user_groups_expr("user_id")).alias("user_group"),
+        F.col("row"),
+        F.col("col"),
+        F.col("ts"),
+        F.col("weight"),
+    ).select(
+        "user_group",
+        F.explode(timespan_labels("ts", timespans)).alias("timespan"),
+        "row",
+        "col",
+        "weight",
+    )
+
+
+def _level_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("user_group", "timespan", "zoom", "row", "col").agg(
+        F.sum("weight").alias("visits")
+    )
+
+
+def pyramid_explode(
+    expanded: DataFrame,
+    min_zoom: int = MIN_PYRAMID_ZOOM,
+    max_zoom: int = DETAIL_MAX_ZOOM,
+) -> DataFrame:
+    """All zoom levels in ONE aggregation (SURVEY.md §2.5 strategy 1).
+
+    Ancestor (row, col) at zoom z is an exact integer shift of the
+    detail (row, col) (see functions/tiles.py exactness note), so the
+    explode is pure codegen arithmetic: no re-quantization float math,
+    no string keys, one exchange for the whole 16-level pyramid.
+    """
+    z = F.col("zoom")
+    delta = (F.lit(max_zoom) - z).cast("int")
+    leveled = expanded.select(
+        "user_group",
+        "timespan",
+        F.explode(F.sequence(F.lit(min_zoom), F.lit(max_zoom))).alias("zoom"),
+        "row",
+        "col",
+        "weight",
+    ).select(
+        "user_group",
+        "timespan",
+        "zoom",
+        F.floor(F.col("row") / F.pow(F.lit(2.0), delta)).alias("row"),
+        F.floor(F.col("col") / F.pow(F.lit(2.0), delta)).alias("col"),
+        "weight",
+    )
+    return _level_agg(leveled)
+
+
+def pyramid_cascade(
+    expanded: DataFrame,
+    min_zoom: int = MIN_PYRAMID_ZOOM,
+    max_zoom: int = DETAIL_MAX_ZOOM,
+    persist: bool = True,
+) -> DataFrame:
+    """Level-by-level rollup with partial-aggregate reuse
+    (reference heatmap.py:107-118, strategy 2 of SURVEY.md §2.5).
+
+    Valid because sum is reassociative: zoom z = groupBy over zoom z+1.
+    Each level is persisted so the 16-deep lineage is evaluated once
+    (the reference has no cache/persist at all — SURVEY.md §2.5).
+    """
+    level = _level_agg(expanded.withColumn("zoom", F.lit(max_zoom)))
+    levels = [level]
+    for z in range(max_zoom - 1, min_zoom - 1, -1):
+        if persist:
+            level = level.persist()
+        level = _level_agg(
+            level.select(
+                "user_group",
+                "timespan",
+                F.lit(z).alias("zoom"),
+                F.shiftright("row", 1).alias("row"),
+                F.shiftright("col", 1).alias("col"),
+                F.col("visits").alias("weight"),
+            )
+        )
+        levels.append(level)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def build_pyramid(
+    locations: DataFrame,
+    mode: str = "explode",
+    timespans: tuple[str, ...] = DEFAULT_TIMESPANS,
+    min_zoom: int = MIN_PYRAMID_ZOOM,
+    max_zoom: int = DETAIL_MAX_ZOOM,
+) -> DataFrame:
+    """locations → (user_group, timespan, zoom, row, col, visits)."""
+    expanded = expand_groups_and_timespans(ingest_locations(locations, max_zoom), timespans)
+    if mode == "explode":
+        return pyramid_explode(expanded, min_zoom, max_zoom)
+    if mode == "cascade":
+        return pyramid_cascade(expanded, min_zoom, max_zoom)
+    raise ValueError(f"unknown pyramid mode {mode!r}")
+
+
+def with_tile_id(pyramid: DataFrame) -> Column:
+    return tile_id_from_zrc(F.col("zoom"), F.col("row"), F.col("col"))
+
+
+def resultsets(pyramid: DataFrame, delta: int = DETAIL_ZOOM_DELTA) -> DataFrame:
+    """Package detail counts under their result-set parent tile
+    (reference heatmap.py:79-90,112,120-126: A2 re-key + A3 collect).
+
+    Output: (user_group, timespan, rs_zoom, rs_row, rs_col, rs_tile_id,
+    heatmap map<detail_tile_id, visits>).  The parent is ``delta`` (=5)
+    zooms up — exact integer shift of the detail (row, col).  Entries
+    are sorted by detail tile id so downstream JSON is deterministic.
+    """
+    rs = pyramid.select(
+        "user_group",
+        "timespan",
+        (F.col("zoom") - delta).alias("rs_zoom"),
+        F.shiftright("row", delta).alias("rs_row"),
+        F.shiftright("col", delta).alias("rs_col"),
+        F.struct(
+            tile_id_from_zrc(F.col("zoom"), F.col("row"), F.col("col")).alias("tile_id"),
+            F.col("visits"),
+        ).alias("entry"),
+    )
+    return (
+        rs.groupBy("user_group", "timespan", "rs_zoom", "rs_row", "rs_col")
+        .agg(F.map_from_entries(F.array_sort(F.collect_list("entry"))).alias("heatmap"))
+        .withColumn(
+            "rs_tile_id", tile_id_from_zrc(F.col("rs_zoom"), F.col("rs_row"), F.col("rs_col"))
+        )
+    )
+
+
+def heatmap_table(rsets: DataFrame) -> DataFrame:
+    """Final sink shape (id, heatmap) (reference heatmap.py:128-129,156-157):
+    id = 'userGroup|timespan|rsTileId', heatmap = JSON object string."""
+    return rsets.select(
+        F.concat_ws("|", "user_group", "timespan", "rs_tile_id").alias("id"),
+        F.to_json("heatmap").alias("heatmap"),
+    )
