@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Each query runs once and is materialized through the noop sink (full
+execution, zero driver-collection overhead).  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from heatmap_spark import get_spark  # noqa: E402
+from heatmap_spark.queries import headline_queries  # noqa: E402
+from heatmap_spark.sources.tables import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("heatmap-spark-bench")
+    # Warm the JVM/session so per-query numbers measure the queries.
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in headline_queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four tiers, all DataFrame-native and shuffle-bounded for 100 TB:
+
+* exact        — hash-groupBy on the raw text (one shuffle).
+* fingerprint  — md5 over the sorted distinct token set (normalized
+                 bag-of-words dedup; robust to word order / repeats).
+* n-gram Jaccard — token-postings self-join: explode distinct tokens,
+                 join doc↔doc *through the token* so only documents
+                 sharing at least one token ever meet (no cross join),
+                 then |A∩B| from the join count and |A∪B| = |A|+|B|−|A∩B|.
+* MinHash + LSH — k salted md5 min-hashes per doc; band signatures
+                 bucket-join candidates (classic banding), verified by
+                 true Jaccard.  md5 is identical in every engine, so the
+                 whole pipeline is oracle-checkable in DuckDB, and the
+                 signature computation is one groupBy over (doc × salt).
+
+Token parity note: tokenization is lower + split on /[^a-z0-9]+/ with
+empties dropped — same regex semantics in Spark (Java regex) and DuckDB
+(RE2) for this pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from heatmap_spark.sources.tables import load_table
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens_expr(text: str = "text") -> F.Column:
+    """array<string> of distinct lowercase tokens, empties removed."""
+    toks = F.split(F.lower(F.col(text)), TOKEN_SPLIT)
+    return F.array_distinct(F.filter(toks, lambda t: t != ""))
+
+
+def shingles_expr(text: str = "text", n: int = 3) -> F.Column:
+    """array<string> of distinct word n-gram shingles (space-joined).
+
+    Shingles — not unigrams — are what MinHash needs: the shingle space
+    is |vocab|^n, so near-duplicate *sequences* collide while merely
+    topic-similar documents don't.  Documents shorter than n tokens
+    yield an empty set.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text)), TOKEN_SPLIT), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: keep lowest doc_id per identical text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+def fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-normalized fingerprint: md5 of the sorted distinct token
+    set.  Documents with the same vocabulary collapse together."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(tokens_expr())))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_members"))
+    )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, token) distinct shingle postings."""
+    return docs.select("doc_id", F.explode(shingles_expr()).alias("token"))
+
+
+def jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.2
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ threshold.
+
+    Postings self-join through the shingle: documents only meet where
+    they share a shingle, intersection size = matching-shingle count.
+    Shuffles on shingle then on the pair — both bounded; hot shingles
+    are the skew risk at scale, handled by AQE skew mitigation (and in
+    practice by document-frequency pruning — see minhash_lsh for the
+    sub-linear path).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    post = _doc_shingles(docs).alias("a")
+    post_b = _doc_shingles(docs).alias("b")
+    sizes = (
+        _doc_shingles(docs).groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    )
+    inter = (
+        post.join(post_b, F.col("a.token") == F.col("b.token"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+N_HASHES = 16
+BAND_ROWS = 4  # → 4 bands of 4 rows
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, salt, minhash): min over shingles of md5(salt || '|' || shingle).
+
+    The salted-md5 family is a portable stand-in for k independent hash
+    permutations (string min ≡ numeric min under a uniform hash).  One
+    explode (doc × salt) + one groupBy — linear in corpus shingle count.
+    """
+    post = _doc_shingles(docs)
+    salted = post.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("salt"),
+        "token",
+    )
+    return salted.groupBy("doc_id", "salt").agg(
+        F.min(F.md5(F.concat_ws("|", F.col("salt"), F.col("token")))).alias("minhash")
+    )
+
+
+def minhash_lsh_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding over minhash
+    signatures: docs agreeing on ALL rows of any band become a pair.
+
+    Scale path: signature build is linear; banding groups by
+    (band, band_signature) so only same-bucket docs pair up —
+    sub-quadratic versus the postings join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, n_hashes)
+    bands = sigs.groupBy(
+        "doc_id", (F.col("salt") / band_rows).cast("int").alias("band")
+    ).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("salt", "minhash"))),
+                lambda s: s["minhash"],
+            ),
+        ).alias("band_sig")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )

@@ -1,0 +1,201 @@
+"""Relational operator surface: joins, windows, rollups, set ops, top-k.
+
+The reference has none of these (single-table pipeline — SURVEY.md
+§2.8); they are part of this engine's declared capability set, exercised
+as TPC-H-style queries over the driver fixtures.  Everything is
+DataFrame-native so Catalyst gets predicate pushdown, column pruning,
+join selection (broadcast for the small dims), and AQE.
+
+Scale notes (100 TB): dimension tables (region/nation/customer/supplier/
+part at TPC-H ratios) stay far below the broadcast threshold relative to
+lineitem/orders — we hint ``broadcast`` explicitly where the dimension
+is guaranteed small.  Fact-fact joins (orders⋈lineitem) shuffle on the
+join key; AQE handles skew.  Window queries partition by their natural
+key; no global sorts except final presentation ORDER BY + LIMIT (top-k
+is executed as TakeOrderedAndProject, not a full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from heatmap_spark.functions.exact import davg, dec, dsum
+from heatmap_spark.sources.tables import load_table
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: groupBy + 8 aggregates (partial+final hash agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(12,4)") + dec("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,6)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,6)").cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: 3-way join + agg + deterministic top 10."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.cast("decimal(18,6)").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume: 6-way join through region→nation→cust/supp."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.cast("decimal(18,6)").cast("double").alias("revenue"))
+    )
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast revenue change: tight filter + single agg (pure scan path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(dec("l_extendedprice") * dec("l_discount")).cast("decimal(18,6)").cast("double").alias("revenue"))
+    )
+
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-group top-k via row_number window (deterministic tiebreak)."""
+    part = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.select("p_brand", "p_partkey", "p_retailprice", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= k)
+    )
+
+
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer (ROWS frame, unique order for determinism)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ROLLUP over (priority, status) — the relational cousin of the
+    tile pyramid's hierarchical rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price")
+    )
+
+
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native CUBE over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT distinct)."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    )
+    return nation.subtract(supp)
+
+
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand-based count distinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (portable SQL shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return ev.groupBy("user_id").agg(*agg)
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct — sketch semantics differ across engines,
+    so this is declared without a value oracle (rows-only check)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )

@@ -1,0 +1,111 @@
+"""Event-time operators: sessionization and as-of join.
+
+Spark has no native batch as-of join; both operators here are
+compositions of windows over the natural partition key (user), so they
+scale horizontally: one shuffle on user_id, then per-partition sorted
+scans — no cross joins, no driver-side loops (SURVEY.md §2.8,
+pyspark_guide "Common OLAP patterns").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from heatmap_spark.functions.exact import dsum
+from heatmap_spark.sources.tables import load_table
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 60, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Split each user's event stream into sessions at gaps > gap_minutes.
+
+    lag(ts) + cumulative sum of gap flags — the classic shuffle-once
+    sessionization.  Session ids are 1-based per user.
+    """
+    w = W.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap_ms = gap_minutes * 60 * 1000
+    with_flag = events.select(
+        user_col,
+        ts_col,
+        "event_id",
+        "value",
+        (
+            (F.unix_millis(F.col(ts_col)) - F.unix_millis(F.lag(ts_col).over(w)) > gap_ms)
+            | F.lag(ts_col).over(w).isNull()
+        )
+        .cast("int")
+        .alias("is_new_session"),
+    )
+    w_rows = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return with_flag.select(
+        user_col,
+        ts_col,
+        "event_id",
+        "value",
+        F.sum("is_new_session").over(w_rows).alias("session_id"),
+    )
+
+
+def session_stats(spark: SparkSession, sf_dir: str, gap_minutes: int = 60) -> DataFrame:
+    """Per-session aggregates over the events fixture."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value").alias("total_value"),
+    )
+
+
+def asof_join_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each 'purchase' event, the most recent 'signup' at-or-before it
+    by the same user (as-of backward join).
+
+    Implemented as the scalable union+window form: tag both sides, sort
+    by (user, ts, side) with signups first on ties (<= semantics), then
+    last non-null signup ts over a running frame.  One shuffle on
+    user_id; no range cross join — at 100 TB this is the only shape that
+    doesn't blow up (a broadcast-nested-loop range join would).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts"), F.lit(0).alias("side"), F.col("ts").alias("signup_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.lit(1).alias("side"),
+        F.lit(None).cast("timestamp").alias("signup_ts"), F.col("event_id"),
+    )
+    unioned = signups.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        unioned.select(
+            "user_id",
+            "ts",
+            "side",
+            "event_id",
+            F.last("signup_ts", ignorenulls=True).over(w).alias("last_signup_ts"),
+        )
+        .where(F.col("side") == 1)
+        .select("event_id", F.col("ts").alias("purchase_ts"), "last_signup_ts")
+    )
+
+
+def tumbling_window_counts(spark: SparkSession, sf_dir: str, minutes: int = 5) -> DataFrame:
+    """Epoch-aligned tumbling window aggregate (batch twin of the
+    streaming path in heatmap_spark.streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", f"{minutes} minutes")
+    return ev.groupBy(win.alias("w"), "event_type").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("total_value")
+    ).select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+    )

@@ -1,0 +1,141 @@
+"""Embedding similarity search over array<float> columns.
+
+Baseline: brute-force cosine top-k — exact, one broadcast of the query
+set, no shuffle of the corpus (the corpus side streams through a
+codegen'd fold; at 100 TB the scan parallelizes per-partition and the
+top-k is a per-partition heap + small final merge via window).
+
+Scale path: IVF-style bucketed search — assign every vector to its
+nearest of C coarse centroids (derived deterministically from the data
+itself), search only within the query's bucket(s).  Cuts the candidate
+set ~C× at the cost of recall; both variants share the same cosine
+kernel.
+
+The dot product is a sequential left fold (F.aggregate over zip_with)
+in double precision — the same order DuckDB's list_sum(list_transform)
+uses, so results are bit-comparable for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from heatmap_spark.sources.tables import load_table
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def knn_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Ranking uses the 6-decimal-rounded similarity with vec_id tiebreak
+    so the selected neighbor set is deterministic and engine-portable.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"))
+    sim = F.round(
+        dot_expr(F.col("qvec"), F.col("nvec"))
+        / (norm_expr(F.col("qvec")) * norm_expr(F.col("nvec"))),
+        6,
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(emb: DataFrame, n_buckets: int = 8) -> DataFrame:
+    """Assign vectors to coarse buckets by nearest deterministic centroid.
+
+    Centroids = per-coordinate means of vectors grouped by
+    vec_id % n_buckets (a deterministic, data-derived codebook — a
+    k-means iteration away from production quality, but the join/search
+    plumbing is identical).  Returns (vec_id, vec, bucket).
+    """
+    dim_means = (
+        emb.select(
+            (F.col("vec_id") % n_buckets).alias("seed_bucket"),
+            F.posexplode("vec").alias("pos", "x"),
+        )
+        .groupBy("seed_bucket", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("seed_bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "seed_bucket", F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid")
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(dim_means)).select(
+        "vec_id",
+        "vec",
+        "seed_bucket",
+        dot_expr(F.col("vec"), F.col("centroid")).alias("affinity"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("affinity"), F.asc("seed_bucket"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "vec", F.col("seed_bucket").alias("bucket"))
+    )
+
+
+def knn_cosine_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Approximate top-k: search only the query's own IVF bucket."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    assigned = ivf_assign(emb, n_buckets)
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "bucket"
+    )
+    sim = F.round(
+        dot_expr(F.col("qvec"), F.col("nvec"))
+        / (norm_expr(F.col("qvec")) * norm_expr(F.col("nvec"))),
+        6,
+    )
+    scored = (
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"), "bucket"
+        )
+        .join(F.broadcast(queries), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,78 @@
+"""Text analysis operators: stats, quality scoring, language ID, token
+counting — all native Column expressions over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from heatmap_spark.operators.dedup import TOKEN_SPLIT
+from heatmap_spark.sources.tables import load_table
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# A BPE-ish segmentation: word pieces, digit runs, or single non-space symbols.
+BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def _all_tokens(text: str = "text") -> F.Column:
+    """All tokens (with repeats), lowercased, empties dropped."""
+    toks = F.split(F.lower(F.col(text)), TOKEN_SPLIT)
+    return F.filter(toks, lambda t: t != "")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats + a simple length/diversity quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _all_tokens()
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(n_distinct / n_tokens, 6).alias("ttr"),
+        F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+        F.round(F.length("text") / n_tokens, 6).alias("avg_token_span"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic (n-gram-free LID baseline):
+    classify as 'en' when English stopword mass exceeds 5%."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _all_tokens()
+    ratio = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) / F.size(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("en_stop_ratio"),
+        F.when(ratio > 0.05, F.lit("en")).otherwise(F.lit("other")).alias("predicted_lang"),
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != "")).alias("n_ws_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(BPE_ISH)).alias("n_bpe_tokens"),
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: documents as utf-8 blobs with typed
+    metadata — the schema shape image/audio payloads use (the decode
+    stage itself is the stub in operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.md5(blob).alias("content_md5"),
+        F.col("lang").alias("meta_lang"),
+        F.col("source").alias("meta_source"),
+    )

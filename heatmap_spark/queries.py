@@ -1,0 +1,523 @@
+"""Declared query registry: name → (Spark impl, DuckDB oracle SQL).
+
+This is the engine's public query surface and its correctness contract
+(SURVEY.md §2, BASELINE.json).  Every entry's Spark implementation and
+oracle SQL produce identical column names, and the arithmetic is chosen
+to be *bit-identical* across engines (exact decimal sums, integer tile
+shifts, sequential-fold dot products, portable md5 hashing — see
+functions/exact.py and the operator docstrings).
+
+Oracle dialect notes: tables region/nation/customer/supplier/part/
+orders/lineitem/events/documents/embeddings are pre-registered DuckDB
+views over the same parquet files the Spark side reads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from heatmap_spark.functions import tiles as tl
+from heatmap_spark.operators import dedup, relational, sessions, similarity, textops
+from heatmap_spark.operators import pyramid as pyr
+from heatmap_spark.sources.locations import load_locations, locations_sql
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    headline: bool = False  # included in bench.py
+
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (heatmap family)
+# ---------------------------------------------------------------------------
+
+_LOC_CTE = f"locations AS ({locations_sql('duckdb')})"
+
+# zoom-21 quantization — operation order matches functions/tiles.py exactly
+_PTS_CTE = """pts AS (
+  SELECT
+    CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 2097152.0) AS BIGINT) AS row21,
+    CAST(floor((longitude + 180.0)/360.0 * 2097152.0) AS BIGINT) AS col21,
+    ts, user_id, weight
+  FROM locations WHERE source <> 'background')"""
+
+_EXPANDED_CTE = """expanded AS (
+  SELECT
+    unnest(CASE WHEN user_id LIKE 'x%' THEN ['all']
+                WHEN user_id LIKE 'rt-%' THEN ['all','route']
+                ELSE ['all', user_id] END) AS user_group,
+    'alltime' AS timespan, row21, col21, ts, weight
+  FROM pts)"""
+
+_LEVELED_AGG = """SELECT user_group, timespan, CAST(z.zoom AS INTEGER) AS zoom,
+       CAST(floor(row21 / pow(2.0, CAST(21 - z.zoom AS DOUBLE))) AS BIGINT) AS row,
+       CAST(floor(col21 / pow(2.0, CAST(21 - z.zoom AS DOUBLE))) AS BIGINT) AS col,
+       sum(weight) AS visits
+FROM expanded CROSS JOIN generate_series(6, 21) AS z(zoom)
+GROUP BY 1, 2, 3, 4, 5"""
+
+_PYRAMID_SQL = f"WITH {_LOC_CTE},\n{_PTS_CTE},\n{_EXPANDED_CTE}\n{_LEVELED_AGG}"
+
+_DEC = "DECIMAL(12,4)"
+_ONE = f"CAST(1 AS {_DEC})"
+
+
+def _d(col: str) -> str:
+    return f"CAST({col} AS {_DEC})"
+
+
+# ---------------------------------------------------------------------------
+# Heatmap family Spark impls
+# ---------------------------------------------------------------------------
+
+
+def q_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_locations(spark, sf_dir)
+
+
+def q_heatmap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ing = pyr.ingest_locations(load_locations(spark, sf_dir))
+    return ing.select(
+        tl.tile_id_from_zrc(F.lit(21), F.col("row"), F.col("col")).alias("tile_id"),
+        "user_id",
+        "ts",
+        "weight",
+    )
+
+
+def q_heatmap_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pyr.build_pyramid(load_locations(spark, sf_dir), mode="explode")
+
+
+def q_heatmap_pyramid_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pyr.build_pyramid(load_locations(spark, sf_dir), mode="cascade")
+
+
+def q_heatmap_timespans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = pyr.build_pyramid(
+        load_locations(spark, sf_dir),
+        mode="explode",
+        timespans=("alltime", "year", "month", "day"),
+        min_zoom=10,
+        max_zoom=10,
+    )
+    return df.select(
+        "user_group",
+        "timespan",
+        tl.tile_id_from_zrc(F.col("zoom"), F.col("row"), F.col("col")).alias("tile_id"),
+        "visits",
+    )
+
+
+def q_heatmap_resultsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rs = pyr.resultsets(pyr.build_pyramid(load_locations(spark, sf_dir), mode="explode"))
+    return rs.select(
+        "user_group",
+        "timespan",
+        "rs_tile_id",
+        F.explode("heatmap").alias("detail_tile_id", "visits"),
+    )
+
+
+def q_heatmap_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rs = pyr.resultsets(pyr.build_pyramid(load_locations(spark, sf_dir), mode="explode"))
+    return rs.select(
+        F.concat_ws("|", "user_group", "timespan", "rs_tile_id").alias("id"),
+        F.size("heatmap").alias("n_entries"),
+        F.aggregate(F.map_values("heatmap"), F.lit(0.0), lambda a, x: a + x).alias(
+            "total_visits"
+        ),
+    )
+
+
+def q_heatmap_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink shape (id, heatmap JSON) — JSON key order is engine-specific,
+    so this is a rows-only declared query; content is pinned by
+    tests/test_pyramid.py golden comparison."""
+    return pyr.heatmap_table(
+        pyr.resultsets(pyr.build_pyramid(load_locations(spark, sf_dir), mode="explode"))
+    )
+
+
+def q_tile_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loc = load_locations(spark, sf_dir)
+    t16 = loc.where(F.col("source") != "background").select(
+        tl.tile_row("latitude", 16).alias("row"), tl.tile_col("longitude", 16).alias("col")
+    ).distinct()
+    tid = tl.tile_id_from_zrc(F.lit(16), F.col("row"), F.col("col"))
+    return t16.select(
+        tid.alias("tile_id"),
+        tl.tile_parent(tid, 1).alias("parent_id"),
+        F.round(tl.lat_from_row(F.col("row"), 16), 9).alias("lat_north"),
+        F.round(tl.lat_from_row(F.col("row") + F.lit(1), 16), 9).alias("lat_south"),
+        F.round(tl.lon_from_col(F.col("col"), 16), 9).alias("lon_west"),
+        F.round(tl.lon_from_col(F.col("col") + F.lit(1), 16), 9).alias("lon_east"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, QuerySpec] = {
+    # ---- heatmap family (the reference's own capability surface) ----
+    "q_locations": QuerySpec(q_locations, locations_sql("duckdb")),
+    "q_heatmap_ingest": QuerySpec(
+        q_heatmap_ingest,
+        f"""WITH {_LOC_CTE},\n{_PTS_CTE}
+SELECT '21_' || CAST(row21 AS VARCHAR) || '_' || CAST(col21 AS VARCHAR) AS tile_id,
+       user_id, ts, weight
+FROM pts""",
+    ),
+    "q_heatmap_pyramid": QuerySpec(q_heatmap_pyramid, _PYRAMID_SQL, headline=True),
+    "q_heatmap_pyramid_cascade": QuerySpec(
+        q_heatmap_pyramid_cascade, _PYRAMID_SQL, headline=True
+    ),
+    "q_heatmap_timespans": QuerySpec(
+        q_heatmap_timespans,
+        f"""WITH {_LOC_CTE},
+pts AS (
+  SELECT CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 1024.0) AS BIGINT) AS row10,
+         CAST(floor((longitude + 180.0)/360.0 * 1024.0) AS BIGINT) AS col10,
+         ts, user_id, weight
+  FROM locations WHERE source <> 'background'),
+groups AS (
+  SELECT unnest(CASE WHEN user_id LIKE 'x%' THEN ['all']
+                     WHEN user_id LIKE 'rt-%' THEN ['all','route']
+                     ELSE ['all', user_id] END) AS user_group,
+         ts, row10, col10, weight
+  FROM pts),
+expanded AS (
+  SELECT user_group,
+         unnest(['alltime', strftime(ts, '%Y'), strftime(ts, '%Y-%m'), strftime(ts, '%Y-%m-%d')]) AS timespan,
+         row10, col10, weight
+  FROM groups)
+SELECT user_group, timespan,
+       '10_' || CAST(row10 AS VARCHAR) || '_' || CAST(col10 AS VARCHAR) AS tile_id,
+       sum(weight) AS visits
+FROM expanded GROUP BY 1, 2, 3""",
+    ),
+    "q_heatmap_resultsets": QuerySpec(
+        q_heatmap_resultsets,
+        f"""WITH {_LOC_CTE},\n{_PTS_CTE},\n{_EXPANDED_CTE},
+leveled AS ({_LEVELED_AGG})
+SELECT user_group, timespan,
+       CAST(zoom - 5 AS VARCHAR) || '_' || CAST(CAST(floor(row/32.0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(floor(col/32.0) AS BIGINT) AS VARCHAR) AS rs_tile_id,
+       CAST(zoom AS VARCHAR) || '_' || CAST(row AS VARCHAR) || '_' || CAST(col AS VARCHAR) AS detail_tile_id,
+       visits
+FROM leveled""",
+    ),
+    "q_heatmap_table_stats": QuerySpec(
+        q_heatmap_table_stats,
+        f"""WITH {_LOC_CTE},\n{_PTS_CTE},\n{_EXPANDED_CTE},
+leveled AS ({_LEVELED_AGG})
+SELECT user_group || '|' || timespan || '|' ||
+         CAST(zoom - 5 AS VARCHAR) || '_' || CAST(CAST(floor(row/32.0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(floor(col/32.0) AS BIGINT) AS VARCHAR) AS id,
+       CAST(count(*) AS INTEGER) AS n_entries,
+       sum(visits) AS total_visits
+FROM leveled GROUP BY 1""",
+        headline=True,
+    ),
+    "q_heatmap_table": QuerySpec(q_heatmap_table, None),
+    "q_tile_functions": QuerySpec(
+        q_tile_functions,
+        f"""WITH {_LOC_CTE},
+t16 AS (
+  SELECT DISTINCT
+    CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 65536.0) AS BIGINT) AS row,
+    CAST(floor((longitude + 180.0)/360.0 * 65536.0) AS BIGINT) AS col
+  FROM locations WHERE source <> 'background')
+SELECT '16_' || CAST(row AS VARCHAR) || '_' || CAST(col AS VARCHAR) AS tile_id,
+       '15_' || CAST(CAST(floor(row/2.0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(floor(col/2.0) AS BIGINT) AS VARCHAR) AS parent_id,
+       round(180.0/pi()*atan(0.5*(exp(pi() - 2.0*pi()*row/65536.0) - exp(-(pi() - 2.0*pi()*row/65536.0)))), 9) AS lat_north,
+       round(180.0/pi()*atan(0.5*(exp(pi() - 2.0*pi()*(row+1)/65536.0) - exp(-(pi() - 2.0*pi()*(row+1)/65536.0)))), 9) AS lat_south,
+       round(CAST(col AS DOUBLE)/65536.0*360.0 - 180.0, 9) AS lon_west,
+       round(CAST(col+1 AS DOUBLE)/65536.0*360.0 - 180.0, 9) AS lon_east
+FROM t16""",
+    ),
+    # ---- relational surface ----
+    "q_tpch_q1": QuerySpec(
+        relational.tpch_q1,
+        f"""SELECT l_returnflag, l_linestatus,
+  CAST(sum({_d('l_quantity')}) AS DOUBLE) AS sum_qty,
+  CAST(sum({_d('l_extendedprice')}) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(sum({_d('l_extendedprice')} * ({_ONE} - {_d('l_discount')})) AS DECIMAL(18,6)) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(sum({_d('l_extendedprice')} * ({_ONE} - {_d('l_discount')}) * ({_ONE} + {_d('l_tax')})) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
+  CAST(sum({_d('l_quantity')}) AS DOUBLE) / count(l_quantity) AS avg_qty,
+  CAST(sum({_d('l_extendedprice')}) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+  CAST(sum({_d('l_discount')}) AS DOUBLE) / count(l_discount) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+        headline=True,
+    ),
+    "q_tpch_q3": QuerySpec(
+        relational.tpch_q3,
+        f"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(CAST(sum({_d('l_extendedprice')} * ({_ONE} - {_d('l_discount')})) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10""",
+        headline=True,
+    ),
+    "q_tpch_q5": QuerySpec(
+        relational.tpch_q5,
+        f"""SELECT n_name,
+  CAST(CAST(sum({_d('l_extendedprice')} * ({_ONE} - {_d('l_discount')})) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name""",
+        headline=True,
+    ),
+    "q_tpch_q6": QuerySpec(
+        relational.tpch_q6,
+        f"""SELECT CAST(CAST(sum({_d('l_extendedprice')} * {_d('l_discount')}) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+        headline=True,
+    ),
+    "q_top_parts_per_brand": QuerySpec(
+        relational.top_parts_per_brand,
+        """SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part) t WHERE rn <= 3""",
+    ),
+    "q_running_total": QuerySpec(
+        relational.customer_running_total,
+        f"""SELECT o_custkey, o_orderkey,
+  CAST(sum({_d('o_totalprice')}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders""",
+    ),
+    "q_rollup_orders": QuerySpec(
+        relational.rollup_orders,
+        f"""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+  CAST(sum({_d('o_totalprice')}) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+    ),
+    "q_cube_lineitem": QuerySpec(
+        relational.cube_lineitem,
+        f"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+  CAST(sum({_d('l_quantity')}) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    ),
+    "q_semi_join": QuerySpec(
+        relational.customers_with_orders,
+        """SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    ),
+    "q_anti_join": QuerySpec(
+        relational.customers_without_orders,
+        """SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    ),
+    "q_except_nations": QuerySpec(
+        relational.nations_without_suppliers,
+        """SELECT n_nationkey FROM nation EXCEPT SELECT s_nationkey AS n_nationkey FROM supplier""",
+    ),
+    "q_distinct_users": QuerySpec(
+        relational.distinct_users_per_type,
+        """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type""",
+    ),
+    "q_event_pivot": QuerySpec(
+        relational.event_type_pivot,
+        """SELECT user_id,
+  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+FROM events GROUP BY user_id""",
+    ),
+    "q_approx_distinct": QuerySpec(relational.approx_distinct_parts, None),
+    # ---- event-time operators ----
+    "q_sessionize": QuerySpec(
+        sessions.session_stats,
+        f"""WITH flags AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, event_id, value,
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flags)
+SELECT user_id, session_id, count(*) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end,
+  CAST(sum({_d('value')}) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_id""",
+        headline=True,
+    ),
+    "q_asof_join": QuerySpec(
+        sessions.asof_join_last_signup,
+        """SELECT p.event_id, p.ts AS purchase_ts,
+  (SELECT max(s.ts) FROM events s
+   WHERE s.event_type = 'signup' AND s.user_id = p.user_id AND s.ts <= p.ts) AS last_signup_ts
+FROM events p WHERE p.event_type = 'purchase'""",
+    ),
+    "q_window_tumbling": QuerySpec(
+        sessions.tumbling_window_counts,
+        f"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+  count(*) AS n_events, CAST(sum({_d('value')}) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2""",
+    ),
+    # ---- LLM-data-pipeline operators ----
+    "q_dedup_exact": QuerySpec(
+        dedup.exact_dedup,
+        """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text""",
+    ),
+    "q_dedup_fingerprint": QuerySpec(
+        dedup.fingerprint_dedup,
+        """WITH fp AS (
+  SELECT doc_id,
+    md5(array_to_string(list_sort(list_distinct(
+      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))), ' ')) AS fingerprint
+  FROM documents)
+SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_members
+FROM fp GROUP BY fingerprint""",
+    ),
+    "q_near_dup_jaccard": QuerySpec(
+        dedup.jaccard_pairs,
+        """WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) - 1),
+    i -> list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[i] || ' ' ||
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[i+1] || ' ' ||
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[i+2]))) AS token
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+  round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.2""",
+    ),
+    "q_dedup_minhash_lsh": QuerySpec(
+        dedup.minhash_lsh_candidates,
+        """WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) - 1),
+    i -> list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[i] || ' ' ||
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[i+1] || ' ' ||
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[i+2]))) AS token
+  FROM documents),
+sigs AS (
+  SELECT doc_id, s.salt,
+    min(md5(CAST(s.salt AS VARCHAR) || '|' || token)) AS minhash
+  FROM toks CROSS JOIN generate_series(0, 15) AS s(salt)
+  GROUP BY doc_id, s.salt),
+bands AS (
+  SELECT doc_id, CAST(salt // 4 AS INTEGER) AS band,
+    string_agg(minhash, ',' ORDER BY salt) AS band_sig
+  FROM sigs GROUP BY doc_id, CAST(salt // 4 AS INTEGER))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2""",
+        headline=True,
+    ),
+    "q_knn_cosine": QuerySpec(
+        similarity.knn_cosine,
+        """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+    round(
+      list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * e.vec[i])) /
+      (sqrt(list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * qvec[i]))) *
+       sqrt(list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * e.vec[i])))),
+      6) AS cosine
+  FROM emb e CROSS JOIN q WHERE e.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""",
+        headline=True,
+    ),
+    "q_knn_cosine_ivf": QuerySpec(similarity.knn_cosine_ivf, None),
+    "q_text_stats": QuerySpec(
+        textops.text_stats,
+        """WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+  round(len(list_distinct(toks)) / len(toks), 6) AS ttr,
+  round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) / len(toks), 6) AS stopword_ratio,
+  round(length(text) / len(toks), 6) AS avg_token_span
+FROM t""",
+    ),
+    "q_lang_id": QuerySpec(
+        textops.lang_id,
+        """WITH t AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id, lang,
+  round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) / len(toks), 6) AS en_stop_ratio,
+  CASE WHEN len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) / len(toks) > 0.05
+       THEN 'en' ELSE 'other' END AS predicted_lang
+FROM t""",
+    ),
+    "q_token_counts": QuerySpec(
+        textops.token_counts,
+        r"""SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
+FROM documents""",
+    ),
+    "q_multimodal_meta": QuerySpec(
+        textops.multimodal_meta,
+        """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, md5(text) AS content_md5,
+  lang AS meta_lang, source AS meta_source
+FROM documents""",
+    ),
+}
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def get_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items() if spec.headline}

@@ -57,5 +57,8 @@ def locations_sql(dialect: str, events: str = "events") -> str:
 
 def load_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived locations DataFrame for a testdata scale-factor dir."""
-    events_rel = f"parquet.`{sf_dir}/events.parquet`"
-    return spark.sql(locations_sql("spark", events=events_rel))
+    from heatmap_spark.sources.tables import load_table
+
+    view = "__heatmap_spark_events"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    return spark.sql(locations_sql("spark", events=view))

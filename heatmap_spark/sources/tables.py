@@ -31,7 +31,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Fixture timestamps are UTC instants and the DuckDB oracle compares
+    # them TZ-naive; a non-UTC session would shift every date label and
+    # collected timestamp.  Pin UTC here — the one choke point every
+    # query loads through — so results are correct even when the caller
+    # built the session without it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read nanos as long and truncate to micros (the
+        # same truncation DuckDB applies when reading ns into its us-
+        # precision TIMESTAMP, so oracle comparisons agree).
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,76 @@
+"""Local twin of the driver's correctness gate: run every declared query
+through Spark AND through its DuckDB oracle SQL, compare row sets exactly
+(sorted by column name, order-insensitive, strict equality).
+
+Runs at sf0.001 for speed; the driver runs the same comparison at
+sf0.01.  Strictness matters: the driver hash-compares values, so a
+"close" float is a FAIL — the engine's arithmetic policy (exact
+decimals, sequential folds, integer shifts) is what makes this pass.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+from heatmap_spark.queries import REGISTRY
+from heatmap_spark.sources.tables import TABLES
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_smoke):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_smoke}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def normalize(df):
+    """pandas → sorted list of tuples with column-name-sorted columns."""
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        norm = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                norm.append(None)
+            elif hasattr(v, "to_pydatetime"):
+                norm.append(v.to_pydatetime())
+            elif isinstance(v, float) and v == int(v) and abs(v) < 2**52:
+                norm.append(v)
+            else:
+                norm.append(v)
+        out.append(tuple(norm))
+    return cols, sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+ORACLE_CASES = [(n, s) for n, s in REGISTRY.items() if s.oracle]
+ROWS_ONLY_CASES = [(n, s) for n, s in REGISTRY.items() if not s.oracle]
+
+
+@pytest.mark.parametrize("name,spec", ORACLE_CASES, ids=[n for n, _ in ORACLE_CASES])
+def test_oracle_match(spark, sf_smoke, ddb, name, spec):
+    got_df = spec.fn(spark, sf_smoke).toPandas()
+    exp_df = ddb.execute(spec.oracle).df()
+
+    got_cols, got = normalize(got_df)
+    exp_cols, exp = normalize(exp_df)
+    assert got_cols == exp_cols, f"{name}: column mismatch {got_cols} vs {exp_cols}"
+    assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"
+    n_bad = 0
+    for i, (g, e) in enumerate(zip(got, exp)):
+        if g != e:
+            n_bad += 1
+            if n_bad <= 5:
+                print(f"{name} row {i}: spark={g} oracle={e}")
+    assert n_bad == 0, f"{name}: {n_bad}/{len(got)} mismatching rows"
+
+
+@pytest.mark.parametrize("name,spec", ROWS_ONLY_CASES, ids=[n for n, _ in ROWS_ONLY_CASES])
+def test_rows_only_runs(spark, sf_smoke, name, spec):
+    df = spec.fn(spark, sf_smoke)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

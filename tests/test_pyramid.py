@@ -1,0 +1,133 @@
+"""Pyramid semantics tests (SURVEY.md §5.3/§5.4).
+
+A small deterministic ``locations`` fixture runs through the full
+pipeline; expected values come from a pure-Python oracle that implements
+the *pinned* semantics: background exclusion (heatmap.py:28), 'x'-prefix
+exclusion (heatmap.py:65), 'rt-'→'route' pooling (heatmap.py:66-67),
+single group expansion at ingest + pure hierarchical rollup (fixing the
+reference's Q1/Q2 inflation quirks — SURVEY.md §2.3), result-set
+packaging 5 zooms up (heatmap.py:89) and JSON serialization
+(heatmap.py:128-129).  Explode and cascade strategies must agree exactly.
+"""
+
+import datetime as dt
+import json
+import sys
+from collections import defaultdict
+
+import pytest
+
+sys.path.insert(0, "/root/reference")
+from tile import Tile  # noqa: E402  (oracle)
+
+from heatmap_spark.operators import pyramid as P  # noqa: E402
+
+TS1 = dt.datetime(2023, 3, 5, 12, 0, 0)
+TS2 = dt.datetime(2024, 11, 30, 23, 59, 59)
+
+# (lat, lon, ts, user_id, source, weight)
+ROWS = [
+    # two normal users sharing one dense tile (Seattle)
+    (47.6062, -122.3321, TS1, "u1", "gps", 1.0),
+    (47.6062, -122.3321, TS1, "u1", "gps", 1.0),
+    (47.60621, -122.33211, TS2, "u2", "gps", 1.0),
+    # background rows: must vanish entirely
+    (47.6062, -122.3321, TS1, "u1", "background", 1.0),
+    (0.0, 0.0, TS2, "u9", "background", 1.0),
+    # x-test user: counts only into 'all'
+    (40.7128, -73.9857, TS1, "xtest1", "gps", 1.0),
+    # route-pooled users
+    (40.7128, -73.9857, TS1, "rt-17", "gps", 1.0),
+    (40.71281, -73.98571, TS2, "rt-99", "gps", 1.0),
+    # dateline / high-latitude edges
+    (85.0, -180.0, TS2, "u2", "gps", 1.0),
+    (-85.0, 179.999, TS1, "u3", "gps", 1.0),
+]
+
+SCHEMA = "latitude double, longitude double, ts timestamp, user_id string, source string, weight double"
+
+
+def oracle_pyramid(rows, timespans=("alltime",), min_zoom=6, max_zoom=21):
+    """Pure-Python pinned-semantics oracle: dict[(ug, tspan, z, r, c)] -> visits."""
+    out = defaultdict(float)
+    for lat, lon, ts, user, source, w in rows:
+        if source == "background":
+            continue
+        r21 = int(Tile.row_from_latitude(lat, max_zoom))
+        c21 = int(Tile.column_from_longitude(lon, max_zoom))
+        if user.startswith("x"):
+            groups = ["all"]
+        elif user.startswith("rt-"):
+            groups = ["all", "route"]
+        else:
+            groups = ["all", user]
+        for tsp in timespans:
+            label = {
+                "alltime": "alltime",
+                "year": f"{ts.year:04d}",
+                "month": f"{ts.year:04d}-{ts.month:02d}",
+                "day": f"{ts.year:04d}-{ts.month:02d}-{ts.day:02d}",
+            }[tsp]
+            for g in groups:
+                for z in range(min_zoom, max_zoom + 1):
+                    d = max_zoom - z
+                    out[(g, label, z, r21 >> d, c21 >> d)] += w
+    return dict(out)
+
+
+@pytest.fixture(scope="module")
+def locations(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def as_dict(df):
+    return {
+        (r.user_group, r.timespan, r.zoom, r.row, r.col): r.visits
+        for r in df.collect()
+    }
+
+
+def test_pyramid_explode_matches_oracle(spark, locations):
+    got = as_dict(P.build_pyramid(locations, mode="explode"))
+    assert got == oracle_pyramid(ROWS)
+
+
+def test_pyramid_cascade_matches_oracle(spark, locations):
+    got = as_dict(P.build_pyramid(locations, mode="cascade"))
+    assert got == oracle_pyramid(ROWS)
+
+
+def test_multi_timespan(spark, locations):
+    tspans = ("alltime", "year", "month", "day")
+    got = as_dict(P.build_pyramid(locations, mode="explode", timespans=tspans))
+    assert got == oracle_pyramid(ROWS, timespans=tspans)
+    labels = {k[1] for k in got}
+    assert "2023" in labels and "2024-11" in labels and "2023-03-05" in labels
+
+
+def test_resultsets_and_json(spark, locations):
+    pyr = P.build_pyramid(locations, mode="explode")
+    rsets = P.resultsets(pyr)
+    table = P.heatmap_table(rsets).collect()
+
+    # rebuild the oracle result sets: parent 5 zooms up groups its details
+    oracle = oracle_pyramid(ROWS)
+    expected = defaultdict(dict)
+    for (g, tsp, z, r, c), v in oracle.items():
+        expected[(g, tsp, f"{z - 5}_{r >> 5}_{c >> 5}")][f"{z}_{r}_{c}"] = v
+
+    got = {}
+    for row in table:
+        user_group, timespan, rs_tile = row.id.split("|")
+        got[(user_group, timespan, rs_tile)] = json.loads(row.heatmap)
+    assert got == {k: v for k, v in expected.items()}
+
+
+def test_all_group_is_sum_of_visible_points(spark, locations):
+    """'all' at the coarsest zoom = number of non-background points —
+    i.e. NO Q2 re-expansion inflation (SURVEY.md §2.3)."""
+    pyr = P.build_pyramid(locations, mode="explode")
+    rows = pyr.where("user_group = 'all' and zoom = 6").collect()
+    total = sum(r.visits for r in rows)
+    n_visible = sum(1 for r in ROWS if r[4] != "background")
+    assert total == n_visible
