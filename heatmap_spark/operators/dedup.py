@@ -120,6 +120,47 @@ def jaccard_pairs(
     )
 
 
+SIMHASH_BITS = 32
+_HEX = "0123456789abcdef"
+
+
+def simhash(spark: SparkSession, sf_dir: str, n_bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash over shingles, as a portable bit string.
+
+    Classic charikar sketch: for each bit b, sum (2·bit_b(h(shingle))−1)
+    over the document's shingles; the sketch bit is 1 iff the sum ≥ 0.
+    Bit b of the shingle hash comes from md5 hex nibbles (char b/4,
+    bit b%4) — every step (md5, strpos-in-hex-alphabet, integer
+    div/mod) is identical in any engine, so the sketch value itself is
+    oracle-checkable.  Near-dup candidates = small Hamming distance
+    (compare via band prefixes, same banding idea as MinHash LSH).
+
+    Cost: |shingles| × n_bits rows into one groupBy — linear, and the
+    bit explode is JVM-side codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    post = _doc_shingles(docs).select("doc_id", F.md5(F.col("token")).alias("h"))
+    bits = post.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit_idx"),
+    )
+    nibble = F.instr(F.lit(_HEX), F.substring(F.col("h"), (F.col("bit_idx") / 4).cast("int") + 1, 1)) - 1
+    bit = (F.floor(nibble / F.pow(F.lit(2.0), (F.col("bit_idx") % 4).cast("double"))) % 2).cast("int")
+    contrib = bits.select("doc_id", "bit_idx", (bit * 2 - 1).alias("c"))
+    per_bit = contrib.groupBy("doc_id", "bit_idx").agg(
+        F.when(F.sum("c") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("b")
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bit_idx", "b"))), lambda s: s["b"]
+            ),
+        ).alias("simhash_bits")
+    )
+
+
 N_HASHES = 16
 BAND_ROWS = 4  # → 4 bands of 4 rows
 

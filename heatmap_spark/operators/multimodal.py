@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+typed metadata struct; decode / feature-extraction / resize / frame
+sampling run as Arrow-batched ``mapInPandas`` operators so the payload
+bytes never round-trip through row-at-a-time Python.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
+the decode kernel is STUBBED: ``decode_stub_features`` computes
+deterministic fake features (byte stats) and ``decode_real`` raises
+NotImplementedError unless a codec import succeeds.  Everything
+Spark-side — schema, batch iteration, partitioning, explode of sampled
+frames — is real and tested (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from heatmap_spark.sources.tables import load_table
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, payload binary"
+)
+
+FEATURES_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, "
+    "byte_mean double, byte_min int, byte_max int, fake_width int, fake_height int"
+)
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary"
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a media-shaped table from the documents fixture: utf-8
+    payload bytes standing in for encoded image/audio data."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/fake")).otherwise(
+            F.lit("audio/fake")
+        ).alias("media_type"),
+        F.octet_length("text").alias("n_bytes"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def _try_real_codec():
+    try:  # pragma: no cover - codec libs absent in this container
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_real(payload: bytes):  # pragma: no cover
+    """Real decode path — requires a codec library."""
+    if not _try_real_codec():
+        raise NotImplementedError(
+            "media codecs (PIL/librosa/ffmpeg) not installed; "
+            "use decode_stub_features for the deterministic fake path"
+        )
+
+
+def decode_stub_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched 'decode': per-payload byte statistics + fake
+    dimensions derived deterministically from content length.
+
+    The mapInPandas shape is exactly what a real decoder uses — swap
+    the body for PIL/librosa and the plan is unchanged.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            pdf_out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "byte_mean": [
+                        (sum(p) / len(p)) if len(p) else 0.0 for p in payloads
+                    ],
+                    "byte_min": [min(p) if len(p) else 0 for p in payloads],
+                    "byte_max": [max(p) if len(p) else 0 for p in payloads],
+                    "fake_width": [(len(p) % 64) + 1 for p in payloads],
+                    "fake_height": [(len(p) % 48) + 1 for p in payloads],
+                }
+            )
+            yield pdf_out
+
+    return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """'Frame sampling': split each payload into n deterministic byte
+    slices (stand-in for video frame extraction), one row per frame.
+
+    Native-expression implementation — the explode happens JVM-side;
+    only a real decoder would need mapInPandas here.
+    """
+    frame = F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx")
+    exploded = media.select("doc_id", "n_bytes", "payload", frame)
+    return exploded.select(
+        "doc_id",
+        "frame_idx",
+        F.expr(
+            f"substring(payload, frame_idx * (CAST(n_bytes / {n_frames} AS INT) + 1) + 1, "
+            f"CAST(n_bytes / {n_frames} AS INT) + 1)"
+        ).alias("frame_bytes"),
+    )
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media table → stubbed decode features (query-registry shape)."""
+    return decode_stub_features(media_table(spark, sf_dir))

@@ -199,3 +199,50 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts")
     )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles per event_type — Spark's exact
+    `percentile` ≡ DuckDB's `quantile_cont` (both linear interpolation
+    over the sorted values)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props payload column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface (every capability
+    is reachable from spark.sql over registered views)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__hs_lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_items
+           FROM __hs_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+    )
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string expression surface over customer names."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.reverse(F.col("c_name")).alias("name_rev"),
+        F.concat_ws("-", F.lit("c"), F.col("c_custkey").cast("string")).alias("name_key"),
+    )

@@ -139,3 +139,31 @@ def knn_cosine_ivf(
         scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= k)
     )
+
+
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b,
+    cosine ≥ threshold).
+
+    Brute-force all-pairs here (exact; fine to ~10⁴ vectors per
+    executor-broadcast block).  The 100 TB path is the same kernel
+    behind IVF bucketing (ivf_assign) or LSH so only same-bucket pairs
+    are scored — candidates drop ~buckets×; see knn_cosine_ivf.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("vb"))
+    sim = dot_expr(F.col("va"), F.col("vb")) / (
+        norm_expr(F.col("va")) * norm_expr(F.col("vb"))
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", sim.alias("raw"))
+        .where(F.col("raw") >= threshold)
+        .select("vec_id_a", "vec_id_b", F.round("raw", 6).alias("cosine"))
+    )

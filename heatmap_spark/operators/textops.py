@@ -76,3 +76,31 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("meta_lang"),
         F.col("source").alias("meta_source"),
     )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF term per document (deterministic tiebreak on term).
+
+    tf = in-doc term count, idf = ln((N+1)/(df+1)); all portable math
+    (ln, integer counts), ranked per doc by (score desc, term asc).
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; fixture-sized (at scale: broadcast agg)
+    terms = docs.select("doc_id", F.explode(_all_tokens()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "term", "tfidf")
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from heatmap_spark.functions import tiles as tl
-from heatmap_spark.operators import dedup, relational, sessions, similarity, textops
+from heatmap_spark.operators import dedup, multimodal, relational, sessions, similarity, textops
 from heatmap_spark.operators import pyramid as pyr
 from heatmap_spark.sources.locations import load_locations, locations_sql
 
@@ -159,6 +159,97 @@ def q_tile_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tl.lon_from_col(F.col("col"), 16), 9).alias("lon_west"),
         F.round(tl.lon_from_col(F.col("col") + F.lit(1), 16), 9).alias("lon_east"),
     )
+
+
+def q_heatmap_topk_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 densest tiles at zoom 12 ('all' group): pyramid + top-k."""
+    df = pyr.build_pyramid(
+        load_locations(spark, sf_dir), mode="explode", min_zoom=12, max_zoom=12
+    )
+    return (
+        df.where(F.col("user_group") == "all")
+        .orderBy(F.desc("visits"), "row", "col")
+        .limit(10)
+        .select(
+            tl.tile_id_from_zrc(F.col("zoom"), F.col("row"), F.col("col")).alias("tile_id"),
+            "visits",
+        )
+    )
+
+
+def q_heatmap_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique users per zoom-8 tile (the SURVEY §2.8 'unique visitors'
+    variant — exact count distinct; the HLL twin is q_approx_distinct)."""
+    ing = pyr.ingest_locations(load_locations(spark, sf_dir), detail_zoom=8)
+    return ing.groupBy("row", "col").agg(
+        F.countDistinct("user_id").alias("n_users"), F.sum("weight").alias("visits")
+    ).select(
+        tl.tile_id_from_zrc(F.lit(8), F.col("row"), F.col("col")).alias("tile_id"),
+        "n_users",
+        "visits",
+    )
+
+
+def _run_stream_to_table(spark: SparkSession, stream_df, name: str):
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window counts, driven to completion
+    through the memory sink and returned as a batch result — the
+    streaming path IS the declared query."""
+    from heatmap_spark.streaming import incremental as S
+
+    return _run_stream_to_table(
+        spark,
+        S.streaming_tumbling_counts(S.read_events_stream(spark, sf_dir)),
+        "q_streaming_tumbling_sink",
+    )
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window aggregation (gap 60 min) via memory sink."""
+    from heatmap_spark.streaming import incremental as S
+
+    return _run_stream_to_table(
+        spark,
+        S.streaming_session_stats(S.read_events_stream(spark, sf_dir), gap="60 minutes"),
+        "q_streaming_sessions_sink",
+    )
+
+
+def q_streaming_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental windowed heatmap at zoom 10 via memory sink."""
+    from heatmap_spark.streaming import incremental as S
+
+    return _run_stream_to_table(
+        spark,
+        S.streaming_tile_counts(
+            S.derive_locations_stream(S.read_events_stream(spark, sf_dir)),
+            zoom=10,
+            window="60 minutes",
+        ),
+        "q_streaming_heatmap_sink",
+    )
+
+
+# shingle postings CTE shared by the dedup oracles
+_SHINGLES_CTE = """toks AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) - 1),
+    i -> list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[i] || ' ' ||
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[i+1] || ' ' ||
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[i+2]))) AS token
+  FROM documents)"""
 
 
 # ---------------------------------------------------------------------------
@@ -508,6 +599,157 @@ FROM documents""",
   lang AS meta_lang, source AS meta_source
 FROM documents""",
     ),
+    # ---- analytics extensions ----
+    "q_percentiles": QuerySpec(
+        relational.value_percentiles,
+        """SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.9), 6) AS p90,
+  round(min(value), 6) AS vmin,
+  round(max(value), 6) AS vmax
+FROM events GROUP BY event_type""",
+    ),
+    "q_json_extract": QuerySpec(
+        relational.json_extract_events,
+        """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events""",
+    ),
+    "q_grouping_sets": QuerySpec(
+        relational.grouping_sets_lineitem,
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_items
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    ),
+    "q_string_functions": QuerySpec(
+        relational.string_functions,
+        """SELECT c_custkey,
+  upper(c_name) AS name_upper,
+  substr(c_name, 1, 8) AS name_prefix,
+  CAST(length(c_name) AS INTEGER) AS name_len,
+  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+  reverse(c_name) AS name_rev,
+  'c-' || CAST(c_custkey AS VARCHAR) AS name_key
+FROM customer""",
+    ),
+    # ---- more heatmap-derived queries ----
+    "q_heatmap_topk_tiles": QuerySpec(
+        q_heatmap_topk_tiles,
+        f"""WITH {_LOC_CTE},
+pts AS (
+  SELECT CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 4096.0) AS BIGINT) AS row,
+         CAST(floor((longitude + 180.0)/360.0 * 4096.0) AS BIGINT) AS col,
+         weight
+  FROM locations WHERE source <> 'background'),
+agg AS (SELECT row, col, sum(weight) AS visits FROM pts GROUP BY 1, 2)
+SELECT '12_' || CAST(row AS VARCHAR) || '_' || CAST(col AS VARCHAR) AS tile_id, visits
+FROM agg ORDER BY visits DESC, row, col LIMIT 10""",
+    ),
+    "q_heatmap_unique_users": QuerySpec(
+        q_heatmap_unique_users,
+        f"""WITH {_LOC_CTE},
+pts AS (
+  SELECT CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 256.0) AS BIGINT) AS row,
+         CAST(floor((longitude + 180.0)/360.0 * 256.0) AS BIGINT) AS col,
+         user_id, weight
+  FROM locations WHERE source <> 'background')
+SELECT '8_' || CAST(row AS VARCHAR) || '_' || CAST(col AS VARCHAR) AS tile_id,
+       count(DISTINCT user_id) AS n_users, sum(weight) AS visits
+FROM pts GROUP BY row, col""",
+    ),
+    # ---- streaming (driven to completion through the memory sink) ----
+    "q_streaming_tumbling": QuerySpec(
+        q_streaming_tumbling,
+        """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+  count(*) AS n_events
+FROM events GROUP BY 1, 2""",
+    ),
+    "q_streaming_sessions": QuerySpec(
+        q_streaming_sessions,
+        f"""WITH flags AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, event_id, value,
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flags)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 60 MINUTE AS session_end,
+       user_id, count(*) AS n_events,
+       CAST(sum({_d('value')}) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_id""",
+    ),
+    "q_streaming_heatmap": QuerySpec(
+        q_streaming_heatmap,
+        f"""WITH {_LOC_CTE},
+pts AS (
+  SELECT time_bucket(INTERVAL '60 minutes', ts) AS window_start,
+         CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 1024.0) AS BIGINT) AS row,
+         CAST(floor((longitude + 180.0)/360.0 * 1024.0) AS BIGINT) AS col,
+         user_id, weight
+  FROM locations WHERE source <> 'background'),
+expanded AS (
+  SELECT window_start, row, col, weight,
+    unnest(CASE WHEN user_id LIKE 'x%' THEN ['all']
+                WHEN user_id LIKE 'rt-%' THEN ['all','route']
+                ELSE ['all', user_id] END) AS user_group
+  FROM pts)
+SELECT window_start, user_group,
+       '10_' || CAST(row AS VARCHAR) || '_' || CAST(col AS VARCHAR) AS tile_id,
+       sum(weight) AS visits
+FROM expanded GROUP BY 1, 2, 3""",
+    ),
+    # ---- more dedup / similarity / text ----
+    "q_simhash": QuerySpec(
+        dedup.simhash,
+        f"""WITH {_SHINGLES_CTE},
+hs AS (SELECT doc_id, md5(token) AS h FROM toks),
+bits AS (
+  SELECT doc_id, b.bit_idx,
+    CAST(floor((strpos('0123456789abcdef', substr(h, CAST(b.bit_idx // 4 AS INTEGER) + 1, 1)) - 1)
+         / pow(2.0, CAST(b.bit_idx % 4 AS DOUBLE))) AS BIGINT) % 2 AS bit
+  FROM hs CROSS JOIN generate_series(0, 31) AS b(bit_idx)),
+per_bit AS (
+  SELECT doc_id, bit_idx,
+    CASE WHEN sum(bit * 2 - 1) >= 0 THEN '1' ELSE '0' END AS b
+  FROM bits GROUP BY 1, 2)
+SELECT doc_id, string_agg(b, '' ORDER BY bit_idx) AS simhash_bits
+FROM per_bit GROUP BY doc_id""",
+    ),
+    "q_embedding_near_dup": QuerySpec(
+        similarity.embedding_near_dup_pairs,
+        """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+    list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i])) /
+    (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * a.vec[i]))) *
+     sqrt(list_sum(list_transform(range(1, len(b.vec) + 1), i -> b.vec[i] * b.vec[i])))) AS raw
+  FROM emb a CROSS JOIN emb b WHERE a.vec_id < b.vec_id)
+SELECT vec_id_a, vec_id_b, round(raw, 6) AS cosine
+FROM pairs WHERE raw >= 0.4""",
+    ),
+    "q_tfidf_top_terms": QuerySpec(
+        textops.tfidf_top_terms,
+        """WITH terms AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM tf JOIN idf USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored)
+SELECT doc_id, term, tfidf FROM ranked WHERE rn = 1""",
+    ),
+    # ---- multimodal plumbing (mapInPandas — no SQL twin) ----
+    "q_media_features": QuerySpec(multimodal.media_features, None),
 }
 
 

@@ -1,0 +1,144 @@
+"""Incremental (streaming) heatmap + event-window operators.
+
+The reference is batch-only; its entrypoint name ``batchMain``
+(reference heatmap.py:152) implies a streaming sibling existed outside
+the repo.  This module is that sibling, built on Structured Streaming:
+the same tile/group/timespan expressions as the batch pyramid feed
+watermarked windowed aggregations, so a heatmap stays fresh as events
+arrive — update/complete mode to the heatmaps sink.
+
+Scale notes: state is bounded by the watermark (late rows beyond it are
+dropped); the aggregation key (window × user_group × tile) partitions
+the state store exactly like the batch shuffle.  For 100 TB/day streams
+the tile explode happens before the stateful agg, so state size is
+per-(window, tile), not per-event.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from heatmap_spark.operators.pyramid import user_groups_expr
+from heatmap_spark.functions.tiles import tile_col, tile_id_from_zrc, tile_row
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (one-file directory
+    stream; production would be Kafka — same downstream code)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def derive_locations_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of sources/locations.py (same arithmetic)."""
+    return events.select(
+        (F.expr("CAST(mod(event_id * 104729, 170000) AS DOUBLE)") / 1000.0 - 85.0).alias(
+            "latitude"
+        ),
+        (F.expr("CAST(mod(event_id * 7919, 360000) AS DOUBLE)") / 1000.0 - 180.0).alias(
+            "longitude"
+        ),
+        "ts",
+        F.when(F.col("user_id") % 37 == 0, F.concat(F.lit("x"), F.col("user_id").cast("string")))
+        .when(F.col("user_id") % 11 == 0, F.concat(F.lit("rt-"), F.col("user_id").cast("string")))
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .alias("user_id"),
+        F.when(F.col("event_id") % 20 == 0, F.lit("background")).otherwise(F.lit("gps")).alias(
+            "source"
+        ),
+        F.lit(1.0).alias("weight"),
+    )
+
+
+def streaming_tile_counts(
+    locations: DataFrame,
+    zoom: int = 10,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window heatmap at one zoom:
+    (window, user_group, tile_id) → visits.  The incremental pyramid
+    level — run one per zoom, or explode zooms exactly like batch."""
+    pts = (
+        locations.where(F.col("source") != "background")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("ts"),
+            F.explode(user_groups_expr("user_id")).alias("user_group"),
+            tile_row("latitude", zoom).alias("row"),
+            tile_col("longitude", zoom).alias("col"),
+            "weight",
+        )
+    )
+    return (
+        pts.groupBy(F.window("ts", window).alias("w"), "user_group", "row", "col")
+        .agg(F.sum("weight").alias("visits"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_group",
+            tile_id_from_zrc(F.lit(zoom), F.col("row"), F.col("col")).alias("tile_id"),
+            "visits",
+        )
+    )
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming twin of sessions.tumbling_window_counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def streaming_session_stats(
+    events: DataFrame, gap: str = "60 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-based) per user — the streaming form
+    of operators/sessions.sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal sum → double: partition-order-independent (exact),
+            # so results are reproducible and oracle-comparable
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )

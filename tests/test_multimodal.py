@@ -1,0 +1,52 @@
+"""Multimodal plumbing tests: binary payload schema, Arrow-batched
+decode stub, frame sampling — real Spark plumbing, stubbed codecs."""
+
+import pytest
+
+from heatmap_spark.operators import multimodal as M
+
+
+def test_media_table_schema(spark, sf_smoke):
+    media = M.media_table(spark, sf_smoke)
+    fields = {f.name: f.dataType.simpleString() for f in media.schema.fields}
+    assert fields == {
+        "doc_id": "bigint",
+        "media_type": "string",
+        "n_bytes": "int",
+        "payload": "binary",
+    }
+    row = media.orderBy("doc_id").first()
+    assert isinstance(row.payload, (bytes, bytearray)) and len(row.payload) == row.n_bytes
+
+
+def test_decode_stub_features(spark, sf_smoke):
+    media = M.media_table(spark, sf_smoke)
+    feats = M.decode_stub_features(media)
+    rows = {r.doc_id: r for r in feats.collect()}
+    raw = {r.doc_id: r for r in media.collect()}
+    assert rows.keys() == raw.keys()
+    for doc_id, r in list(rows.items())[:20]:
+        payload = raw[doc_id].payload
+        assert r.byte_min == min(payload)
+        assert r.byte_max == max(payload)
+        assert abs(r.byte_mean - sum(payload) / len(payload)) < 1e-9
+        assert r.fake_width == (len(payload) % 64) + 1
+
+
+def test_decode_real_is_gated(spark):
+    with pytest.raises(NotImplementedError):
+        M.decode_real(b"\x00\x01")
+
+
+def test_sample_frames_covers_payload(spark, sf_smoke):
+    media = M.media_table(spark, sf_smoke)
+    frames = M.sample_frames(media, n_frames=4)
+    per_doc = {}
+    for r in frames.collect():
+        per_doc.setdefault(r.doc_id, {})[r.frame_idx] = bytes(r.frame_bytes)
+    raw = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    assert per_doc.keys() == raw.keys()
+    for doc_id, fr in per_doc.items():
+        assert set(fr.keys()) == {0, 1, 2, 3}
+        # concatenated frames reassemble the original payload
+        assert b"".join(fr[i] for i in range(4)) == raw[doc_id]

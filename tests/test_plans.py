@@ -1,0 +1,69 @@
+"""Physical-plan pins: the 100 TB design promises, asserted on the
+actual Catalyst plans (SURVEY.md §4).  If a refactor sneaks a Python
+UDF onto a hot path, drops a broadcast, or adds a shuffle to the
+explode pyramid, these fail."""
+
+from pyspark.sql import functions as F
+
+from heatmap_spark.operators import pyramid as P
+from heatmap_spark.operators import relational as R
+from heatmap_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    has_python_eval,
+    plan_string,
+    pushed_filters,
+)
+from heatmap_spark.queries import q_heatmap_pyramid
+from heatmap_spark.sources.locations import load_locations
+from heatmap_spark.sources.tables import load_table
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_smoke):
+    df = R.tpch_q1(spark, sf_smoke)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf, pf
+    plan = plan_string(df, "formatted")
+    # column pruning: unused wide columns must not be read
+    assert "l_comment" not in plan and "l_partkey" not in plan
+
+
+def test_q3_and_q5_broadcast_small_dims(spark, sf_smoke):
+    assert has_broadcast_join(R.tpch_q3(spark, sf_smoke))
+    assert has_broadcast_join(R.tpch_q5(spark, sf_smoke))
+
+
+def test_pyramid_explode_is_single_shuffle(spark, sf_smoke):
+    df = q_heatmap_pyramid(spark, sf_smoke)
+    assert count_exchanges(df) == 1, plan_string(df, "simple")
+
+
+def test_no_python_eval_on_hot_paths(spark, sf_smoke):
+    """Zero UDFs on the hot path (SURVEY.md §2.7) — the entire heatmap
+    pipeline and the TPC-H set run JVM-side."""
+    for df in [
+        q_heatmap_pyramid(spark, sf_smoke),
+        P.build_pyramid(load_locations(spark, sf_smoke), mode="cascade"),
+        R.tpch_q1(spark, sf_smoke),
+        R.tpch_q3(spark, sf_smoke),
+    ]:
+        assert not has_python_eval(df)
+
+
+def test_pyramid_has_codegen(spark, sf_smoke):
+    # AQE wraps the whole plan until execution, hiding codegen subtrees
+    # from explain — inspect with AQE off (the operators are identical).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_string(q_heatmap_pyramid(spark, sf_smoke), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in plan and "Found 0" not in plan
+
+
+def test_ingest_reads_only_needed_event_columns(spark, sf_smoke):
+    df = P.ingest_locations(load_locations(spark, sf_smoke))
+    plan = plan_string(df, "formatted")
+    # props/event_type/value are never used by the heatmap path
+    assert "props" not in plan
+    assert "event_type" not in plan

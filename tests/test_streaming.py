@@ -1,0 +1,95 @@
+"""Structured Streaming tests: a bounded parquet-backed stream driven to
+completion via the memory sink, compared against the batch twin on the
+same data (SURVEY.md §7.6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from heatmap_spark.operators import pyramid as P
+from heatmap_spark.operators.sessions import sessionize
+from heatmap_spark.sources.locations import load_locations
+from heatmap_spark.sources.tables import load_table
+from heatmap_spark.streaming import incremental as S
+
+
+def run_stream(df, name, mode="complete"):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_smoke):
+    ev_stream = S.read_events_stream(spark, sf_smoke)
+    run_stream(S.streaming_tumbling_counts(ev_stream), "t_tumbling")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    ev = load_table(spark, sf_smoke, "events")
+    exp = {
+        (r.window_start, r.event_type): r.n_events
+        for r in ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_tile_counts_matches_batch(spark, sf_smoke):
+    loc_stream = S.derive_locations_stream(S.read_events_stream(spark, sf_smoke))
+    run_stream(S.streaming_tile_counts(loc_stream, zoom=10, window="60 minutes"), "t_tiles")
+    got = {
+        (r.window_start, r.user_group, r.tile_id): r.visits
+        for r in spark.sql("SELECT * FROM t_tiles").collect()
+    }
+    # batch twin: same window bucketing + single-zoom pyramid keys
+    loc = load_locations(spark, sf_smoke)
+    ing = P.ingest_locations(loc, detail_zoom=10)
+    exp_df = (
+        ing.select(
+            F.window("ts", "60 minutes").alias("w"),
+            F.explode(P.user_groups_expr("user_id")).alias("user_group"),
+            "row",
+            "col",
+            "weight",
+        )
+        .groupBy("w", "user_group", "row", "col")
+        .agg(F.sum("weight").alias("visits"))
+    )
+    exp = {
+        (r.w.start, r.user_group, f"10_{r.row}_{r.col}"): r.visits for r in exp_df.collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_session_window_counts(spark, sf_smoke):
+    ev_stream = S.read_events_stream(spark, sf_smoke)
+    run_stream(S.streaming_session_stats(ev_stream, gap="60 minutes"), "t_sessions")
+    rows = spark.sql("SELECT * FROM t_sessions").collect()
+    assert len(rows) > 0
+    # session count + event totals must agree with the batch sessionizer
+    ev = load_table(spark, sf_smoke, "events")
+    batch = sessionize(ev, gap_minutes=60)
+    batch_sessions = batch.groupBy("user_id", "session_id").count()
+    assert len(rows) == batch_sessions.count()
+    assert sum(r.n_events for r in rows) == ev.count()
+    # spot-check one user's session boundaries agree
+    uid = rows[0].user_id
+    got_u = sorted(
+        (r.session_start, r.n_events) for r in rows if r.user_id == uid
+    )
+    exp_u = sorted(
+        (r.start, r.n)
+        for r in batch.where(F.col("user_id") == uid)
+        .groupBy("session_id")
+        .agg(F.min("ts").alias("start"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert got_u == exp_u
