@@ -72,9 +72,26 @@ def fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, token) distinct shingle postings."""
-    return docs.select("doc_id", F.explode(shingles_expr()).alias("token"))
+def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, token) distinct shingle postings.
+
+    Two deliberate physical choices (measured 30×+ at sf0.1):
+    * the token array is materialized as a real column BEFORE the
+      shingle transform — Catalyst does no CSE inside lambda bodies, so
+      inlining ``split(...)`` into every element_at would re-tokenize
+      the document once per shingle element (quadratic per doc);
+    * repartition by doc_id first — small text files arrive as one
+      input split, and the shingle transform is CPU-bound, so without
+      a spread it runs on a single core no matter the cluster size.
+    """
+    toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda t: t != "")
+    with_toks = docs.repartition(F.col("doc_id")).select("doc_id", toks.alias("toks"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]),
+    )
+    sh = F.array_distinct(F.when(F.size("toks") >= n, grams).otherwise(F.array()))
+    return with_toks.select("doc_id", F.explode(sh).alias("token"))
 
 
 def jaccard_pairs(
@@ -118,6 +135,59 @@ def jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Duplicate-cluster assignment: connected components over near-dup
+    pairs by iterative min-label propagation (an inherently iterative
+    algorithm — the SQL-inexpressible class; DuckDB needs a recursive
+    CTE to mirror it).
+
+    Each node's label converges to the minimum node id in its component.
+    Iterations are O(diameter); every step is one join + one groupBy, so
+    it scales the way large-graph CC does on Spark.  localCheckpoint()
+    truncates the growing lineage each round.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .union(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    )
+    for _ in range(20):  # diameter bound; converges far earlier
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from MinHash-LSH candidate pairs."""
+    return connected_components(minhash_lsh_candidates(spark, sf_dir))
 
 
 SIMHASH_BITS = 32
@@ -183,6 +253,32 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     )
 
 
+def minhash_signatures_wide(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}): the whole signature in ONE groupBy with k
+    min-aggregates — no salt explode, so the shuffle carries |postings|
+    rows instead of k·|postings| (the form that wins at 100 TB).
+    Hash inputs are identical to minhash_signatures ('salt|shingle').
+
+    The k hashes are computed over the DISTINCT shingle dictionary and
+    joined back to the postings: corpora repeat shingles heavily, so
+    this hashes |vocabulary| × k strings instead of |postings| × k
+    (~50× fewer here).  The dictionary join is AQE-broadcastable when
+    the vocabulary is small; at web scale it degrades gracefully to a
+    shuffle join on the shingle."""
+    post = _doc_shingles(docs)
+    dictionary = post.select("token").distinct().select(
+        "token",
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(s)), F.col("token"))).alias(f"h{s}")
+            for s in range(n_hashes)
+        ],
+    )
+    joined = post.join(dictionary, "token")
+    return joined.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(n_hashes)]
+    )
+
+
 def minhash_lsh_candidates(
     spark: SparkSession,
     sf_dir: str,
@@ -192,23 +288,29 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs via LSH banding over minhash
     signatures: docs agreeing on ALL rows of any band become a pair.
 
-    Scale path: signature build is linear; banding groups by
-    (band, band_signature) so only same-bucket docs pair up —
-    sub-quadratic versus the postings join.
+    Scale path: signature build is linear (wide-form, one shuffle);
+    banding groups by (band, band_signature) so only same-bucket docs
+    pair up — sub-quadratic versus the postings join.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, n_hashes)
-    bands = sigs.groupBy(
-        "doc_id", (F.col("salt") / band_rows).cast("int").alias("band")
-    ).agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("salt", "minhash"))),
-                lambda s: s["minhash"],
-            ),
-        ).alias("band_sig")
-    )
+    sigs = minhash_signatures_wide(docs, n_hashes)
+    n_bands = n_hashes // band_rows
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"mh{b * band_rows + i}") for i in range(band_rows)]
+                        ).alias("band_sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (

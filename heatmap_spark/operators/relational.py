@@ -246,3 +246,96 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(F.col("c_name")).alias("name_rev"),
         F.concat_ws("-", F.lit("c"), F.col("c_custkey").cast("string")).alias("name_key"),
     )
+
+
+def window_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/lag/lead/ntile in one pass (per-nation customer
+    balances, fully deterministic ordering)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.lag("c_custkey", 1).over(w).alias("prev_cust"),
+        F.lead("c_custkey", 1).over(w).alias("next_cust"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: orders classified into price bands.
+
+    The band dimension is tiny → broadcast nested-loop is the right
+    plan (Spark picks it automatically for a broadcast non-equi join);
+    for fact-fact range joins the scalable rewrite is bucketize +
+    equi-join on bucket + residual filter.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("S", 0.0, 50_000.0), ("M", 50_000.0, 150_000.0),
+         ("L", 150_000.0, 300_000.0), ("XL", 300_000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total"))
+    )
+
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations (bidirectional), per year —
+    nation self-join through both supplier and customer sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    revenue = F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(revenue.cast("decimal(18,6)").cast("double").alias("revenue"))
+    )
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: top 20 customers by lost revenue."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revenue.cast("decimal(18,6)").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -22,20 +22,25 @@ def _all_tokens(text: str = "text") -> F.Column:
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document stats + a simple length/diversity quality score."""
+    """Per-document stats + a simple length/diversity quality score.
+
+    The token array is materialized once as a column — referencing the
+    tokenizer expression from each stat would re-split the text per
+    use (no CSE across projections of the same subexpression tree).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _all_tokens()
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
-    return docs.select(
+    t = docs.select("doc_id", F.length("text").alias("n_chars"), _all_tokens().alias("toks"))
+    n_tokens = F.size("toks")
+    n_distinct = F.size(F.array_distinct("toks"))
+    stop_hits = F.size(F.filter("toks", lambda x: x.isin(*EN_STOPWORDS)))
+    return t.select(
         "doc_id",
-        F.length("text").alias("n_chars"),
+        "n_chars",
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),
         F.round(n_distinct / n_tokens, 6).alias("ttr"),
         F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
-        F.round(F.length("text") / n_tokens, 6).alias("avg_token_span"),
+        F.round(F.col("n_chars") / n_tokens, 6).alias("avg_token_span"),
     )
 
 
@@ -43,9 +48,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language heuristic (n-gram-free LID baseline):
     classify as 'en' when English stopword mass exceeds 5%."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _all_tokens()
-    ratio = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) / F.size(toks)
-    return docs.select(
+    t = docs.select("doc_id", "lang", _all_tokens().alias("toks"))
+    ratio = F.size(F.filter("toks", lambda x: x.isin(*EN_STOPWORDS))) / F.size("toks")
+    return t.select(
         "doc_id",
         "lang",
         F.round(ratio, 6).alias("en_stop_ratio"),

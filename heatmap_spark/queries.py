@@ -242,6 +242,59 @@ def q_streaming_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user cumulative counts; with one micro-batch over the fixture
+    the converged state equals the batch groupBy — the oracle."""
+    from heatmap_spark.streaming import incremental as S
+    from heatmap_spark.streaming.stateful import running_user_counts
+
+    name = "q_streaming_stateful_sink"
+    q = (
+        running_user_counts(S.read_events_stream(spark, sf_dir))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+_SPARK_PYRAMID_SQL = """
+WITH pts AS (
+  SELECT
+    CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 2097152.0) AS BIGINT) AS row21,
+    CAST(floor((longitude + 180.0)/360.0 * 2097152.0) AS BIGINT) AS col21,
+    user_id, weight
+  FROM __hs_locations WHERE source <> 'background'),
+grouped AS (
+  SELECT explode(CASE WHEN user_id LIKE 'x%' THEN array('all')
+                      WHEN user_id LIKE 'rt-%' THEN array('all', 'route')
+                      ELSE array('all', user_id) END) AS user_group,
+         row21, col21, weight
+  FROM pts),
+leveled AS (
+  SELECT user_group, 'alltime' AS timespan, zoom,
+         CAST(floor(row21 / pow(2.0, CAST(21 - zoom AS DOUBLE))) AS BIGINT) AS row,
+         CAST(floor(col21 / pow(2.0, CAST(21 - zoom AS DOUBLE))) AS BIGINT) AS col,
+         weight
+  FROM grouped LATERAL VIEW explode(sequence(6, 21)) z AS zoom)
+SELECT user_group, timespan, zoom, row, col, sum(weight) AS visits
+FROM leveled GROUP BY user_group, timespan, zoom, row, col
+"""
+
+
+def q_heatmap_pyramid_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pyramid through the raw SQL-string surface (spark.sql
+    over a registered locations view) — every engine capability is
+    reachable from SQL, not just the DataFrame API."""
+    load_locations(spark, sf_dir).createOrReplaceTempView("__hs_locations")
+    return spark.sql(_SPARK_PYRAMID_SQL)
+
+
 # shingle postings CTE shared by the dedup oracles
 _SHINGLES_CTE = """toks AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -750,6 +803,90 @@ SELECT doc_id, term, tfidf FROM ranked WHERE rn = 1""",
     ),
     # ---- multimodal plumbing (mapInPandas — no SQL twin) ----
     "q_media_features": QuerySpec(multimodal.media_features, None),
+    # ---- iterative + stateful ----
+    "q_dedup_clusters": QuerySpec(
+        dedup.dedup_clusters,
+        f"""WITH RECURSIVE {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, s.salt,
+    min(md5(CAST(s.salt AS VARCHAR) || '|' || token)) AS minhash
+  FROM toks CROSS JOIN generate_series(0, 15) AS s(salt)
+  GROUP BY doc_id, s.salt),
+bands AS (
+  SELECT doc_id, CAST(salt // 4 AS INTEGER) AS band,
+    string_agg(minhash, ',' ORDER BY salt) AS band_sig
+  FROM sigs GROUP BY doc_id, CAST(salt // 4 AS INTEGER)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION SELECT doc_b, doc_a FROM cand),
+reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node)
+SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""",
+    ),
+    "q_streaming_stateful": QuerySpec(
+        q_streaming_stateful,
+        """SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
+FROM events GROUP BY user_id""",
+    ),
+    # ---- SQL-string surface + more relational ----
+    "q_heatmap_pyramid_sql": QuerySpec(q_heatmap_pyramid_sql, _PYRAMID_SQL),
+    "q_window_variety": QuerySpec(
+        relational.window_variety,
+        """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal,
+  CAST(rank() OVER w AS INTEGER) AS bal_rank,
+  CAST(dense_rank() OVER w AS INTEGER) AS bal_dense_rank,
+  lag(c_custkey, 1) OVER w AS prev_cust,
+  lead(c_custkey, 1) OVER w AS next_cust,
+  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""",
+    ),
+    "q_tpch_q7": QuerySpec(
+        relational.tpch_q7,
+        f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+  CAST(CAST(sum({_d('l_extendedprice')} * ({_ONE} - {_d('l_discount')})) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3""",
+    ),
+    "q_tpch_q10": QuerySpec(
+        relational.tpch_q10,
+        f"""SELECT c_custkey, c_name, n_name,
+  CAST(CAST(sum({_d('l_extendedprice')} * ({_ONE} - {_d('l_discount')})) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    ),
+    "q_range_join": QuerySpec(
+        relational.range_join_price_bands,
+        f"""WITH bands(band, lo, hi) AS (
+  VALUES ('S', 0.0, 50000.0), ('M', 50000.0, 150000.0),
+         ('L', 150000.0, 300000.0), ('XL', 300000.0, 1e18))
+SELECT band, count(*) AS n_orders,
+  CAST(sum({_d('o_totalprice')}) AS DOUBLE) AS total
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band""",
+    ),
 }
 
 

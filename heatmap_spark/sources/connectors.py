@@ -1,0 +1,82 @@
+"""Production source/sink connectors — config parity with the reference.
+
+The reference reads Cassandra (rhom.locations) or CosmosDB and appends
+heatmaps to Cassandra (reference heatmap.py:131-150).  Those are
+connector *configurations*, not engine code; this module provides the
+same surface on modern connector APIs, gated cleanly when the jars are
+absent (this container has none — the parquet fixtures stand in, and
+tests cover the gating).
+
+Reference parity map:
+  S1 get_rows/Cassandra  (heatmap.py:131-137) → read_cassandra
+  S2 CosmosDB branch     (heatmap.py:138-146) → read_cosmos
+  S3 write_heatmap_dataframes (heatmap.py:149-150) → write_cassandra
+Unlike the reference — which stops and recreates the SparkContext to
+inject connection config (heatmap.py:133-135) — connection settings
+ride on the reader/writer options.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
+COSMOS_FORMAT = "cosmos.oltp"
+
+
+class ConnectorUnavailable(RuntimeError):
+    pass
+
+
+def _raise_if_missing(spark: SparkSession, fmt: str, err: Exception):
+    raise ConnectorUnavailable(
+        f"data source {fmt!r} is not on the classpath; add the connector "
+        f"jar via spark.jars.packages (original error: {err})"
+    )
+
+
+def read_cassandra(
+    spark: SparkSession, keyspace: str = "rhom", table: str = "locations", host: str | None = None
+) -> DataFrame:
+    """Cassandra scan (reference S1).  ``host`` maps to
+    spark.cassandra.connection.host (set per-read, no context restart)."""
+    reader = spark.read.format(CASSANDRA_FORMAT).options(keyspace=keyspace, table=table)
+    if host:
+        reader = reader.option("spark.cassandra.connection.host", host)
+    try:
+        return reader.load()
+    except Exception as e:  # jar absent in this container
+        _raise_if_missing(spark, CASSANDRA_FORMAT, e)
+
+
+def read_cosmos(
+    spark: SparkSession, endpoint: str, key: str, database: str = "locationsdb",
+    container: str = "locations",
+) -> DataFrame:
+    """CosmosDB scan (reference S2, modernized options)."""
+    try:
+        return (
+            spark.read.format(COSMOS_FORMAT)
+            .option("spark.cosmos.accountEndpoint", endpoint)
+            .option("spark.cosmos.accountKey", key)
+            .option("spark.cosmos.database", database)
+            .option("spark.cosmos.container", container)
+            .load()
+        )
+    except Exception as e:
+        _raise_if_missing(spark, COSMOS_FORMAT, e)
+
+
+def write_cassandra(
+    df: DataFrame, keyspace: str = "rhom", table: str = "heatmaps", host: str | None = None
+) -> None:
+    """Append to the heatmaps table (reference S3)."""
+    writer = df.write.format(CASSANDRA_FORMAT).mode("append").options(
+        keyspace=keyspace, table=table
+    )
+    if host:
+        writer = writer.option("spark.cassandra.connection.host", host)
+    try:
+        writer.save()
+    except Exception as e:
+        _raise_if_missing(df.sparkSession, CASSANDRA_FORMAT, e)

@@ -1,0 +1,63 @@
+"""Tests for the advanced-operator layer: salted aggregation, connected
+components, stateful streaming."""
+
+from pyspark.sql import functions as F
+
+from heatmap_spark.operators.dedup import connected_components
+from heatmap_spark.operators.skew import salted_collect_set, salted_sum
+from heatmap_spark.sources.tables import load_table
+
+
+def test_salted_sum_equals_plain_groupby(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    got = {
+        r.l_returnflag: r.total
+        for r in salted_sum(li, ["l_returnflag"], F.col("l_quantity"), "total").collect()
+    }
+    exp = {
+        r.l_returnflag: r.total
+        for r in li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("total")).collect()
+    }
+    assert got == exp
+
+
+def test_salted_collect_set_equals_plain(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    got = {
+        r.event_type: list(r.users)
+        for r in salted_collect_set(ev, ["event_type"], "user_id", "users").collect()
+    }
+    exp = {
+        r.event_type: sorted(r.users)
+        for r in ev.groupBy("event_type").agg(F.collect_set("user_id").alias("users")).collect()
+    }
+    assert got == exp
+
+
+def test_connected_components_small_graph(spark):
+    # components: {1,2,3,4} (chain), {10,11}, isolated pairs absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_on_star_and_cycle(spark):
+    pairs = spark.createDataFrame(
+        [(5, 6), (6, 7), (7, 5), (100, 1), (1, 50)], "doc_a bigint, doc_b bigint"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {5: 5, 6: 5, 7: 5, 100: 1, 1: 1, 50: 1}
+
+
+def test_stateful_streaming_counts(spark, sf_smoke):
+    from heatmap_spark.queries import q_streaming_stateful
+
+    got = {r.user_id: (r.n_events, r.last_ts) for r in q_streaming_stateful(spark, sf_smoke).collect()}
+    ev = load_table(spark, sf_smoke, "events")
+    exp = {
+        r.user_id: (r.n, r.m)
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n"), F.max("ts").alias("m")).collect()
+    }
+    assert got == exp
