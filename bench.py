@@ -35,6 +35,12 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop caches/checkpoint blocks a query may have pinned so later
+        # queries aren't measured under its memory pressure
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jmap.get(rid).unpersist()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -148,14 +148,23 @@ def pyramid_cascade(
     (reference heatmap.py:107-118, strategy 2 of SURVEY.md §2.5).
 
     Valid because sum is reassociative: zoom z = groupBy over zoom z+1.
-    Each level is persisted so the 16-deep lineage is evaluated once
-    (the reference has no cache/persist at all — SURVEY.md §2.5).
+
+    Lineage discipline (the SURVEY §2.5 "what's hard" item, learned the
+    hard way): ``persist()`` alone does NOT truncate the logical plan,
+    so level 6 would nest all 15 prior aggregations — a plan tree big
+    enough that AQE's plan-string logging alone OOMs a default-sized
+    driver.  Each level is therefore ``localCheckpoint``ed: lineage cut
+    to a materialized RDD, plans stay O(1) deep, and each level is
+    computed exactly once.  (On a fault-tolerant cluster job, swap for
+    reliable ``checkpoint()`` with a checkpoint dir — localCheckpoint
+    blocks are lost with an executor.)
     """
     level = _level_agg(expanded.withColumn("zoom", F.lit(max_zoom)))
-    levels = [level]
+    levels = []
     for z in range(max_zoom - 1, min_zoom - 1, -1):
         if persist:
-            level = level.persist()
+            level = level.localCheckpoint(eager=True)
+        levels.append(level)
         level = _level_agg(
             level.select(
                 "user_group",
@@ -166,7 +175,7 @@ def pyramid_cascade(
                 F.col("visits").alias("weight"),
             )
         )
-        levels.append(level)
+    levels.append(level)
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)

@@ -339,3 +339,27 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+def above_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: customers with balance above the global
+    mean (mean via exact decimal sum / count for cross-engine parity).
+    Expressed as a broadcast cross-join of the 1-row aggregate — what a
+    decorrelated scalar subquery compiles to anyway."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count("c_acctbal")).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch (engine-specific — rows-only check)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99))").alias("quantiles")
+    )

@@ -109,3 +109,25 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "term", "tfidf")
     )
+
+
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    folded over per-token codes, all in exact int64 arithmetic
+    (h = (h·1000003 + code) mod 2^31−1), so any engine reproduces it.
+
+    Complements the order-insensitive md5 bag fingerprint in
+    operators/dedup.fingerprint_dedup: reordering words changes THIS
+    fingerprint but not that one.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _all_tokens().alias("toks"))
+    code = lambda tok: (  # noqa: E731
+        F.ascii(tok) * 65536 + F.ascii(F.reverse(tok)) * 256 + F.length(tok) % 256
+    ).cast("bigint")
+    fp = F.aggregate(
+        F.transform(F.col("toks"), code),
+        F.lit(0).cast("bigint"),
+        lambda a, x: (a * 1000003 + x) % 2147483647,
+    )
+    return t.select("doc_id", fp.alias("fingerprint"))

@@ -803,6 +803,26 @@ SELECT doc_id, term, tfidf FROM ranked WHERE rn = 1""",
     ),
     # ---- multimodal plumbing (mapInPandas — no SQL twin) ----
     "q_media_features": QuerySpec(multimodal.media_features, None),
+    "q_scalar_subquery": QuerySpec(
+        relational.above_average_customers,
+        f"""SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(sum({_d('c_acctbal')}) AS DOUBLE) / count(c_acctbal) FROM customer)""",
+    ),
+    "q_approx_quantiles": QuerySpec(relational.approx_quantiles_value, None),
+    "q_rolling_fingerprint": QuerySpec(
+        textops.rolling_fingerprint,
+        """WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(toks, t -> CAST(ascii(t) * 65536 + ascii(reverse(t)) * 256 + length(t) % 256 AS BIGINT))),
+    (a, x) -> (a * 1000003 + x) % 2147483647) AS fingerprint
+FROM t""",
+    ),
     # ---- iterative + stateful ----
     "q_dedup_clusters": QuerySpec(
         dedup.dedup_clusters,

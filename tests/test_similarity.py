@@ -1,0 +1,43 @@
+"""Similarity-search semantics tests beyond the DuckDB oracle."""
+
+from pyspark.sql import functions as F
+
+from heatmap_spark.operators.similarity import ivf_assign, knn_cosine, knn_cosine_ivf
+from heatmap_spark.sources.tables import load_table
+
+
+def test_knn_self_excluded_and_k_rows(spark, sf_smoke):
+    res = knn_cosine(spark, sf_smoke, n_queries=5, k=3).collect()
+    per_q = {}
+    for r in res:
+        assert r.neighbor_id != r.query_id
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(per_q.keys()) == {0, 1, 2, 3, 4}
+    for ranks in per_q.values():
+        assert sorted(ranks) == [1, 2, 3]
+
+
+def test_ivf_assign_partitions_all_vectors(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    assigned = ivf_assign(emb, n_buckets=4)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+    buckets = {r.bucket for r in assigned.select("bucket").distinct().collect()}
+    assert buckets <= {0, 1, 2, 3} and len(buckets) >= 2
+
+
+def test_ivf_results_are_subset_quality(spark, sf_smoke):
+    """IVF cosines can never beat brute force at the same rank — each
+    IVF neighbor must appear in the brute-force list with cosine ≥ the
+    IVF rank-k cosine (recall loss only, never invention)."""
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in knn_cosine(spark, sf_smoke, n_queries=5, k=500).collect()
+    }
+    ivf = knn_cosine_ivf(spark, sf_smoke, n_queries=5, k=3).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        assert (r.query_id, r.neighbor_id) in brute
+        assert abs(brute[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
