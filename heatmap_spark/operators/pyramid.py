@@ -70,8 +70,20 @@ def ingest_locations(locations: DataFrame, detail_zoom: int = DETAIL_MAX_ZOOM) -
     Pure filter+project — pushes down to the scan; no UDF.  ``source``
     is non-null in our fixtures so ``!=`` matches the reference's
     Python ``!=`` (null-keeping note in SURVEY.md §2.2).
+
+    Parallelism guard: a small locations file arrives as ONE input
+    split, which would serialize the 16× zoom explode and the map-side
+    partial aggregation onto a single core.  When the source has fewer
+    partitions than the cluster's default parallelism, spread it first
+    (the reshuffle of the filtered input costs far less than running
+    the expansion single-threaded; at 100 TB the input naturally has
+    thousands of splits and this is a no-op).
     """
-    return locations.where(F.col("source") != "background").select(
+    filtered = locations.where(F.col("source") != "background")
+    target = locations.sparkSession.sparkContext.defaultParallelism
+    if filtered.rdd.getNumPartitions() < target:
+        filtered = filtered.repartition(target)
+    return filtered.select(
         tile_row("latitude", detail_zoom).alias("row"),
         tile_col("longitude", detail_zoom).alias("col"),
         F.col("ts"),
