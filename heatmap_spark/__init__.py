@@ -16,5 +16,19 @@ explicit schemas at table boundaries; AQE on.
 
 from heatmap_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name):
+    # lazy re-exports so `import heatmap_spark` stays light
+    if name == "Heatmap":
+        from heatmap_spark.api import Heatmap
+
+        return Heatmap
+    if name == "REGISTRY":
+        from heatmap_spark.queries import REGISTRY
+
+        return REGISTRY
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "Heatmap", "REGISTRY"]
 __version__ = "0.1.0"

@@ -80,9 +80,10 @@ def ingest_locations(locations: DataFrame, detail_zoom: int = DETAIL_MAX_ZOOM) -
     thousands of splits and this is a no-op).
     """
     filtered = locations.where(F.col("source") != "background")
-    target = locations.sparkSession.sparkContext.defaultParallelism
-    if filtered.rdd.getNumPartitions() < target:
-        filtered = filtered.repartition(target)
+    if not locations.isStreaming:  # .rdd is undefined on streaming plans
+        target = locations.sparkSession.sparkContext.defaultParallelism
+        if filtered.rdd.getNumPartitions() < target:
+            filtered = filtered.repartition(target)
     return filtered.select(
         tile_row("latitude", detail_zoom).alias("row"),
         tile_col("longitude", detail_zoom).alias("col"),
@@ -171,11 +172,18 @@ def pyramid_cascade(
     reliable ``checkpoint()`` with a checkpoint dir — localCheckpoint
     blocks are lost with an executor.)
     """
+    from pyspark.storagelevel import StorageLevel
+
     level = _level_agg(expanded.withColumn("zoom", F.lit(max_zoom)))
     levels = []
     for z in range(max_zoom - 1, min_zoom - 1, -1):
         if persist:
-            level = level.localCheckpoint(eager=True)
+            # DISK_ONLY: fine zoom levels don't shrink until ~4^z exceeds
+            # the point count, so most of the 16 levels are point-sized —
+            # heap-caching all of them OOMs at 10M+ points.  Disk blocks
+            # behave like shuffle files (which is what the reference
+            # implicitly relied on, SURVEY.md §2.5).
+            level = level.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         levels.append(level)
         level = _level_agg(
             level.select(
