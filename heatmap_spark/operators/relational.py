@@ -363,3 +363,55 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.expr("approx_percentile(value, array(0.5, 0.9, 0.99))").alias("quantiles")
     )
+
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking: correlated EXISTS (semi join) against
+    date-filtered lineitems shipped after their order date."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) of the per-user event-type counts via stack —
+    the inverse of event_type_pivot."""
+    wide = event_type_pivot(spark, sf_dir)
+    return wide.select(
+        "user_id",
+        F.expr(
+            "stack(5, 'click', n_click, 'view', n_view, 'purchase', n_purchase, "
+            "'signup', n_signup, 'error', n_error) AS (event_type, n)"
+        ),
+    ).where(F.col("n") > 0)
+
+
+def order_extremes_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by: each customer's cheapest and priciest order key.
+
+    Ties on o_totalprice are resolved deterministically by folding the
+    orderkey into the ordering key (min_by/max_by alone are
+    tie-nondeterministic in any engine).  The key is a zero-padded
+    string '<cents>_<orderkey>' whose lexicographic order equals the
+    numeric order — portable where struct-ordered min_by isn't.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    price_key = F.concat_ws(
+        "_",
+        F.lpad(cents.cast("string"), 12, "0"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", price_key).alias("cheapest_order"),
+        F.max_by("o_orderkey", price_key).alias("priciest_order"),
+        F.count("*").alias("n_orders"),
+    )

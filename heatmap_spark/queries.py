@@ -803,6 +803,47 @@ SELECT doc_id, term, tfidf FROM ranked WHERE rn = 1""",
     ),
     # ---- multimodal plumbing (mapInPandas — no SQL twin) ----
     "q_media_features": QuerySpec(multimodal.media_features, None),
+    "q_tpch_q4": QuerySpec(
+        relational.tpch_q4,
+        """SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority""",
+    ),
+    "q_unpivot_events": QuerySpec(
+        relational.unpivot_events,
+        """WITH wide AS (
+  SELECT user_id,
+    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+  FROM events GROUP BY user_id),
+long AS (
+  SELECT user_id, 'click' AS event_type, n_click AS n FROM wide
+  UNION ALL SELECT user_id, 'view', n_view FROM wide
+  UNION ALL SELECT user_id, 'purchase', n_purchase FROM wide
+  UNION ALL SELECT user_id, 'signup', n_signup FROM wide
+  UNION ALL SELECT user_id, 'error', n_error FROM wide)
+SELECT user_id, event_type, n FROM long WHERE n > 0""",
+    ),
+    "q_order_extremes": QuerySpec(
+        relational.order_extremes_per_customer,
+        """WITH keyed AS (
+  SELECT o_custkey, o_orderkey,
+    lpad(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 12, '0')
+      || '_' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS pk
+  FROM orders)
+SELECT o_custkey,
+  min_by(o_orderkey, pk) AS cheapest_order,
+  max_by(o_orderkey, pk) AS priciest_order,
+  count(*) AS n_orders
+FROM keyed GROUP BY o_custkey""",
+    ),
     "q_scalar_subquery": QuerySpec(
         relational.above_average_customers,
         f"""SELECT c_custkey, round(c_acctbal, 2) AS acctbal
