@@ -259,23 +259,17 @@ def minhash_signatures_wide(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFr
     rows instead of k·|postings| (the form that wins at 100 TB).
     Hash inputs are identical to minhash_signatures ('salt|shingle').
 
-    The k hashes are computed over the DISTINCT shingle dictionary and
-    joined back to the postings: corpora repeat shingles heavily, so
-    this hashes |vocabulary| × k strings instead of |postings| × k
-    (~50× fewer here).  The dictionary join is AQE-broadcastable when
-    the vocabulary is small; at web scale it degrades gracefully to a
-    shuffle join on the shingle."""
+    The k hashes are computed inline per posting — embarrassingly
+    parallel, zero extra shuffles.  (A distinct-shingle dictionary +
+    join-back halves hashing when shingle reuse is very high, but it
+    reads the postings twice and adds two shuffles; measured slower at
+    our corpus shapes.)"""
     post = _doc_shingles(docs)
-    dictionary = post.select("token").distinct().select(
-        "token",
+    return post.groupBy("doc_id").agg(
         *[
-            F.md5(F.concat_ws("|", F.lit(str(s)), F.col("token"))).alias(f"h{s}")
+            F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("token")))).alias(f"mh{s}")
             for s in range(n_hashes)
-        ],
-    )
-    joined = post.join(dictionary, "token")
-    return joined.groupBy("doc_id").agg(
-        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(n_hashes)]
+        ]
     )
 
 

@@ -80,6 +80,13 @@ def ingest_locations(locations: DataFrame, detail_zoom: int = DETAIL_MAX_ZOOM) -
     thousands of splits and this is a no-op).
     """
     filtered = locations.where(F.col("source") != "background")
+    # guard the Mercator domain: NaN / out-of-range coordinates would
+    # quantize to null or absurd tiles and pollute the pyramid at scale
+    # (no-op on the fixtures, which are generated in-domain)
+    filtered = filtered.where(
+        F.col("latitude").between(-85.05112878, 85.05112878)
+        & F.col("longitude").between(-180.0, 180.0)
+    )
     if not locations.isStreaming:  # .rdd is undefined on streaming plans
         target = locations.sparkSession.sparkContext.defaultParallelism
         if filtered.rdd.getNumPartitions() < target:

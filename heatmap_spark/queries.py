@@ -72,6 +72,13 @@ def _d(col: str) -> str:
     return f"CAST({col} AS {_DEC})"
 
 
+def _ml():
+    """Deferred import: spark.ml pulls in numpy-heavy modules."""
+    from heatmap_spark.operators import ml_lsh
+
+    return ml_lsh
+
+
 # ---------------------------------------------------------------------------
 # Heatmap family Spark impls
 # ---------------------------------------------------------------------------
@@ -803,6 +810,13 @@ SELECT doc_id, term, tfidf FROM ranked WHERE rn = 1""",
     ),
     # ---- multimodal plumbing (mapInPandas — no SQL twin) ----
     "q_media_features": QuerySpec(multimodal.media_features, None),
+    # ---- MLlib LSH variants (engine-internal hash families — rows-only) ----
+    "q_ml_minhash_lsh": QuerySpec(
+        lambda spark, sf_dir: _ml().ml_minhash_candidates(spark, sf_dir), None
+    ),
+    "q_ml_brp_neighbors": QuerySpec(
+        lambda spark, sf_dir: _ml().ml_brp_neighbors(spark, sf_dir), None
+    ),
     "q_tpch_q4": QuerySpec(
         relational.tpch_q4,
         """SELECT o_orderpriority, count(*) AS order_count

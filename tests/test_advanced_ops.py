@@ -61,3 +61,16 @@ def test_stateful_streaming_counts(spark, sf_smoke):
         for r in ev.groupBy("user_id").agg(F.count("*").alias("n"), F.max("ts").alias("m")).collect()
     }
     assert got == exp
+
+
+def test_approx_distinct_within_tolerance(spark, sf_smoke):
+    """HLL sketch accuracy: approx_count_distinct default rsd=5% —
+    assert within 10% of exact on the fixture."""
+    li = load_table(spark, sf_smoke, "lineitem")
+    rows = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r.approx - r.exact) <= 0.1 * r.exact, (r.approx, r.exact)

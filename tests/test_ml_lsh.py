@@ -1,0 +1,33 @@
+"""MLlib LSH variants: run + sanity against the portable implementations."""
+
+from pyspark.sql import functions as F
+
+from heatmap_spark.operators.dedup import jaccard_pairs
+from heatmap_spark.operators.ml_lsh import ml_brp_neighbors, ml_minhash_candidates
+from heatmap_spark.operators.similarity import knn_cosine
+
+
+def test_ml_minhash_agrees_with_exact_jaccard(spark, sf_smoke):
+    # every ML-LSH candidate above threshold must have genuinely high
+    # exact jaccard (the distance column is exact on the candidate set)
+    cands = ml_minhash_candidates(spark, sf_smoke, threshold=0.2).collect()
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(spark, sf_smoke, threshold=0.2).collect()
+    }
+    for r in cands:
+        assert (r.doc_a, r.doc_b) in exact, (r.doc_a, r.doc_b)
+        assert abs(exact[(r.doc_a, r.doc_b)] - r.jaccard) < 1e-5
+
+
+def test_ml_brp_neighbors_shape(spark, sf_smoke):
+    res = ml_brp_neighbors(spark, sf_smoke, n_queries=3, k=2).collect()
+    per_q = {}
+    for r in res:
+        assert r.neighbor_id != r.query_id
+        assert r.euclidean_dist >= 0
+        per_q.setdefault(r.query_id, 0)
+        per_q[r.query_id] += 1
+    assert set(per_q.keys()) == {0, 1, 2}
+    # LSH may return fewer than k if buckets are sparse, never more
+    assert all(1 <= n <= 2 for n in per_q.values())
