@@ -109,3 +109,17 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str, minutes: int = 5) -
     ).select(
         F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
     )
+
+
+def sliding_window_counts(
+    spark: SparkSession, sf_dir: str, size_min: int = 10, slide_min: int = 5
+) -> DataFrame:
+    """Sliding (overlapping) windows: each event lands in
+    size/slide windows; Spark's window() generates the overlap set."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", f"{size_min} minutes", f"{slide_min} minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )

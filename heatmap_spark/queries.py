@@ -532,6 +532,14 @@ FROM sess GROUP BY user_id, session_id""",
    WHERE s.event_type = 'signup' AND s.user_id = p.user_id AND s.ts <= p.ts) AS last_signup_ts
 FROM events p WHERE p.event_type = 'purchase'""",
     ),
+    "q_window_sliding": QuerySpec(
+        sessions.sliding_window_counts,
+        f"""SELECT time_bucket(INTERVAL '5 minutes', ts) - g.j * INTERVAL '5 minutes' AS window_start,
+  event_type, count(*) AS n_events,
+  CAST(sum({_d('value')}) AS DOUBLE) AS total_value
+FROM events CROSS JOIN generate_series(0, 1) AS g(j)
+GROUP BY 1, 2""",
+    ),
     "q_window_tumbling": QuerySpec(
         sessions.tumbling_window_counts,
         f"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
