@@ -415,3 +415,53 @@ def order_extremes_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", price_key).alias("priciest_order"),
         F.count("*").alias("n_orders"),
     )
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect: conditional-aggregate ratio over a part join."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount"))
+    promo = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0).cast("decimal(12,4)"))
+    )
+    total = F.sum(disc)
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(
+            F.lit(100.0) * promo.cast("decimal(18,6)").cast("double")
+            / total.cast("decimal(18,6)").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: HAVING on a grouped sum, joined back to
+    order/customer detail (top 20, deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .where(F.col("qty") > 150)
+        .select("l_orderkey", F.col("qty").cast("double").alias("total_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-day rollup via date_trunc (timestamp-typed day buckets)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("total_value")
+    )

@@ -197,6 +197,50 @@ def q_heatmap_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heatmap_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-path query: visit counts for tiles intersecting a lat/lon
+    bounding box at zoom 12 — the serving-side lookup a map client does
+    (tile-range predicate = integer row/col between bounds, sargable)."""
+    lat_n, lat_s, lon_w, lon_e = 40.0, -40.0, -90.0, 90.0
+    df = pyr.build_pyramid(
+        load_locations(spark, sf_dir), mode="explode", min_zoom=12, max_zoom=12
+    )
+    r_min = tl.tile_row(F.lit(lat_n), 12)  # north edge → smaller row
+    r_max = tl.tile_row(F.lit(lat_s), 12)
+    c_min = tl.tile_col(F.lit(lon_w), 12)
+    c_max = tl.tile_col(F.lit(lon_e), 12)
+    return df.where(
+        (F.col("user_group") == "all")
+        & F.col("row").between(r_min, r_max)
+        & F.col("col").between(c_min, c_max)
+    ).select(
+        tl.tile_id_from_zrc(F.col("zoom"), F.col("row"), F.col("col")).alias("tile_id"),
+        "visits",
+    )
+
+
+def q_heatmap_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-path drill-down: the 4 children (zoom 9) of every zoom-8
+    tile with ≥ 20 visits, with the parent id attached — the quadtree
+    navigation step (children = integer (2r+{0,1}, 2c+{0,1}), exact
+    per functions/tiles.tile_children)."""
+    df = pyr.build_pyramid(
+        load_locations(spark, sf_dir), mode="explode", min_zoom=8, max_zoom=9
+    )
+    hot = df.where((F.col("zoom") == 8) & (F.col("user_group") == "all") & (F.col("visits") >= 20)).select(
+        F.col("row").alias("p_row"), F.col("col").alias("p_col")
+    )
+    kids = df.where((F.col("zoom") == 9) & (F.col("user_group") == "all"))
+    return kids.join(
+        F.broadcast(hot),
+        (F.shiftright(kids.row, 1) == hot.p_row) & (F.shiftright(kids.col, 1) == hot.p_col),
+    ).select(
+        tl.tile_id_from_zrc(F.lit(8), F.col("p_row"), F.col("p_col")).alias("parent_id"),
+        tl.tile_id_from_zrc(F.lit(9), F.col("row"), F.col("col")).alias("child_id"),
+        "visits",
+    )
+
+
 def _run_stream_to_table(spark: SparkSession, stream_df, name: str):
     q = (
         stream_df.writeStream.outputMode("complete")
@@ -930,6 +974,71 @@ FROM events GROUP BY user_id""",
   CAST(ntile(4) OVER w AS INTEGER) AS quartile
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""",
+    ),
+    "q_tpch_q14": QuerySpec(
+        relational.tpch_q14,
+        f"""SELECT round(
+  100.0 * CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        THEN {_d('l_extendedprice')} * ({_ONE} - {_d('l_discount')})
+        ELSE CAST(0 AS {_DEC}) END) AS DECIMAL(18,6)) AS DOUBLE)
+  / CAST(CAST(sum({_d('l_extendedprice')} * ({_ONE} - {_d('l_discount')})) AS DECIMAL(18,6)) AS DOUBLE),
+  6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""",
+    ),
+    "q_tpch_q18": QuerySpec(
+        relational.tpch_q18,
+        f"""WITH big AS (
+  SELECT l_orderkey, CAST(sum({_d('l_quantity')}) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum({_d('l_quantity')}) > 150)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey LIMIT 20""",
+    ),
+    "q_daily_rollup": QuerySpec(
+        relational.events_daily_rollup,
+        f"""SELECT date_trunc('day', ts) AS day, event_type,
+  count(*) AS n_events, CAST(sum({_d('value')}) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2""",
+    ),
+    "q_heatmap_bbox": QuerySpec(
+        q_heatmap_bbox,
+        f"""WITH {_LOC_CTE},
+pts AS (
+  SELECT CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 4096.0) AS BIGINT) AS row,
+         CAST(floor((longitude + 180.0)/360.0 * 4096.0) AS BIGINT) AS col,
+         weight
+  FROM locations WHERE source <> 'background'),
+agg AS (SELECT row, col, sum(weight) AS visits FROM pts GROUP BY 1, 2),
+bounds AS (
+  SELECT CAST(floor((1 - ln(tan(40.0*pi()/180) + 1/cos(40.0*pi()/180))/pi())/2 * 4096.0) AS BIGINT) AS r_min,
+         CAST(floor((1 - ln(tan(-40.0*pi()/180) + 1/cos(-40.0*pi()/180))/pi())/2 * 4096.0) AS BIGINT) AS r_max,
+         CAST(floor((-90.0 + 180.0)/360.0 * 4096.0) AS BIGINT) AS c_min,
+         CAST(floor((90.0 + 180.0)/360.0 * 4096.0) AS BIGINT) AS c_max)
+SELECT '12_' || CAST(row AS VARCHAR) || '_' || CAST(col AS VARCHAR) AS tile_id, visits
+FROM agg, bounds
+WHERE row BETWEEN r_min AND r_max AND col BETWEEN c_min AND c_max""",
+    ),
+    "q_heatmap_drilldown": QuerySpec(
+        q_heatmap_drilldown,
+        f"""WITH {_LOC_CTE},
+pts AS (
+  SELECT CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 512.0) AS BIGINT) AS row9,
+         CAST(floor((longitude + 180.0)/360.0 * 512.0) AS BIGINT) AS col9,
+         weight
+  FROM locations WHERE source <> 'background'),
+l9 AS (SELECT row9, col9, sum(weight) AS visits FROM pts GROUP BY 1, 2),
+l8 AS (
+  SELECT CAST(floor(row9/2.0) AS BIGINT) AS p_row, CAST(floor(col9/2.0) AS BIGINT) AS p_col,
+         sum(visits) AS pv
+  FROM l9 GROUP BY 1, 2 HAVING sum(visits) >= 20)
+SELECT '8_' || CAST(p_row AS VARCHAR) || '_' || CAST(p_col AS VARCHAR) AS parent_id,
+       '9_' || CAST(row9 AS VARCHAR) || '_' || CAST(col9 AS VARCHAR) AS child_id,
+       visits
+FROM l9 JOIN l8 ON CAST(floor(row9/2.0) AS BIGINT) = p_row AND CAST(floor(col9/2.0) AS BIGINT) = p_col""",
     ),
     "q_tpch_q7": QuerySpec(
         relational.tpch_q7,
