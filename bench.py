@@ -30,17 +30,23 @@ def main() -> None:
     # Warm the JVM/session so per-query numbers measure the queries.
     load_table(spark, sf_dir, "lineitem").count()
 
-    timings: dict[str, float] = {}
-    for name, fn in headline_queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def cleanup() -> None:
         # drop caches/checkpoint blocks a query may have pinned so later
         # queries aren't measured under its memory pressure
         spark.catalog.clearCache()
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for rid in list(jmap.keySet().toArray()):
             jmap.get(rid).unpersist()
+
+    timings: dict[str, float] = {}
+    for name, fn in headline_queries().items():
+        best = float("inf")
+        for _ in range(2):  # min of 2: first run pays per-query codegen
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            cleanup()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
