@@ -265,3 +265,23 @@ def heatmap_table(rsets: DataFrame) -> DataFrame:
         F.concat_ws("|", "user_group", "timespan", "rs_tile_id").alias("id"),
         F.to_json("heatmap").alias("heatmap"),
     )
+
+
+def pyramid_merge(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental maintenance: merge a delta pyramid into an existing
+    one (sum is reassociative, so merge = union + re-aggregate on the
+    same keys).  This is the production update path — a nightly batch
+    adds one day of points without recomputing history; at 100 TB the
+    delta is orders of magnitude smaller than the base, and the merge
+    shuffles only (base ∪ delta) aggregates, never raw points.
+    """
+    return _level_agg(
+        existing.unionByName(delta).select(
+            "user_group",
+            "timespan",
+            "zoom",
+            "row",
+            "col",
+            F.col("visits").alias("weight"),
+        )
+    )

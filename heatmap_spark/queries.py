@@ -197,6 +197,17 @@ def q_heatmap_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heatmap_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental pyramid maintenance: split locations into a 'base'
+    half and a 'delta' half (by event parity via timestamp_ms), build
+    each pyramid independently, then merge — the result must equal the
+    full recompute, which IS the oracle (_PYRAMID_SQL)."""
+    loc = load_locations(spark, sf_dir)
+    base = pyr.build_pyramid(loc.where(F.col("timestamp_ms") % 2 == 0), mode="explode")
+    delta = pyr.build_pyramid(loc.where(F.col("timestamp_ms") % 2 == 1), mode="explode")
+    return pyr.pyramid_merge(base, delta)
+
+
 def q_heatmap_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-path query: visit counts for tiles intersecting a lat/lon
     bounding box at zoom 12 — the serving-side lookup a map client does
@@ -371,6 +382,7 @@ SELECT '21_' || CAST(row21 AS VARCHAR) || '_' || CAST(col21 AS VARCHAR) AS tile_
 FROM pts""",
     ),
     "q_heatmap_pyramid": QuerySpec(q_heatmap_pyramid, _PYRAMID_SQL, headline=True),
+    "q_heatmap_incremental": QuerySpec(q_heatmap_incremental, _PYRAMID_SQL),
     "q_heatmap_pyramid_cascade": QuerySpec(
         q_heatmap_pyramid_cascade, _PYRAMID_SQL, headline=True
     ),

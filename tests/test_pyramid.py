@@ -131,3 +131,25 @@ def test_all_group_is_sum_of_visible_points(spark, locations):
     total = sum(r.visits for r in rows)
     n_visible = sum(1 for r in ROWS if r[4] != "background")
     assert total == n_visible
+
+
+# ---------------------------------------------------------------------------
+# Randomized fuzz: arbitrary location sets vs the pure-Python oracle
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_lat = st.floats(min_value=-85.05, max_value=85.05, allow_nan=False)
+_lon = st.floats(min_value=-180.0, max_value=179.999, allow_nan=False)
+_user = st.sampled_from(["u1", "u2", "u3", "xtest", "rt-7", "rt-8"])
+_source = st.sampled_from(["gps", "gps", "gps", "background"])
+_ts = st.sampled_from([TS1, TS2])
+_row = st.tuples(_lat, _lon, _ts, _user, _source, st.just(1.0))
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_row, min_size=1, max_size=25))
+def test_pyramid_fuzz_matches_oracle(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = as_dict(P.build_pyramid(df, mode="explode"))
+    exp = oracle_pyramid(rows)
+    assert got == exp
