@@ -552,11 +552,11 @@ FROM events GROUP BY event_type""",
     "q_event_pivot": QuerySpec(
         relational.event_type_pivot,
         """SELECT user_id,
-  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events GROUP BY user_id""",
     ),
     "q_approx_distinct": QuerySpec(relational.approx_distinct_parts, None),
@@ -895,11 +895,11 @@ GROUP BY o_orderpriority""",
         relational.unpivot_events,
         """WITH wide AS (
   SELECT user_id,
-    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
   FROM events GROUP BY user_id),
 long AS (
   SELECT user_id, 'click' AS event_type, n_click AS n FROM wide
