@@ -465,3 +465,55 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type").agg(
         F.count("*").alias("n_events"), dsum("value").alias("total_value")
     )
+
+
+def customer_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with null-safe aggregation: every customer with
+    their order count and total — zero/0.0 for customers without orders
+    (the join type family the semi/anti pair doesn't cover)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.coalesce(F.sum(dec("o_totalprice")).cast("double"), F.lit(0.0)).alias("total_spent"),
+    )
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under disjunctive brand/size/quantity predicates
+    (Q19 shape): OR-of-ANDs that Catalyst must keep sargable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity") < 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity") > 20))
+    )
+    revenue = F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(revenue.cast("decimal(18,6)").cast("double").alias("revenue"))
+    )
+
+
+def customer_order_lists(spark: SparkSession, sf_dir: str, max_orders: int = 5) -> DataFrame:
+    """Ordered string aggregation: first N orderkeys per customer as a
+    comma list (deterministic ordering inside the aggregate)."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    top = orders.select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= max_orders)
+    return top.groupBy("o_custkey").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", F.col("o_orderkey").alias("k")))),
+                lambda s: s["k"].cast("string"),
+            ),
+        ).alias("first_orders")
+    )

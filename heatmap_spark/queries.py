@@ -987,6 +987,30 @@ FROM events GROUP BY user_id""",
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""",
     ),
+    "q_left_join_counts": QuerySpec(
+        relational.customer_order_counts_outer,
+        f"""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+  coalesce(CAST(sum({_d('o_totalprice')}) AS DOUBLE), 0.0) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name""",
+    ),
+    "q_tpch_q19": QuerySpec(
+        relational.tpch_q19,
+        f"""SELECT CAST(CAST(sum({_d('l_extendedprice')} * ({_ONE} - {_d('l_discount')})) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity < 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity > 20)""",
+    ),
+    "q_order_lists": QuerySpec(
+        relational.customer_order_lists,
+        """WITH top AS (
+  SELECT o_custkey, o_orderkey,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+  FROM orders)
+SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS first_orders
+FROM top WHERE rn <= 5 GROUP BY o_custkey""",
+    ),
     "q_tpch_q14": QuerySpec(
         relational.tpch_q14,
         f"""SELECT round(
