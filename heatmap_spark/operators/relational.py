@@ -517,3 +517,34 @@ def customer_order_lists(spark: SparkSession, sf_dir: str, max_orders: int = 5) 
             ),
         ).alias("first_orders")
     )
+
+
+def nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: nation keys present among BOTH customers and
+    suppliers (INTERSECT distinct — completes the set-op family with
+    q_except_nations)."""
+    cust_n = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    )
+    supp_n = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    )
+    return cust_n.intersect(supp_n)
+
+
+def ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: order→ship latency in days per priority
+    (datediff over DATE casts; mean as exact-sum / count)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    days = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(days).cast("double") / F.count("*")).alias("avg_days"),
+            F.min(days).alias("min_days"),
+            F.max(days).alias("max_days"),
+        )
+    )

@@ -544,6 +544,21 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
         relational.nations_without_suppliers,
         """SELECT n_nationkey FROM nation EXCEPT SELECT s_nationkey AS n_nationkey FROM supplier""",
     ),
+    "q_intersect_nations": QuerySpec(
+        relational.nations_with_both,
+        """SELECT c_nationkey AS n_nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS n_nationkey FROM supplier""",
+    ),
+    "q_ship_latency": QuerySpec(
+        relational.ship_latency,
+        """SELECT o_orderpriority, count(*) AS n_items,
+  CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE) / count(*) AS avg_days,
+  CAST(min(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INTEGER) AS min_days,
+  CAST(max(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INTEGER) AS max_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority""",
+    ),
     "q_distinct_users": QuerySpec(
         relational.distinct_users_per_type,
         """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
