@@ -1,0 +1,154 @@
+"""Data-profiling and sampling operators for large-scale pipeline hygiene.
+
+A 100 TB training-data pipeline needs reproducible sampling, per-column
+profiles, distribution statistics, and histograms before any expensive
+transform runs.  Everything here follows the repo's cross-engine-exact
+policy (see functions/exact.py): deterministic md5-based sampling
+instead of RNG `.sample()` (portable across engines, runs, AND
+partitionings — a seeded Spark sample changes with the split layout,
+which is exactly what you don't want in a reproducible data pipeline),
+exact decimal sums for moments, and integer/IEEE-identical bucketing.
+
+Scale notes (local[32] now, 1000 executors later):
+- `hash_sample` is a pure narrow filter — no shuffle, pushes the md5
+  predicate into the scan stage, and samples the same rows no matter
+  how the input is split.
+- `column_profile` uses exact count(DISTINCT) per column, which Spark
+  executes via Expand (one pass, grouped per distinct-column).  At
+  100 TB swap `F.countDistinct` for `F.approx_count_distinct` (HLL,
+  single pass, no expand) — kept exact here so the DuckDB oracle can
+  hash-match.
+- `corr_stats` reduces each group to five decimal sums (map-side
+  partial aggregation), then finishes the Pearson/stddev algebra in
+  double on the tiny grouped result.  Operand columns (l_discount,
+  l_tax ≤ 0.1) keep every scaled sum far below 2^53, so the final
+  decimal→double casts are exact in both engines.
+- histograms are a single hash aggregate over a computed bucket key.
+
+Reference: none — SURVEY.md §2.8 (the reference engine has no
+profiling/sampling surface; this is the LLM-pipeline extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from heatmap_spark.functions.exact import dec, dsum
+from heatmap_spark.sources.tables import load_table
+
+
+def _md5_keep(key: Column, hex_prefix_max: str) -> Column:
+    """Deterministic sampling predicate: keep rows whose md5 hex prefix
+    sorts <= the cutoff.  A 2-char cutoff 'NN' keeps (NN+1)/256 of rows
+    uniformly, identically in any engine that has md5."""
+    n = len(hex_prefix_max)
+    return F.substring(F.md5(key.cast("string")), 1, n) <= hex_prefix_max
+
+
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample of orders (md5 prefix <= '19' keeps
+    26/256), then per-priority sampled counts + exact revenue.  The
+    sample is stable under repartitioning — unlike df.sample(seed=..),
+    whose output depends on the physical split layout."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(_md5_keep(F.col("o_orderkey"), "19"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            dsum("o_totalprice").alias("sampled_revenue"),
+        )
+    )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of orders (row count, nulls, exact distinct,
+    min/max as strings) in ONE aggregation pass, unpivoted via stack().
+    At 100 TB the exact countDistinct becomes approx_count_distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"c_{c}"),
+            F.countDistinct(c).alias(f"d_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = orders.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', n, n - c_{c}, d_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {parts}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )
+
+
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of (l_discount, l_tax) and stddev of
+    l_discount per l_linestatus, from five exact decimal sums per group.
+
+    Built-in corr()/stddev() stream double accumulators whose value
+    depends on partition order — not reproducible, not oracle-matchable.
+    Reducing to exact decimal sums first makes the statistic a pure
+    function of the data (identical on 1 core or 1000 executors), and
+    the closing algebra runs in double on the already-tiny grouped rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_discount"), dec("l_tax")
+    grouped = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return grouped.select(
+        "l_linestatus",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_disc_tax"),
+        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))).alias("stddev_disc"),
+        (sx / n).alias("avg_disc"),
+    )
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of o_totalprice (bucket = floor(p/50000)).
+    Double division + floor are IEEE-identical across engines; the
+    bucket key is computed in the scan stage, so this is one hash
+    aggregate with map-side combine."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("int")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("bucket_revenue"),
+        )
+        .withColumn("bucket_lo", (F.col("bucket") * F.lit(50000.0)))
+    )
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per source: bucket = floor(n_chars/200),
+    plus each bucket's share of total characters (exact integer sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / F.lit(200.0)).cast("int")
+    return (
+        docs.groupBy("source", bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -17,7 +17,7 @@ is executed as TakeOrderedAndProject, not a full sort).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -546,5 +546,342 @@ def ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(days).cast("double") / F.count("*")).alias("avg_days"),
             F.min(days).alias("min_days"),
             F.max(days).alias("max_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (adapted).  The driver fixtures are TPC-H-shaped but
+# carry no partsupp table and omit several columns (l_commitdate,
+# l_receiptdate, l_shipmode, c_phone, p_container, p_mfgr, o_comment), so
+# the remaining queries below keep each original's OPERATOR SHAPE
+# (correlated subqueries, scalar aggregates, semi/anti joins, histograms
+# of histograms) while substituting available columns — the same
+# precedent tpch_q4/q19 set.  Reference: none (SURVEY.md §2.8 — the
+# reference engine has no relational surface at all).
+# ---------------------------------------------------------------------------
+
+
+def _disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount) under the exact-decimal policy."""
+    return dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount"))
+
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best supplier per part (Q2 shape: correlated MAX subquery joined
+    back on equality).  No partsupp/supplycost in the fixtures, so "best"
+    is the highest-acctbal EUROPE supplier that has shipped the part."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size").isin(15, 25, 35))
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), pairs.l_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("bk")).agg(
+        F.max("s_acctbal").alias("best_bal")
+    )
+    return (
+        cand.join(
+            best,
+            (cand.p_partkey == best.bk) & (cand.s_acctbal == best.best_bal),
+        )
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (Q8): 7-table join, conditional/total sum
+    ratio per order year."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    vol = _disc_price()
+    nation_vol = F.sum(
+        F.when(F.col("n2.n_name") == "NATION_3", vol).otherwise(
+            F.lit(0).cast("decimal(12,4)")
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                nation_vol.cast("decimal(18,6)").cast("double")
+                / F.sum(vol).cast("decimal(18,6)").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (Q9 shape): LIKE-filtered part join, profit by
+    supplier nation and order year (no supplycost column → profit is the
+    discounted revenue)."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(_disc_price()).cast("decimal(18,6)").cast("double").alias("sum_profit")
+        )
+    )
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important parts (Q11 shape): per-part value within one nation's
+    suppliers, HAVING value > fraction × global scalar subquery."""
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    value = dec("l_extendedprice") * dec("l_quantity")
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("value_dec"))
+    )
+    total = per_part.agg(
+        F.sum("value_dec").cast("decimal(18,6)").cast("double").alias("total_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_dec").cast("decimal(18,6)").cast("double")
+            > 0.0005 * F.col("total_value")
+        )
+        .select(
+            "l_partkey",
+            F.col("value_dec").cast("decimal(18,6)").cast("double").alias("part_value"),
+        )
+    )
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipment priority mix (Q12 shape: conditional counts; no
+    shipmode column → grouped by ship year, late = shipped >60 days
+    after the order date)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (Q13): left join + histogram of
+    a histogram (no o_comment column → the exclusion filter drops urgent
+    orders instead of 'special request' comments)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (Q15): quarterly revenue view + scalar MAX subquery,
+    equality-joined back (exact decimal comparison, double output)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("rev_dec"))
+    best = revenue.agg(F.max("rev_dec").alias("best_rev"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .where(F.col("rev_dec") == F.col("best_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("decimal(18,6)").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier breadth per part attribute (Q16 shape: negated filters +
+    COUNT DISTINCT; supplier links come from lineitem instead of the
+    absent partsupp table)."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 9, 15, 22, 28, 35, 42, 49))
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity revenue (Q17): correlated per-part AVG subquery as
+    a grouped join-back; avg is the exact decimal-sum/count form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg((F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential promotion suppliers (Q20 shape: nested semi joins over an
+    aggregated subquery — suppliers in one nation that shipped >50 units
+    of some 'blue' part during 1996)."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").startswith("blue"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_6")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(heavy, F.col("s_suppkey") == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (Q21 shape: EXISTS another
+    supplier / NOT EXISTS another late supplier, expressed as one
+    per-order aggregation; late = shipped >30 days after order date)."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ).cast("int").alias("late"),
+        )
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("is_late")
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    blamed = per_supp.where(F.col("is_late") == 1).join(
+        per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+        F.col("l_orderkey") == F.col("o_key"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        blamed.join(F.broadcast(supp), blamed.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (Q22 shape: scalar AVG subquery + anti
+    join; no c_phone column → country code is the nation key, and every
+    fixture customer has orders → the anti join excludes customers with
+    RECENT orders instead of any orders)."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
         )
     )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from heatmap_spark.functions import tiles as tl
-from heatmap_spark.operators import dedup, multimodal, relational, sessions, similarity, textops
+from heatmap_spark.operators import dedup, multimodal, profiling, relational, sessions, similarity, textops
 from heatmap_spark.operators import pyramid as pyr
 from heatmap_spark.sources.locations import load_locations, locations_sql
 
@@ -1119,6 +1119,220 @@ WHERE l_returnflag = 'R'
   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    ),
+    "q_tpch_q2": QuerySpec(
+        relational.tpch_q2,
+        """WITH cand AS (
+  SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size IN (15, 25, 35) AND r_name = 'EUROPE')
+SELECT cand.p_partkey, p_name, s_name, s_acctbal, n_name
+FROM cand JOIN (SELECT p_partkey AS pk, max(s_acctbal) AS best FROM cand GROUP BY 1) b
+  ON cand.p_partkey = b.pk AND cand.s_acctbal = b.best
+ORDER BY s_acctbal DESC, n_name, s_name, cand.p_partkey
+LIMIT 100""",
+    ),
+    "q_tpch_q8": QuerySpec(
+        relational.tpch_q8,
+        f"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                     THEN {_d('l_extendedprice')} * ({_ONE} - {_d('l_discount')})
+                     ELSE CAST(0 AS DECIMAL(12,4)) END) AS DECIMAL(18,6)) AS DOUBLE)
+  / CAST(CAST(sum({_d('l_extendedprice')} * ({_ONE} - {_d('l_discount')})) AS DECIMAL(18,6)) AS DOUBLE)
+  AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1""",
+    ),
+    "q_tpch_q9": QuerySpec(
+        relational.tpch_q9,
+        f"""SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(CAST(sum({_d('l_extendedprice')} * ({_ONE} - {_d('l_discount')})) AS DECIMAL(18,6)) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2""",
+    ),
+    "q_tpch_q11": QuerySpec(
+        relational.tpch_q11,
+        f"""WITH per_part AS (
+  SELECT l_partkey, sum({_d('l_extendedprice')} * {_d('l_quantity')}) AS value_dec
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation
+                      ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3')
+  GROUP BY l_partkey)
+SELECT l_partkey, CAST(CAST(value_dec AS DECIMAL(18,6)) AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(CAST(value_dec AS DECIMAL(18,6)) AS DOUBLE)
+      > 0.0005 * (SELECT CAST(CAST(sum(value_dec) AS DECIMAL(18,6)) AS DOUBLE) FROM per_part)""",
+    ),
+    "q_tpch_q12": QuerySpec(
+        relational.tpch_q12,
+        """SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY 1""",
+    ),
+    "q_tpch_q13": QuerySpec(
+        relational.tpch_q13,
+        """SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count""",
+    ),
+    "q_tpch_q15": QuerySpec(
+        relational.tpch_q15,
+        f"""WITH revenue AS (
+  SELECT l_suppkey, sum({_d('l_extendedprice')} * ({_ONE} - {_d('l_discount')})) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(CAST(rev_dec AS DECIMAL(18,6)) AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)""",
+    ),
+    "q_tpch_q16": QuerySpec(
+        relational.tpch_q16,
+        """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 9, 15, 22, 28, 35, 42, 49)
+GROUP BY 1, 2, 3""",
+    ),
+    "q_tpch_q17": QuerySpec(
+        relational.tpch_q17,
+        f"""WITH avg_qty AS (
+  SELECT l_partkey AS ap_partkey,
+         CAST(sum({_d('l_quantity')}) AS DOUBLE) / count(*) AS avg_qty
+  FROM lineitem GROUP BY 1)
+SELECT CAST(sum({_d('l_extendedprice')}) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_qty ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#3' AND p_type = 'SMALL' AND l_quantity < 0.2 * avg_qty""",
+    ),
+    "q_tpch_q20": QuerySpec(
+        relational.tpch_q20,
+        """SELECT s_name, s_acctbal FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_6')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'blue%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 50)""",
+    ),
+    "q_tpch_q21": QuerySpec(
+        relational.tpch_q21,
+        """WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CAST(l_shipdate > o_orderdate + INTERVAL 30 DAY AS INTEGER)) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2),
+per_order AS (
+  SELECT l_orderkey AS o_key, count(*) AS n_supp, sum(is_late) AS n_late
+  FROM per_supp GROUP BY 1)
+SELECT s_name, count(*) AS numwait
+FROM per_supp
+JOIN per_order ON l_orderkey = o_key
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20""",
+    ),
+    "q_tpch_q22": QuerySpec(
+        relational.tpch_q22,
+        f"""WITH cust AS (
+  SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+ab AS (
+  SELECT CAST(sum({_d('c_acctbal')}) AS DOUBLE) / count(*) AS avg_bal
+  FROM cust WHERE c_acctbal > 0)
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+  CAST(sum({_d('c_acctbal')}) AS DOUBLE) AS totacctbal
+FROM cust, ab
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY 1""",
+    ),
+    "q_sample_hash": QuerySpec(
+        profiling.hash_sample,
+        f"""SELECT o_orderpriority, count(*) AS n_sampled,
+  CAST(sum({_d('o_totalprice')}) AS DOUBLE) AS sampled_revenue
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '19'
+GROUP BY o_orderpriority""",
+    ),
+    "q_column_profile": QuerySpec(
+        profiling.column_profile,
+        """WITH a AS (SELECT count(*) AS n,
+  count(o_orderkey) AS c1, count(DISTINCT o_orderkey) AS d1,
+  CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+  count(o_custkey) AS c2, count(DISTINCT o_custkey) AS d2,
+  CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+  count(o_orderstatus) AS c3, count(DISTINCT o_orderstatus) AS d3,
+  min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+  count(o_orderpriority) AS c4, count(DISTINCT o_orderpriority) AS d4,
+  min(o_orderpriority) AS mn4, max(o_orderpriority) AS mx4
+FROM orders)
+SELECT 'o_orderkey' AS column_name, n AS n_rows, n - c1 AS n_nulls, d1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM a
+UNION ALL SELECT 'o_custkey', n, n - c2, d2, mn2, mx2 FROM a
+UNION ALL SELECT 'o_orderstatus', n, n - c3, d3, mn3, mx3 FROM a
+UNION ALL SELECT 'o_orderpriority', n, n - c4, d4, mn4, mx4 FROM a""",
+    ),
+    "q_corr_stats": QuerySpec(
+        profiling.corr_stats,
+        f"""WITH g AS (
+  SELECT l_linestatus,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum({_d('l_discount')}) AS DOUBLE) AS sx,
+    CAST(sum({_d('l_tax')}) AS DOUBLE) AS sy,
+    CAST(sum({_d('l_discount')} * {_d('l_discount')}) AS DOUBLE) AS sxx,
+    CAST(sum({_d('l_tax')} * {_d('l_tax')}) AS DOUBLE) AS syy,
+    CAST(sum({_d('l_discount')} * {_d('l_tax')}) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_linestatus)
+SELECT l_linestatus,
+  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_disc_tax,
+  sqrt((sxx - sx * sx / n) / (n - 1.0)) AS stddev_disc,
+  sx / n AS avg_disc
+FROM g""",
+    ),
+    "q_price_histogram": QuerySpec(
+        profiling.price_histogram,
+        f"""SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bucket,
+  count(*) AS n_orders,
+  CAST(sum({_d('o_totalprice')}) AS DOUBLE) AS bucket_revenue,
+  CAST(floor(o_totalprice / 50000.0) AS INTEGER) * CAST(50000.0 AS DOUBLE) AS bucket_lo
+FROM orders GROUP BY 1""",
+    ),
+    "q_doc_length_histogram": QuerySpec(
+        profiling.doc_length_histogram,
+        """SELECT source, CAST(floor(CAST(n_chars AS DOUBLE) / 200.0) AS INTEGER) AS len_bucket,
+  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2""",
     ),
     "q_range_join": QuerySpec(
         relational.range_join_price_bands,
