@@ -252,17 +252,39 @@ def q_heatmap_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_stream_to_table(spark: SparkSession, stream_df, name: str):
-    q = (
-        stream_df.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+def _run_stream(spark: SparkSession, stream_df, name: str, mode: str):
+    """Drive a stream through the memory sink and return the batch table.
+
+    Stateful streaming disables AQE, so the state-store partition count
+    comes straight from spark.sql.shuffle.partitions — 200 on a plain
+    driver session, which is 200 tiny state tasks per micro-batch at
+    fixture scale.  Pin a sane count for the stream's lifetime and
+    restore the caller's setting afterwards (results are partition-count
+    independent by construction).
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "32")
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
     return spark.table(name)
+
+
+def _run_stream_to_table(spark: SparkSession, stream_df, name: str):
+    return _run_stream(spark, stream_df, name, "complete")
 
 
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,18 +333,40 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heatmap_spark.streaming import incremental as S
     from heatmap_spark.streaming.stateful import running_user_counts
 
-    name = "q_streaming_stateful_sink"
-    q = (
-        running_user_counts(S.read_events_stream(spark, sf_dir))
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _run_stream(
+        spark,
+        running_user_counts(S.read_events_stream(spark, sf_dir)),
+        "q_streaming_stateful_sink",
+        "update",
     )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(name)
+
+
+def _run_stream_append(spark: SparkSession, stream_df, name: str):
+    """Drive an append-mode stream (joins, dedup) through the memory sink."""
+    return _run_stream(spark, stream_df, name, "append")
+
+
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (clicks × prior views),
+    emitted append-mode through the memory sink."""
+    from heatmap_spark.streaming import incremental as S
+
+    return _run_stream_append(
+        spark,
+        S.streaming_click_view_join(S.read_events_stream(spark, sf_dir)),
+        "q_streaming_join_sink",
+    )
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicatesWithinWatermark over (user_id, event_type)."""
+    from heatmap_spark.streaming import incremental as S
+
+    return _run_stream_append(
+        spark,
+        S.streaming_distinct_pairs(S.read_events_stream(spark, sf_dir)),
+        "q_streaming_dedup_sink",
+    )
 
 
 _SPARK_PYRAMID_SQL = """
@@ -800,6 +844,19 @@ FROM pts GROUP BY row, col""",
         """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
   count(*) AS n_events
 FROM events GROUP BY 1, 2""",
+    ),
+    "q_streaming_join": QuerySpec(
+        q_streaming_join,
+        """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+  epoch_ms(c.ts) - epoch_ms(v.ts) AS delay_ms
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
+WHERE c.event_type = 'click' AND v.event_type = 'view'""",
+    ),
+    "q_streaming_dedup": QuerySpec(
+        q_streaming_dedup,
+        """SELECT DISTINCT user_id, event_type FROM events""",
     ),
     "q_streaming_sessions": QuerySpec(
         q_streaming_sessions,

@@ -142,3 +142,63 @@ def streaming_session_stats(
             "total_value",
         )
     )
+
+
+def streaming_click_view_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: every click paired with the same
+    user's views from the preceding 10 minutes.
+
+    Both sides carry watermarks and the join condition bounds event time,
+    so the state store holds at most ~watermark+interval of each side per
+    user — bounded state no matter how long the stream runs (the scale
+    requirement for a 100 TB/day stream).  Emitted in append mode; the
+    joined row set is a pure function of the data, so the DuckDB oracle
+    can hash-match it.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "30 minutes")
+    )
+    return (
+        clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("view_ts") <= F.col("click_ts")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "view_id",
+            (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("delay_ms"),
+        )
+    )
+
+
+def streaming_distinct_pairs(events: DataFrame) -> DataFrame:
+    """Streaming deduplication: the distinct (user_id, event_type) pairs
+    seen so far, via dropDuplicatesWithinWatermark (state per key is
+    evicted once the watermark passes, unlike plain dropDuplicates whose
+    state grows forever).  Projecting the key columns only makes the
+    emitted set deterministic — WHICH physical row arrived first is
+    racy, but the key set is not."""
+    return (
+        events.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
