@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from heatmap_spark.functions.exact import dec, dsum
 from heatmap_spark.sources.tables import load_table
@@ -151,4 +152,23 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )
+    )
+
+
+def reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'reservoir' sample: k=3 events per event_type,
+    ranked by md5 of the event id.  Equivalent in distribution to a
+    uniform reservoir sample but reproducible across engines, runs, and
+    partitionings; executes as one window over a shuffle by group key
+    (no driver-side collection, no RNG state)."""
+    events = load_table(spark, sf_dir, "events")
+    rank_key = F.md5(F.col("event_id").cast("string"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(rank_key, "event_id")
+    )
+    return (
+        events.select("event_type", "event_id", "user_id")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 3)
     )

@@ -885,3 +885,20 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each nation's
+    top-2 customers by account balance.  Catalyst decorrelates this into
+    a ranked window join — the same physical plan a hand-written
+    row_number() <= 2 would give — so the declarative form costs nothing
+    at scale while staying ANSI-portable (DuckDB runs it verbatim)."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("hs_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("hs_customer")
+    return spark.sql(
+        """SELECT n_name, t.c_name, t.c_acctbal
+FROM hs_nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM hs_customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"""
+    )

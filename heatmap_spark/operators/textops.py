@@ -131,3 +131,51 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: (a * 1000003 + x) % 2147483647,
     )
     return t.select("doc_id", fp.alias("fingerprint"))
+
+
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional token frequencies (posexplode / UNNEST WITH ORDINALITY):
+    how often each token opens a document, by position 1..3.  The slice
+    happens BEFORE the generator, so the explode emits 3 rows/doc, not
+    every token — at 100 TB that's the difference between a 3x and a
+    500x row blow-up feeding the aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.posexplode(F.slice(F.split("text", " "), 1, 3)).alias("pos0", "token")
+        )
+        .groupBy(
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            "token",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def normalized_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization (the cleanup pass that precedes dedup in a
+    training-data pipeline): lowercase, strip non-alphanumerics, squeeze
+    whitespace — all JVM-side regexp_replace, no Python in the loop —
+    then per-language stats on the cleaned form.  Averages follow the
+    exact policy (integer sums cast to double / count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select("lang", cleaned.alias("c"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum(F.length("c")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_clean_chars"
+            ),
+            (F.sum(F.size(F.split("c", " "))).cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens"
+            ),
+        )
+    )

@@ -1335,6 +1335,43 @@ WHERE c_acctbal > avg_bal
                   AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
 GROUP BY 1""",
     ),
+    "q_lateral_topk": QuerySpec(
+        relational.lateral_top_customers,
+        """SELECT n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""",
+    ),
+    "q_token_positions": QuerySpec(
+        textops.token_positions,
+        """WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER) AS pos
+  FROM documents)
+SELECT pos, token, count(*) AS n FROM toks WHERE pos <= 3 GROUP BY 1, 2""",
+    ),
+    "q_reservoir_per_group": QuerySpec(
+        profiling.reservoir_per_group,
+        """SELECT event_type, event_id, user_id, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events)
+WHERE rn <= 3""",
+    ),
+    "q_normalized_text": QuerySpec(
+        textops.normalized_text_stats,
+        """WITH c AS (
+  SELECT lang,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                        ' +', ' ', 'g')) AS c
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(length(c)) AS DOUBLE) / count(*) AS avg_clean_chars,
+  CAST(sum(len(string_split(c, ' '))) AS DOUBLE) / count(*) AS avg_tokens
+FROM c GROUP BY lang""",
+    ),
     "q_sample_hash": QuerySpec(
         profiling.hash_sample,
         f"""SELECT o_orderpriority, count(*) AS n_sampled,
