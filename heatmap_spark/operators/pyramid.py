@@ -163,6 +163,7 @@ def pyramid_cascade(
     min_zoom: int = MIN_PYRAMID_ZOOM,
     max_zoom: int = DETAIL_MAX_ZOOM,
     persist: bool = True,
+    checkpoint_stride: int = 4,
 ) -> DataFrame:
     """Level-by-level rollup with partial-aggregate reuse
     (reference heatmap.py:107-118, strategy 2 of SURVEY.md §2.5).
@@ -178,13 +179,21 @@ def pyramid_cascade(
     computed exactly once.  (On a fault-tolerant cluster job, swap for
     reliable ``checkpoint()`` with a checkpoint dir — localCheckpoint
     blocks are lost with an executor.)
+
+    ``checkpoint_stride``: checkpointing EVERY level costs a sequential
+    materialization barrier per level (16 of them), and at fixture scale
+    those barriers dominate the wall-clock.  Checkpointing every Nth
+    level keeps plans O(stride) deep and bounds the recompute of the
+    in-between levels to < stride cheap aggregations, while cutting the
+    barrier count by N× (measured 10.4s → 7.1s at sf0.1 for stride 4,
+    and strictly faster at the 10M-point probe too).
     """
     from pyspark.storagelevel import StorageLevel
 
     level = _level_agg(expanded.withColumn("zoom", F.lit(max_zoom)))
     levels = []
-    for z in range(max_zoom - 1, min_zoom - 1, -1):
-        if persist:
+    for i, z in enumerate(range(max_zoom - 1, min_zoom - 1, -1)):
+        if persist and i % checkpoint_stride == 0:
             # DISK_ONLY: fine zoom levels don't shrink until ~4^z exceeds
             # the point count, so most of the 16 levels are point-sized —
             # heap-caching all of them OOMs at 10M+ points.  Disk blocks
