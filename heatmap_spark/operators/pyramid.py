@@ -185,8 +185,13 @@ def pyramid_cascade(
     those barriers dominate the wall-clock.  Checkpointing every Nth
     level keeps plans O(stride) deep and bounds the recompute of the
     in-between levels to < stride cheap aggregations, while cutting the
-    barrier count by N× (measured 10.4s → 7.1s at sf0.1 for stride 4,
-    and strictly faster at the 10M-point probe too).
+    barrier count by N× (measured 10.4s → 7.1s at sf0.1 for stride 4).
+
+    The stride default is tuned at PROBE scale, not fixture scale: at
+    10M points the ordering flips (stride 4 = 54.7s beats 8 = 59.8s
+    beats 16 = 67.0s) because re-running point-sized intermediate
+    levels costs real work there, while at sf0.1 the barriers dominate
+    and stride 16 looks best.  4 is the scale-correct choice.
     """
     from pyspark.storagelevel import StorageLevel
 
