@@ -208,3 +208,43 @@ def tile_children(tid: Column | str) -> Column:
             tile_id_from_zrc(z, r + F.lit(1), c),
         ),
     )
+
+
+def z_value(row: Column | str, col: Column | str, bits: int = DETAIL_MAX_ZOOM) -> Column:
+    """Morton / Z-order key: interleave the low ``bits`` bits of (row, col)
+    — row bits land on odd positions, col bits on even, so nearby tiles
+    get nearby keys and a 1-D sort becomes a 2-D space-filling curve.
+
+    This is the layout primitive the reference never needed (its sink is
+    a point-lookup KV store, heatmap.py:137) but a parquet/object-store
+    deployment does: writing tile data ordered by z_value clusters each
+    bbox into few row groups, so min/max footer stats prune the rest of
+    a 100 TB scan (demonstrated in tests/test_layout.py).
+
+    Pure integer Column math (shift/and/add), identical in DuckDB via
+    :func:`z_value_sql` — oracle-checkable.  bits ≤ 31 → key < 2^62.
+    """
+    if not 0 < bits <= 31:
+        raise ValueError(f"bits must be in 1..31, got {bits}")
+    r = _col(row).cast("bigint")
+    c = _col(col).cast("bigint")
+    terms = []
+    for b in range(bits):
+        terms.append(F.shiftleft(F.shiftright(r, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+        terms.append(F.shiftleft(F.shiftright(c, b).bitwiseAND(F.lit(1)), 2 * b))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def z_value_sql(row: str, col: str, bits: int = DETAIL_MAX_ZOOM) -> str:
+    """The same Morton key as :func:`z_value`, as an ANSI/DuckDB SQL
+    expression string over column names ``row``/``col`` (for oracles)."""
+    if not 0 < bits <= 31:
+        raise ValueError(f"bits must be in 1..31, got {bits}")
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((CAST({row} AS BIGINT) >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"(((CAST({col} AS BIGINT) >> {b}) & 1) << {2 * b})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

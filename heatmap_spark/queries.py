@@ -168,6 +168,22 @@ def q_tile_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys for the distinct zoom-12 tile set — the layout key
+    operators/layout.cluster_by_zorder writes by (pure integer
+    interleave, bit-identical in DuckDB)."""
+    loc = load_locations(spark, sf_dir)
+    t12 = (
+        loc.where(F.col("source") != "background")
+        .select(
+            tl.tile_row("latitude", 12).alias("row"),
+            tl.tile_col("longitude", 12).alias("col"),
+        )
+        .distinct()
+    )
+    return t12.select("row", "col", tl.z_value("row", "col", 12).alias("zkey"))
+
+
 def q_heatmap_topk_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 densest tiles at zoom 12 ('all' group): pyramid + top-k."""
     df = pyr.build_pyramid(
@@ -491,6 +507,16 @@ SELECT '16_' || CAST(row AS VARCHAR) || '_' || CAST(col AS VARCHAR) AS tile_id,
        round(CAST(col AS DOUBLE)/65536.0*360.0 - 180.0, 9) AS lon_west,
        round(CAST(col+1 AS DOUBLE)/65536.0*360.0 - 180.0, 9) AS lon_east
 FROM t16""",
+    ),
+    "q_zorder_key": QuerySpec(
+        q_zorder_key,
+        f"""WITH {_LOC_CTE},
+t12 AS (
+  SELECT DISTINCT
+    CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 4096.0) AS BIGINT) AS row,
+    CAST(floor((longitude + 180.0)/360.0 * 4096.0) AS BIGINT) AS col
+  FROM locations WHERE source <> 'background')
+SELECT row, col, {tl.z_value_sql('row', 'col', 12)} AS zkey FROM t12""",
     ),
     # ---- relational surface ----
     "q_tpch_q1": QuerySpec(
