@@ -295,6 +295,17 @@ def minhash_lsh_candidates(
     drops only pairs that agree on some OTHER band with high odds.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates_df(docs, n_hashes, band_rows)
+
+
+def minhash_lsh_candidates_df(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """DataFrame-core of :func:`minhash_lsh_candidates` — takes any
+    (doc_id, text) relation (used by the scale probe on synthetic
+    corpora)."""
     sigs = minhash_signatures_wide(docs, n_hashes)
     n_bands = n_hashes // band_rows
     bands = sigs.select(

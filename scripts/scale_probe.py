@@ -1,9 +1,11 @@
 #!/usr/bin/env python
-"""Pyramid scale probe: synthetic N-point locations (default 10M = 100×
-the sf0.1 fixture), same derivation arithmetic as sources/locations.py,
-explode vs cascade.  Referenced by BASELINE.md.
+"""Operator scale probes at ~100x the sf0.1 fixture, all synthetic and
+deterministic (spark.range arithmetic — no fixture reads, no RNG).
+Referenced by BASELINE.md.
 
-    python scripts/scale_probe.py [n_points]
+    python scripts/scale_probe.py [n_points]          # pyramid (default 10M)
+    python scripts/scale_probe.py dedup [n_docs]      # MinHash-LSH (default 500k)
+    python scripts/scale_probe.py knn [n_vecs]        # brute vs IVF (default 1M)
 """
 
 from __future__ import annotations
@@ -33,9 +35,40 @@ def synthetic_locations(spark, n: int):
     )
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    spark = get_spark("scale-probe")
+def synthetic_documents(spark, n: int):
+    """(doc_id, text): 60 tokens per doc, deterministic; every 13th doc
+    repeats its predecessor's text so LSH has real duplicates to find.
+
+    Token j of doc b is w[(b+1)(j+1) mod 999983].  The multiplicative
+    form matters: two docs sharing any 3 consecutive tokens forces
+    (b1+1) = (b2+1) mod 999983, and the prime exceeds any probe size we
+    run, so the ONLY shingle collisions are the deliberate dups — an
+    affine form (b·P + j·Q) makes every doc a shifted slice of one
+    global sequence and the probe explodes into millions of accidental
+    near-dup pairs (measured: 72M candidate pairs at 500k docs).
+    """
+    base = F.when(F.col("id") % 13 == 0, F.col("id") - 1).otherwise(F.col("id"))
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda j: F.concat(
+            F.lit("w"), (((base + 1) * (j + 1)) % 999983).cast("string")
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", toks).alias("text")
+    )
+
+
+def synthetic_embeddings(spark, n: int, dim: int = 64):
+    """(vec_id, vec): deterministic dense vectors in [0, 1)^dim."""
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (((F.col("id") * 31 + j * 7919) % 1000).cast("double") / 1000.0),
+    )
+    return spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("vec"))
+
+
+def probe_pyramid(spark, n: int) -> None:
     loc = synthetic_locations(spark, n)
     loc.count()  # warm
     visible = round(n * 0.95)
@@ -44,6 +77,57 @@ def main() -> None:
         P.build_pyramid(loc, mode=mode).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         print(f"{mode} {n:,} pts: {dt:.1f}s = {visible / dt / 1000:.0f}k pts/s")
+
+
+def probe_dedup(spark, n: int) -> None:
+    from heatmap_spark.operators.dedup import minhash_lsh_candidates_df
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_candidates_df(docs).count()
+    dt = time.perf_counter() - t0
+    print(f"minhash-lsh {n:,} docs: {dt:.1f}s = {n / dt / 1000:.0f}k docs/s, {pairs:,} candidate pairs")
+
+
+def probe_knn(spark, n: int) -> None:
+    from pyspark.storagelevel import StorageLevel
+
+    from heatmap_spark.operators.similarity import (
+        ivf_assign,
+        knn_cosine_df,
+        knn_cosine_ivf_df,
+    )
+
+    emb = synthetic_embeddings(spark, n)
+    emb.count()  # warm
+    t0 = time.perf_counter()
+    rows = knn_cosine_df(emb).count()
+    dt = time.perf_counter() - t0
+    print(f"knn-brute {n:,} vecs x 10 queries: {dt:.1f}s = {n / dt / 1000:.0f}k vecs/s ({rows} rows)")
+
+    # IVF lifecycle split: build (train codebook + assign, stored) vs query
+    t0 = time.perf_counter()
+    assigned = ivf_assign(emb).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+    build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = knn_cosine_ivf_df(emb, assigned=assigned).count()
+    query = time.perf_counter() - t0
+    print(
+        f"knn-ivf {n:,} vecs: build {build:.1f}s, query x 10 {query:.1f}s"
+        f" = {n / query / 1000:.0f}k vecs/s ({rows} rows)"
+    )
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
+    defaults = {"pyramid": 10_000_000, "dedup": 500_000, "knn": 1_000_000}
+    n = int(args[0]) if args else defaults[which]
+    spark = get_spark("scale-probe")
+    {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn}[which](spark, n)
 
 
 if __name__ == "__main__":
