@@ -168,6 +168,32 @@ def q_tile_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_tile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the locations stream through the versioned tile store
+    (foreachBatch delta-pyramid merge, zooms 8-12, 3 micro-batches) and
+    return the final store contents — which must equal the batch
+    pyramid over the same rows (the oracle)."""
+    import tempfile
+
+    from heatmap_spark.streaming.tile_store import (
+        read_tile_store,
+        stream_pyramid_to_store,
+    )
+
+    loc = load_locations(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="tile_store_q_")
+    src, store, ckpt = f"{d}/in", f"{d}/store", f"{d}/ckpt"
+    loc.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(loc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_pyramid_to_store(stream, store, ckpt, min_zoom=8, max_zoom=12)
+    q.awaitTermination(timeout=600)
+    return read_tile_store(spark, store)
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton keys for the distinct zoom-12 tile set — the layout key
     operators/layout.cluster_by_zorder writes by (pure integer
@@ -883,6 +909,11 @@ WHERE c.event_type = 'click' AND v.event_type = 'view'""",
     "q_streaming_dedup": QuerySpec(
         q_streaming_dedup,
         """SELECT DISTINCT user_id, event_type FROM events""",
+    ),
+    "q_streaming_tile_store": QuerySpec(
+        q_streaming_tile_store,
+        f"""WITH {_LOC_CTE},\n{_PTS_CTE},\n{_EXPANDED_CTE}\n"""
+        + _LEVELED_AGG.replace("generate_series(6, 21)", "generate_series(8, 12)"),
     ),
     "q_streaming_sessions": QuerySpec(
         q_streaming_sessions,
