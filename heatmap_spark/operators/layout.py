@@ -86,3 +86,54 @@ def row_group_skip_stats(
         "overlapping": overlapping,
         "fraction": overlapping / total if total else 0.0,
     }
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    order_by: tuple[str, ...] = (),
+    writer_options: dict | None = None,
+) -> dict:
+    """Rewrite a parquet directory into ~``target_bytes`` files — the
+    maintenance pass every incremental pipeline needs: frequent small
+    merges (streaming/tile_store.py) accrete small files, and at 100 TB
+    the per-file open/footer cost and scheduler pressure of millions of
+    small files dominate reads long before data volume does.
+
+    ``order_by`` re-establishes a clustering (e.g. the Z-order key) via
+    repartitionByRange + in-partition sort, so compaction REPAIRS data
+    skipping instead of destroying it; without it, files are simply
+    coalesced.  The rewrite lands in a sibling dir and is swapped in
+    with two renames — a reader holding the old listing still sees
+    complete data, matching the tile store's versioned-dir discipline.
+
+    Returns {files_before, files_after, bytes}.
+    """
+    import math
+    import os
+    import shutil
+
+    data_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    total = sum(os.path.getsize(f) for f in data_files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    if order_by:
+        cols = [F.col(c) for c in order_by]
+        out = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
+    else:
+        out = df.coalesce(n_out)
+    tmp = path.rstrip("/") + ".__compact__"
+    # writer_options: e.g. parquet.block.size — row groups are the
+    # pruning granule, so fewer files must not mean coarser skipping
+    out.write.options(**(writer_options or {})).mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {"files_before": len(data_files), "files_after": n_out, "bytes": total}

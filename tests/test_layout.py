@@ -68,3 +68,37 @@ def test_zorder_layout_skips_row_groups(spark, sf_correct, tmp_path):
     a = spark.read.parquet(plain_dir).groupBy("row", "col").count()
     b = spark.read.parquet(z_dir).groupBy("row", "col").count()
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_compact_parquet_restores_clustering(spark, sf_correct, tmp_path):
+    from heatmap_spark.operators.layout import compact_parquet
+
+    loc = load_locations(spark, sf_correct).where(F.col("source") != "background")
+    tiles = loc.select(
+        tl.tile_row("latitude", 14).alias("row"),
+        tl.tile_col("longitude", 14).alias("col"),
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("copy"),
+    ).withColumn("zkey", z_value("row", "col", 14))
+    d = str(tmp_path / "frag")
+    # simulate incremental accretion: many tiny unclustered files
+    tiles.repartition(32).write.parquet(d)
+    n_before = spark.read.parquet(d).count()
+    stats = compact_parquet(
+        spark,
+        d,
+        target_bytes=1 * 1024 * 1024,
+        order_by=("zkey",),
+        writer_options={"parquet.block.size": str(64 * 1024)},
+    )
+    assert stats["files_before"] == 32
+    assert stats["files_after"] < 8
+    after = spark.read.parquet(d)
+    assert after.count() == n_before
+    # content identical to the source relation (old listing is gone)
+    assert after.select(*tiles.columns).exceptAll(tiles).isEmpty()
+    assert tiles.exceptAll(after.select(*tiles.columns)).isEmpty()
+    # clustering repaired: a bbox prunes row groups again
+    n = 2**14
+    rr = cc = (3 * n // 8, 4 * n // 8)
+    zed = row_group_skip_stats(d, row_range=rr, col_range=cc)
+    assert zed["fraction"] < 0.6, zed
