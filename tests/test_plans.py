@@ -103,3 +103,49 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_smoke):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tile_store_bbox_read_pushes_filters(spark, sf_smoke, tmp_path):
+    """Serving reads over the persisted tile store must push row/col
+    bounds into the parquet scan — with the Z-ordered layout this is
+    what turns a bbox query into a few row groups at 100 TB."""
+    from heatmap_spark.streaming.tile_store import (
+        merge_delta_into_store,
+        read_tile_store,
+    )
+
+    store = str(tmp_path / "store")
+    delta = P.build_pyramid(
+        load_locations(spark, sf_smoke), mode="explode", min_zoom=10, max_zoom=12
+    )
+    merge_delta_into_store(spark, delta, store, batch_id=0)
+    df = read_tile_store(spark, store).where(
+        (F.col("zoom") == 12)
+        & F.col("row").between(1000, 1400)
+        & F.col("col").between(1000, 1400)
+    )
+    pf = pushed_filters(df)
+    assert "row" in pf and "col" in pf and "zoom" in pf, pf
+
+
+def test_lsh_candidates_plan_has_no_join(spark, sf_smoke):
+    """Candidate generation is bucket expansion, not a self-join: the
+    plan must contain aggregates and generators only."""
+    from heatmap_spark.operators.dedup import minhash_lsh_candidates
+
+    plan = plan_string(minhash_lsh_candidates(spark, sf_smoke), "simple")
+    assert "Join" not in plan, plan
+
+
+def test_ivf_assign_is_map_only(spark, sf_smoke):
+    """Bucket assignment embeds the codebook as a literal: no join, no
+    window, no exchange downstream of the scan."""
+    from heatmap_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    df = ivf_assign(emb)
+    plan = plan_string(df, "simple")
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert count_exchanges(df) == 0, plan
