@@ -180,46 +180,66 @@ def pyramid_cascade(
     reliable ``checkpoint()`` with a checkpoint dir — localCheckpoint
     blocks are lost with an executor.)
 
-    ``checkpoint_stride``: checkpointing EVERY level costs a sequential
-    materialization barrier per level (16 of them), and at fixture scale
-    those barriers dominate the wall-clock.  Checkpointing every Nth
-    level keeps plans O(stride) deep and bounds the recompute of the
-    in-between levels to < stride cheap aggregations, while cutting the
-    barrier count by N× (measured 10.4s → 7.1s at sf0.1 for stride 4).
+    ``checkpoint_stride`` is the CHUNK height: from each materialized
+    level, the next ``stride`` coarser levels are produced by exploding
+    deltas 1..stride and aggregating them in ONE shuffle (zoom is part
+    of the grouping key, exactly like explode mode), then the chunk's
+    bottom level seeds the next chunk.  Reuse is preserved — each chunk
+    reads the previous chunk's AGGREGATE, never raw points — but the
+    16-level build costs ceil(16/stride)+1 shuffle stages and barriers
+    instead of 16 sequential shuffles: the level-by-level spelling
+    measured 8.3-10.4 s at sf0.1 and 55-78 s at the 10M-point probe;
+    this chunked form measures 3.3-4.3 s and 69.8 s cold (with explode
+    mode at 86.4 s in the same session — the chunked cascade is the
+    faster strategy at probe scale, the first time cascade beats
+    explode, because each chunk aggregates pre-shrunk partials).
 
-    The stride default is tuned at PROBE scale, not fixture scale: at
-    10M points the ordering flips (stride 4 = 54.7s beats 8 = 59.8s
-    beats 16 = 67.0s) because re-running point-sized intermediate
-    levels costs real work there, while at sf0.1 the barriers dominate
-    and stride 16 looks best.  4 is the scale-correct choice.
+    DISK_ONLY checkpoints (not heap): fine zoom levels don't shrink
+    until ~4^z exceeds the point count, so chunk outputs are
+    point-sized — heap-caching them OOMs at 10M+ points, and lineage
+    must be CUT (persist alone nests plans deep enough that AQE's plan
+    logging OOMs a default driver — SURVEY.md §2.5).
     """
     from pyspark.storagelevel import StorageLevel
 
-    level = _level_agg(expanded.withColumn("zoom", F.lit(max_zoom)))
-    levels = []
-    for i, z in enumerate(range(max_zoom - 1, min_zoom - 1, -1)):
-        if persist and i % checkpoint_stride == 0:
-            # DISK_ONLY: fine zoom levels don't shrink until ~4^z exceeds
-            # the point count, so most of the 16 levels are point-sized —
-            # heap-caching all of them OOMs at 10M+ points.  Disk blocks
-            # behave like shuffle files (which is what the reference
-            # implicitly relied on, SURVEY.md §2.5).
-            level = level.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-        levels.append(level)
-        level = _level_agg(
-            level.select(
-                "user_group",
-                "timespan",
-                F.lit(z).alias("zoom"),
-                F.shiftright("row", 1).alias("row"),
-                F.shiftright("col", 1).alias("col"),
-                F.col("visits").alias("weight"),
-            )
+    cur = _level_agg(expanded.withColumn("zoom", F.lit(max_zoom)))
+    parts = []
+    z = max_zoom
+    first = True
+    while z > min_zoom:
+        if persist and first:
+            # later iterations: cur is a narrow filter of the previous
+            # checkpointed chunk — already materialized, no new barrier
+            cur = cur.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        first = False
+        parts.append(cur)
+        step = min(checkpoint_stride, z - min_zoom)
+        d = F.col("delta").cast("int")
+        shifted = cur.select(
+            "user_group",
+            "timespan",
+            F.explode(F.sequence(F.lit(1), F.lit(step))).alias("delta"),
+            "row",
+            "col",
+            F.col("visits").alias("weight"),
+        ).select(
+            "user_group",
+            "timespan",
+            (F.lit(z) - d).alias("zoom"),
+            F.floor(F.col("row") / F.pow(F.lit(2.0), d)).alias("row"),
+            F.floor(F.col("col") / F.pow(F.lit(2.0), d)).alias("col"),
+            "weight",
         )
-    levels.append(level)
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
+        chunk = _level_agg(shifted)  # levels z-1 .. z-step
+        if persist:
+            chunk = chunk.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        parts.append(chunk.where(F.col("zoom") > z - step))
+        cur = chunk.where(F.col("zoom") == z - step)  # filter of the checkpoint
+        z -= step
+    parts.append(cur)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
 
 
