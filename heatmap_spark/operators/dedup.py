@@ -341,3 +341,47 @@ def minhash_lsh_candidates_df(
         )
     )
     return buckets.select(pair.alias("p")).select("p.doc_a", "p.doc_b").distinct()
+
+
+def edit_distance_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix_len: int = 96,
+    max_dist: int = 24,
+    bucket: int = 32,
+) -> DataFrame:
+    """Blocked Levenshtein near-duplicate pairs over ``documents``.
+
+    Classic blocked string-similarity dedup (the reference has no dedup
+    at all — SURVEY.md §2.8): candidate pairs are generated only within
+    a block key of (lang, length-bucket), joined to the same and the
+    next bucket so near-dups straddling a bucket edge are still found.
+    The distance runs on a fixed-length prefix, bounding per-pair cost
+    at O(prefix_len²) independent of document size.
+
+    Scale: the block key is the shuffle key; block sizes are bounded by
+    construction (length bucketing), so the per-block quadratic join
+    never degenerates into a global cross join — at 100 TB the plan is
+    one shuffle + bounded local expansion, same shape as the MinHash-LSH
+    path. Levenshtein itself is a JVM built-in (no Python)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / bucket).alias("lb"),
+        F.substring("text", 1, prefix_len).alias("prefix"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & ((F.col("b.lb") == F.col("a.lb")) | (F.col("b.lb") == F.col("a.lb") + 1))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )

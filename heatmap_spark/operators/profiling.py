@@ -172,3 +172,35 @@ def reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .where(F.col("rn") <= 3)
     )
+
+
+def hll_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Apache DataSketches HLL distinct-user counts: one
+    sketch per event_type plus their lossless union as '__all__'.
+
+    This is the 100 TB cardinality pattern: sketch partials per
+    partition / day / type, persist the binary sketches, and merge them
+    later without rescanning raw data — `hll_union_agg` over stored
+    sketches replaces a full recount.  Estimates are engine-specific
+    (DuckDB uses a different HLL), so this query is declared rows-only;
+    the accuracy bound is pinned in tests against the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    per_type = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+    )
+    overall = (
+        per.agg(F.hll_union_agg("sk").alias("sku"))
+        .crossJoin(ev.agg(F.count_distinct("user_id").alias("exact_users")))
+        .select(
+            F.lit("__all__").alias("event_type"),
+            F.hll_sketch_estimate("sku").alias("approx_users"),
+            "exact_users",
+        )
+    )
+    return per_type.unionByName(overall)

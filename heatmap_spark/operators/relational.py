@@ -902,3 +902,28 @@ FROM hs_nation n, LATERAL (
   WHERE c.c_nationkey = n.n_nationkey
   ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"""
     )
+
+
+def quantity_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated, ≡ DuckDB quantile_cont(0.5)) and a
+    *deterministic* mode per return flag.
+
+    Spark's and DuckDB's built-in ``mode`` both pick an arbitrary value
+    on frequency ties, which is unacceptable for a reproducible
+    pipeline; we define mode as the smallest value among the most
+    frequent — computed as a count + row_number composition, which is
+    also how it stays one-shuffle-scalable (no global sort, partial
+    aggregation on (flag, qty) first)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("l_quantity"))
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    return med.join(mode, "l_returnflag")

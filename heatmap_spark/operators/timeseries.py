@@ -1,0 +1,107 @@
+"""Time-series operators: gap-fill resampling, forward fill, and
+range-frame rolling aggregates.
+
+The reference has no time-series surface at all (reference heatmap.py is
+a single batch pyramid; SURVEY.md §2.8) — these are the regularization
+operations a telemetry / training-data pipeline needs: project an
+irregular event stream onto a fixed time grid (gap-fill), carry the last
+observation forward (ffill), and compute rolling aggregates over *time*
+ranges rather than row counts (a RANGE frame is correct under irregular
+sampling where a ROWS frame silently is not).
+
+Scale notes (100 TB): the spine is |keys| × |grid slots| rows — tiny
+relative to the input — and it joins against an already-aggregated
+relation, so AQE turns the join into a broadcast. The only wide
+operations are the initial groupBy (the minimum shuffle this semantics
+admits) and one shuffle on the window partition key followed by a single
+sorted scan per partition. Nothing here touches Python at runtime: every
+expression is whole-stage-codegen'd Column math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from heatmap_spark.functions.exact import dec
+from heatmap_spark.sources.tables import load_table
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    slot: str = "hour",
+) -> DataFrame:
+    """Resample ``df`` onto a dense per-``key_col`` grid of ``slot``
+    buckets spanning the global [min, max] bucket range.
+
+    Output: (key, slot_ts, n_events, ffill_avg_value) — one row per
+    (key, bucket) even where the input has no events; the running
+    average carries forward across empty buckets (classic LOCF).
+
+    Exactness: the bucket average is decimal-sum / count (see
+    functions/exact.py) so the forward-filled value is bit-identical to
+    the DuckDB oracle's.
+    """
+    agg = df.groupBy(
+        F.col(key_col).alias("key"), F.date_trunc(slot, F.col(ts_col)).alias("slot_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(dec(value_col)).cast("double") / F.count(value_col)).alias("av"),
+    )
+    bounds = agg.agg(F.min("slot_ts").alias("mn"), F.max("slot_ts").alias("mx"))
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    spine = keys.crossJoin(F.broadcast(bounds)).select(
+        "key",
+        F.explode(F.sequence("mn", "mx", F.expr(f"interval 1 {slot}"))).alias("slot_ts"),
+    )
+    joined = spine.join(F.broadcast(agg), ["key", "slot_ts"], "left")
+    w = W.partitionBy("key").orderBy("slot_ts").rowsBetween(W.unboundedPreceding, 0)
+    return joined.select(
+        F.col("key"),
+        F.col("slot_ts"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.round(F.last("av", ignorenulls=True).over(w), 6).alias("ffill_avg_value"),
+    )
+
+
+def gap_fill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-query wrapper: hourly event grid per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    out = gap_fill(ev, "event_type", "ts", "value", slot="hour")
+    return out.select(
+        F.col("key").alias("event_type"),
+        F.col("slot_ts").alias("hour"),
+        "n_events",
+        "ffill_avg_value",
+    )
+
+
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer rolling 7-day spend via a RANGE frame keyed on
+    epoch-days.
+
+    RANGE (not ROWS) is the point: customers order irregularly, so the
+    frame must be defined by *time distance*, and every order on the
+    same day must fall in the same frame regardless of intra-day tie
+    order — which also makes the result fully deterministic without a
+    unique tiebreaker. One shuffle on o_custkey, one sorted scan.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.datediff("o_orderdate", F.to_date(F.lit("1970-01-01"))).alias("epoch_day"),
+        dec("o_totalprice").alias("price"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("epoch_day").rangeBetween(-6, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum("price").over(w).cast("double").alias("spent_7d"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_orders_7d"),
+    )

@@ -21,7 +21,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from heatmap_spark.functions import tiles as tl
-from heatmap_spark.operators import dedup, multimodal, profiling, relational, sessions, similarity, textops
+from heatmap_spark.operators import (
+    dedup,
+    multimodal,
+    profiling,
+    relational,
+    sessions,
+    similarity,
+    textops,
+    timeseries,
+)
 from heatmap_spark.operators import pyramid as pyr
 from heatmap_spark.sources.locations import load_locations, locations_sql
 
@@ -441,6 +450,39 @@ def q_heatmap_pyramid_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachable from SQL, not just the DataFrame API."""
     load_locations(spark, sf_dir).createOrReplaceTempView("__hs_locations")
     return spark.sql(_SPARK_PYRAMID_SQL)
+
+
+_SPARK_RECURSIVE_PYRAMID = """
+WITH RECURSIVE pts AS (
+  SELECT
+    CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 2097152.0) AS BIGINT) AS row21,
+    CAST(floor((longitude + 180.0)/360.0 * 2097152.0) AS BIGINT) AS col21,
+    weight
+  FROM __hs_locations WHERE source <> 'background'),
+seed AS (
+  SELECT row21 AS row, col21 AS col, sum(weight) AS visits
+  FROM pts GROUP BY row21, col21),
+walk(zoom, row, col, visits) AS (
+  SELECT 21 AS zoom, row, col, visits FROM seed
+  UNION ALL
+  SELECT zoom - 1, shiftright(row, 1), shiftright(col, 1), visits
+  FROM walk WHERE zoom > 6)
+SELECT CAST(zoom AS INTEGER) AS zoom, row, col, sum(visits) AS visits
+FROM walk GROUP BY zoom, row, col
+"""
+
+
+def q_recursive_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tile rollup expressed as a WITH RECURSIVE CTE (new SQL
+    surface in Spark 4): seed = zoom-21 per-tile sums, each step halves
+    row/col (integer-shift parent, functions/tiles.py F8), final
+    aggregate collapses each level.  Same iterative-rollup semantics as
+    the reference's driver loop (reference heatmap.py:107-118) but
+    declared in one SQL statement; DuckDB runs the identical recursion
+    as the oracle.  The DataFrame cascade (operators/pyramid.py) remains
+    the production path — this pins the SQL-recursion capability."""
+    load_locations(spark, sf_dir).createOrReplaceTempView("__hs_locations")
+    return spark.sql(_SPARK_RECURSIVE_PYRAMID)
 
 
 # shingle postings CTE shared by the dedup oracles
@@ -1495,6 +1537,88 @@ SELECT band, count(*) AS n_orders,
 FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY band""",
     ),
+    # ---- time-series: gap-fill / forward-fill / range-frame rolling ----
+    "q_gap_fill_hourly": QuerySpec(
+        timeseries.gap_fill_hourly_events,
+        f"""WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+         CAST(sum({_d('value')}) AS DOUBLE) / count(value) AS av
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT min(hour) AS mn, max(hour) AS mx FROM agg),
+spine AS (
+  SELECT t.event_type, gs.hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM bounds) gs),
+j AS (
+  SELECT s.event_type, s.hour, agg.n, agg.av
+  FROM spine s LEFT JOIN agg ON agg.event_type = s.event_type AND agg.hour = s.hour)
+SELECT event_type, hour, coalesce(n, 0) AS n_events,
+  round(last_value(av IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY hour
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ffill_avg_value
+FROM j""",
+    ),
+    "q_rolling_revenue_7d": QuerySpec(
+        timeseries.rolling_revenue_7d,
+        f"""WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day,
+    {_d('o_totalprice')} AS price
+  FROM orders)
+SELECT o_orderkey, o_custkey, o_orderdate,
+  CAST(sum(price) OVER w AS DOUBLE) AS spent_7d,
+  CAST(count(*) OVER w AS INTEGER) AS n_orders_7d
+FROM o WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY epoch_day
+  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    ),
+    # ---- statistics: exact median + deterministic mode ----
+    "q_median_mode": QuerySpec(
+        relational.quantity_median_mode,
+        """WITH med AS (
+  SELECT l_returnflag, round(median(l_quantity), 6) AS median_qty,
+         count(*) AS n_rows
+  FROM lineitem GROUP BY 1),
+c AS (
+  SELECT l_returnflag, l_quantity, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2),
+m AS (
+  SELECT l_returnflag, l_quantity AS mode_qty,
+    row_number() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity) AS rn
+  FROM c)
+SELECT med.l_returnflag, median_qty, n_rows, mode_qty
+FROM med JOIN m ON med.l_returnflag = m.l_returnflag AND m.rn = 1""",
+    ),
+    # ---- dedup: blocked edit-distance near-dup pairs ----
+    "q_edit_distance_pairs": QuerySpec(
+        dedup.edit_distance_pairs,
+        """WITH d AS (
+  SELECT doc_id, lang, n_chars // 32 AS lb, substr(text, 1, 96) AS prefix
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND (b.lb = a.lb OR b.lb = a.lb + 1) AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 24""",
+    ),
+    # ---- SQL recursion surface ----
+    "q_recursive_pyramid": QuerySpec(
+        q_recursive_pyramid,
+        f"""WITH RECURSIVE {_LOC_CTE},
+{_PTS_CTE},
+seed AS (
+  SELECT row21 AS row, col21 AS col, sum(weight) AS visits
+  FROM pts GROUP BY row21, col21),
+walk(zoom, row, col, visits) AS (
+  SELECT 21 AS zoom, row, col, visits FROM seed
+  UNION ALL
+  SELECT zoom - 1, row // 2, col // 2, visits
+  FROM walk WHERE zoom > 6)
+SELECT CAST(zoom AS INTEGER) AS zoom, row, col, sum(visits) AS visits
+FROM walk GROUP BY zoom, row, col""",
+    ),
+    # ---- mergeable sketches (engine-specific estimates → rows-only) ----
+    "q_hll_sketches": QuerySpec(profiling.hll_user_sketches, None),
 }
 
 

@@ -1,0 +1,54 @@
+"""Time-series + sketch operator invariants beyond the oracle equality
+checks (which run automatically via tests/test_oracle.py).
+"""
+
+from pyspark.sql import functions as F
+
+from heatmap_spark.operators.profiling import hll_user_sketches
+from heatmap_spark.operators.timeseries import gap_fill_hourly_events, rolling_revenue_7d
+from heatmap_spark.sources.tables import load_table
+
+
+def test_gap_fill_grid_is_dense(spark, sf_smoke):
+    """Every (event_type, hour) slot in the global span exists exactly
+    once, and the zero-filled counts still sum to the raw row count."""
+    out = gap_fill_hourly_events(spark, sf_smoke).cache()
+    ev = load_table(spark, sf_smoke, "events")
+
+    n_types = ev.select("event_type").distinct().count()
+    bounds = out.agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).first()
+    span_hours = int((bounds.mx - bounds.mn).total_seconds() // 3600) + 1
+    assert bounds.n == n_types * span_hours
+
+    assert out.select(F.sum("n_events")).first()[0] == ev.count()
+    # dense: no duplicate slots
+    assert out.select("event_type", "hour").distinct().count() == bounds.n
+    out.unpersist()
+
+
+def test_rolling_range_frame_counts_by_time_not_rows(spark, sf_smoke):
+    """The 7-day frame must include every same-window order regardless
+    of row order: recompute one customer's frame with a self-join."""
+    out = rolling_revenue_7d(spark, sf_smoke)
+    o = load_table(spark, sf_smoke, "orders")
+    cust = o.groupBy("o_custkey").count().orderBy(F.desc("count"), "o_custkey").first()[0]
+
+    got = {r.o_orderkey: r.n_orders_7d for r in out.where(F.col("o_custkey") == cust).collect()}
+    rows = o.where(F.col("o_custkey") == cust).select("o_orderkey", "o_orderdate").collect()
+    for r in rows:
+        expect = sum(
+            1 for s in rows if 0 <= (r.o_orderdate - s.o_orderdate).days <= 6
+        )
+        assert got[r.o_orderkey] == expect
+
+
+def test_hll_estimates_within_tolerance(spark, sf_smoke):
+    """DataSketches HLL at default lgK=12 is ~1.6% rel. std error; pin a
+    generous 5% bound vs the exact distinct counts, and the union row
+    must estimate the global distinct (not the sum of per-type)."""
+    rows = hll_user_sketches(spark, sf_smoke).collect()
+    assert {"__all__"} < {r.event_type for r in rows}
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users), r
