@@ -38,10 +38,19 @@ def main() -> None:
         for rid in list(jmap.keySet().toArray()):
             jmap.get(rid).unpersist()
 
+    # Same plan → same generated code, so a tiny-SF run warms the
+    # Janino codegen cache and JIT-compiles the hot generated methods
+    # for pennies; the timed runs then measure the query, not the JVM.
+    warm_dir = "/root/testdata/sf0.001"
+    warm = os.path.isdir(warm_dir) and warm_dir != sf_dir
+
     timings: dict[str, float] = {}
     for name, fn in headline_queries().items():
+        if warm:
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            cleanup()
         best = float("inf")
-        for _ in range(2):  # min of 2: first run pays per-query codegen
+        for _ in range(2):  # min of 2: steady-state per-query number
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -927,3 +927,36 @@ def quantity_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
     )
     return med.join(mode, "l_returnflag")
+
+
+def variant_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    parse the JSON payload once into the binary variant encoding, then
+    extract typed fields.  At scale this replaces per-access string
+    re-parsing (get_json_object) with a single parse + cheap binary
+    reads — the right pattern for wide JSON payloads on 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.max("k").alias("k_max"),
+        F.count("k").alias("k_count"),
+    )
+
+
+def filtered_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI aggregate FILTER clause + boolean aggregates through the
+    SQL surface (both run verbatim in DuckDB)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__hs_orders")
+    return spark.sql(
+        """SELECT o_orderpriority,
+  count(*) AS n_orders,
+  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+  bool_or(o_orderstatus = 'F') AS any_finished,
+  bool_and(o_totalprice > 0) AS all_positive,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+FROM __hs_orders GROUP BY o_orderpriority"""
+    )

@@ -1619,6 +1619,26 @@ FROM walk GROUP BY zoom, row, col""",
     ),
     # ---- mergeable sketches (engine-specific estimates → rows-only) ----
     "q_hll_sketches": QuerySpec(profiling.hll_user_sketches, None),
+    # ---- semi-structured: VARIANT (parse once, typed binary reads) ----
+    "q_variant_agg": QuerySpec(
+        relational.variant_props_agg,
+        """SELECT event_type,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max,
+  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_count
+FROM events GROUP BY event_type""",
+    ),
+    # ---- ANSI FILTER clause + boolean aggregates ----
+    "q_filtered_aggs": QuerySpec(
+        relational.filtered_bool_aggs,
+        f"""SELECT o_orderpriority,
+  count(*) AS n_orders,
+  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+  bool_or(o_orderstatus = 'F') AS any_finished,
+  bool_and(o_totalprice > 0) AS all_positive,
+  CAST(sum({_d('o_totalprice')}) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+FROM orders GROUP BY o_orderpriority""",
+    ),
 }
 
 
