@@ -359,22 +359,30 @@ def edit_distance_pairs(
     The distance runs on a fixed-length prefix, bounding per-pair cost
     at O(prefix_len²) independent of document size.
 
-    Scale: the block key is the shuffle key; block sizes are bounded by
-    construction (length bucketing), so the per-block quadratic join
-    never degenerates into a global cross join — at 100 TB the plan is
-    one shuffle + bounded local expansion, same shape as the MinHash-LSH
-    path. Levenshtein itself is a JVM built-in (no Python)."""
+    Scale: the full (lang, bucket) pair is the equi-join key — NOT lang
+    plus a bucket filter, which would shuffle every same-language doc to
+    one partition at 100 TB (~5 languages).  The bucket-adjacency match
+    (b.lb ∈ {a.lb, a.lb+1}) is made equi-joinable by exploding side b
+    into its two candidate keys {lb, lb−1}; the two keys are distinct so
+    no pair is emitted twice.  Block sizes are bounded by construction
+    (length bucketing), so the per-block quadratic expansion stays
+    local and bounded. Levenshtein itself is a JVM built-in (no
+    Python)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / bucket).alias("lb"),
         F.substring("text", 1, prefix_len).alias("prefix"),
     )
-    a, b = d.alias("a"), d.alias("b")
+    a = d.withColumn("bk", F.col("lb")).alias("a")
+    b = (
+        d.withColumn("bk", F.explode(F.array(F.col("lb"), F.col("lb") - 1)))
+        .alias("b")
+    )
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
-        & ((F.col("b.lb") == F.col("a.lb")) | (F.col("b.lb") == F.col("a.lb") + 1))
+        & (F.col("a.bk") == F.col("b.bk"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     return (

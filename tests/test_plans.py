@@ -149,3 +149,32 @@ def test_ivf_assign_is_map_only(spark, sf_smoke):
     plan = plan_string(df, "simple")
     assert "Join" not in plan and "Window" not in plan, plan
     assert count_exchanges(df) == 0, plan
+
+
+def test_edit_distance_join_key_includes_block(spark, sf_smoke):
+    """The blocked-Levenshtein join must equi-join on (lang, bucket) —
+    a lang-only key would shuffle every same-language doc to one
+    partition at scale (~5 languages); the bucket filter must be part
+    of the hash key, not a post-join residual."""
+    from heatmap_spark.operators.dedup import edit_distance_pairs
+
+    df = edit_distance_pairs(spark, sf_smoke)
+    plan = plan_string(df, "simple")
+    join_lines = [l for l in plan.splitlines() if "HashJoin" in l]
+    assert join_lines, plan
+    assert all("lang" in l and "bk" in l for l in join_lines), join_lines
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_timeseries_plans(spark, sf_smoke):
+    """Gap-fill: spine join broadcasts the aggregated side; rolling
+    range-frame: exactly one exchange (the window partition key)."""
+    from heatmap_spark.operators.timeseries import gap_fill_hourly_events, rolling_revenue_7d
+
+    gf = gap_fill_hourly_events(spark, sf_smoke)
+    assert has_broadcast_join(gf)
+    assert not has_python_eval(gf)
+
+    roll = rolling_revenue_7d(spark, sf_smoke)
+    assert count_exchanges(roll) == 1, plan_string(roll, "simple")
+    assert "RangeFrame" in plan_string(roll, "simple")
