@@ -960,3 +960,37 @@ def filtered_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
   CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
 FROM __hs_orders GROUP BY o_orderpriority"""
     )
+
+
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join completing the join-type matrix: per-nation
+    customer counts vs supplier counts — nations may exist on either
+    side only, and both null-sides must survive."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+def cross_join_region_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN (the one place a cartesian product is the
+    semantics, not an accident): all region pairs with a stable order
+    key. Bounded dimension x dimension only — never fact-side."""
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("ka"), F.col("r_name").alias("name_a"))
+    b = r.select(F.col("r_regionkey").alias("kb"), F.col("r_name").alias("name_b"))
+    return a.crossJoin(b).where(F.col("ka") < F.col("kb"))

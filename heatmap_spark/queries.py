@@ -1639,6 +1639,22 @@ FROM events GROUP BY event_type""",
   CAST(sum({_d('o_totalprice')}) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
 FROM orders GROUP BY o_orderpriority""",
     ),
+    # ---- join-type matrix completion ----
+    "q_full_outer_join": QuerySpec(
+        relational.full_outer_nation_activity,
+        """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY 1)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+  coalesce(n_customers, 0) AS n_customers,
+  coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nk = s.nk""",
+    ),
+    "q_cross_join_pairs": QuerySpec(
+        relational.cross_join_region_matrix,
+        """SELECT a.r_regionkey AS ka, a.r_name AS name_a,
+  b.r_regionkey AS kb, b.r_name AS name_b
+FROM region a CROSS JOIN region b WHERE a.r_regionkey < b.r_regionkey""",
+    ),
 }
 
 

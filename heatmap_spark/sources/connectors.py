@@ -80,3 +80,38 @@ def write_cassandra(
         writer.save()
     except Exception as e:
         _raise_if_missing(df.sparkSession, CASSANDRA_FORMAT, e)
+
+
+KAFKA_FORMAT = "kafka"
+
+
+def read_kafka_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str, starting_offsets: str = "earliest"
+) -> DataFrame:
+    """Streaming Kafka source (the production stream ingress; the file
+    stream in streaming/incremental.py is its test stand-in — same
+    downstream code).  Gated: the Kafka connector jar is not in this
+    container."""
+    try:
+        return (
+            spark.readStream.format(KAFKA_FORMAT)
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:
+        _raise_if_missing(spark, KAFKA_FORMAT, e)
+
+
+def write_kafka(df: DataFrame, bootstrap_servers: str, topic: str) -> None:
+    """Batch write to Kafka (df must have key/value binary columns)."""
+    try:
+        (
+            df.write.format(KAFKA_FORMAT)
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .save()
+        )
+    except Exception as e:
+        _raise_if_missing(df.sparkSession, KAFKA_FORMAT, e)
