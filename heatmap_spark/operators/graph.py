@@ -1,0 +1,68 @@
+"""Graph operators over derived document-similarity graphs.
+
+Connected components (operators/dedup.py) picks *a* canonical doc per
+near-dup cluster; PageRank ranks docs *within* the similarity graph —
+the standard centrality signal for choosing which duplicate to keep in
+a training-data pipeline.
+
+Exactness policy: the iteration runs in FIXED-POINT INTEGER arithmetic
+(ranks scaled to parts-per-trillion, integer division everywhere).
+Floating-point PageRank is partition-order-dependent (double sums do
+not reassociate); the integer form is bit-identical on any cluster, any
+partitioning, and in DuckDB — so an iterative algorithm becomes
+oracle-checkable, and a 1000-executor production run is reproducible
+run-to-run.
+
+Scale: each iteration is one join (edges × ranks — ranks is the small
+side after aggregation) + one groupBy on the destination node; the
+edge list and degree table are persisted once and reused across
+iterations.  Fixed iteration count (power iteration converges
+geometrically; 3 suffices for a ranking signal on near-dup clusters,
+which are small-diameter by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from heatmap_spark.operators.dedup import minhash_lsh_candidates
+
+SCALE = 10**12  # ranks in parts-per-trillion
+
+
+def pagerank_fixed_point(pairs: DataFrame, iters: int = 3) -> DataFrame:
+    """(doc_a, doc_b) undirected pairs → (doc_id, rank_ppt).
+
+    r0 = SCALE div N;  r' = (15·SCALE) div (100·N) + (85·Σ(r div deg)) div 100
+    — every operation integer, so the result is independent of
+    partitioning and summation order.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .persist()
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d")).persist()
+    ncnt = deg.agg(F.count(F.lit(1)).alias("n"))  # 1 row, broadcast
+
+    ranks = deg.crossJoin(F.broadcast(ncnt)).select(
+        F.col("u").alias("node"), F.expr(f"{SCALE} div n").alias("r")
+    )
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "u"), "u")
+            .join(deg, "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.expr("r div d")).alias("contrib"))
+        )
+        ranks = contribs.crossJoin(F.broadcast(ncnt)).select(
+            "node",
+            F.expr(f"(15 * {SCALE}) div (100 * n) + (85 * contrib) div 100").alias("r"),
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_ppt"))
+
+
+def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: PageRank over the MinHash-LSH candidate graph."""
+    return pagerank_fixed_point(minhash_lsh_candidates(spark, sf_dir))

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from heatmap_spark.functions import tiles as tl
 from heatmap_spark.operators import (
     dedup,
+    graph,
     multimodal,
     profiling,
     relational,
@@ -1654,6 +1655,47 @@ FROM c FULL OUTER JOIN s ON c.nk = s.nk""",
         """SELECT a.r_regionkey AS ka, a.r_name AS name_a,
   b.r_regionkey AS kb, b.r_name AS name_b
 FROM region a CROSS JOIN region b WHERE a.r_regionkey < b.r_regionkey""",
+    ),
+    # ---- iterative graph algorithm: fixed-point PageRank ----
+    "q_pagerank_near_dup": QuerySpec(
+        graph.pagerank_near_dup,
+        f"""WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, s.salt,
+    min(md5(CAST(s.salt AS VARCHAR) || '|' || token)) AS minhash
+  FROM toks CROSS JOIN generate_series(0, 15) AS s(salt)
+  GROUP BY doc_id, s.salt),
+bands AS (
+  SELECT doc_id, CAST(salt // 4 AS INTEGER) AS band,
+    string_agg(minhash, ',' ORDER BY salt) AS band_sig
+  FROM sigs GROUP BY doc_id, CAST(salt // 4 AS INTEGER)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION SELECT doc_b, doc_a FROM cand),
+deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT u AS node, 1000000000000 // n AS r FROM deg CROSS JOIN nn),
+i1 AS (
+  SELECT v AS node,
+    (15 * 1000000000000) // (100 * n) + (85 * sum(r // d)) // 100 AS r
+  FROM edges JOIN r0 ON edges.u = r0.node JOIN deg USING (u) CROSS JOIN nn
+  GROUP BY v, n),
+i2 AS (
+  SELECT v AS node,
+    (15 * 1000000000000) // (100 * n) + (85 * sum(r // d)) // 100 AS r
+  FROM edges JOIN i1 ON edges.u = i1.node JOIN deg USING (u) CROSS JOIN nn
+  GROUP BY v, n),
+i3 AS (
+  SELECT v AS node,
+    (15 * 1000000000000) // (100 * n) + (85 * sum(r // d)) // 100 AS r
+  FROM edges JOIN i2 ON edges.u = i2.node JOIN deg USING (u) CROSS JOIN nn
+  GROUP BY v, n)
+SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_ppt FROM i3""",
     ),
 }
 
