@@ -204,3 +204,25 @@ def hll_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_type.unionByName(overall)
+
+
+def run_with_metrics(df, metrics, action=None):
+    """Single-pass pipeline observability via ``df.observe``: attach
+    named aggregate metrics to a plan, run the action once, and read
+    the metrics back — no second scan.
+
+    At 100 TB a separate "count the nulls we just wrote" query doubles
+    the IO; observed metrics ride the same pass (computed inside the
+    executors, merged on the driver).  ``metrics`` maps name → aggregate
+    Column; returns the metric dict after running ``action`` (default:
+    noop-sink write, i.e. full materialization).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+    if action is None:
+        observed.write.format("noop").mode("overwrite").save()
+    else:
+        action(observed)
+    return obs.get

@@ -994,3 +994,55 @@ def cross_join_region_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = r.select(F.col("r_regionkey").alias("ka"), F.col("r_name").alias("name_a"))
     b = r.select(F.col("r_regionkey").alias("kb"), F.col("r_name").alias("name_b"))
     return a.crossJoin(b).where(F.col("ka") < F.col("kb"))
+
+
+def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map expression surface in one pass: construction, set ops,
+    higher-order transforms — all JVM-side, all with DuckDB list_*
+    twins."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("orders"),
+    )
+    # array-typed outputs serialize to csv strings: the driver's value
+    # hash compares scalars, and pandas ndarray-vs-list equality is
+    # ill-defined — strings are the portable wire form
+    return per_cust.select(
+        "o_custkey",
+        F.size("orders").alias("n_orders"),
+        F.element_at("orders", 1).alias("first_order"),
+        F.element_at("orders", -1).alias("last_order"),
+        F.array_join(F.slice("orders", 1, 3), ",").alias("first3"),
+        F.array_contains("orders", F.lit(7)).alias("has_order_7"),
+        F.expr("aggregate(orders, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("order_sum"),
+        F.array_join(F.expr("transform(orders, x -> x * 2)"), ",").alias("doubled"),
+        F.array_join(F.expr("filter(orders, x -> x % 2 = 0)"), ",").alias("even_orders"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.expr("transform(orders, x -> x % 10)"))), ","
+        ).alias("last_digits"),
+    )
+
+
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime expression surface with exact DuckDB twins (fields,
+    truncation, arithmetic; anything with engine-specific conventions —
+    ISO weeks, months_between fractions — is deliberately excluded
+    from the oracle-checked set)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.hour(d).alias("h"),
+        F.date_trunc("month", d).alias("month_start"),
+        # DATE-typed outputs ride as ISO strings (pandas date dtype
+        # diverges between engines; strings compare exactly)
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(d.cast("date"), 7), "yyyy-MM-dd").alias("plus_week"),
+        F.date_format(F.date_sub(d.cast("date"), 3), "yyyy-MM-dd").alias("minus_3d"),
+        F.datediff(d, F.to_date(F.lit("1995-01-01"))).alias("days_since_95"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
+    )

@@ -3,6 +3,8 @@ counting — all native Column expressions over the documents table."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -178,4 +180,32 @@ def normalized_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_tokens"
             ),
         )
+    )
+
+
+def ngram_udtf_demo(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
+    """Python UDTF surface (SQL-callable table function, Spark 3.5+):
+    explode each document into its word n-grams with positions.
+
+    This pins the engine's LAST escape hatch (SURVEY.md §2.7: native
+    exprs → pandas_udf → applyInPandas → UDTF/UDF): the same result is
+    produced JVM-side by token_positions/shingles_expr — the UDTF
+    exists to prove the extension API, not as the production path, and
+    a 100 TB run would use the native spelling.  The UDTF is defined
+    lazily (worker-pickled by value) and registered for spark.sql use.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class NGrams:
+        def eval(self, text: str, n: int):  # noqa: A002
+            toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+            for i in range(len(toks) - n + 1):
+                yield i, " ".join(toks[i : i + n])
+
+    spark.udtf.register("hs_ngrams", NGrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__hs_docs_udtf")
+    return spark.sql(
+        f"""SELECT d.doc_id, g.pos, g.ngram
+            FROM __hs_docs_udtf d, LATERAL hs_ngrams(d.text, {n}) g"""
     )

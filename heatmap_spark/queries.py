@@ -1697,6 +1697,50 @@ i3 AS (
   GROUP BY v, n)
 SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_ppt FROM i3""",
     ),
+    # ---- Python UDTF surface (SQL-callable table function) ----
+    "q_udtf_ngrams": QuerySpec(
+        textops.ngram_udtf_demo,
+        """WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+g AS (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks FROM t)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] || ' ' || toks[i+1] AS ngram
+FROM g""",
+    ),
+    # ---- expression-surface sweeps: collections, datetime ----
+    "q_collection_functions": QuerySpec(
+        relational.collection_functions,
+        """WITH per AS (
+  SELECT o_custkey, list_sort(list(o_orderkey)) AS orders FROM orders GROUP BY o_custkey)
+SELECT o_custkey,
+  CAST(len(orders) AS INTEGER) AS n_orders,
+  orders[1] AS first_order,
+  orders[-1] AS last_order,
+  array_to_string(orders[1:3], ',') AS first3,
+  list_contains(orders, 7) AS has_order_7,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), orders), (a, x) -> a + x) AS BIGINT) AS order_sum,
+  array_to_string(list_transform(orders, x -> x * 2), ',') AS doubled,
+  coalesce(array_to_string(list_filter(orders, x -> x % 2 = 0), ','), '') AS even_orders,
+  array_to_string(list_sort(list_distinct(list_transform(orders, x -> x % 10))), ',') AS last_digits
+FROM per""",
+    ),
+    "q_datetime_functions": QuerySpec(
+        relational.datetime_functions,
+        """SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INTEGER) AS y,
+  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+  CAST(month(o_orderdate) AS INTEGER) AS m,
+  CAST(day(o_orderdate) AS INTEGER) AS dom,
+  CAST(hour(o_orderdate) AS INTEGER) AS h,
+  date_trunc('month', o_orderdate) AS month_start,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+  strftime(CAST(o_orderdate AS DATE) + 7, '%Y-%m-%d') AS plus_week,
+  strftime(CAST(o_orderdate AS DATE) - 3, '%Y-%m-%d') AS minus_3d,
+  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
+  strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+FROM orders""",
+    ),
 }
 
 

@@ -74,3 +74,43 @@ def test_approx_distinct_within_tolerance(spark, sf_smoke):
     assert len(rows) > 0
     for r in rows:
         assert abs(r.approx - r.exact) <= 0.1 * r.exact, (r.approx, r.exact)
+
+
+def test_udtf_ngrams_matches_native(spark, sf_smoke):
+    """The Python UDTF escape hatch produces exactly what the native
+    JVM-side spelling produces (the UDTF pins the API, the native path
+    is production)."""
+    from heatmap_spark.operators.textops import ngram_udtf_demo
+
+    got = ngram_udtf_demo(spark, sf_smoke, n=2)
+    native = spark.sql(
+        """SELECT doc_id, posexplode(
+             transform(sequence(1, greatest(size(toks) - 1, 0)),
+                       i -> concat_ws(' ', toks[i-1], toks[i]))) AS (pos, ngram)
+           FROM (SELECT doc_id,
+                   filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+                 FROM __hs_docs_udtf)"""
+    )
+    assert got.exceptAll(native).count() == 0
+    assert native.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_observe_metrics_single_pass(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.profiling import run_with_metrics
+    from heatmap_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    m = run_with_metrics(
+        li,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_qty": F.count(F.when(F.col("l_quantity").isNull(), 1)),
+            "max_ship": F.max("l_shipdate"),
+        },
+    )
+    assert m["n_rows"] == li.count()
+    assert m["null_qty"] == 0
+    assert m["max_ship"] == li.agg(F.max("l_shipdate")).first()[0]
