@@ -6,6 +6,8 @@ Referenced by BASELINE.md.
     python scripts/scale_probe.py [n_points]          # pyramid (default 10M)
     python scripts/scale_probe.py dedup [n_docs]      # MinHash-LSH (default 500k)
     python scripts/scale_probe.py knn [n_vecs]        # brute vs IVF (default 1M)
+    python scripts/scale_probe.py gapfill [n_events]  # dense-grid LOCF (default 10M)
+    python scripts/scale_probe.py pagerank [n_nodes]  # 3-iter fixed point (default 2M)
 """
 
 from __future__ import annotations
@@ -121,13 +123,60 @@ def probe_knn(spark, n: int) -> None:
     )
 
 
+def probe_gapfill(spark, n: int) -> None:
+    """Gap-fill 10M irregular events onto a dense (50 types x 30-day
+    minute grid) — the spine join + LOCF window at 100x bench scale."""
+    from heatmap_spark.operators.timeseries import gap_fill
+
+    ev = spark.range(n).select(
+        F.concat(F.lit("t"), (F.col("id") % 50).cast("string")).alias("event_type"),
+        F.timestamp_millis(
+            F.lit(1700000000000) + (F.col("id") * 7919) % (30 * 86400 * 1000)
+        ).alias("ts"),
+        ((F.col("id") % 1000) / 10.0).alias("value"),
+    )
+    t0 = time.perf_counter()
+    out = gap_fill(ev, "event_type", "ts", "value", slot="minute")
+    rows = out.count()
+    dt = time.perf_counter() - t0
+    print(
+        f"gapfill {n:,} events -> {rows:,} grid slots in {dt:.1f}s"
+        f" = {n / dt / 1000:.0f}k events/s"
+    )
+
+
+def probe_pagerank(spark, n: int) -> None:
+    """Fixed-point PageRank, 3 iterations, on a ~2n-edge graph with
+    heavy hubs (every id links to id//2 and id//3 — small ids collect
+    millions of in-edges, stressing the per-iteration groupBy skew)."""
+    from heatmap_spark.operators.graph import pagerank_fixed_point
+
+    half = spark.range(2, n).select(
+        F.col("id").alias("doc_a"), (F.col("id") / 2).cast("bigint").alias("doc_b")
+    )
+    third = spark.range(3, n).select(
+        F.col("id").alias("doc_a"), (F.col("id") / 3).cast("bigint").alias("doc_b")
+    )
+    pairs = half.unionByName(third).where("doc_a <> doc_b")
+    t0 = time.perf_counter()
+    rows = pagerank_fixed_point(pairs, iters=3).count()
+    dt = time.perf_counter() - t0
+    n_edges = 2 * (2 * n - 5)  # symmetrized
+    print(
+        f"pagerank {rows:,} nodes / ~{n_edges:,} directed edges,"
+        f" 3 iters in {dt:.1f}s = {n_edges * 3 / dt / 1e6:.1f}M edge-visits/s"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
-    defaults = {"pyramid": 10_000_000, "dedup": 500_000, "knn": 1_000_000}
+    defaults = {"pyramid": 10_000_000, "dedup": 500_000, "knn": 1_000_000,
+                "gapfill": 10_000_000, "pagerank": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
-    {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn}[which](spark, n)
+    {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
+     "gapfill": probe_gapfill, "pagerank": probe_pagerank}[which](spark, n)
 
 
 if __name__ == "__main__":
