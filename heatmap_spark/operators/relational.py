@@ -1046,3 +1046,101 @@ def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(d, F.to_date(F.lit("1995-01-01"))).alias("days_since_95"),
         F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
     )
+
+
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist) plus
+    explicit-frame first/last_value — the window families not already
+    covered by window_variety (rank/lag/lead/ntile).
+
+    Ordering is made total (acctbal desc, custkey asc) so both the
+    fractions and the frame endpoints are deterministic; the fractions
+    are exact integer ratios evaluated in double, bitwise-identical
+    across engines.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+        F.first_value(F.col("c_custkey")).over(wfull).alias("richest_cust"),
+        F.last_value(F.col("c_custkey")).over(wfull).alias("poorest_cust"),
+    )
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType expression surface in one pass: construction
+    (map_from_entries), inspection (size/map_keys), folds over values
+    (aggregate), and the higher-order map transforms (map_filter /
+    transform_values).
+
+    Maps have no canonical entry order, so every map-typed output is
+    serialized to a sorted ``k:v`` csv string — the portable wire form
+    for the driver's value hash (same rationale as collection_functions
+    for arrays).  The DuckDB oracle never builds a MAP at all: sorted
+    ``string_agg`` over the grouped counts is definitionally the same
+    serialization, which is exactly the point — the *semantics* are
+    relational, the map is a physical container.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per_cust.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderpriority", "cnt")))
+        ).alias("pri_counts")
+    )
+
+    def _ser(map_expr: str) -> Column:
+        return F.array_join(
+            F.array_sort(
+                F.expr(f"transform(map_entries({map_expr}), "
+                       "e -> concat(e.key, ':', cast(e.value as string)))")
+            ),
+            ",",
+        )
+
+    return m.select(
+        "o_custkey",
+        F.size("pri_counts").alias("n_priorities"),
+        F.array_join(F.array_sort(F.map_keys("pri_counts")), ",").alias("priorities"),
+        F.expr(
+            "aggregate(map_values(pri_counts), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("total_orders"),
+        _ser("pri_counts").alias("entries_csv"),
+        _ser("map_filter(pri_counts, (k, v) -> v >= 2)").alias("repeat_csv"),
+        _ser("transform_values(pri_counts, (k, v) -> v * 10)").alias("scaled_csv"),
+    )
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling expression surface: nullif / coalesce / nvl2 /
+    null-safe comparison (``<=>`` ≡ IS NOT DISTINCT FROM), plus the
+    count(*) vs count(col) distinction under grouping.
+
+    The fixtures are fully non-null, so nulls are *manufactured* with
+    nullif — which also pins nullif itself.  Every construct here has
+    an exact ANSI twin DuckDB executes verbatim (nvl2 is spelled as
+    CASE in the oracle; semantics identical).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    urgent_null = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    rows = o.select(
+        "o_orderstatus",
+        urgent_null.alias("pri_or_null"),
+        F.coalesce(urgent_null, F.lit("URGENT")).alias("pri_filled"),
+        F.nvl2(urgent_null, F.lit("routine"), F.lit("rush")).alias("pri_class"),
+        (~F.col("o_orderstatus").eqNullSafe(F.lit("O"))).alias("closed"),
+    )
+    return rows.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("pri_or_null").alias("n_nonnull"),
+        (F.count(F.lit(1)) - F.count("pri_or_null")).alias("n_null"),
+        F.countDistinct("pri_filled").alias("n_pri"),
+        F.sum(F.col("closed").cast("bigint")).alias("n_closed"),
+        F.sum((F.col("pri_class") == F.lit("rush")).cast("bigint")).alias("n_rush"),
+    )

@@ -29,6 +29,7 @@ from heatmap_spark.operators import (
     relational,
     sessions,
     similarity,
+    skew,
     textops,
     timeseries,
 )
@@ -1740,6 +1741,60 @@ FROM per""",
   CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
   strftime(o_orderdate, '%Y-%m-%d') AS iso_day
 FROM orders""",
+    ),
+    "q_window_distribution": QuerySpec(
+        relational.window_distribution,
+        """SELECT c_custkey, c_nationkey,
+  percent_rank() OVER w AS bal_pct_rank,
+  cume_dist() OVER w AS bal_cume_dist,
+  first_value(c_custkey) OVER wf AS richest_cust,
+  last_value(c_custkey) OVER wf AS poorest_cust
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+  wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    ),
+    "q_map_functions": QuerySpec(
+        relational.map_functions,
+        """WITH pc AS (
+  SELECT o_custkey, o_orderpriority AS pri, count(*) AS cnt
+  FROM orders GROUP BY 1, 2)
+SELECT o_custkey,
+  CAST(count(*) AS INTEGER) AS n_priorities,
+  string_agg(pri, ',' ORDER BY pri) AS priorities,
+  CAST(sum(cnt) AS BIGINT) AS total_orders,
+  string_agg(pri || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY pri) AS entries_csv,
+  coalesce(string_agg(CASE WHEN cnt >= 2 THEN pri || ':' || CAST(cnt AS VARCHAR) END,
+                      ',' ORDER BY pri), '') AS repeat_csv,
+  string_agg(pri || ':' || CAST(cnt * 10 AS VARCHAR), ',' ORDER BY pri) AS scaled_csv
+FROM pc GROUP BY o_custkey""",
+    ),
+    "q_null_semantics": QuerySpec(
+        relational.null_semantics,
+        """WITH r AS (
+  SELECT o_orderstatus,
+    nullif(o_orderpriority, '1-URGENT') AS pri_or_null,
+    coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT') AS pri_filled,
+    CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NOT NULL
+         THEN 'routine' ELSE 'rush' END AS pri_class,
+    (o_orderstatus IS DISTINCT FROM 'O') AS closed
+  FROM orders)
+SELECT o_orderstatus,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(pri_or_null) AS BIGINT) AS n_nonnull,
+  CAST(count(*) - count(pri_or_null) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT pri_filled) AS BIGINT) AS n_pri,
+  CAST(sum(CAST(closed AS BIGINT)) AS BIGINT) AS n_closed,
+  CAST(sum(CASE WHEN pri_class = 'rush' THEN 1 ELSE 0 END) AS BIGINT) AS n_rush
+FROM r GROUP BY o_orderstatus""",
+    ),
+    "q_salted_join": QuerySpec(
+        skew.salted_supplier_revenue,
+        f"""SELECT s_nationkey,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(CAST(sum({_d('l_extendedprice')} * ({_ONE} - {_d('l_discount')})) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey""",
     ),
 }
 

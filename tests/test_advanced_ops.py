@@ -4,7 +4,7 @@ components, stateful streaming."""
 from pyspark.sql import functions as F
 
 from heatmap_spark.operators.dedup import connected_components
-from heatmap_spark.operators.skew import salted_collect_set, salted_sum
+from heatmap_spark.operators.skew import salted_collect_set, salted_join, salted_sum
 from heatmap_spark.sources.tables import load_table
 
 
@@ -18,6 +18,22 @@ def test_salted_sum_equals_plain_groupby(spark, sf_smoke):
         r.l_returnflag: r.total
         for r in li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("total")).collect()
     }
+    assert got == exp
+
+
+def test_salted_join_equals_plain_join(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem").select("l_suppkey", "l_quantity")
+    sup = load_table(spark, sf_smoke, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    got = sorted(
+        (r.l_suppkey, r.l_quantity, r.s_nationkey)
+        for r in salted_join(li, sup, "l_suppkey", n_salts=4).collect()
+    )
+    exp = sorted(
+        (r.l_suppkey, r.l_quantity, r.s_nationkey)
+        for r in li.join(sup, "l_suppkey").collect()
+    )
     assert got == exp
 
 
