@@ -39,17 +39,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read nanos as long and truncate to micros (the
-        # same truncation DuckDB applies when reading ns into its us-
-        # precision TIMESTAMP, so oracle comparisons agree).
+        # Some driver-generated events fixtures store TIMESTAMP(NANOS),
+        # which Spark's parquet reader rejects; others store plain
+        # micros.  Read with nanosAsLong on, then normalize: a LongType
+        # ts is nanos → truncate to micros (the same truncation DuckDB
+        # applies reading ns into its us-precision TIMESTAMP, so oracle
+        # comparisons agree); a timestamp ts passes through unchanged.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        # Streaming watermarks and epoch functions need TIMESTAMP (LTZ);
+        # with the session pinned to UTC the NTZ→LTZ cast is value-
+        # preserving, so batch results and the DuckDB oracle agree.
         return df.select(
             "event_id",
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            F.col("ts").cast("timestamp").alias("ts"),
             "user_id",
             "event_type",
             "value",
