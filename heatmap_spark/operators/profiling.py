@@ -226,3 +226,74 @@ def run_with_metrics(df, metrics, action=None):
     else:
         action(observed)
     return obs.get
+
+
+def regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time: slope (value units
+    per minute), intercept at t0 = 2024-01-01, and R².
+
+    Like ``corr_stats``, the statistic is reduced to exact decimal sums
+    (x = integer minutes since 2024-01-01, y = value cast to decimal)
+    so the five operands are pure functions of the data — identical on
+    any partitioning — and the closing OLS algebra runs in double on
+    one tiny row per group.  Built-in regr_slope/regr_intercept stream
+    double accumulators whose value depends on partition order, which
+    can't hash-match an oracle and isn't reproducible run-to-run at
+    100 TB either.
+
+    Reference: none — SURVEY.md §2.8 (profiling extension).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # minutes since 2024-01-01 00:00 UTC; session TZ is pinned UTC by
+    # load_table so unix_timestamp is the true epoch
+    x = (F.floor(F.unix_timestamp("ts") / 60) - F.lit(28401120)).cast(
+        "decimal(18,0)"
+    )
+    y = dec("value")
+    grouped = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r_num = n * sxy - sx * sy
+    r_den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return grouped.select(
+        "event_type",
+        slope.alias("slope_per_min"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        ((r_num / r_den) * (r_num / r_den)).alias("r2"),
+        n.cast("long").alias("n_events"),
+    )
+
+
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via Spark 4 bitmap
+    aggregates: bucket each user_id into a 32k-bit bitmap
+    (bitmap_bucket_number/bitmap_bit_position), OR the bitmaps per
+    (type, bucket) with bitmap_construct_agg, then sum the popcounts.
+
+    Versus COUNT(DISTINCT): no Expand, and the shuffled state per
+    (type, bucket) is one 4 KB bitmap instead of one row per distinct
+    value — the classic bitmap-index distinct for high-cardinality
+    keys at 100 TB.  Exact, so the oracle is plain COUNT(DISTINCT).
+
+    Reference: none — SURVEY.md §2.8 (distinct/approx-distinct family).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))"
+        ).alias("cnt")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("cnt").alias("distinct_users")
+    )

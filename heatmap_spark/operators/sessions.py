@@ -123,3 +123,104 @@ def sliding_window_counts(
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
+
+
+def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join again, as a cogrouped-map (applyInPandas over
+    ``cogroup``): both sides shuffle on user_id, and each group pair is
+    handed to ``pandas.merge_asof`` in one Arrow batch.
+
+    Same result as :func:`asof_join_last_signup` (the union+window form
+    is preferred on the hot path — pure JVM); this is the escape-hatch
+    pattern for per-key logic windows can't express (SURVEY.md §2.7
+    preference order).  Scale shape is identical: one shuffle per side
+    on the group key, no cross join, groups stream through Arrow.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+
+    # nested closure: pickles by value, so the driver can import this
+    # module from any cwd (see .claude/skills/verify gotchas)
+    def merge(purch: pd.DataFrame, sign: pd.DataFrame) -> pd.DataFrame:
+        if purch.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+                 "last_signup_ts": pd.Series([], dtype="datetime64[us]")}
+            )
+        purch = purch.sort_values("ts")
+        sign = sign.sort_values("ts")
+        out = pd.merge_asof(
+            purch, sign.rename(columns={"ts": "last_signup_ts"}),
+            left_on="ts", right_on="last_signup_ts",
+            by="user_id", direction="backward",
+        )
+        return out.rename(columns={"ts": "purchase_ts"})[
+            ["event_id", "purchase_ts", "last_signup_ts"]
+        ]
+
+    return purchases.groupBy("user_id").cogroup(
+        signups.groupBy("user_id")
+    ).applyInPandas(
+        merge,
+        schema="event_id long, purchase_ts timestamp, last_signup_ts timestamp",
+    )
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the events stream: how many users viewed,
+    then clicked at-or-after their first view, then purchased
+    at-or-after that click.
+
+    Single shuffle on user_id; the three stage timestamps are chained
+    cumulative-window minimums (each stage's window only admits events
+    at-or-after the previous stage's first hit), computed in three
+    window passes that reuse one sort.  This is the standard funnel
+    shape for product analytics at scale — no self-joins, no
+    per-user collect.
+
+    Reference: none — SURVEY.md §2.8 (window-function family).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t = F.col("event_type")
+    s1 = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.min(F.when(t == "view", F.col("ts"))).over(w).alias("fv"),
+    )
+    s2 = s1.select(
+        "*",
+        F.min(
+            F.when(
+                (t == "click") & F.col("fv").isNotNull() & (F.col("ts") >= F.col("fv")),
+                F.col("ts"),
+            )
+        ).over(w).alias("fc"),
+    )
+    s3 = s2.select(
+        "*",
+        F.min(
+            F.when(
+                (t == "purchase") & F.col("fc").isNotNull() & (F.col("ts") >= F.col("fc")),
+                F.col("ts"),
+            )
+        ).over(w).alias("fp"),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.min("fv").alias("tv"), F.min("fc").alias("tc"), F.min("fp").alias("tp")
+    )
+    return per_user.agg(
+        F.count("tv").alias("n_view"),
+        F.count("tc").alias("n_click_after_view"),
+        F.count("tp").alias("n_purchase_after_funnel"),
+        F.count(F.lit(1)).alias("n_users"),
+    )

@@ -199,3 +199,62 @@ def embedding_near_dup_pairs(
         .where(F.col("raw") >= threshold)
         .select("vec_id_a", "vec_id_b", F.round("raw", 6).alias("cosine"))
     )
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km (haversine), pure Column math —
+    sin/cos/asin/sqrt are codegen'd JVM intrinsics, no UDF."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlon / 2)
+        * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * 6371.0088) * F.asin(F.sqrt(a))
+
+
+def haversine_nearest(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Geo nearest-neighbor: for each of three fixed probe cities, the
+    k nearest non-background location points by haversine distance.
+
+    The probe set is a 3-row broadcast — the cross join is a narrow
+    broadcast-nested-loop over the corpus scan (no shuffle of the big
+    side), then per-probe top-k via a window on the tiny candidate
+    stream.  Distance is rounded to whole meters for ranking and
+    output so cross-engine trig ulp differences can't reorder ties;
+    remaining ties break deterministically on (user_id, lat, lon).
+
+    At 100 TB you'd pre-filter candidates to the probe's surrounding
+    tiles (tile_id range predicate pushed into the scan — see
+    operators/layout Z-order clustering) before the exact distance;
+    the brute-force form here is the correctness baseline.
+
+    Reference: tile.py:45-52 exposes tile bounds/centers for exactly
+    this kind of proximity query; the reference itself has no distance
+    operator (SURVEY.md §2.8).
+    """
+    from heatmap_spark.sources.locations import load_locations
+
+    probes = spark.createDataFrame(
+        [("london", 51.5074, -0.1278),
+         ("tokyo", 35.6762, 139.6503),
+         ("sao_paulo", -23.5505, -46.6333)],
+        "probe string, plat double, plon double",
+    )
+    loc = load_locations(spark, sf_dir).where(F.col("source") != "background")
+    d_m = F.round(
+        haversine_km(F.col("plat"), F.col("plon"), F.col("latitude"), F.col("longitude"))
+        * 1000.0
+    ).cast("long")
+    cand = loc.join(F.broadcast(probes)).select(
+        "probe", "user_id", "latitude", "longitude", d_m.alias("dist_m")
+    )
+    w = W.partitionBy("probe").orderBy("dist_m", "user_id", "latitude", "longitude")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe", "rank", "user_id", "dist_m")
+    )

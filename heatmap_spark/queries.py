@@ -1796,6 +1796,104 @@ FROM r GROUP BY o_orderstatus""",
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey""",
     ),
+    # per-group OLS from exact decimal sums (x = minutes since 2024-01-01)
+    "q_regression_per_group": QuerySpec(
+        profiling.regression_per_group,
+        """WITH s AS (
+  SELECT event_type,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(x) AS DOUBLE) AS sx,
+    CAST(sum(y) AS DOUBLE) AS sy,
+    CAST(sum(x*x) AS DOUBLE) AS sxx,
+    CAST(sum(y*y) AS DOUBLE) AS syy,
+    CAST(sum(x*y) AS DOUBLE) AS sxy
+  FROM (
+    SELECT event_type,
+      CAST(CAST(floor(epoch(ts)/60) AS BIGINT) - 28401120 AS DECIMAL(18,0)) AS x,
+      CAST(value AS DECIMAL(12,4)) AS y
+    FROM events)
+  GROUP BY event_type)
+SELECT event_type,
+  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope_per_min,
+  (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept,
+  ((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)))
+    * ((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))) AS r2,
+  CAST(n AS BIGINT) AS n_events
+FROM s""",
+    ),
+    # bitmap-aggregate exact distinct (oracle: plain COUNT(DISTINCT))
+    "q_bitmap_distinct": QuerySpec(
+        profiling.bitmap_distinct_users,
+        """SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY event_type""",
+    ),
+    # cogrouped-map as-of join: same contract (and oracle) as q_asof_join
+    "q_asof_join_cogroup": QuerySpec(
+        sessions.asof_join_cogroup,
+        """WITH p AS (
+  SELECT event_id, user_id, ts AS purchase_ts FROM events
+  WHERE event_type = 'purchase'),
+s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+SELECT p.event_id, p.purchase_ts,
+  (SELECT max(s.ts) FROM s
+   WHERE s.user_id = p.user_id AND s.ts <= p.purchase_ts) AS last_signup_ts
+FROM p""",
+    ),
+    # ordered view→click→purchase funnel (chained cumulative windows)
+    "q_event_funnel": QuerySpec(
+        sessions.event_funnel,
+        """WITH s1 AS (
+  SELECT user_id, ts, event_id, event_type,
+    min(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS fv
+  FROM events),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+                     AND ts >= fv THEN ts END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS fc
+  FROM s1),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND fc IS NOT NULL
+                     AND ts >= fc THEN ts END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS fp
+  FROM s2),
+per_user AS (
+  SELECT user_id, min(fv) AS tv, min(fc) AS tc, min(fp) AS tp
+  FROM s3 GROUP BY user_id)
+SELECT CAST(count(tv) AS BIGINT) AS n_view,
+  CAST(count(tc) AS BIGINT) AS n_click_after_view,
+  CAST(count(tp) AS BIGINT) AS n_purchase_after_funnel,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM per_user""",
+    ),
+    # geo nearest-neighbor by haversine (meter-rounded for portability)
+    "q_haversine_nearest": QuerySpec(
+        similarity.haversine_nearest,
+        f"""WITH {_LOC_CTE},
+probes(probe, plat, plon) AS (VALUES
+  ('london', 51.5074, -0.1278),
+  ('tokyo', 35.6762, 139.6503),
+  ('sao_paulo', -23.5505, -46.6333)),
+cand AS (
+  SELECT probe, user_id, latitude, longitude,
+    CAST(round(2.0 * 6371.0088 * asin(sqrt(
+      sin(radians(latitude - plat)/2) * sin(radians(latitude - plat)/2)
+      + cos(radians(plat)) * cos(radians(latitude))
+      * sin(radians(longitude - plon)/2) * sin(radians(longitude - plon)/2)
+    )) * 1000.0) AS BIGINT) AS dist_m
+  FROM locations CROSS JOIN probes
+  WHERE source <> 'background'),
+ranked AS (
+  SELECT probe, user_id, dist_m,
+    CAST(row_number() OVER (PARTITION BY probe
+      ORDER BY dist_m, user_id, latitude, longitude) AS INTEGER) AS rank
+  FROM cand)
+SELECT probe, rank, user_id, dist_m FROM ranked WHERE rank <= 5""",
+    ),
 }
 
 

@@ -1,0 +1,93 @@
+"""Tests for the funnel / regression / bitmap-distinct / cogroup-asof /
+haversine operator batch (SURVEY.md §2.8 extensions)."""
+
+from pyspark.sql import functions as F
+
+from heatmap_spark.operators.profiling import (
+    bitmap_distinct_users,
+    regression_per_group,
+)
+from heatmap_spark.operators.sessions import (
+    asof_join_cogroup,
+    asof_join_last_signup,
+    event_funnel,
+)
+from heatmap_spark.operators.similarity import haversine_km, haversine_nearest
+from heatmap_spark.sources.tables import load_table
+
+
+def test_funnel_stage_counts_are_monotone(spark, sf_smoke):
+    row = event_funnel(spark, sf_smoke).collect()[0]
+    assert row.n_users >= row.n_view
+    assert row.n_view >= row.n_click_after_view
+    assert row.n_click_after_view >= row.n_purchase_after_funnel
+    assert row.n_view > 0  # fixture has views
+
+
+def test_cogroup_asof_matches_window_asof(spark, sf_smoke):
+    a = asof_join_last_signup(spark, sf_smoke)
+    b = asof_join_cogroup(spark, sf_smoke)
+    cols = ["event_id", "purchase_ts", "last_signup_ts"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    exact = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    bitmap = {
+        r.event_type: r.distinct_users
+        for r in bitmap_distinct_users(spark, sf_smoke).collect()
+    }
+    assert bitmap == exact
+
+
+def test_regression_matches_numpy(spark, sf_smoke):
+    import numpy as np
+
+    rows = regression_per_group(spark, sf_smoke).collect()
+    ev = load_table(spark, sf_smoke, "events")
+    pdf = ev.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 60) - F.lit(28401120)).alias("x"),
+        "value",
+    ).toPandas()
+    for r in rows:
+        g = pdf[pdf.event_type == r.event_type]
+        slope, intercept = np.polyfit(
+            g.x.astype(float), g.value.astype(float), 1
+        )
+        assert abs(r.slope_per_min - slope) < 1e-9 + 1e-6 * abs(slope)
+        assert abs(r.intercept - intercept) < 1e-6 * max(1.0, abs(intercept))
+        assert 0.0 <= r.r2 <= 1.0
+
+
+def test_haversine_known_distance(spark):
+    # London -> Paris great-circle distance ~343.5 km
+    df = spark.range(1).select(
+        haversine_km(
+            F.lit(51.5074), F.lit(-0.1278), F.lit(48.8566), F.lit(2.3522)
+        ).alias("d")
+    )
+    d = df.collect()[0].d
+    assert 340.0 < d < 345.0
+
+
+def test_haversine_nearest_shape(spark, sf_smoke):
+    rows = haversine_nearest(spark, sf_smoke, k=3).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe, []).append(r)
+    assert set(by_probe) == {"london", "tokyo", "sao_paulo"}
+    for probe, rs in by_probe.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == [1, 2, 3]
+        dists = [r.dist_m for r in sorted(rs, key=lambda r: r.rank)]
+        assert dists == sorted(dists)
+        assert all(d >= 0 for d in dists)
