@@ -501,6 +501,44 @@ _SHINGLES_CTE = """toks AS (
 # Registry
 # ---------------------------------------------------------------------------
 
+def _sql_tile_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile aggregation written as a raw SQL string over the SQL-function
+    surface (functions/sqludf.py) — proves the engine's tile math is
+    reachable from spark.sql with no Python on the hot path."""
+    from heatmap_spark.functions.sqludf import register_sql_functions
+
+    register_sql_functions(spark)
+    load_locations(spark, sf_dir).createOrReplaceTempView("__hm_loc_sqludf")
+    return spark.sql(
+        """
+        SELECT tile_id(latitude, longitude, 7) AS tid,
+               tile_parent(tile_id(latitude, longitude, 7), 3) AS parent_tid,
+               count(*) AS n_points
+        FROM __hm_loc_sqludf
+        WHERE source <> 'background'
+        GROUP BY 1, 2
+        """
+    )
+
+
+def _approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via approx_top_k (SQL-only in Spark 4.1): one pass,
+    bounded sketch state per partition.  With k >= the column's true
+    cardinality the sketch is exact, which makes this oracle-checkable;
+    at real scale (top URLs over 100 TB) the same call with k << NDV
+    returns the approximate heavy hitters with fixed memory."""
+    from heatmap_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__hm_ev_topk")
+    return spark.sql(
+        """
+        SELECT t.item AS event_type, t.count AS cnt
+        FROM (SELECT explode(approx_top_k(event_type, 5)) AS t
+              FROM __hm_ev_topk)
+        """
+    )
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # ---- heatmap family (the reference's own capability surface) ----
     "q_locations": QuerySpec(q_locations, locations_sql("duckdb")),
@@ -1869,6 +1907,28 @@ SELECT CAST(count(tv) AS BIGINT) AS n_view,
   CAST(count(tp) AS BIGINT) AS n_purchase_after_funnel,
   CAST(count(*) AS BIGINT) AS n_users
 FROM per_user""",
+    ),
+    # raw-SQL tile surface via Spark 4 SQL scalar functions (inlined,
+    # zero Python — same codegen'd plan as the Column API)
+    "q_sql_tile_functions": QuerySpec(
+        lambda spark, sf_dir: _sql_tile_functions(spark, sf_dir),
+        f"""WITH {_LOC_CTE},
+t AS (
+  SELECT
+    CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 128.0) AS BIGINT) AS r7,
+    CAST(floor((longitude + 180.0)/360.0 * 128.0) AS BIGINT) AS c7
+  FROM locations WHERE source <> 'background')
+SELECT '7_' || CAST(r7 AS VARCHAR) || '_' || CAST(c7 AS VARCHAR) AS tid,
+  '4_' || CAST(r7 >> 3 AS VARCHAR) || '_' || CAST(c7 >> 3 AS VARCHAR) AS parent_tid,
+  CAST(count(*) AS BIGINT) AS n_points
+FROM t GROUP BY 1, 2""",
+    ),
+    # approximate top-k items (exact here: k >= item cardinality, so the
+    # oracle is the exact per-type count)
+    "q_approx_top_k": QuerySpec(
+        lambda spark, sf_dir: _approx_top_k(spark, sf_dir),
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type""",
     ),
     # geo nearest-neighbor by haversine (meter-rounded for portability)
     "q_haversine_nearest": QuerySpec(

@@ -1,4 +1,4 @@
-"""Multi-format table IO: parquet (default), ORC, CSV, JSON.
+"""Multi-format table IO: parquet (default), ORC, CSV, JSON, XML.
 
 The reference reads Cassandra / CosmosDB only (reference
 heatmap.py:131-147); a general engine must also ingest and emit the
@@ -14,12 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-FORMATS = ("parquet", "orc", "csv", "json")
+FORMATS = ("parquet", "orc", "csv", "json", "xml")
 
 # Lossless text round-trip needs explicit timestamp handling; parquet
 # and ORC are binary-typed and need nothing.
 _CSV_OPTS = {"header": "true", "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
 _JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+_XML_OPTS = {"rowTag": "row", "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
 
 
 def _check(fmt: str) -> None:
@@ -29,7 +30,12 @@ def _check(fmt: str) -> None:
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options: str) -> None:
     _check(fmt)
-    base = _CSV_OPTS if fmt == "csv" else _JSON_OPTS if fmt == "json" else {}
+    base = (
+        _CSV_OPTS if fmt == "csv"
+        else _JSON_OPTS if fmt == "json"
+        else _XML_OPTS if fmt == "xml"
+        else {}
+    )
     df.write.format(fmt).options(**{**base, **options}).mode("overwrite").save(path)
 
 
@@ -41,12 +47,17 @@ def read_table(
     **options: str,
 ) -> DataFrame:
     _check(fmt)
-    if fmt in ("csv", "json") and schema is None:
+    if fmt in ("csv", "json", "xml") and schema is None:
         raise ValueError(
             f"{fmt} requires an explicit schema: inference costs a full "
             "extra scan and silently widens types at scale"
         )
-    base = _CSV_OPTS if fmt == "csv" else _JSON_OPTS if fmt == "json" else {}
+    base = (
+        _CSV_OPTS if fmt == "csv"
+        else _JSON_OPTS if fmt == "json"
+        else _XML_OPTS if fmt == "xml"
+        else {}
+    )
     reader = spark.read.format(fmt).options(**{**base, **options})
     if schema is not None:
         reader = reader.schema(schema)

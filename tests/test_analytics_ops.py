@@ -91,3 +91,26 @@ def test_haversine_nearest_shape(spark, sf_smoke):
         dists = [r.dist_m for r in sorted(rs, key=lambda r: r.rank)]
         assert dists == sorted(dists)
         assert all(d >= 0 for d in dists)
+
+
+def test_sql_functions_match_column_api(spark, sf_smoke):
+    """The SQL-function surface and the Column API must be bit-identical."""
+    from heatmap_spark.functions import tiles as tl
+    from heatmap_spark.functions.sqludf import register_sql_functions
+    from heatmap_spark.sources.locations import load_locations
+
+    register_sql_functions(spark)
+    loc = load_locations(spark, sf_smoke).limit(500)
+    loc.createOrReplaceTempView("__t_sqludf_eq")
+    via_sql = spark.sql(
+        "SELECT tile_id(latitude, longitude, 9) AS tid, "
+        "tile_parent(tile_id(latitude, longitude, 9), 4) AS ptid "
+        "FROM __t_sqludf_eq"
+    )
+    via_col = loc.select(
+        tl.tile_id("latitude", "longitude", 9).alias("tid"),
+        tl.tile_parent(tl.tile_id("latitude", "longitude", 9), 4).alias("ptid"),
+    )
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_col.collect())
+    )

@@ -12,7 +12,7 @@ def _sample(spark, sf_smoke):
     return load_table(spark, sf_smoke, "orders").limit(200)
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json", "xml"])
 def test_round_trip(spark, sf_smoke, tmp_path, fmt):
     df = _sample(spark, sf_smoke)
     path = str(tmp_path / f"orders_{fmt}")

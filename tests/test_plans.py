@@ -178,3 +178,44 @@ def test_timeseries_plans(spark, sf_smoke):
     roll = rolling_revenue_7d(spark, sf_smoke)
     assert count_exchanges(roll) == 1, plan_string(roll, "simple")
     assert "RangeFrame" in plan_string(roll, "simple")
+
+
+def test_sql_function_surface_is_inlined(spark, sf_smoke):
+    """SQL scalar functions (functions/sqludf.py) must inline to native
+    expressions: no Python eval, one exchange for the aggregate."""
+    from heatmap_spark.queries import _sql_tile_functions
+
+    df = _sql_tile_functions(spark, sf_smoke)
+    assert not has_python_eval(df)
+    assert count_exchanges(df) == 1, plan_string(df, "simple")
+
+
+def test_funnel_single_data_shuffle(spark, sf_smoke):
+    """Three chained window passes + per-user agg must reuse ONE
+    user_id shuffle; only the final single-row agg adds an exchange."""
+    from heatmap_spark.operators.sessions import event_funnel
+
+    df = event_funnel(spark, sf_smoke)
+    assert count_exchanges(df) == 2, plan_string(df, "simple")
+
+
+def test_bitmap_distinct_has_no_expand(spark, sf_smoke):
+    """Bitmap distinct replaces COUNT(DISTINCT)'s Expand with two plain
+    hash aggregates over bitmap state."""
+    from heatmap_spark.operators.profiling import bitmap_distinct_users
+
+    df = bitmap_distinct_users(spark, sf_smoke)
+    plan = plan_string(df, "formatted")
+    assert "Expand" not in plan
+    assert count_exchanges(df) == 2, plan_string(df, "simple")
+
+
+def test_haversine_broadcasts_probes(spark, sf_smoke):
+    """The 3-row probe set must broadcast (nested-loop over the corpus
+    scan); the corpus side must not shuffle before the distance."""
+    from heatmap_spark.operators.similarity import haversine_nearest
+
+    df = haversine_nearest(spark, sf_smoke)
+    plan = plan_string(df, "formatted")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert count_exchanges(df) == 1, plan_string(df, "simple")
