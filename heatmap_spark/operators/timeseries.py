@@ -105,3 +105,72 @@ def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price").over(w).cast("double").alias("spent_7d"),
         F.count(F.lit(1)).over(w).cast("int").alias("n_orders_7d"),
     )
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: turn the per-user event
+    log into versioned state intervals [valid_from, valid_to), open
+    interval (valid_to NULL) for the current state.
+
+    One window pass over one user_id shuffle — the standard SCD2
+    "next row's timestamp closes my interval" construction.  At 100 TB
+    the partition key (user) bounds state; no self-join, no collect.
+
+    Reference: none — SURVEY.md §2.8 (window-function family; the
+    LLM-pipeline use is versioned metadata/dimension snapshots).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        (F.lead("ts").over(w).isNull()).alias("is_current"),
+    )
+
+
+def state_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's consecutive same-type
+    events into episodes (state, episode start/end, event count).
+
+    The island key is a running sum of state-change flags (lag +
+    cumulative sum) — deliberately NOT the difference-of-two-
+    row_numbers textbook form, which needs a second shuffle on
+    (user, state): here both window functions share one partitioning
+    and one sort, and the closing aggregate reuses that partitioning,
+    so the whole operator is ONE exchange at any scale.
+
+    Reference: none — SURVEY.md §2.8 (sessionization family).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_all.rowsBetween(W.unboundedPreceding, W.currentRow)
+    changed = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w_all).isNull()
+            | (F.lag("event_type").over(w_all) != F.col("event_type")),
+            1,
+        ).otherwise(0).alias("chg"),
+    )
+    islands = changed.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg").over(w_run).alias("island"),
+    )
+    return islands.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("episode_start"),
+        F.max("ts").alias("episode_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "episode_start",
+        "episode_end",
+        "n_events",
+    )

@@ -1908,6 +1908,35 @@ SELECT CAST(count(tv) AS BIGINT) AS n_view,
   CAST(count(*) AS BIGINT) AS n_users
 FROM per_user""",
     ),
+    # SCD2 dimension build: event log → versioned state intervals
+    "q_scd2_intervals": QuerySpec(
+        timeseries.scd2_intervals,
+        """SELECT user_id, event_type AS state, ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+    AS is_current
+FROM events""",
+    ),
+    # gaps-and-islands: consecutive same-state runs, single-shuffle form
+    "q_state_episodes": QuerySpec(
+        timeseries.state_episodes,
+        """WITH c AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type
+         THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+i AS (
+  SELECT user_id, event_type, ts,
+    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM c)
+SELECT user_id, event_type AS state,
+  min(ts) AS episode_start, max(ts) AS episode_end,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM i GROUP BY user_id, event_type, island""",
+    ),
     # raw-SQL tile surface via Spark 4 SQL scalar functions (inlined,
     # zero Python — same codegen'd plan as the Column API)
     "q_sql_tile_functions": QuerySpec(

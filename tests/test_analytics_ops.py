@@ -114,3 +114,38 @@ def test_sql_functions_match_column_api(spark, sf_smoke):
     assert sorted(map(tuple, via_sql.collect())) == sorted(
         map(tuple, via_col.collect())
     )
+
+
+def test_scd2_intervals_tile(spark, sf_smoke):
+    from heatmap_spark.operators.timeseries import scd2_intervals
+
+    rows = scd2_intervals(spark, sf_smoke).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.valid_from)
+        # exactly one open (current) interval per user, and it's the last
+        assert [r.is_current for r in rs].count(True) == 1
+        assert rs[-1].is_current and rs[-1].valid_to is None
+        # intervals tile: each valid_to equals the next valid_from
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from
+
+
+def test_state_episodes_conserve_events_and_alternate(spark, sf_smoke):
+    from heatmap_spark.operators.timeseries import state_episodes
+    from heatmap_spark.sources.tables import load_table
+
+    eps = state_episodes(spark, sf_smoke).collect()
+    n_events = load_table(spark, sf_smoke, "events").count()
+    assert sum(e.n_events for e in eps) == n_events
+    by_user = {}
+    for e in eps:
+        by_user.setdefault(e.user_id, []).append(e)
+    for user, es in by_user.items():
+        es.sort(key=lambda e: e.episode_start)
+        # episodes don't overlap and adjacent episodes differ in state
+        for a, b in zip(es, es[1:]):
+            assert a.episode_end <= b.episode_start
+            assert a.state != b.state

@@ -219,3 +219,15 @@ def test_haversine_broadcasts_probes(spark, sf_smoke):
     plan = plan_string(df, "formatted")
     assert "BroadcastNestedLoopJoin" in plan
     assert count_exchanges(df) == 1, plan_string(df, "simple")
+
+
+def test_episodes_and_scd2_single_shuffle(spark, sf_smoke):
+    """Gaps-and-islands (lag + running-sum form) and the SCD2 build must
+    each be ONE user_id exchange — the aggregate reuses the window's
+    partitioning."""
+    from heatmap_spark.operators.timeseries import scd2_intervals, state_episodes
+
+    e = state_episodes(spark, sf_smoke)
+    assert count_exchanges(e) == 1, plan_string(e, "simple")
+    i = scd2_intervals(spark, sf_smoke)
+    assert count_exchanges(i) == 1, plan_string(i, "simple")
