@@ -186,7 +186,11 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: none — SURVEY.md §2.8 (window-function family).
     """
-    ev = load_table(spark, sf_dir, "events")
+    return event_funnel_df(load_table(spark, sf_dir, "events"))
+
+
+def event_funnel_df(ev: DataFrame) -> DataFrame:
+    """Core funnel over any (user_id, ts, event_id, event_type) frame."""
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -143,7 +143,11 @@ def state_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: none — SURVEY.md §2.8 (sessionization family).
     """
-    ev = load_table(spark, sf_dir, "events")
+    return state_episodes_df(load_table(spark, sf_dir, "events"))
+
+
+def state_episodes_df(ev: DataFrame) -> DataFrame:
+    """Core episodes over any (user_id, ts, event_id, event_type) frame."""
     w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w_all.rowsBetween(W.unboundedPreceding, W.currentRow)
     changed = ev.select(

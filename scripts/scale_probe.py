@@ -168,15 +168,68 @@ def probe_pagerank(spark, n: int) -> None:
     )
 
 
+def _synthetic_events(spark, n):
+    """(user_id, ts, event_id, event_type) at ~100k users, deterministic."""
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 100_000).alias("user_id"),
+        F.timestamp_millis(
+            F.lit(1700000000000) + (F.col("id") * 7919) % (90 * 86400 * 1000)
+        ).alias("ts"),
+        # type depends on the user's k-th event (id div 100000), not just
+        # id: the per-user stride (100000) times any multiplier is ≡ 0
+        # mod 5, which would freeze each user's type forever
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("view", "click", "purchase", "signup", "error")]),
+            (((F.col("id") % 100_000 + F.col("id") / 100_000).cast("bigint") * 104729) % 5 + 1).cast("int"),
+        ).alias("event_type"),
+    )
+
+
+def probe_funnel(spark, n: int) -> None:
+    """Ordered view->click->purchase funnel over n events / 100k users —
+    the chained-cumulative-window shape at 100x bench scale (one
+    user_id shuffle regardless of n)."""
+    from heatmap_spark.operators.sessions import event_funnel_df
+
+    ev = _synthetic_events(spark, n)
+    t0 = time.perf_counter()
+    row = event_funnel_df(ev).collect()[0]
+    dt = time.perf_counter() - t0
+    print(
+        f"funnel {n:,} events / {row.n_users:,} users in {dt:.1f}s"
+        f" = {n / dt / 1e6:.1f}M events/s"
+        f" (view {row.n_view:,} -> click {row.n_click_after_view:,}"
+        f" -> purchase {row.n_purchase_after_funnel:,})"
+    )
+
+
+def probe_episodes(spark, n: int) -> None:
+    """Gaps-and-islands episode collapse at 100x bench scale (single
+    exchange: lag + running-sum island key)."""
+    from heatmap_spark.operators.timeseries import state_episodes_df
+
+    ev = _synthetic_events(spark, n)
+    t0 = time.perf_counter()
+    rows = state_episodes_df(ev).count()
+    dt = time.perf_counter() - t0
+    print(
+        f"episodes {n:,} events -> {rows:,} episodes in {dt:.1f}s"
+        f" = {n / dt / 1e6:.1f}M events/s"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
     defaults = {"pyramid": 10_000_000, "dedup": 500_000, "knn": 1_000_000,
-                "gapfill": 10_000_000, "pagerank": 2_000_000}
+                "gapfill": 10_000_000, "pagerank": 2_000_000,
+                "funnel": 10_000_000, "episodes": 10_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
-     "gapfill": probe_gapfill, "pagerank": probe_pagerank}[which](spark, n)
+     "gapfill": probe_gapfill, "pagerank": probe_pagerank,
+     "funnel": probe_funnel, "episodes": probe_episodes}[which](spark, n)
 
 
 if __name__ == "__main__":
