@@ -66,3 +66,38 @@ def pagerank_fixed_point(pairs: DataFrame, iters: int = 3) -> DataFrame:
 def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query: PageRank over the MinHash-LSH candidate graph."""
     return pagerank_fixed_point(minhash_lsh_candidates(spark, sf_dir))
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup candidate graph: one row
+    (n_nodes, n_edges, n_triangles).
+
+    Triangles = oriented 3-cliques over the canonical (doc_a < doc_b)
+    edge list: join ab⋈bc on the shared middle vertex, then close the
+    wedge against ac.  The a<b<c orientation counts each triangle
+    exactly once and keeps both joins equi-joins (shuffle on one key
+    each, broadcastable when the edge list is small).  Triangle density
+    distinguishes true duplicate *clusters* (cliquish) from chains of
+    borderline pairs — a useful dedup-quality signal at scale.
+
+    Reference: none — SURVEY.md §2.8 (graph extension).
+    """
+    pairs = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    ab = pairs.alias("ab")
+    bc = pairs.alias("bc")
+    ac = pairs.alias("ac")
+    wedges = ab.join(bc, F.col("ab.doc_b") == F.col("bc.doc_a"))
+    tris = wedges.join(
+        ac,
+        (F.col("ac.doc_a") == F.col("ab.doc_a"))
+        & (F.col("ac.doc_b") == F.col("bc.doc_b")),
+    )
+    nodes = pairs.select(F.col("doc_a").alias("d")).unionByName(
+        pairs.select(F.col("doc_b").alias("d"))
+    ).distinct()
+    return (
+        tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

@@ -209,3 +209,78 @@ def ngram_udtf_demo(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
         f"""SELECT d.doc_id, g.pos, g.ngram
             FROM __hs_docs_udtf d, LATERAL hs_ngrams(d.text, {n}) g"""
     )
+
+
+BM25_QUERY_TERMS = ("spark", "join", "table")  # fixed demo query
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """BM25 ranking of documents for a fixed 3-term query.
+
+    Okapi BM25 with k1=1.2, b=0.75: score(d) = Σ_t idf(t) ·
+    tf·(k1+1) / (tf + k1·(1−b+b·len_d/avgdl)), idf = ln((N−df+0.5)/
+    (df+0.5) + 1).  Determinism across engines: every input to the
+    double math is an exact integer aggregate (tf, df, doclen, N,
+    Σlen), avgdl is one double division, and the per-term scores are
+    added in FIXED term order (pivoted columns, not a double SUM whose
+    accumulation order would depend on partitioning).
+
+    Scale shape: the corpus stats (N, avgdl) and per-term df are tiny
+    aggregates broadcast back onto the tf stream; candidate docs are
+    filtered to those containing ≥1 query term BEFORE scoring, so the
+    expensive path touches only the postings of the 3 query terms, not
+    the corpus.  Top-k via TakeOrderedAndProject.
+
+    Reference: none — SURVEY.md §2.8 (text-analysis extension; IR
+    scoring for retrieval-style training-data curation).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _all_tokens().alias("toks"))
+    lens = toks.select("doc_id", F.size("toks").alias("doclen"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doclen").alias("total_len"),
+    )
+
+    terms = toks.select("doc_id", F.explode("toks").alias("term")).where(
+        F.col("term").isin(*BM25_QUERY_TERMS)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(lens), "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * (
+        F.col("tf") * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("doclen") / avgdl)
+        )
+    )
+    per_term = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, contrib)).alias(f"s_{t}")
+            for t in BM25_QUERY_TERMS
+        ]
+    )
+    score = F.round(
+        sum(
+            (F.coalesce(F.col(f"s_{t}"), F.lit(0.0)) for t in BM25_QUERY_TERMS),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        per_term.select("doc_id", score.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )

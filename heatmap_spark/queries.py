@@ -1908,6 +1908,65 @@ SELECT CAST(count(tv) AS BIGINT) AS n_view,
   CAST(count(*) AS BIGINT) AS n_users
 FROM per_user""",
     ),
+    # BM25 ranking for a fixed 3-term query (IR-style curation scoring)
+    "q_bm25_search": QuerySpec(
+        textops.bm25_search,
+        """WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+lens AS (SELECT doc_id, len(toks) AS doclen FROM toks),
+stats AS (SELECT count(*) AS n_docs, sum(doclen) AS total_len FROM lens),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms
+  WHERE term IN ('spark', 'join', 'table') GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id, term,
+    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75
+          + 0.75 * doclen / (CAST(total_len AS DOUBLE) / n_docs)))) AS contrib
+  FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+per AS (
+  SELECT doc_id,
+    sum(CASE WHEN term = 'spark' THEN contrib END) AS s1,
+    sum(CASE WHEN term = 'join' THEN contrib END) AS s2,
+    sum(CASE WHEN term = 'table' THEN contrib END) AS s3
+  FROM scored GROUP BY doc_id)
+SELECT doc_id,
+  round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 6) AS bm25
+FROM per ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    ),
+    # triangle census of the near-dup graph (dedup cluster-quality signal)
+    "q_triangle_count": QuerySpec(
+        graph.triangle_count,
+        f"""WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, s.salt,
+    min(md5(CAST(s.salt AS VARCHAR) || '|' || token)) AS minhash
+  FROM toks CROSS JOIN generate_series(0, 15) AS s(salt)
+  GROUP BY doc_id, s.salt),
+bands AS (
+  SELECT doc_id, CAST(salt // 4 AS INTEGER) AS band,
+    string_agg(minhash, ',' ORDER BY salt) AS band_sig
+  FROM sigs GROUP BY doc_id, CAST(salt // 4 AS INTEGER)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+nodes AS (
+  SELECT doc_a AS d FROM cand UNION SELECT doc_b FROM cand),
+tris AS (
+  SELECT count(*) AS n_triangles
+  FROM cand ab JOIN cand bc ON ab.doc_b = bc.doc_a
+  JOIN cand ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_edges,
+  CAST(n_triangles AS BIGINT) AS n_triangles
+FROM tris""",
+    ),
     # SCD2 dimension build: event log → versioned state intervals
     "q_scd2_intervals": QuerySpec(
         timeseries.scd2_intervals,

@@ -149,3 +149,35 @@ def test_state_episodes_conserve_events_and_alternate(spark, sf_smoke):
         for a, b in zip(es, es[1:]):
             assert a.episode_end <= b.episode_start
             assert a.state != b.state
+
+
+def test_bm25_scores_positive_and_sorted(spark, sf_smoke):
+    from heatmap_spark.operators.textops import bm25_search
+
+    rows = bm25_search(spark, sf_smoke, k=10).collect()
+    assert rows, "query terms should match some docs"
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_triangle_count_matches_python_census(spark, sf_smoke):
+    from heatmap_spark.operators.dedup import minhash_lsh_candidates
+    from heatmap_spark.operators.graph import triangle_count
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(spark, sf_smoke).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+    expected = sum(
+        1
+        for a, b in pairs
+        for c in adj.get(b, ())
+        if (a, c) in pairs
+    )
+    row = triangle_count(spark, sf_smoke).collect()[0]
+    assert row.n_triangles == expected
+    assert row.n_edges == len(pairs)
