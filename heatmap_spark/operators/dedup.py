@@ -393,3 +393,36 @@ def edit_distance_pairs(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation compose: language/quality
+    filter → near-dup removal (MinHash-LSH, keep-lowest-id canonical)
+    → deterministic md5 train/val/test split.
+
+    Each stage is one of this repo's operators, chained as DataFrames
+    so Catalyst sees a single plan: the lang/length predicates push
+    into the parquet scan, the near-dup doc list (doc_b of every
+    candidate pair — the non-canonical member) broadcasts into a
+    left-anti join, and the split is the portable md5-prefix bucket of
+    operators/profiling.py (stable under repartitioning: 0-c → train
+    ~81%, d-e → val, f → test).  No stage collects to the driver.
+
+    Reference: none — SURVEY.md §2.8 (the LLM-pipeline north star:
+    this is the query a 100 TB pretraining-data refresh actually runs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.where((F.col("lang") == "en") & (F.col("n_chars") >= 150))
+    dupes = (
+        minhash_lsh_candidates(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = keep.join(F.broadcast(dupes), "doc_id", "left_anti")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h <= "c", F.lit("train"))
+        .when(h <= "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return kept.select("doc_id", "n_chars", split.alias("split"))

@@ -258,3 +258,32 @@ def haversine_nearest(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame
         .where(F.col("rank") <= k)
         .select("probe", "rank", "user_id", "dist_m")
     )
+
+
+def cosine_pandas_udf():
+    """Arrow-vectorized cosine kernel (§2.7 escape-hatch parity demo).
+
+    Returns a pandas_udf computing cosine(a, b) over two array<double>
+    columns via numpy on whole Arrow batches.  The hot path everywhere
+    else uses the JVM-side sequential fold (dot_expr) — which is both
+    faster to launch and cross-engine deterministic; this exists to
+    pin the pattern for kernels that genuinely need numpy/BLAS (and
+    tests/test_similarity.py asserts the two agree).  Built as a
+    nested closure so it pickles by value (importable from any cwd).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def cos(a, b):
+        am = np.stack(a.to_numpy())
+        bm = np.stack(b.to_numpy())
+        num = (am * bm).sum(axis=1)
+        den = np.sqrt((am * am).sum(axis=1)) * np.sqrt((bm * bm).sum(axis=1))
+        return pd.Series(num / den)
+
+    # real (non-string) annotations: the module's `from __future__ import
+    # annotations` would stringify inline hints, which pyspark's
+    # type-hint parser can't resolve for locally-imported names
+    cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(cos)

@@ -1967,6 +1967,33 @@ SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
   CAST(n_triangles AS BIGINT) AS n_triangles
 FROM tris""",
     ),
+    # end-to-end curation compose: filter → near-dup removal → split
+    "q_curation_pipeline": QuerySpec(
+        dedup.curation_pipeline,
+        f"""WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, s.salt,
+    min(md5(CAST(s.salt AS VARCHAR) || '|' || token)) AS minhash
+  FROM toks CROSS JOIN generate_series(0, 15) AS s(salt)
+  GROUP BY doc_id, s.salt),
+bands AS (
+  SELECT doc_id, CAST(salt // 4 AS INTEGER) AS band,
+    string_agg(minhash, ',' ORDER BY salt) AS band_sig
+  FROM sigs GROUP BY doc_id, CAST(salt // 4 AS INTEGER)),
+dupes AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+kept AS (
+  SELECT doc_id, n_chars FROM documents
+  WHERE lang = 'en' AND n_chars >= 150
+    AND doc_id NOT IN (SELECT doc_id FROM dupes))
+SELECT doc_id, n_chars,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
+       ELSE 'test' END AS split
+FROM kept""",
+    ),
     # SCD2 dimension build: event log → versioned state intervals
     "q_scd2_intervals": QuerySpec(
         timeseries.scd2_intervals,

@@ -181,3 +181,27 @@ def test_triangle_count_matches_python_census(spark, sf_smoke):
     row = triangle_count(spark, sf_smoke).collect()[0]
     assert row.n_triangles == expected
     assert row.n_edges == len(pairs)
+
+
+def test_curation_pipeline_invariants(spark, sf_smoke):
+    from heatmap_spark.operators.dedup import (
+        curation_pipeline,
+        minhash_lsh_candidates,
+    )
+    from heatmap_spark.sources.tables import load_table
+
+    out = curation_pipeline(spark, sf_smoke).collect()
+    assert out
+    docs = {
+        r.doc_id: r
+        for r in load_table(spark, sf_smoke, "documents").collect()
+    }
+    dupes = {r.doc_b for r in minhash_lsh_candidates(spark, sf_smoke).collect()}
+    for r in out:
+        src = docs[r.doc_id]
+        assert src.lang == "en" and src.n_chars >= 150
+        assert r.doc_id not in dupes
+        assert r.split in ("train", "val", "test")
+    splits = [r.split for r in out]
+    # md5 is uniform: train should dominate (13/16 expected)
+    assert splits.count("train") > splits.count("val") + splits.count("test")

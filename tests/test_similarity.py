@@ -41,3 +41,35 @@ def test_ivf_results_are_subset_quality(spark, sf_smoke):
     for r in ivf:
         assert (r.query_id, r.neighbor_id) in brute
         assert abs(brute[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_cosine_pandas_udf_matches_fold(spark, sf_smoke):
+    """The Arrow-vectorized numpy kernel and the JVM sequential fold
+    must agree to float tolerance (order of additions differs)."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.similarity import (
+        cosine_pandas_udf,
+        dot_expr,
+        norm_expr,
+    )
+    from heatmap_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").limit(64)
+    a = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b = a.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("v").alias("w")
+    ).where(F.col("vec_id_b") < 8)
+    pairs = a.crossJoin(b)
+    cos = cosine_pandas_udf()
+    both = pairs.select(
+        "vec_id",
+        "vec_id_b",
+        (dot_expr(F.col("v"), F.col("w")) / (norm_expr(F.col("v")) * norm_expr(F.col("w")))).alias("jvm"),
+        cos(F.col("v"), F.col("w")).alias("py"),
+    ).collect()
+    assert both
+    for r in both:
+        assert abs(r.jvm - r.py) < 1e-9
