@@ -319,3 +319,59 @@ def pyramid_merge(existing: DataFrame, delta: DataFrame) -> DataFrame:
             F.col("visits").alias("weight"),
         )
     )
+
+
+# 3x3 smoothing kernel: center 4, edges 2, corners 1 (integer weights —
+# exact decimal arithmetic end-to-end, so the convolution is
+# partition-order independent and oracle-checkable)
+SMOOTH_KERNEL = tuple(
+    (dr, dc, 4 if (dr == 0 and dc == 0) else 2 if (dr == 0 or dc == 0) else 1)
+    for dr in (-1, 0, 1)
+    for dc in (-1, 0, 1)
+)
+
+
+def smooth_tiles(pyramid: DataFrame, zoom: int) -> DataFrame:
+    """3x3 weighted smoothing of one pyramid level — the rendering blur
+    heatmap consumers apply, pushed into the engine as a distributed
+    convolution.
+
+    Each tile scatters its (visits × weight) contribution to its 9
+    neighbors via one explode (no self-join of the level against
+    itself: a join on 9 shifted keys would shuffle both sides; the
+    scatter form shuffles once and aggregates map-side first).  Counts
+    ride DECIMAL so the kernel sum is exact; out-of-range neighbor
+    targets at the world edge are dropped (kernel support is clipped,
+    matching raster-convolution edge handling).
+
+    Reference: none — SURVEY.md §2.8 (tile-pyramid extension; the
+    reference ships raw counts and lets the client blur).
+    """
+    n = 2**zoom
+    level = pyramid.where(F.col("zoom") == zoom)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"), F.lit(w).alias("w"))
+            for dr, dc, w in SMOOTH_KERNEL
+        ]
+    )
+    scattered = level.select(
+        "user_group",
+        "timespan",
+        F.explode(offsets).alias("o"),
+        "row",
+        "col",
+        F.col("visits").cast("decimal(20,4)").alias("v"),
+    ).select(
+        "user_group",
+        "timespan",
+        (F.col("row") + F.col("o.dr")).alias("row"),
+        (F.col("col") + F.col("o.dc")).alias("col"),
+        (F.col("v") * F.col("o.w")).alias("wv"),
+    ).where(
+        (F.col("row") >= 0) & (F.col("row") < n)
+        & (F.col("col") >= 0) & (F.col("col") < n)
+    )
+    return scattered.groupBy("user_group", "timespan", "row", "col").agg(
+        F.sum("wv").cast("double").alias("smoothed")
+    )

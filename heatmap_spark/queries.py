@@ -1967,6 +1967,34 @@ SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
   CAST(n_triangles AS BIGINT) AS n_triangles
 FROM tris""",
     ),
+    # 3x3 tile smoothing at zoom 10 (scatter-explode convolution)
+    "q_tile_smooth": QuerySpec(
+        lambda spark, sf_dir: pyr.smooth_tiles(
+            pyr.build_pyramid(load_locations(spark, sf_dir), mode="explode"), 10
+        ),
+        f"""WITH {_LOC_CTE},
+{_PTS_CTE},
+{_EXPANDED_CTE},
+level AS (
+  SELECT user_group, timespan,
+    CAST(floor(row21 / 2048.0) AS BIGINT) AS row,
+    CAST(floor(col21 / 2048.0) AS BIGINT) AS col,
+    sum(weight) AS visits
+  FROM expanded GROUP BY 1, 2, 3, 4),
+offs(dr, dc, w) AS (VALUES
+  (-1,-1,1), (-1,0,2), (-1,1,1),
+  (0,-1,2), (0,0,4), (0,1,2),
+  (1,-1,1), (1,0,2), (1,1,1)),
+scattered AS (
+  SELECT user_group, timespan, row + dr AS r2, col + dc AS c2,
+    CAST(visits AS DECIMAL(20,4)) * w AS wv
+  FROM level CROSS JOIN offs
+  WHERE row + dr >= 0 AND row + dr < 1024
+    AND col + dc >= 0 AND col + dc < 1024)
+SELECT user_group, timespan, r2 AS row, c2 AS col,
+  CAST(sum(wv) AS DOUBLE) AS smoothed
+FROM scattered GROUP BY 1, 2, 3, 4""",
+    ),
     # end-to-end curation compose: filter → near-dup removal → split
     "q_curation_pipeline": QuerySpec(
         dedup.curation_pipeline,

@@ -219,17 +219,54 @@ def probe_episodes(spark, n: int) -> None:
     )
 
 
+def probe_skew(spark, n: int) -> None:
+    """Pyramid build under dense-city skew: 80% of n points land inside
+    one ~0.1° box (a single zoom-21 neighborhood), the rest scatter
+    globally.  This is the hot-tile shape BASELINE.md flags for 100 TB;
+    AQE splits the oversized partial-aggregate partitions at runtime.
+    Compare with `pyramid` (uniform scatter) — the skewed run should
+    not be catastrophically slower than uniform."""
+    from heatmap_spark.operators.pyramid import build_pyramid
+
+    dense = F.col("id") % 5 != 0  # 80%
+    loc = spark.range(n).select(
+        F.when(
+            dense, 40.0 + (F.col("id") % 1000) / 10000.0
+        ).otherwise(
+            F.expr("CAST(mod(id * 104729, 170000) AS DOUBLE)") / 1000.0 - 85.0
+        ).alias("latitude"),
+        F.when(
+            dense, -74.0 + (F.expr("id div 7") % 1000) / 10000.0
+        ).otherwise(
+            F.expr("CAST(mod(id * 7919, 360000) AS DOUBLE)") / 1000.0 - 180.0
+        ).alias("longitude"),
+        F.timestamp_millis(F.lit(1700000000000) + F.col("id") % 86400000).alias("ts"),
+        F.concat(F.lit("u"), (F.col("id") % 100_000).cast("string")).alias("user_id"),
+        F.lit("gps").alias("source"),
+        F.lit(1.0).alias("weight"),
+    )
+    t0 = time.perf_counter()
+    rows = build_pyramid(loc, mode="explode").count()
+    dt = time.perf_counter() - t0
+    print(
+        f"skewed pyramid {n:,} points (80% one city) -> {rows:,} tiles"
+        f" in {dt:.1f}s = {n / dt / 1000:.0f}k pts/s"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
     defaults = {"pyramid": 10_000_000, "dedup": 500_000, "knn": 1_000_000,
                 "gapfill": 10_000_000, "pagerank": 2_000_000,
-                "funnel": 10_000_000, "episodes": 10_000_000}
+                "funnel": 10_000_000, "episodes": 10_000_000,
+                "skew": 10_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
      "gapfill": probe_gapfill, "pagerank": probe_pagerank,
-     "funnel": probe_funnel, "episodes": probe_episodes}[which](spark, n)
+     "funnel": probe_funnel, "episodes": probe_episodes,
+     "skew": probe_skew}[which](spark, n)
 
 
 if __name__ == "__main__":

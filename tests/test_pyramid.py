@@ -153,3 +153,37 @@ def test_pyramid_fuzz_matches_oracle(spark, rows):
     got = as_dict(P.build_pyramid(df, mode="explode"))
     exp = oracle_pyramid(rows)
     assert got == exp
+
+
+def test_smooth_tiles_kernel_on_single_tile(spark):
+    """One interior tile must scatter the exact 4/2/1 kernel to its
+    3x3 neighborhood."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from heatmap_spark.operators.pyramid import smooth_tiles
+
+    one = spark.createDataFrame(
+        [("all", "alltime", 10, 100, 200, 8.0)],
+        "user_group string, timespan string, zoom int, row long, col long, visits double",
+    )
+    out = {
+        (r.row, r.col): r.smoothed
+        for r in smooth_tiles(one, 10).collect()
+    }
+    assert len(out) == 9
+    assert out[(100, 200)] == 32.0  # center: 8 * 4
+    assert out[(99, 200)] == out[(101, 200)] == out[(100, 199)] == out[(100, 201)] == 16.0
+    assert out[(99, 199)] == out[(99, 201)] == out[(101, 199)] == out[(101, 201)] == 8.0
+
+
+def test_smooth_tiles_clips_world_edge(spark):
+    from heatmap_spark.operators.pyramid import smooth_tiles
+
+    corner = spark.createDataFrame(
+        [("all", "alltime", 10, 0, 0, 4.0)],
+        "user_group string, timespan string, zoom int, row long, col long, visits double",
+    )
+    out = smooth_tiles(corner, 10).collect()
+    # only the 2x2 in-range quadrant survives
+    assert len(out) == 4
+    assert all(r.row >= 0 and r.col >= 0 for r in out)
