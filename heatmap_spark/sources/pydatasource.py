@@ -54,20 +54,51 @@ class SyntheticLocationsDataSource(DataSource):
                 lo = partition.value
                 hi = fence[fence.index(lo) + 1]
                 # same primes as sources/locations.py — bit-identical rows
-                for e in range(lo, hi):
-                    uid = (
-                        f"x{e}" if e % 37 == 0 else f"rt-{e}" if e % 11 == 0 else f"u{e}"
-                    )
-                    yield (
-                        e,
-                        (e * 104729) % 170000 / 1000.0 - 85.0,
-                        (e * 7919) % 360000 / 1000.0 - 180.0,
-                        uid,
-                        "background" if e % 20 == 0 else "gps",
-                        1.0,
-                    )
+                yield from _gen_rows(lo, hi)
 
         return Reader()
+
+    def simpleStreamReader(self, schema):
+        """Streaming face of the same source (Spark 4
+        SimpleDataSourceStreamReader): each microbatch emits the next
+        ``batch_rows`` ids, offset = next id to emit.  Deterministic,
+        replayable (read2 of a committed offset range regenerates the
+        identical rows), so exactly-once sinks downstream stay
+        exactly-once.  Used to exercise the engine's streaming
+        operators without Kafka in the container."""
+        n_batch = int(self.options.get("batch_rows", "1000"))
+
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+        class StreamReader(SimpleDataSourceStreamReader):
+            def initialOffset(self):
+                return {"next_id": 1}
+
+            def read(self, start):
+                lo = start["next_id"]
+                hi = lo + n_batch
+                # lists, not generators: the runtime pickles the batch
+                # for prefetch caching and possible replay
+                return list(_gen_rows(lo, hi)), {"next_id": hi}
+
+            def readBetweenOffsets(self, start, end):
+                return list(_gen_rows(start["next_id"], end["next_id"]))
+
+        return StreamReader()
+
+
+def _gen_rows(lo: int, hi: int):
+    """Rows for ids [lo, hi) — same primes as sources/locations.py."""
+    for e in range(lo, hi):
+        uid = f"x{e}" if e % 37 == 0 else f"rt-{e}" if e % 11 == 0 else f"u{e}"
+        yield (
+            e,
+            (e * 104729) % 170000 / 1000.0 - 85.0,
+            (e * 7919) % 360000 / 1000.0 - 180.0,
+            uid,
+            "background" if e % 20 == 0 else "gps",
+            1.0,
+        )
 
 
 def register(spark) -> None:
