@@ -228,3 +228,31 @@ def event_funnel_df(ev: DataFrame) -> DataFrame:
         F.count("tp").alias("n_purchase_after_funnel"),
         F.count(F.lit(1)).alias("n_users"),
     )
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates via the NATIVE session_window operator in
+    batch mode (same operator the streaming path uses — one engine
+    surface, two execution modes).
+
+    Boundary semantics: a new session starts when the gap is >= the
+    60-minute timeout (an event at exactly start+gap falls outside the
+    closing window); the lag-based :func:`sessionize` uses > — the two
+    agree everywhere except exact-boundary gaps.  window.end is
+    last_event_ts + gap by definition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -774,6 +774,28 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM sess GROUP BY user_id, session_id""",
         headline=True,
     ),
+    # native session_window in BATCH (same operator as the streaming path;
+    # new session when gap >= timeout, window_end = last_ts + timeout)
+    "q_session_window_batch": QuerySpec(
+        sessions.session_window_stats,
+        f"""WITH flags AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 3600000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flags)
+SELECT user_id, min(ts) AS session_start,
+  max(ts) + INTERVAL 1 HOUR AS window_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum({_d('value')}) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, sid""",
+    ),
     "q_asof_join": QuerySpec(
         sessions.asof_join_last_signup,
         """SELECT p.event_id, p.ts AS purchase_ts,
