@@ -1144,3 +1144,26 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("closed").cast("bigint")).alias("n_closed"),
         F.sum((F.col("pri_class") == F.lit("rush")).cast("bigint")).alias("n_rush"),
     )
+
+
+def conditional_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safety sweep: try_divide (null, not error, on /0),
+    least/greatest, and order-independent double extrema.
+
+    Under ANSI mode (Spark 4 default) a bare x/0 throws; the try_*
+    family degrades to NULL — the right semantics for a 100 TB batch
+    job where one poison row must not kill the stage.  Aggregates here
+    are counts and min/max only (order-independent), so doubles stay
+    oracle-exact without decimal casts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    safe = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+    poisoned = F.try_divide(F.col("l_extendedprice"), F.lit(0.0))
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(poisoned).alias("n_div0_nonnull"),  # 0: all null, no error
+        F.min(safe).alias("min_unit_price"),
+        F.max(safe).alias("max_unit_price"),
+        F.min(F.least("l_tax", "l_discount")).alias("min_least"),
+        F.max(F.greatest("l_tax", "l_discount")).alias("max_greatest"),
+    )

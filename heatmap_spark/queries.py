@@ -1848,6 +1848,18 @@ SELECT o_orderstatus,
   CAST(sum(CASE WHEN pri_class = 'rush' THEN 1 ELSE 0 END) AS BIGINT) AS n_rush
 FROM r GROUP BY o_orderstatus""",
     ),
+    # ANSI-safety sweep: try_* degrade to NULL instead of killing the job
+    "q_conditional_safety": QuerySpec(
+        relational.conditional_safety,
+        """SELECT l_linestatus,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(l_extendedprice / nullif(0.0, 0.0)) AS BIGINT) AS n_div0_nonnull,
+  min(l_extendedprice / nullif(l_quantity, 0.0)) AS min_unit_price,
+  max(l_extendedprice / nullif(l_quantity, 0.0)) AS max_unit_price,
+  min(least(l_tax, l_discount)) AS min_least,
+  max(greatest(l_tax, l_discount)) AS max_greatest
+FROM lineitem GROUP BY l_linestatus""",
+    ),
     "q_salted_join": QuerySpec(
         skew.salted_supplier_revenue,
         f"""SELECT s_nationkey,
