@@ -137,3 +137,43 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return {"files_before": len(data_files), "files_after": n_out, "bytes": total}
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO emulation on plain parquet relations (the pyspark
+    guide's "CDC / SCD2" v1 pattern): apply a change set of upserts
+    ('U') and deletes ('D') to a base table.
+
+    Steps, all set-oriented (no driver loop, no row-at-a-time):
+      1. if ``seq_col`` is given, keep only each key's LATEST change
+         (row_number over the key ordered by seq desc — one shuffle);
+      2. anti-join base against change keys (removes updated AND
+         deleted rows; with small change sets — the common CDC shape —
+         the anti-join broadcasts);
+      3. union the 'U' payloads back in.
+    Replaying the same change set is a no-op (idempotent), which is
+    what makes retry-safe ingestion possible; the heavy base relation
+    is never shuffled, only scanned.
+
+    Reference: none — SURVEY.md §2.8 (maintenance/CDC extension;
+    tile_store's pyramid_merge is the domain-specific instance).
+    """
+    from pyspark.sql.window import Window as W
+
+    if seq_col is not None:
+        w = W.partitionBy(*keys).orderBy(F.desc(seq_col))
+        changes = (
+            changes.withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+    payload_cols = [c for c in base.columns]
+    survivors = base.join(F.broadcast(changes.select(*keys)), keys, "left_anti")
+    upserts = changes.where(F.col(op_col) == "U").select(*payload_cols)
+    return survivors.unionByName(upserts)

@@ -521,6 +521,31 @@ def _sql_tile_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (operators/layout.merge_upsert) applied to a
+    deterministic change set: every orderkey ending in 0 is deleted,
+    every one ending in 1 is re-priced +1000."""
+    from heatmap_spark.operators.layout import merge_upsert
+    from heatmap_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = (
+        load_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderkey") % 10).isin(0, 1))
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "o_orderstatus",
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        )
+    )
+    return merge_upsert(base, changes, keys=["o_orderkey"], op_col="op")
+
+
 def _approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitters via approx_top_k (SQL-only in Spark 4.1): one pass,
     bounded sketch state per partition.  With k >= the column's true
@@ -1847,6 +1872,23 @@ SELECT o_orderstatus,
   CAST(sum(CAST(closed AS BIGINT)) AS BIGINT) AS n_closed,
   CAST(sum(CASE WHEN pri_class = 'rush' THEN 1 ELSE 0 END) AS BIGINT) AS n_rush
 FROM r GROUP BY o_orderstatus""",
+    ),
+    # CDC MERGE INTO emulation: deterministic change set applied to orders
+    "q_cdc_merge": QuerySpec(
+        lambda spark, sf_dir: _cdc_merge(spark, sf_dir),
+        """WITH changes AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+    o_totalprice + 1000.0 AS new_price
+  FROM orders WHERE o_orderkey % 10 IN (0, 1)),
+survivors AS (
+  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+  FROM orders o ANTI JOIN changes c ON o.o_orderkey = c.o_orderkey),
+upserts AS (
+  SELECT o.o_orderkey, o.o_orderstatus, c.new_price AS o_totalprice
+  FROM orders o JOIN changes c ON o.o_orderkey = c.o_orderkey
+  WHERE c.op = 'U')
+SELECT * FROM survivors UNION ALL SELECT * FROM upserts""",
     ),
     # ANSI-safety sweep: try_* degrade to NULL instead of killing the job
     "q_conditional_safety": QuerySpec(

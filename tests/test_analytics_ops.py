@@ -205,3 +205,51 @@ def test_curation_pipeline_invariants(spark, sf_smoke):
     splits = [r.split for r in out]
     # md5 is uniform: train should dominate (13/16 expected)
     assert splits.count("train") > splits.count("val") + splits.count("test")
+
+
+def test_operators_handle_empty_input(spark):
+    """Empty relations must produce empty (not erroring) results with
+    the declared schemas — the behavior a 100 TB pipeline needs when a
+    partition/date-slice comes up empty."""
+    from heatmap_spark.operators.pyramid import build_pyramid, smooth_tiles
+    from heatmap_spark.operators.sessions import event_funnel_df
+    from heatmap_spark.operators.timeseries import state_episodes_df
+
+    empty_loc = spark.createDataFrame(
+        [],
+        "latitude double, longitude double, ts timestamp, "
+        "user_id string, source string, weight double",
+    )
+    pyr = build_pyramid(empty_loc, mode="explode")
+    assert pyr.count() == 0
+    assert smooth_tiles(pyr, 10).count() == 0
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    assert state_episodes_df(empty_ev).count() == 0
+    row = event_funnel_df(empty_ev).collect()[0]
+    assert (row.n_users, row.n_view) == (0, 0)
+
+
+def test_merge_upsert_semantics_and_idempotence(spark):
+    from heatmap_spark.operators.layout import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "U", "b2", 10),
+            (2, "U", "b3", 20),  # later seq wins
+            (3, "D", None, 5),
+            (4, "U", "d", 1),
+        ],
+        "k long, op string, v string, seq long",
+    )
+    merged = merge_upsert(base, changes, keys=["k"], seq_col="seq")
+    got = sorted((r.k, r.v) for r in merged.collect())
+    assert got == [(1, "a"), (2, "b3"), (4, "d")]
+    # replaying the same change set over the result is a no-op
+    replay = merge_upsert(merged, changes, keys=["k"], seq_col="seq")
+    assert sorted((r.k, r.v) for r in replay.collect()) == got
