@@ -68,6 +68,13 @@ class HeatmapBuilder:
             raise ValueError(f"resultsets() must follow pyramid(), not {self._stage}")
         return HeatmapBuilder(self.spark, _pyr.resultsets(self._df), "resultsets")
 
+    def smooth(self, zoom: int) -> "HeatmapBuilder":
+        """3x3 kernel smoothing of one pyramid level (see
+        operators/pyramid.smooth_tiles)."""
+        if self._stage != "pyramid":
+            raise ValueError(f"smooth() must follow pyramid(), not {self._stage}")
+        return HeatmapBuilder(self.spark, _pyr.smooth_tiles(self._df, zoom), "smoothed")
+
     def table(self) -> "HeatmapBuilder":
         """The sink shape (id, heatmap JSON) — reference heatmap.py:156-157."""
         if self._stage != "resultsets":

@@ -62,3 +62,17 @@ def test_connectors_gate_cleanly(spark):
     df = spark.createDataFrame([("a", "{}")], "id string, heatmap string")
     with pytest.raises(ConnectorUnavailable):
         write_cassandra(df)
+
+
+def test_fluent_smooth_stage(spark, sf_smoke):
+    from heatmap_spark.api import Heatmap
+
+    sm = (
+        Heatmap(spark)
+        .from_events_dir(sf_smoke)
+        .pyramid()
+        .smooth(8)
+        .df()
+    )
+    assert sm.columns == ["user_group", "timespan", "row", "col", "smoothed"]
+    assert sm.count() > 0
