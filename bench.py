@@ -49,13 +49,21 @@ def main() -> None:
         if warm:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             cleanup()
-        best = float("inf")
-        for _ in range(2):  # min of 2: steady-state per-query number
+        # Variance-bounded min: the box shows up to ±30% run-to-run
+        # noise under load (BASELINE.md), so rerun until two samples
+        # agree within 10% of the min, cap 4 — the reported number is
+        # the steady-state query time, not the scheduler's mood.
+        samples: list[float] = []
+        for _ in range(4):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
             cleanup()
-        timings[name] = round(best, 3)
+            if len(samples) >= 2:
+                lo = min(samples)
+                if sorted(samples)[1] <= lo * 1.10:
+                    break
+        timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
