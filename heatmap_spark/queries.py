@@ -394,6 +394,21 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel state machine (applyInPandasWithState): with one
+    micro-batch over the fixture the converged per-user stage
+    timestamps equal the batch funnel windows — the oracle."""
+    from heatmap_spark.streaming import incremental as S
+    from heatmap_spark.streaming.stateful import funnel_states
+
+    return _run_stream(
+        spark,
+        funnel_states(S.read_events_stream(spark, sf_dir)),
+        "q_streaming_funnel_sink",
+        "update",
+    )
+
+
 def _run_stream_append(spark: SparkSession, stream_df, name: str):
     """Drive an append-mode stream (joins, dedup) through the memory sink."""
     return _run_stream(spark, stream_df, name, "append")
@@ -1231,6 +1246,30 @@ SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""",
         q_streaming_stateful,
         """SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
 FROM events GROUP BY user_id""",
+    ),
+    "q_streaming_funnel": QuerySpec(
+        q_streaming_funnel,
+        """WITH s1 AS (
+  SELECT user_id, ts, event_id, event_type,
+    min(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS fv
+  FROM events),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+                     AND ts >= fv THEN ts END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS fc
+  FROM s1),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND fc IS NOT NULL
+                     AND ts >= fc THEN ts END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS fp
+  FROM s2)
+SELECT user_id, min(fv) AS first_view, min(fc) AS first_click,
+  min(fp) AS first_purchase
+FROM s3 GROUP BY user_id""",
     ),
     # ---- SQL-string surface + more relational ----
     "q_heatmap_pyramid_sql": QuerySpec(q_heatmap_pyramid_sql, _PYRAMID_SQL),

@@ -110,3 +110,57 @@ def per_user_type_counts_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id bigint, first_view timestamp, first_click timestamp, "
+    "first_purchase timestamp"
+)
+FUNNEL_STATE_SCHEMA = "fv timestamp, fc timestamp, fp timestamp"
+
+
+def funnel_states(events: DataFrame) -> DataFrame:
+    """Streaming ordered funnel (view → click → purchase) as a per-user
+    state machine in applyInPandasWithState (update mode).
+
+    State = the three first-hit timestamps; each micro-batch replays
+    its rows in (ts, event_id) order through the same transitions the
+    batch operator (operators/sessions.event_funnel) applies, so with
+    in-order arrival the converged state equals the batch result
+    (equivalence-tested).  Late events BEFORE an already-recorded stage
+    hit can't retroactively create transitions — the standard
+    at-least-once funnel semantics under watermark discipline.
+    """
+
+    def update_funnel(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        fv, fc, fp = state.get if state.exists else (None, None, None)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for ts, typ in zip(batch["ts"], batch["event_type"]):
+                if typ == "view" and fv is None:
+                    fv = ts
+                elif typ == "click" and fc is None and fv is not None and ts >= fv:
+                    fc = ts
+                elif typ == "purchase" and fp is None and fc is not None and ts >= fc:
+                    fp = ts
+        state.update((fv, fc, fp))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "first_view": [fv],
+                "first_click": [fc],
+                "first_purchase": [fp],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -136,3 +136,26 @@ def test_tws_operator_gates_cleanly(spark, sf_smoke):
     got = spark.table("tws_sink")
     assert got.join(exp, ["user_id", "event_type"]).where("n_events <> count").count() == 0
     assert got.count() == exp.count()
+
+
+def test_streaming_funnel_converges_to_batch(spark, sf_smoke):
+    """Single-microbatch streaming funnel state == batch funnel counts."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.sessions import event_funnel
+    from heatmap_spark.queries import q_streaming_funnel
+
+    states = q_streaming_funnel(spark, sf_smoke)
+    got = states.agg(
+        F.count("first_view").alias("v"),
+        F.count("first_click").alias("c"),
+        F.count("first_purchase").alias("p"),
+        F.count(F.lit(1)).alias("u"),
+    ).collect()[0]
+    want = event_funnel(spark, sf_smoke).collect()[0]
+    assert (got.v, got.c, got.p, got.u) == (
+        want.n_view,
+        want.n_click_after_view,
+        want.n_purchase_after_funnel,
+        want.n_users,
+    )
