@@ -65,3 +65,29 @@ def test_python_stream_source_batches_and_replays(spark, tmp_path):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
     assert got.agg(F.min("event_id")).collect()[0][0] == 1
+
+
+def test_lakehouse_sinks_gate_cleanly(spark, tmp_path):
+    import pytest
+
+    from heatmap_spark.sources.connectors import (
+        ConnectorUnavailable,
+        write_delta,
+        write_iceberg,
+    )
+
+    df = spark.range(3)
+    with pytest.raises(ConnectorUnavailable, match="delta"):
+        write_delta(df, str(tmp_path / "delta"))
+    with pytest.raises(ConnectorUnavailable, match="iceberg"):
+        write_iceberg(df, "nocat.db.t")
+
+
+def test_parameterized_sql(spark):
+    """Named-parameter spark.sql (Spark 4 API): literals bind safely,
+    no string interpolation."""
+    got = spark.sql(
+        "SELECT :lo + id AS v FROM range(:n) ORDER BY v",
+        args={"lo": 100, "n": 3},
+    ).collect()
+    assert [r.v for r in got] == [100, 101, 102]
