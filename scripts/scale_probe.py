@@ -122,6 +122,20 @@ def probe_knn(spark, n: int) -> None:
         f" = {n / query / 1000:.0f}k vecs/s ({rows} rows)"
     )
 
+    # k-means-trained codebook: one Lloyd iteration of training cost
+    t0 = time.perf_counter()
+    trained = ivf_assign(emb, train_iters=1).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+    tbuild = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = knn_cosine_ivf_df(emb, assigned=trained).count()
+    tquery = time.perf_counter() - t0
+    print(
+        f"knn-ivf-trained(1 iter) {n:,} vecs: build {tbuild:.1f}s,"
+        f" query x 10 {tquery:.1f}s ({rows} rows)"
+    )
+
 
 def probe_gapfill(spark, n: int) -> None:
     """Gap-fill 10M irregular events onto a dense (50 types x 30-day
