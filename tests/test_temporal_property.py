@@ -91,3 +91,58 @@ def test_funnel_matches_python_reference(spark, raw):
         n_purchase,
     )
     assert row.n_users == len(seqs)
+
+
+changes_st = st.lists(
+    st.tuples(
+        st.integers(0, 9),  # key
+        st.sampled_from(["U", "D"]),
+        st.integers(0, 99),  # payload
+        st.integers(0, 50),  # seq
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+base_st = st.dictionaries(st.integers(0, 9), st.integers(0, 99), max_size=8)
+
+
+@settings(max_examples=15, deadline=None)
+@given(base_st, changes_st)
+def test_merge_upsert_matches_python_reference(spark, base, changes):
+    from heatmap_spark.operators.layout import merge_upsert
+
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [(None, None)], "k int, v int"
+    ).where("k IS NOT NULL")
+    ch_df = spark.createDataFrame(
+        [(k, op, v, s) for k, op, v, s in changes] or [(None, None, None, None)],
+        "k int, op string, v int, seq int",
+    ).where("k IS NOT NULL")
+
+    # python reference: latest change per key wins, ties on seq broken
+    # arbitrarily -> restrict to unique (k, seq) pairs to stay deterministic
+    seen = {}
+    dup = False
+    for k, op, v, s in changes:
+        if (k, s) in seen:
+            dup = True
+        seen[(k, s)] = (op, v)
+    if dup:
+        return  # ambiguous latest-change; skip nondeterministic cases
+    latest = {}
+    for (k, s), (op, v) in seen.items():
+        if k not in latest or s > latest[k][0]:
+            latest[k] = (s, op, v)
+    expected = dict(base)
+    for k, (s, op, v) in latest.items():
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+
+    got = {
+        r.k: r.v
+        for r in merge_upsert(base_df, ch_df, keys=["k"], seq_col="seq").collect()
+    }
+    assert got == expected
