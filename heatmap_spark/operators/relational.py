@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from heatmap_spark.functions.exact import davg, dec, dsum
-from heatmap_spark.sources.tables import load_table
+from heatmap_spark.sources.tables import load_table, register_sf_view
 
 
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,10 +226,12 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the SQL surface (every capability
     is reachable from spark.sql over registered views)."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__hs_lineitem")
+    v = register_sf_view(
+        load_table(spark, sf_dir, "lineitem"), "__hs_lineitem", sf_dir
+    )
     return spark.sql(
-        """SELECT l_returnflag, l_linestatus, count(*) AS n_items
-           FROM __hs_lineitem
+        f"""SELECT l_returnflag, l_linestatus, count(*) AS n_items
+           FROM {v}
            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
     )
 
@@ -893,12 +895,14 @@ def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ranked window join — the same physical plan a hand-written
     row_number() <= 2 would give — so the declarative form costs nothing
     at scale while staying ANSI-portable (DuckDB runs it verbatim)."""
-    load_table(spark, sf_dir, "nation").createOrReplaceTempView("hs_nation")
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("hs_customer")
+    vn = register_sf_view(load_table(spark, sf_dir, "nation"), "hs_nation", sf_dir)
+    vc = register_sf_view(
+        load_table(spark, sf_dir, "customer"), "hs_customer", sf_dir
+    )
     return spark.sql(
-        """SELECT n_name, t.c_name, t.c_acctbal
-FROM hs_nation n, LATERAL (
-  SELECT c_name, c_acctbal FROM hs_customer c
+        f"""SELECT n_name, t.c_name, t.c_acctbal
+FROM {vn} n, LATERAL (
+  SELECT c_name, c_acctbal FROM {vc} c
   WHERE c.c_nationkey = n.n_nationkey
   ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"""
     )
@@ -950,15 +954,15 @@ def variant_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def filtered_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI aggregate FILTER clause + boolean aggregates through the
     SQL surface (both run verbatim in DuckDB)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__hs_orders")
+    v = register_sf_view(load_table(spark, sf_dir, "orders"), "__hs_orders", sf_dir)
     return spark.sql(
-        """SELECT o_orderpriority,
+        f"""SELECT o_orderpriority,
   count(*) AS n_orders,
   count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
   bool_or(o_orderstatus = 'F') AS any_finished,
   bool_and(o_totalprice > 0) AS all_positive,
   CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
-FROM __hs_orders GROUP BY o_orderpriority"""
+FROM {v} GROUP BY o_orderpriority"""
     )
 
 

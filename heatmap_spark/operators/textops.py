@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from heatmap_spark.operators.dedup import TOKEN_SPLIT
-from heatmap_spark.sources.tables import load_table
+from heatmap_spark.sources.tables import load_table, register_sf_view
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -204,10 +204,12 @@ def ngram_udtf_demo(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
                 yield i, " ".join(toks[i : i + n])
 
     spark.udtf.register("hs_ngrams", NGrams)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__hs_docs_udtf")
+    v = register_sf_view(
+        load_table(spark, sf_dir, "documents"), "__hs_docs_udtf", sf_dir
+    )
     return spark.sql(
         f"""SELECT d.doc_id, g.pos, g.ngram
-            FROM __hs_docs_udtf d, LATERAL hs_ngrams(d.text, {n}) g"""
+            FROM {v} d, LATERAL hs_ngrams(d.text, {n}) g"""
     )
 
 

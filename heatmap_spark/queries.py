@@ -35,6 +35,7 @@ from heatmap_spark.operators import (
 )
 from heatmap_spark.operators import pyramid as pyr
 from heatmap_spark.sources.locations import load_locations, locations_sql
+from heatmap_spark.sources.tables import register_sf_view
 
 
 @dataclass(frozen=True)
@@ -443,7 +444,7 @@ WITH pts AS (
     CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 2097152.0) AS BIGINT) AS row21,
     CAST(floor((longitude + 180.0)/360.0 * 2097152.0) AS BIGINT) AS col21,
     user_id, weight
-  FROM __hs_locations WHERE source <> 'background'),
+  FROM {locations} WHERE source <> 'background'),
 grouped AS (
   SELECT explode(CASE WHEN user_id LIKE 'x%' THEN array('all')
                       WHEN user_id LIKE 'rt-%' THEN array('all', 'route')
@@ -465,8 +466,8 @@ def q_heatmap_pyramid_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pyramid through the raw SQL-string surface (spark.sql
     over a registered locations view) — every engine capability is
     reachable from SQL, not just the DataFrame API."""
-    load_locations(spark, sf_dir).createOrReplaceTempView("__hs_locations")
-    return spark.sql(_SPARK_PYRAMID_SQL)
+    v = register_sf_view(load_locations(spark, sf_dir), "__hs_locations", sf_dir)
+    return spark.sql(_SPARK_PYRAMID_SQL.format(locations=v))
 
 
 _SPARK_RECURSIVE_PYRAMID = """
@@ -475,7 +476,7 @@ WITH RECURSIVE pts AS (
     CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 2097152.0) AS BIGINT) AS row21,
     CAST(floor((longitude + 180.0)/360.0 * 2097152.0) AS BIGINT) AS col21,
     weight
-  FROM __hs_locations WHERE source <> 'background'),
+  FROM {locations} WHERE source <> 'background'),
 seed AS (
   SELECT row21 AS row, col21 AS col, sum(weight) AS visits
   FROM pts GROUP BY row21, col21),
@@ -498,8 +499,8 @@ def q_recursive_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared in one SQL statement; DuckDB runs the identical recursion
     as the oracle.  The DataFrame cascade (operators/pyramid.py) remains
     the production path — this pins the SQL-recursion capability."""
-    load_locations(spark, sf_dir).createOrReplaceTempView("__hs_locations")
-    return spark.sql(_SPARK_RECURSIVE_PYRAMID)
+    v = register_sf_view(load_locations(spark, sf_dir), "__hs_locations", sf_dir)
+    return spark.sql(_SPARK_RECURSIVE_PYRAMID.format(locations=v))
 
 
 # shingle postings CTE shared by the dedup oracles
@@ -523,13 +524,13 @@ def _sql_tile_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heatmap_spark.functions.sqludf import register_sql_functions
 
     register_sql_functions(spark)
-    load_locations(spark, sf_dir).createOrReplaceTempView("__hm_loc_sqludf")
+    v = register_sf_view(load_locations(spark, sf_dir), "__hm_loc_sqludf", sf_dir)
     return spark.sql(
-        """
+        f"""
         SELECT tile_id(latitude, longitude, 7) AS tid,
                tile_parent(tile_id(latitude, longitude, 7), 3) AS parent_tid,
                count(*) AS n_points
-        FROM __hm_loc_sqludf
+        FROM {v}
         WHERE source <> 'background'
         GROUP BY 1, 2
         """
@@ -569,12 +570,14 @@ def _approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns the approximate heavy hitters with fixed memory."""
     from heatmap_spark.sources.tables import load_table
 
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("__hm_ev_topk")
+    v = register_sf_view(
+        load_table(spark, sf_dir, "events"), "__hm_ev_topk", sf_dir
+    )
     return spark.sql(
-        """
+        f"""
         SELECT t.item AS event_type, t.count AS cnt
         FROM (SELECT explode(approx_top_k(event_type, 5)) AS t
-              FROM __hm_ev_topk)
+              FROM {v})
         """
     )
 

@@ -59,6 +59,9 @@ def load_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived locations DataFrame for a testdata scale-factor dir."""
     from heatmap_spark.sources.tables import load_table
 
-    view = "__heatmap_spark_events"
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    from heatmap_spark.sources.tables import register_sf_view
+
+    view = register_sf_view(
+        load_table(spark, sf_dir, "events"), "__heatmap_spark_events", sf_dir
+    )
     return spark.sql(locations_sql("spark", events=view))

@@ -72,3 +72,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_sf_view(df: DataFrame, base: str, sf_dir: str) -> str:
+    """Register ``df`` under a temp-view name that ENCODES ``sf_dir``.
+
+    Query functions that go through spark.sql need a view; a fixed view
+    name is a race under concurrent queries against different scale
+    dirs (thread B's createOrReplaceTempView can land between thread
+    A's registration and A's spark.sql analysis, silently swapping A's
+    data).  Encoding the dir in the name makes registration idempotent
+    per (view, sf_dir) and concurrency-safe.  ``register_views`` keeps
+    canonical fixture names for interactive use — single-dir sessions.
+    """
+    import re as _re
+
+    name = base + "_" + _re.sub(r"[^A-Za-z0-9]", "_", sf_dir).strip("_")
+    df.createOrReplaceTempView(name)
+    return name

@@ -76,3 +76,27 @@ def test_fluent_smooth_stage(spark, sf_smoke):
     )
     assert sm.columns == ["user_group", "timespan", "row", "col", "smoothed"]
     assert sm.count() > 0
+
+
+def test_concurrent_queries_different_sf_dirs(spark, sf_smoke, sf_correct):
+    """SQL-surface queries registered via sf_dir-encoded views must not
+    cross-contaminate when run concurrently against different scale
+    dirs (the fixed-name race: thread B's view replacement landing
+    between thread A's registration and analysis)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from heatmap_spark.queries import q_heatmap_pyramid_sql
+
+    def run(sf):
+        return q_heatmap_pyramid_sql(spark, sf).count()
+
+    expected = {sf: run(sf) for sf in (sf_smoke, sf_correct)}
+    assert expected[sf_smoke] != expected[sf_correct]
+    with ThreadPoolExecutor(4) as ex:
+        futures = [
+            (sf, ex.submit(run, sf))
+            for _ in range(3)
+            for sf in (sf_smoke, sf_correct)
+        ]
+        for sf, fut in futures:
+            assert fut.result(timeout=300) == expected[sf]
