@@ -1171,3 +1171,64 @@ def conditional_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.least("l_tax", "l_discount")).alias("min_least"),
         F.max(F.greatest("l_tax", "l_discount")).alias("max_greatest"),
     )
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Market-basket co-occurrence: the k most co-ordered part pairs.
+
+    Scatter form: collect each order's distinct parts (baskets are
+    small — bounded per order), explode the within-basket pair
+    combinations, count.  This avoids the lineitem self-join on
+    l_orderkey, whose output is quadratic in basket size BEFORE the
+    aggregate can shrink it; the explode form materializes the same
+    pairs but inside one aggregation pipeline with map-side combine.
+    Pairs are oriented (a < b) so each unordered pair counts once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("parts"),
+                        lambda a: F.transform(
+                            F.col("parts"), lambda b: F.struct(a.alias("pa"), b.alias("pb"))
+                        ),
+                    )
+                ),
+                lambda s: s["pa"] < s["pb"],
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.pa").alias("part_a"), F.col("p.pb").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(k)
+    )
+
+
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue per order priority: yearly exact-decimal
+    totals, previous year via lag, growth ratio in double.
+
+    Two tiny shuffles (yearly agg, then a window over ~priorities x
+    years rows) — the growth math runs on the aggregated result, so
+    the fact scan is touched once.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = W.partitionBy("o_orderpriority").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "o_orderpriority",
+        "yr",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
+    )

@@ -1915,6 +1915,40 @@ SELECT o_orderstatus,
   CAST(sum(CASE WHEN pri_class = 'rush' THEN 1 ELSE 0 END) AS BIGINT) AS n_rush
 FROM r GROUP BY o_orderstatus""",
     ),
+    # market-basket co-occurrence (pair scatter, not a quadratic self-join)
+    "q_basket_pairs": QuerySpec(
+        relational.basket_pairs,
+        """WITH baskets AS (
+  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+  FROM lineitem GROUP BY l_orderkey),
+pairs AS (
+  SELECT a.part_a, a.part_b
+  FROM (
+    SELECT l_orderkey, p1 AS part_a, p2 AS part_b
+    FROM (SELECT l_orderkey, unnest(parts) AS p1, parts FROM baskets),
+         LATERAL (SELECT unnest(parts) AS p2)
+    WHERE p1 < p2) a),
+counted AS (
+  SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+  FROM pairs GROUP BY part_a, part_b)
+SELECT part_a, part_b, n_orders FROM counted
+ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
+    ),
+    # year-over-year growth per priority (lag over exact yearly sums)
+    "q_yoy_revenue": QuerySpec(
+        relational.yoy_revenue_growth,
+        f"""WITH yearly AS (
+  SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS yr,
+    CAST(sum({_d('o_totalprice')}) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority, yr, revenue,
+  lag(revenue) OVER (PARTITION BY o_orderpriority ORDER BY yr)
+    AS prev_revenue,
+  round((revenue - lag(revenue) OVER (PARTITION BY o_orderpriority
+    ORDER BY yr)) / lag(revenue) OVER (PARTITION BY o_orderpriority
+    ORDER BY yr), 6) AS yoy_growth
+FROM yearly""",
+    ),
     # CDC MERGE INTO emulation: deterministic change set applied to orders
     "q_cdc_merge": QuerySpec(
         lambda spark, sf_dir: _cdc_merge(spark, sf_dir),
