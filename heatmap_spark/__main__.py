@@ -33,12 +33,36 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the headline bench (one JSON line)")
 
+    cur = sub.add_parser(
+        "curate", help="run the training-data curation pipeline on documents"
+    )
+    cur.add_argument("--sf-dir", required=True, help="testdata sf dir")
+    cur.add_argument("--output", required=True, help="output parquet path")
+
     args = p.parse_args(argv)
 
     if args.cmd == "bench":
         import bench
 
         bench.main()
+        return 0
+
+    if args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from heatmap_spark import get_spark
+        from heatmap_spark.operators.dedup import curation_pipeline
+
+        spark = get_spark("heatmap-spark-cli")
+        curation_pipeline(spark, args.sf_dir).write.mode("overwrite").parquet(
+            args.output
+        )
+        out = spark.read.parquet(args.output)
+        counts = {
+            r.split: r.n
+            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        print(f"wrote {out.count()} curated docs to {args.output} (splits: {counts})")
         return 0
 
     from heatmap_spark import get_spark
