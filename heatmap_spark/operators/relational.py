@@ -1232,3 +1232,26 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
     )
+
+
+def collation_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: case-insensitive distinct counts and
+    equality via UTF8_LCASE, against the binary-collation defaults.
+
+    Collation rides the TYPE, so a collated groupBy/join hashes the
+    collation key form directly — no lower() materialization on the
+    hot path (the oracle uses lower() because collation is exactly
+    equivalent to it for this data).  Mixed-case input is derived
+    deterministically from c_custkey parity.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+    ).otherwise(F.lower("c_mktsegment"))
+    t = cust.select(mixed.alias("seg"))
+    ci = F.collate(F.col("seg"), "UTF8_LCASE")
+    return t.agg(
+        F.count_distinct(ci).alias("n_ci"),
+        F.count_distinct("seg").alias("n_cs"),
+        F.count(F.when(ci == "BUILDING", 1)).alias("n_building_ci"),
+    )

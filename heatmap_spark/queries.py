@@ -1915,6 +1915,19 @@ SELECT o_orderstatus,
   CAST(sum(CASE WHEN pri_class = 'rush' THEN 1 ELSE 0 END) AS BIGINT) AS n_rush
 FROM r GROUP BY o_orderstatus""",
     ),
+    # Spark 4 collations: case-insensitive distinct/equality as a TYPE
+    "q_collation": QuerySpec(
+        relational.collation_semantics,
+        """WITH t AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg
+  FROM customer)
+SELECT CAST(count(DISTINCT lower(seg)) AS BIGINT) AS n_ci,
+  CAST(count(DISTINCT seg) AS BIGINT) AS n_cs,
+  CAST(count(CASE WHEN lower(seg) = 'building' THEN 1 END) AS BIGINT)
+    AS n_building_ci
+FROM t""",
+    ),
     # market-basket co-occurrence (pair scatter, not a quadratic self-join)
     "q_basket_pairs": QuerySpec(
         relational.basket_pairs,
