@@ -297,3 +297,33 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum("cnt").alias("distinct_users")
     )
+
+
+def file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-input-file audit via Spark's hidden ``_metadata`` column:
+    file name, row count, and key extrema for the orders and lineitem
+    scans.
+
+    ``_metadata`` is populated by the file source at scan time — no
+    extra read, no UDF — which is how a 100 TB pipeline attributes bad
+    rows back to the file (and retention/compaction decisions to row
+    counts) without a separate listing job.  The oracle reads the same
+    files with DuckDB's filename=true.
+    """
+    rows = []
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        df = load_table(spark, sf_dir, name)
+        rows.append(
+            df.groupBy(
+                F.lit(name).alias("table_name"),
+                F.col("_metadata.file_name").alias("file_name"),
+            ).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(key).alias("min_key"),
+                F.max(key).alias("max_key"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1915,6 +1915,20 @@ SELECT o_orderstatus,
   CAST(sum(CASE WHEN pri_class = 'rush' THEN 1 ELSE 0 END) AS BIGINT) AS n_rush
 FROM r GROUP BY o_orderstatus""",
     ),
+    # file provenance via the hidden _metadata scan column
+    "q_file_provenance": QuerySpec(
+        profiling.file_provenance,
+        # each fixture table is one parquet file with a known basename,
+        # so the oracle pins the _metadata-derived name as a constant
+        """SELECT 'orders' AS table_name, 'orders.parquet' AS file_name,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders
+UNION ALL
+SELECT 'lineitem', 'lineitem.parquet', CAST(count(*) AS BIGINT),
+  min(l_orderkey), max(l_orderkey)
+FROM lineitem""",
+    ),
     # Spark 4 collations: case-insensitive distinct/equality as a TYPE
     "q_collation": QuerySpec(
         relational.collation_semantics,
