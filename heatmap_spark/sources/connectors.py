@@ -136,3 +136,34 @@ def write_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
         (w.append() if mode == "append" else w.createOrReplace())
     except Exception as e:
         _raise_if_missing(df.sparkSession, "iceberg", e)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """JDBC source with partitioned reads (the RDBMS ingest path).
+
+    Always pass the partition-column bounds for real tables — without
+    them the whole table arrives through ONE connection/task, which at
+    scale is both slow and an OOM; with them Spark issues
+    ``num_partitions`` bounded range scans in parallel.  Gated: no JDBC
+    driver jar ships in this container.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    try:
+        return reader.load()
+    except Exception as e:
+        _raise_if_missing(spark, "jdbc", e)

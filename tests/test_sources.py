@@ -91,3 +91,19 @@ def test_parameterized_sql(spark):
         args={"lo": 100, "n": 3},
     ).collect()
     assert [r.v for r in got] == [100, 101, 102]
+
+
+def test_jdbc_source_gates_cleanly(spark):
+    import pytest
+
+    from heatmap_spark.sources.connectors import ConnectorUnavailable, read_jdbc
+
+    with pytest.raises(ConnectorUnavailable, match="jdbc"):
+        read_jdbc(
+            spark,
+            "jdbc:postgresql://nowhere:5432/db",
+            "events",
+            partition_column="event_id",
+            lower_bound=0,
+            upper_bound=1000,
+        )
