@@ -97,15 +97,19 @@ def test_udtf_ngrams_matches_native(spark, sf_smoke):
     JVM-side spelling produces (the UDTF pins the API, the native path
     is production)."""
     from heatmap_spark.operators.textops import ngram_udtf_demo
+    from heatmap_spark.sources.tables import load_table, register_sf_view
 
     got = ngram_udtf_demo(spark, sf_smoke, n=2)
+    v = register_sf_view(
+        load_table(spark, sf_smoke, "documents"), "__hs_docs_udtf", sf_smoke
+    )
     native = spark.sql(
-        """SELECT doc_id, posexplode(
+        f"""SELECT doc_id, posexplode(
              transform(sequence(1, greatest(size(toks) - 1, 0)),
                        i -> concat_ws(' ', toks[i-1], toks[i]))) AS (pos, ngram)
            FROM (SELECT doc_id,
                    filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-                 FROM __hs_docs_udtf)"""
+                 FROM {v})"""
     )
     assert got.exceptAll(native).count() == 0
     assert native.exceptAll(got).count() == 0
