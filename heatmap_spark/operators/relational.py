@@ -1255,3 +1255,55 @@ def collation_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("seg").alias("n_cs"),
         F.count(F.when(ci == "BUILDING", 1)).alias("n_building_ci"),
     )
+
+
+def exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface: Catalyst
+    decorrelates both into semi/anti joins (same physical plan the
+    DataFrame spellings produce) — the declarative form is free."""
+    vn = register_sf_view(load_table(spark, sf_dir, "nation"), "hs_nation", sf_dir)
+    vs = register_sf_view(load_table(spark, sf_dir, "supplier"), "hs_supplier", sf_dir)
+    vc = register_sf_view(load_table(spark, sf_dir, "customer"), "hs_customer", sf_dir)
+    return spark.sql(
+        f"""SELECT n.n_name,
+  EXISTS (SELECT 1 FROM {vs} s WHERE s.s_nationkey = n.n_nationkey)
+    AS has_supplier,
+  NOT EXISTS (SELECT 1 FROM {vc} c WHERE c.c_nationkey = n.n_nationkey
+              AND c.c_acctbal > 9000.0) AS no_rich_customer
+FROM {vn} n"""
+    )
+
+
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) over
+    customer vs supplier nation keys — multiplicity-preserving, which
+    the DISTINCT forms destroy."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    inter = cust.intersectAll(supp).groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n"), F.lit("intersect_all").alias("op")
+    )
+    exc = cust.exceptAll(supp).groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n"), F.lit("except_all").alias("op")
+    )
+    return inter.unionByName(exc).select("op", "nk", "n")
+
+
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag/nth_value with IGNORE NULLS — gap-tolerant neighbor
+    lookups (LOCF's window-function cousins)."""
+    ev = load_table(spark, sf_dir, "events")
+    nullable_val = F.when(F.col("event_type") != "error", F.col("value"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        nullable_val.alias("val_or_null"),
+        F.last(nullable_val, ignorenulls=True).over(wf).alias("last_good"),
+        F.first(nullable_val, ignorenulls=True).over(wf).alias("first_good"),
+    )

@@ -1915,6 +1915,42 @@ SELECT o_orderstatus,
   CAST(sum(CASE WHEN pri_class = 'rush' THEN 1 ELSE 0 END) AS BIGINT) AS n_rush
 FROM r GROUP BY o_orderstatus""",
     ),
+    # correlated EXISTS / NOT EXISTS (Catalyst decorrelation to semi/anti)
+    "q_exists_subqueries": QuerySpec(
+        relational.exists_subqueries,
+        """SELECT n.n_name,
+  EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+    AS has_supplier,
+  NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey
+              AND c.c_acctbal > 9000.0) AS no_rich_customer
+FROM nation n""",
+    ),
+    # bag-semantics set ops (multiplicity-preserving)
+    "q_set_ops_all": QuerySpec(
+        relational.set_ops_all,
+        """WITH c AS (SELECT c_nationkey AS nk FROM customer),
+s AS (SELECT s_nationkey AS nk FROM supplier),
+i AS (
+  SELECT 'intersect_all' AS op, nk, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT nk FROM c INTERSECT ALL SELECT nk FROM s) GROUP BY nk),
+e AS (
+  SELECT 'except_all' AS op, nk, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT nk FROM c EXCEPT ALL SELECT nk FROM s) GROUP BY nk)
+SELECT op, nk, n FROM i UNION ALL SELECT op, nk, n FROM e""",
+    ),
+    # lead/lag/first/last with IGNORE NULLS (gap-tolerant windows)
+    "q_window_ignore_nulls": QuerySpec(
+        relational.window_ignore_nulls,
+        """SELECT user_id, event_id,
+  CASE WHEN event_type <> 'error' THEN value END AS val_or_null,
+  last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+    OVER w AS last_good,
+  first_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+    OVER w AS first_good
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    ),
     # file provenance via the hidden _metadata scan column
     "q_file_provenance": QuerySpec(
         profiling.file_provenance,
