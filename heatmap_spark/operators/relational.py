@@ -1307,3 +1307,30 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(nullable_val, ignorenulls=True).over(wf).alias("last_good"),
         F.first(nullable_val, ignorenulls=True).over(wf).alias("first_good"),
     )
+
+
+def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's share of total
+    revenue via an unpartitioned window sum over the exact decimal
+    per-nation aggregates — the window runs on ~25 aggregated rows, so
+    the single-partition frame is free (never window the fact table
+    this way)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    # total as an exact decimal window sum — a double SUM OVER () is
+    # accumulation-order dependent and would break the value hash
+    total = (
+        F.sum(F.col("revenue").cast("decimal(18,6)"))
+        .over(W.partitionBy())
+        .cast("double")
+    )
+    return per_nation.select(
+        "c_nationkey",
+        "revenue",
+        F.round(F.col("revenue") / total, 6).alias("revenue_share"),
+    )

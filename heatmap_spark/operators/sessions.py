@@ -256,3 +256,44 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by signup week, counted
+    as retained in each subsequent week they were active.
+
+    Two aggregates and one join, all on the user key or the small
+    cohort key: per-user cohort week (min signup), distinct
+    (user, activity-week) pairs, then the cohort x offset counts with
+    the cohort size broadcast back in for the rate.  The classic
+    product-analytics query, kept exactly SQL-portable (ISO
+    Monday-start weeks, integer day arithmetic).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    joined = activity.join(cohorts, "user_id").where(
+        F.col("act_week") >= F.col("cohort_week")
+    )
+    cells = joined.groupBy(
+        "cohort_week",
+        (
+            F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+        ).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )

@@ -1915,6 +1915,42 @@ SELECT o_orderstatus,
   CAST(sum(CASE WHEN pri_class = 'rush' THEN 1 ELSE 0 END) AS BIGINT) AS n_rush
 FROM r GROUP BY o_orderstatus""",
     ),
+    # cohort retention matrix (signup week x activity-week offset)
+    "q_cohort_retention": QuerySpec(
+        sessions.cohort_retention,
+        """WITH cohorts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events),
+cells AS (
+  SELECT cohort_week,
+    CAST(datediff('day', cohort_week, act_week) / 7 AS INTEGER)
+      AS week_offset,
+    CAST(count(*) AS BIGINT) AS n_active
+  FROM activity JOIN cohorts USING (user_id)
+  WHERE act_week >= cohort_week
+  GROUP BY 1, 2),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM cohorts GROUP BY 1)
+SELECT cohort_week, week_offset, n_active, cohort_size,
+  round(n_active / cohort_size, 6) AS retention
+FROM cells JOIN sizes USING (cohort_week)""",
+    ),
+    # percent-of-total via an exact-decimal window sum
+    "q_revenue_share": QuerySpec(
+        relational.revenue_share,
+        f"""WITH per_nation AS (
+  SELECT c_nationkey,
+    CAST(sum({_d('o_totalprice')}) AS DOUBLE) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey)
+SELECT c_nationkey, revenue,
+  round(revenue / CAST(sum(CAST(revenue AS DECIMAL(18,6))) OVER ()
+    AS DOUBLE), 6) AS revenue_share
+FROM per_nation""",
+    ),
     # correlated EXISTS / NOT EXISTS (Catalyst decorrelation to semi/anti)
     "q_exists_subqueries": QuerySpec(
         relational.exists_subqueries,
