@@ -537,6 +537,22 @@ def _sql_tile_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8-F10 as a declared query: parent, children (reference
+    tile.py:88-98 quadrant order), and ancestor count for the distinct
+    zoom-5 tiles of the corpus."""
+    loc = load_locations(spark, sf_dir).where(F.col("source") != "background")
+    t5 = loc.select(tl.tile_id("latitude", "longitude", 5).alias("tid")).distinct()
+    return t5.select(
+        "tid",
+        tl.tile_parent(F.col("tid"), 1).alias("parent_tid"),
+        F.concat_ws(",", tl.tile_children(F.col("tid"))).alias("children_csv"),
+        F.size(
+            tl.tile_ancestors(F.col("tid"), max_zoom=4, min_zoom=0)
+        ).alias("n_ancestors"),
+    )
+
+
 def _cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO emulation (operators/layout.merge_upsert) applied to a
     deterministic change set: every orderkey ending in 0 is deleted,
@@ -1914,6 +1930,26 @@ SELECT o_orderstatus,
   CAST(sum(CAST(closed AS BIGINT)) AS BIGINT) AS n_closed,
   CAST(sum(CASE WHEN pri_class = 'rush' THEN 1 ELSE 0 END) AS BIGINT) AS n_rush
 FROM r GROUP BY o_orderstatus""",
+    ),
+    # tile family surface: parent / children / ancestors (F8-F10) as a query
+    "q_tile_family": QuerySpec(
+        lambda spark, sf_dir: _tile_family(spark, sf_dir),
+        f"""WITH {_LOC_CTE},
+t AS (
+  SELECT DISTINCT
+    CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 32.0) AS BIGINT) AS r,
+    CAST(floor((longitude + 180.0)/360.0 * 32.0) AS BIGINT) AS c
+  FROM locations WHERE source <> 'background')
+SELECT '5_' || CAST(r AS VARCHAR) || '_' || CAST(c AS VARCHAR) AS tid,
+  '4_' || CAST(r >> 1 AS VARCHAR) || '_' || CAST(c >> 1 AS VARCHAR)
+    AS parent_tid,
+  ('6_' || CAST(2*r AS VARCHAR) || '_' || CAST(2*c+1 AS VARCHAR)) || ','
+    || ('6_' || CAST(2*r AS VARCHAR) || '_' || CAST(2*c AS VARCHAR)) || ','
+    || ('6_' || CAST(2*r+1 AS VARCHAR) || '_' || CAST(2*c+1 AS VARCHAR)) || ','
+    || ('6_' || CAST(2*r+1 AS VARCHAR) || '_' || CAST(2*c AS VARCHAR))
+    AS children_csv,
+  CAST(4 AS INTEGER) AS n_ancestors
+FROM t""",
     ),
     # cohort retention matrix (signup week x activity-week offset)
     "q_cohort_retention": QuerySpec(
