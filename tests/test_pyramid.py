@@ -22,8 +22,11 @@ from tile import Tile  # noqa: E402  (oracle)
 
 from heatmap_spark.operators import pyramid as P  # noqa: E402
 
-TS1 = dt.datetime(2023, 3, 5, 12, 0, 0)
-TS2 = dt.datetime(2024, 11, 30, 23, 59, 59)
+# tz-aware UTC: naive datetimes would be interpreted in the OS-local zone at
+# the Python->JVM boundary while date_format evaluates in the pinned UTC
+# session TZ, making timespan labels depend on the host TZ.
+TS1 = dt.datetime(2023, 3, 5, 12, 0, 0, tzinfo=dt.timezone.utc)
+TS2 = dt.datetime(2024, 11, 30, 23, 59, 59, tzinfo=dt.timezone.utc)
 
 # (lat, lon, ts, user_id, source, weight)
 ROWS = [

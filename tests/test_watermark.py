@@ -81,7 +81,9 @@ def test_late_row_after_eviction_is_dropped(spark, three_batch_dir):
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "30 minutes").alias("w"))
         .agg(F.count("*").alias("n"))
-        .select(F.col("w.start").alias("ws"), "n")
+        # ws as a session-TZ (UTC) string: collect() would otherwise convert
+        # TIMESTAMP to an OS-local naive datetime, shifting by the host TZ.
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"), "n")
     )
     q = (
         agg.writeStream.outputMode("append")
@@ -97,10 +99,13 @@ def test_late_row_after_eviction_is_dropped(spark, three_batch_dir):
     for r in rows:
         counts.setdefault(r.ws, []).append(r.n)
 
+    def key(d):
+        return d.strftime("%Y-%m-%d %H:%M:%S")
+
     assert n_batches >= 3  # the three files really were separate batches
     # finalized 10:00-10:30 window: exactly ONE emission, on-time rows only
-    assert counts[BASE] == [2], counts
+    assert counts[key(BASE)] == [2], counts
     # 10:30-11:00 window finalized with its single on-time event
-    assert counts[BASE + dt.timedelta(minutes=30)] == [1], counts
+    assert counts[key(BASE + dt.timedelta(minutes=30))] == [1], counts
     # the late row neither re-emitted the old window nor appears anywhere
     assert sum(n for v in counts.values() for n in v) == 3, counts
