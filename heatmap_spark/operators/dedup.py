@@ -95,25 +95,43 @@ def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.2
+    spark: SparkSession, sf_dir: str, threshold: float = 0.2, df_cap: int = 128
 ) -> DataFrame:
-    """All document pairs with shingle-set Jaccard ≥ threshold.
+    """All document pairs with shingle-set Jaccard ≥ threshold, over
+    the df-pruned shingle universe.
 
     Postings self-join through the shingle: documents only meet where
     they share a shingle, intersection size = matching-shingle count.
-    Shuffles on shingle then on the pair — both bounded; hot shingles
-    are the skew risk at scale, handled by AQE skew mitigation (and in
-    practice by document-frequency pruning — see minhash_lsh for the
-    sub-linear path).
+
+    Two 100 TB guards, both mirrored in the DuckDB oracle so the
+    approximation itself is hash-checked:
+
+    * postings are materialized ONCE (eager localCheckpoint) and reused
+      for both join sides and the set sizes — the tokenize+shingle
+      transform (the CPU hot spot) runs a single time, not three;
+    * document-frequency pruning: shingles appearing in > df_cap
+      documents are boilerplate (headers, license text) whose postings
+      join quadratically — a df-cap both kills that skew and removes
+      near-zero-signal features.  Hot shingles are found with one
+      partial-aggregated groupBy (output = distinct hot shingles only,
+      tiny) and removed via broadcast anti-join; Jaccard is then
+      computed in the pruned universe (numerator AND denominator), the
+      standard stop-feature semantics.
     """
     docs = load_table(spark, sf_dir, "documents")
-    post = _doc_shingles(docs).alias("a")
-    post_b = _doc_shingles(docs).alias("b")
-    sizes = (
-        _doc_shingles(docs).groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    post = _doc_shingles(docs).localCheckpoint(eager=True)
+    hot = (
+        post.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("token")
     )
+    kept = post.join(F.broadcast(hot), "token", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = kept.alias("a")
+    b = kept.alias("b")
     inter = (
-        post.join(post_b, F.col("a.token") == F.col("b.token"))
+        a.join(b, F.col("a.token") == F.col("b.token"))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
@@ -278,6 +296,7 @@ def minhash_lsh_candidates(
     sf_dir: str,
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding over minhash
     signatures: docs agreeing on ALL rows of any band become a pair.
@@ -290,18 +309,25 @@ def minhash_lsh_candidates(
     shuffles total (bucket groupBy + distinct).  A self-join spelling
     recomputes the signatures for each side and shuffles both; it
     measured ~4x slower at sf0.1.  Buckets are near-dup groups and
-    stay small by construction; a 100 TB run would additionally cap
-    pathological buckets (``size(ids) < K``) before expansion, which
-    drops only pairs that agree on some OTHER band with high odds.
+    stay small by construction; pathological buckets (empty-shingle
+    docs, templated boilerplate) are capped at ``max_bucket`` members
+    before expansion — a capped bucket would expand quadratically in
+    one task, and its pairs agree on some OTHER (uncapped) band with
+    high odds.  The cap is mirrored in the DuckDB oracle so the
+    approximation is hash-checked.  (For adversarial corpora where even
+    ONE bucket's collect_list is too large to materialize, run the
+    count-first variant: aggregate bucket counts, keep 2..K keys, then
+    semi-join before collecting — one extra shuffle of the band table.)
     """
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_candidates_df(docs, n_hashes, band_rows)
+    return minhash_lsh_candidates_df(docs, n_hashes, band_rows, max_bucket)
 
 
 def minhash_lsh_candidates_df(
     docs: DataFrame,
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """DataFrame-core of :func:`minhash_lsh_candidates` — takes any
     (doc_id, text) relation (used by the scale probe on synthetic
@@ -327,7 +353,7 @@ def minhash_lsh_candidates_df(
     buckets = (
         bands.groupBy("band", "band_sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
     pair = F.explode(
         F.flatten(

@@ -76,23 +76,45 @@ def decode_stub_features(media: DataFrame) -> DataFrame:
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            payloads = pdf["payload"]
-            pdf_out = pd.DataFrame(
+            # vectorized over the whole Arrow batch: concatenate every
+            # payload into one uint8 buffer and reduce per-payload
+            # segments via np.add/min/max.reduceat — no per-row Python
+            lens = pdf["payload"].map(len).to_numpy(dtype=np.int64)
+            total = int(lens.sum())
+            buf = np.frombuffer(
+                b"".join(pdf["payload"]), dtype=np.uint8, count=total
+            )
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            nonempty = lens > 0
+            sums = np.zeros(len(lens), dtype=np.float64)
+            mins = np.zeros(len(lens), dtype=np.int64)
+            maxs = np.zeros(len(lens), dtype=np.int64)
+            if total and nonempty.any():
+                ne_starts = starts[nonempty]
+                sums[nonempty] = np.add.reduceat(
+                    buf.astype(np.int64), ne_starts
+                )
+                mins[nonempty] = np.minimum.reduceat(buf, ne_starts)
+                maxs[nonempty] = np.maximum.reduceat(buf, ne_starts)
+            means = np.divide(
+                sums, lens, out=np.zeros_like(sums), where=nonempty
+            )
+            yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["n_bytes"],
-                    "byte_mean": [
-                        (sum(p) / len(p)) if len(p) else 0.0 for p in payloads
-                    ],
-                    "byte_min": [min(p) if len(p) else 0 for p in payloads],
-                    "byte_max": [max(p) if len(p) else 0 for p in payloads],
-                    "fake_width": [(len(p) % 64) + 1 for p in payloads],
-                    "fake_height": [(len(p) % 48) + 1 for p in payloads],
+                    "byte_mean": means,
+                    "byte_min": mins,
+                    "byte_max": maxs,
+                    "fake_width": (lens % 64) + 1,
+                    "fake_height": (lens % 48) + 1,
                 }
             )
-            yield pdf_out
 
     return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
 

@@ -87,9 +87,14 @@ def ingest_locations(locations: DataFrame, detail_zoom: int = DETAIL_MAX_ZOOM) -
         F.col("latitude").between(-85.05112878, 85.05112878)
         & F.col("longitude").between(-180.0, 180.0)
     )
-    if not locations.isStreaming:  # .rdd is undefined on streaming plans
+    if not locations.isStreaming:  # inputFiles is undefined on streaming plans
         target = locations.sparkSession.sparkContext.defaultParallelism
-        if filtered.rdd.getNumPartitions() < target:
+        # spread decision from file-split count — NOT .rdd.getNumPartitions(),
+        # which would force an RDD conversion into the lineage of every
+        # batch build.  inputFiles() is plan metadata (no job); it
+        # undercounts multi-rowgroup files, which only over-spreads.
+        # 0 files = in-memory relation → spread unconditionally (cheap).
+        if len(locations.inputFiles()) < target:
             filtered = filtered.repartition(target)
     return filtered.select(
         tile_row("latitude", detail_zoom).alias("row"),
@@ -158,6 +163,28 @@ def pyramid_explode(
     return _level_agg(leveled)
 
 
+RELIABLE_CHECKPOINT_CONF = "heatmap.cascade.reliableCheckpoint"
+
+
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage.
+
+    Reliable ``checkpoint()`` when ``heatmap.cascade.reliableCheckpoint``
+    is true and the SparkContext has a checkpoint dir configured
+    (cluster jobs: blocks survive executor loss), else eager DISK_ONLY
+    ``localCheckpoint`` (local mode: no DFS round-trip, blocks on
+    local disk)."""
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    if (
+        spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false") == "true"
+        and spark.sparkContext.getCheckpointDir() is not None
+    ):
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
+
 def pyramid_cascade(
     expanded: DataFrame,
     min_zoom: int = MIN_PYRAMID_ZOOM,
@@ -199,9 +226,15 @@ def pyramid_cascade(
     point-sized — heap-caching them OOMs at 10M+ points, and lineage
     must be CUT (persist alone nests plans deep enough that AQE's plan
     logging OOMs a default driver — SURVEY.md §2.5).
-    """
-    from pyspark.storagelevel import StorageLevel
 
+    Checkpoint reliability: localCheckpoint blocks die with their
+    executor — fine on local[k] (one JVM), unacceptable for a long
+    cluster job.  If the SparkContext has a checkpoint directory set
+    (``sc.setCheckpointDir('hdfs://…')``), each chunk uses reliable
+    ``checkpoint()`` to that directory instead, so a lost executor
+    recomputes nothing — same plan shape, storage swaps from local
+    disk blocks to the DFS.
+    """
     cur = _level_agg(expanded.withColumn("zoom", F.lit(max_zoom)))
     parts = []
     z = max_zoom
@@ -210,7 +243,7 @@ def pyramid_cascade(
         if persist and first:
             # later iterations: cur is a narrow filter of the previous
             # checkpointed chunk — already materialized, no new barrier
-            cur = cur.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+            cur = _cut_lineage(cur)
         first = False
         parts.append(cur)
         step = min(checkpoint_stride, z - min_zoom)
@@ -232,7 +265,7 @@ def pyramid_cascade(
         )
         chunk = _level_agg(shifted)  # levels z-1 .. z-step
         if persist:
-            chunk = chunk.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+            chunk = _cut_lineage(chunk)
         parts.append(chunk.where(F.col("zoom") > z - step))
         cur = chunk.where(F.col("zoom") == z - step)  # filter of the checkpoint
         z -= step

@@ -598,6 +598,25 @@ def _approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact brute-force kNN oracle — shared by q_knn_cosine and
+# q_knn_cosine_ivf_exact (nprobe=all IVF provably equals brute force).
+_KNN_EXACT_SQL = """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+    round(
+      list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * e.vec[i])) /
+      (sqrt(list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * qvec[i]))) *
+       sqrt(list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * e.vec[i])))),
+      6) AS cosine
+  FROM emb e CROSS JOIN q WHERE e.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # ---- heatmap family (the reference's own capability surface) ----
     "q_locations": QuerySpec(q_locations, locations_sql("duckdb")),
@@ -658,7 +677,22 @@ SELECT user_group || '|' || timespan || '|' ||
 FROM leveled GROUP BY 1""",
         headline=True,
     ),
-    "q_heatmap_table": QuerySpec(q_heatmap_table, None),
+    "q_heatmap_table": QuerySpec(
+        q_heatmap_table,
+        # A4 (reference heatmap.py:128-129): the engine builds the JSON
+        # via to_json over map_from_entries(array_sort(...)), so entry
+        # order is pinned to lexicographic detail_tile_id — string_agg
+        # with the same ORDER BY reproduces the byte-identical string
+        # (Spark/Jackson and DuckDB both print doubles shortest-round-trip).
+        f"""WITH {_LOC_CTE},\n{_PTS_CTE},\n{_EXPANDED_CTE},
+leveled AS ({_LEVELED_AGG})
+SELECT user_group || '|' || timespan || '|' ||
+         CAST(zoom - 5 AS VARCHAR) || '_' || CAST(CAST(floor(row/32.0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(floor(col/32.0) AS BIGINT) AS VARCHAR) AS id,
+       '{{' || string_agg(
+           '"' || CAST(zoom AS VARCHAR) || '_' || CAST(row AS VARCHAR) || '_' || CAST(col AS VARCHAR) || '":' || CAST(visits AS VARCHAR),
+           ',' ORDER BY CAST(zoom AS VARCHAR) || '_' || CAST(row AS VARCHAR) || '_' || CAST(col AS VARCHAR)) || '}}' AS heatmap
+FROM leveled GROUP BY 1""",
+    ),
     "q_tile_functions": QuerySpec(
         q_tile_functions,
         f"""WITH {_LOC_CTE},
@@ -901,10 +935,14 @@ FROM fp GROUP BY fingerprint""",
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[i+1] || ' ' ||
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[i+2]))) AS token
   FROM documents),
-sizes AS (SELECT doc_id, count(*) AS set_size FROM toks GROUP BY doc_id),
+kept AS (
+  SELECT t.doc_id, t.token FROM toks t
+  JOIN (SELECT token, count(*) AS df FROM toks GROUP BY token) d USING (token)
+  WHERE d.df <= 128),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM kept GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.token = b.token AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
   round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
@@ -930,33 +968,31 @@ sigs AS (
 bands AS (
   SELECT doc_id, CAST(salt // 4 AS INTEGER) AS band,
     string_agg(minhash, ',' ORDER BY salt) AS band_sig
-  FROM sigs GROUP BY doc_id, CAST(salt // 4 AS INTEGER))
+  FROM sigs GROUP BY doc_id, CAST(salt // 4 AS INTEGER)),
+ok_buckets AS (
+  SELECT band, band_sig FROM bands
+  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+JOIN ok_buckets ob ON ob.band = a.band AND ob.band_sig = a.band_sig
 GROUP BY 1, 2""",
         headline=True,
     ),
     "q_knn_cosine": QuerySpec(
         similarity.knn_cosine,
-        """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 10),
-scored AS (
-  SELECT query_id, e.vec_id AS neighbor_id,
-    round(
-      list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * e.vec[i])) /
-      (sqrt(list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * qvec[i]))) *
-       sqrt(list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * e.vec[i])))),
-      6) AS cosine
-  FROM emb e CROSS JOIN q WHERE e.vec_id <> query_id),
-ranked AS (
-  SELECT query_id, neighbor_id, cosine,
-    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-  FROM scored)
-SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""",
+        _KNN_EXACT_SQL,
         headline=True,
     ),
     "q_knn_cosine_ivf": QuerySpec(similarity.knn_cosine_ivf, None),
+    # nprobe = all buckets ⇒ IVF output provably equals brute force, so
+    # the whole IVF machinery rides the exact oracle's hash-match gate
+    "q_knn_cosine_ivf_exact": QuerySpec(
+        similarity.knn_cosine_ivf_exact, _KNN_EXACT_SQL
+    ),
+    # rows-only, but the query itself raises below recall@5 = 0.3 at
+    # nprobe=1 (and below 1.0 at nprobe=all) — quality pinned in-registry
+    "q_knn_ivf_recall": QuerySpec(similarity.knn_ivf_recall, None),
     "q_text_stats": QuerySpec(
         textops.text_stats,
         """WITH t AS (
@@ -1137,13 +1173,32 @@ FROM per_bit GROUP BY doc_id""",
     ),
     "q_embedding_near_dup": QuerySpec(
         similarity.embedding_near_dup_pairs,
+        # mirrors the engine's deterministic IVF multi-bucketing (seed
+        # codebook = per-coordinate means over vec_id % 8 groups, each
+        # vector assigned to its top-2 buckets by dot affinity, ties to
+        # the lowest bucket), then scores only shared-bucket pairs —
+        # the approximation itself is hash-checked.
         """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+pos AS (
+  SELECT vec_id % 8 AS b, generate_subscripts(vec, 1) AS i, unnest(vec) AS x
+  FROM emb),
+cent AS (SELECT b, i, avg(x) AS m FROM pos GROUP BY 1, 2),
+cvec AS (SELECT b, list(m ORDER BY i) AS centroid FROM cent GROUP BY b),
+affs AS (
+  SELECT e.vec_id, e.vec, c.b,
+    list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * c.centroid[i])) AS aff
+  FROM emb e CROSS JOIN cvec c),
+assigned AS (
+  SELECT vec_id, vec, b AS bucket FROM (
+    SELECT vec_id, vec, b,
+      row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, b) AS rn
+    FROM affs) WHERE rn <= 2),
 pairs AS (
-  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
     list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i])) /
     (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * a.vec[i]))) *
      sqrt(list_sum(list_transform(range(1, len(b.vec) + 1), i -> b.vec[i] * b.vec[i])))) AS raw
-  FROM emb a CROSS JOIN emb b WHERE a.vec_id < b.vec_id)
+  FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT vec_id_a, vec_id_b, round(raw, 6) AS cosine
 FROM pairs WHERE raw >= 0.4""",
     ),

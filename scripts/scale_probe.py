@@ -137,6 +137,35 @@ def probe_knn(spark, n: int) -> None:
     )
 
 
+def probe_neardup(spark, n: int) -> None:
+    """Bucketed embedding near-dup at n vectors (default 100k), using
+    the sign-LSH bucketing family: bucket count scales exponentially
+    in plane count (here ~n/64 buckets) with linear assignment cost,
+    so the pair join is quadratic only within a block, never
+    globally — the family the IVF literal codebook hands over to when
+    n_buckets must track corpus size."""
+    import math
+
+    from heatmap_spark.operators.similarity import (
+        embedding_near_dup_pairs_df,
+        hyperplane_assign,
+    )
+
+    emb = synthetic_embeddings(spark, n)
+    emb.count()  # warm
+    n_planes = max(6, int(math.log2(max(n, 2) / 64)))
+    t0 = time.perf_counter()
+    assigned = hyperplane_assign(emb, n_planes=n_planes)
+    pairs = embedding_near_dup_pairs_df(
+        emb, threshold=0.95, assigned=assigned
+    ).count()
+    dt = time.perf_counter() - t0
+    print(
+        f"embedding-near-dup {n:,} vecs, 2^{n_planes} sign-LSH buckets:"
+        f" {dt:.1f}s = {n / dt / 1000:.0f}k vecs/s, {pairs:,} pairs >= 0.95"
+    )
+
+
 def probe_gapfill(spark, n: int) -> None:
     """Gap-fill 10M irregular events onto a dense (50 types x 30-day
     minute grid) — the spine join + LOCF window at 100x bench scale."""
@@ -274,13 +303,13 @@ def main() -> None:
     defaults = {"pyramid": 10_000_000, "dedup": 500_000, "knn": 1_000_000,
                 "gapfill": 10_000_000, "pagerank": 2_000_000,
                 "funnel": 10_000_000, "episodes": 10_000_000,
-                "skew": 10_000_000}
+                "skew": 10_000_000, "neardup": 100_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
      "gapfill": probe_gapfill, "pagerank": probe_pagerank,
      "funnel": probe_funnel, "episodes": probe_episodes,
-     "skew": probe_skew}[which](spark, n)
+     "skew": probe_skew, "neardup": probe_neardup}[which](spark, n)
 
 
 if __name__ == "__main__":

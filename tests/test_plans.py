@@ -231,3 +231,29 @@ def test_episodes_and_scd2_single_shuffle(spark, sf_smoke):
     assert count_exchanges(e) == 1, plan_string(e, "simple")
     i = scd2_intervals(spark, sf_smoke)
     assert count_exchanges(i) == 1, plan_string(i, "simple")
+
+
+def test_jaccard_postings_built_once(spark, sf_smoke):
+    """jaccard_pairs materializes the shingle postings a single time
+    (eager localCheckpoint): the final plan must contain NO tokenize/
+    shingle computation at all — both join sides and the size agg read
+    the checkpointed RDD."""
+    from heatmap_spark.operators.dedup import jaccard_pairs
+
+    plan = plan_string(jaccard_pairs(spark, sf_smoke), "simple")
+    assert "split(" not in plan, plan
+    assert "transform(" not in plan, plan
+
+
+def test_lsh_bucket_cap_drops_pathological_buckets(spark):
+    """A degenerate corpus (one giant identical-text group) must expand
+    no pairs under the cap, and expand normally when the cap is
+    raised above the bucket size."""
+    from heatmap_spark.operators.dedup import minhash_lsh_candidates_df
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate text repeated for every single document here' AS text",
+    )
+    assert minhash_lsh_candidates_df(docs, max_bucket=64).count() == 0
+    assert minhash_lsh_candidates_df(docs, max_bucket=200).count() == 100 * 99 // 2

@@ -190,3 +190,24 @@ def test_smooth_tiles_clips_world_edge(spark):
     # only the 2x2 in-range quadrant survives
     assert len(out) == 4
     assert all(r.row >= 0 and r.col >= 0 for r in out)
+
+
+def test_cascade_reliable_checkpoint(spark, locations, tmp_path):
+    """With heatmap.cascade.reliableCheckpoint=true and a checkpoint
+    dir set, the cascade materializes chunks via reliable checkpoint()
+    (files land in the dir) and results are unchanged."""
+    import os
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
+    spark.conf.set(P.RELIABLE_CHECKPOINT_CONF, "true")
+    try:
+        got = as_dict(P.build_pyramid(locations, mode="cascade"))
+    finally:
+        spark.conf.set(P.RELIABLE_CHECKPOINT_CONF, "false")
+    assert got == oracle_pyramid(ROWS)
+    written = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tmp_path / "ck")
+        for f in fs
+    ]
+    assert written, "reliable checkpoint wrote no files"

@@ -105,3 +105,46 @@ def test_kmeans_training_improves_ivf_recall(spark, sf_correct):
 
     r0, r2 = recall(0), recall(2)
     assert r2 > r0, (r0, r2)
+
+
+def test_embedding_near_dup_bucketed_subset_of_exact(spark, sf_smoke):
+    """The declared near-dup operator (IVF multi-assign candidates) may
+    only lose pairs vs the exact all-pairs baseline, never invent them,
+    and its plan must not contain a CartesianProduct."""
+    from heatmap_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in embedding_near_dup_pairs_exact(spark, sf_smoke).collect()
+    }
+    bucketed_df = embedding_near_dup_pairs(spark, sf_smoke)
+    bucketed = {
+        (r.vec_id_a, r.vec_id_b): r.cosine for r in bucketed_df.collect()
+    }
+    assert bucketed, "bucketed near-dup returned no pairs"
+    assert set(bucketed) <= set(exact)
+    for k, v in bucketed.items():
+        assert abs(exact[k] - v) < 1e-9
+    plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_nprobe_all_equals_brute_force(spark, sf_smoke):
+    """nprobe = n_buckets probes every bucket, so the IVF path must be
+    row-for-row identical to the exact brute force."""
+    from heatmap_spark.operators.similarity import knn_cosine, knn_cosine_ivf
+
+    brute = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in knn_cosine(spark, sf_smoke, n_queries=5, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in knn_cosine_ivf(
+            spark, sf_smoke, n_queries=5, k=3, n_buckets=4, nprobe=4
+        ).collect()
+    }
+    assert brute == ivf
