@@ -452,3 +452,53 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return kept.select("doc_id", "n_chars", split.alias("split"))
+
+
+def decontaminate(
+    spark: SparkSession, sf_dir: str, shingle_n: int = 5
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    ``shingle_n``-gram with a held-out benchmark set (here: doc_id %
+    97 == 0 stands in for the eval suite), the overlap-removal step
+    every serious pretraining pipeline runs (GPT-3 §C / PaLM-style
+    13-gram decontamination, scaled down to 5-grams for our short
+    fixture docs).
+
+    Plan shape for 100 TB: benchmark shingles are a SMALL distinct set
+    (eval suites are tiny vs the corpus) — broadcast semi-join against
+    the corpus postings, so the corpus is scanned once, map-side
+    filtered, and only matching doc_ids reach the aggregate; no
+    shuffle of corpus postings on the shingle key.
+
+    Output: one row per document, status ∈ {benchmark, contaminated,
+    clean} + keep (clean only).
+
+    Reference: none — SURVEY.md §2.8 (LLM-pipeline curation).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 97 == 0
+    post = _doc_shingles(docs, n=shingle_n)
+    bench_shingles = (
+        post.where(is_bench).select("token").distinct()
+    )
+    contaminated = (
+        post.where(~is_bench)
+        .join(F.broadcast(bench_shingles), "token", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit__", F.lit(True))
+    )
+    status = (
+        F.when(is_bench, F.lit("benchmark"))
+        .when(F.col("__hit__"), F.lit("contaminated"))
+        .otherwise(F.lit("clean"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            status.alias("status"),
+            (~is_bench & F.col("__hit__").isNull()).alias("keep"),
+        )
+    )

@@ -327,3 +327,81 @@ def file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Theta-sketch set operations (Spark 4.1 DataSketches
+    surface): per event_type user sketches, then union / intersection /
+    difference ESTIMATES between every ordered pair of event types —
+    the audience-overlap question ("users who viewed AND clicked")
+    answered without a shuffle of raw ids per pair.
+
+    100 TB shape: theta sketches are partial-aggregated map-side and
+    merged associatively, so per-segment sketches can be persisted once
+    and every pairwise overlap computed from the tiny sketch blobs —
+    set EXPRESSIONS over sketches replace COUNT(DISTINCT) joins.
+
+    Oracle-checkability: a theta sketch with default lgK=12 is EXACT
+    below ~4096 distinct items; the fixture's per-type user counts sit
+    far under that, so estimates equal exact set cardinalities and the
+    DuckDB oracle computes them with plain COUNT(DISTINCT) set algebra.
+    assert_true guards the precondition LOUDLY (same pattern as
+    q_approx_top_k) instead of letting a grown fixture silently
+    diverge.
+
+    Reference: none — SURVEY.md §2.8 (sketch/profiling extension).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    guard = ev.agg(
+        F.assert_true(
+            F.count_distinct("user_id") < F.lit(4000),
+            F.lit("theta exactness precondition: NDV(user_id) too high"),
+        ).alias("g")
+    )
+    per = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    a = per.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = per.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.join(guard, F.col("g").isNull(), "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b"))
+            .cast("bigint")
+            .alias("union_users"),
+            F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
+            .cast("bigint")
+            .alias("common_users"),
+            F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b"))
+            .cast("bigint")
+            .alias("only_a_users"),
+        )
+    )
+
+
+def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketches per event_type: p50/p90/p99 of
+    `value` from one sketch aggregate, plus the stream length the
+    sketch saw (get_n — always exact).
+
+    Like the HLL query this is declared rows-only (KLL is a randomized
+    compactor; estimates are engine-specific), with the rank-error
+    bound pinned in tests against exact percentile_cont.  The point is
+    the LIFECYCLE: per-partition sketch partials merge associatively,
+    so per-day sketches persist once and any later quantile query is
+    sketch-merge-sized, not data-sized.
+
+    Reference: none — SURVEY.md §2.8 (sketch/profiling extension).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    return sk.select(
+        "event_type",
+        F.kll_sketch_get_n_double("sk").alias("n_seen"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 6).alias("p99"),
+    )

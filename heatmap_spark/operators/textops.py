@@ -252,9 +252,15 @@ def bm25_search(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
+    # df_ and stats are tiny aggregates (one row per query term / one
+    # row total) — always broadcast.  lens is one row per corpus
+    # document: NO broadcast hint (it would ship the whole corpus's
+    # lengths to every executor at scale); the join key is doc_id and
+    # the tf side is already restricted to candidate docs, so the
+    # planner/AQE picks broadcast only when tf's candidate set is small.
     scored = (
         tf.join(F.broadcast(df_), "term")
-        .join(F.broadcast(lens), "doc_id")
+        .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
     avgdl = F.col("total_len").cast("double") / F.col("n_docs")
@@ -285,4 +291,142 @@ def bm25_search(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         per_term.select("doc_id", score.alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals per document: duplicate-token
+    fraction, duplicate-trigram fraction, and the fraction of tokens
+    covered by the single most frequent bigram.
+
+    These are the filters a pretraining-data pipeline runs to drop
+    boilerplate/templated pages (Rae et al. 2021 "Gopher" §A1.1,
+    Raffel et al. 2020 "C4"); our fixture has no newlines, so the
+    line-level variants degenerate and the token/n-gram forms carry
+    the signal.  Array stats are per-row Column expressions (no
+    shuffle); the bigram mode needs one explode + two aggregations —
+    all JVM-side, linear in corpus token count.
+
+    Reference: none — SURVEY.md §2.8 (LLM-pipeline text analysis).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _all_tokens().alias("toks"))
+    n = F.size("toks")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i),
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+        ),
+    )
+    # the trigram array is materialized as a real column first — no CSE
+    # inside projections, same reason as _doc_shingles
+    base = (
+        t.withColumn("__tri__", tri)
+        .select(
+            "doc_id",
+            "toks",
+            n.alias("n_tokens"),
+            F.round(1.0 - F.size(F.array_distinct("toks")) / n, 6).alias(
+                "dup_token_frac"
+            ),
+            F.round(
+                1.0
+                - F.size(F.array_distinct("__tri__"))
+                / F.greatest(F.size("__tri__"), F.lit(1)),
+                6,
+            ).alias("dup_trigram_frac"),
+        )
+    )
+    bg = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    bigram_counts = (
+        t.select("doc_id", F.explode(bg).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    return (
+        base.join(bigram_counts, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            "dup_trigram_frac",
+            F.round(
+                2.0 * F.col("top_bigram_count") / F.col("n_tokens"), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1),
+    one boolean per rule + the conjunctive keep decision:
+
+    * token count in [50, 100k]
+    * mean word length in [3, 10]
+    * ≥ 80% of tokens contain at least one alphabetic character
+    * ≥ 2 distinct English stopwords present
+
+    Pure per-row Column arithmetic over the token array — no shuffle,
+    no UDF; at 100 TB this is a map-only pass that fuses into the scan.
+
+    Reference: none — SURVEY.md §2.8 (LLM-pipeline quality scoring).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _all_tokens().alias("toks"))
+    n = F.size("toks")
+    mean_len = F.round(
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        / n,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter("toks", lambda x: x.rlike("[a-z]"))) / n, 6
+    )
+    n_stop = F.size(
+        F.array_distinct(F.filter("toks", lambda x: x.isin(*EN_STOPWORDS)))
+    )
+    t2 = t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_distinct_stopwords"),
+    )
+    ok_len = F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+    ok_word = F.col("mean_word_len").between(
+        GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+    )
+    ok_alpha = F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC
+    ok_stop = F.col("n_distinct_stopwords") >= GOPHER_MIN_DISTINCT_STOPWORDS
+    return t2.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "alpha_frac",
+        "n_distinct_stopwords",
+        ok_len.alias("ok_token_count"),
+        ok_word.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_frac"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_len & ok_word & ok_alpha & ok_stop).alias("keep"),
     )

@@ -85,8 +85,22 @@ def register_sf_view(df: DataFrame, base: str, sf_dir: str) -> str:
     per (view, sf_dir) and concurrency-safe.  ``register_views`` keeps
     canonical fixture names for interactive use — single-dir sessions.
     """
+    import hashlib as _hashlib
+    import os as _os
     import re as _re
 
-    name = base + "_" + _re.sub(r"[^A-Za-z0-9]", "_", sf_dir).strip("_")
+    # sanitized name + short hash of the ABSOLUTE dir: the hash keeps
+    # the mapping injective (sanitization alone collides 'sf0.1' with
+    # 'sf0_1', and relative vs absolute spellings of one dir), the
+    # readable prefix keeps plans debuggable
+    abs_dir = _os.path.abspath(sf_dir)
+    digest = _hashlib.md5(abs_dir.encode()).hexdigest()[:8]
+    name = (
+        base
+        + "_"
+        + _re.sub(r"[^A-Za-z0-9]", "_", sf_dir).strip("_")
+        + "_"
+        + digest
+    )
     df.createOrReplaceTempView(name)
     return name

@@ -151,18 +151,31 @@ def probe_neardup(spark, n: int) -> None:
         hyperplane_assign,
     )
 
-    emb = synthetic_embeddings(spark, n)
+    # CENTERED murmur3-mixed vectors (unlike synthetic_embeddings'
+    # [0,1)^dim, whose positive-orthant cosines cluster near 1, and
+    # unlike lattice arithmetic, whose orbits alias into massive
+    # accidental duplicate classes), with every 13th vector a tiny
+    # perturbation of its predecessor — the planted dups to find.
+    base = F.when(F.col("id") % 13 == 0, F.col("id") - 1).otherwise(F.col("id"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (F.pmod(F.hash(base, j), F.lit(1000)).cast("double") / 1000.0 - 0.5)
+        + F.when(F.col("id") % 13 == 0, (F.col("id") % 7).cast("double") / 1e4).otherwise(F.lit(0.0)),
+    )
+    emb = spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("vec"))
     emb.count()  # warm
     n_planes = max(6, int(math.log2(max(n, 2) / 64)))
     t0 = time.perf_counter()
     assigned = hyperplane_assign(emb, n_planes=n_planes)
     pairs = embedding_near_dup_pairs_df(
-        emb, threshold=0.95, assigned=assigned
+        emb, threshold=0.99, assigned=assigned
     ).count()
     dt = time.perf_counter() - t0
+    planted = n // 13
     print(
         f"embedding-near-dup {n:,} vecs, 2^{n_planes} sign-LSH buckets:"
-        f" {dt:.1f}s = {n / dt / 1000:.0f}k vecs/s, {pairs:,} pairs >= 0.95"
+        f" {dt:.1f}s = {n / dt / 1000:.0f}k vecs/s,"
+        f" {pairs:,} pairs >= 0.99 (planted {planted:,})"
     )
 
 

@@ -253,3 +253,66 @@ def test_merge_upsert_semantics_and_idempotence(spark):
     # replaying the same change set over the result is a no-op
     replay = merge_upsert(merged, changes, keys=["k"], seq_col="seq")
     assert sorted((r.k, r.v) for r in replay.collect()) == got
+
+
+def test_gopher_quality_rules_consistent(spark, sf_smoke):
+    """Rule booleans must re-derive from the reported stats, and keep
+    must be their conjunction."""
+    from heatmap_spark.operators.textops import gopher_quality
+
+    rows = gopher_quality(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.ok_token_count == (50 <= r.n_tokens <= 100_000)
+        assert r.ok_mean_word_len == (3.0 <= r.mean_word_len <= 10.0)
+        assert r.ok_alpha_frac == (r.alpha_frac >= 0.8)
+        assert r.ok_stopwords == (r.n_distinct_stopwords >= 2)
+        assert r.keep == (
+            r.ok_token_count and r.ok_mean_word_len and r.ok_alpha_frac and r.ok_stopwords
+        )
+
+
+def test_repetition_metrics_bounds_and_repeats(spark):
+    """A doc that is one phrase repeated must max out the repetition
+    signals; an all-distinct doc must zero them."""
+    import tempfile
+
+    from heatmap_spark.operators.textops import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha beta alpha beta alpha beta"),
+            (1, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r for r in repetition_metrics(spark, d).collect()}
+    rep, uniq = out[0], out[1]
+    assert rep.dup_token_frac > 0.7
+    assert rep.dup_trigram_frac > 0.6
+    assert rep.top_bigram_frac > 0.8
+    assert uniq.dup_token_frac == 0.0
+    assert uniq.dup_trigram_frac == 0.0
+    for r in out.values():
+        assert 0.0 <= r.dup_token_frac <= 1.0
+        assert 0.0 <= r.dup_trigram_frac <= 1.0
+
+
+def test_decontaminate_statuses(spark, sf_smoke):
+    """Every document gets exactly one row; benchmark ids are labeled
+    benchmark; keep is true exactly for clean docs."""
+    from heatmap_spark.operators.dedup import decontaminate
+    from heatmap_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    rows = decontaminate(spark, sf_smoke).collect()
+    assert len(rows) == n_docs
+    for r in rows:
+        if r.doc_id % 97 == 0:
+            assert r.status == "benchmark" and not r.keep
+        else:
+            assert r.status in ("contaminated", "clean")
+            assert r.keep == (r.status == "clean")

@@ -107,3 +107,19 @@ def test_jdbc_source_gates_cleanly(spark):
             lower_bound=0,
             upper_bound=1000,
         )
+
+
+def test_register_sf_view_name_is_injective(spark, sf_smoke):
+    """Dirs that sanitize to the same identifier (punctuation vs
+    underscore, relative vs absolute spellings) must get DISTINCT view
+    names — the short path-hash suffix keeps the mapping injective."""
+    from heatmap_spark.sources.tables import load_table, register_sf_view
+
+    df = load_table(spark, sf_smoke, "region")
+    n1 = register_sf_view(df, "__hs_inj", "/root/testdata/sf0.001")
+    n2 = register_sf_view(df, "__hs_inj", "/root/testdata/sf0_001")
+    n3 = register_sf_view(df, "__hs_inj", "/root/testdata/../testdata/sf0.001")
+    assert n1 != n2
+    # same dir through a different relative spelling → same ABS path
+    # hash, but the readable prefix differs; both resolve and are usable
+    assert spark.sql(f"SELECT count(*) FROM {n3}").collect()[0][0] >= 1

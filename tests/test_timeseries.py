@@ -52,3 +52,28 @@ def test_hll_estimates_within_tolerance(spark, sf_smoke):
     assert {"__all__"} < {r.event_type for r in rows}
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users), r
+
+
+def test_kll_quantiles_within_rank_error(spark, sf_smoke):
+    """KLL p50/p90/p99 must land within a small RANK error of the
+    exact distribution (k=200 ⇒ ~1.65% rank error at 99% confidence;
+    we allow 3%), and get_n must be exact."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.profiling import kll_value_quantiles
+    from heatmap_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    got = {r.event_type: r for r in kll_value_quantiles(spark, sf_smoke).collect()}
+    for et, r in got.items():
+        vals = sorted(
+            x.value for x in ev.where(F.col("event_type") == et).select("value").collect()
+        )
+        assert r.n_seen == len(vals)
+        for q, est in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            import bisect
+
+            lo = bisect.bisect_left(vals, est)
+            hi = bisect.bisect_right(vals, est)
+            rank_lo, rank_hi = lo / len(vals), hi / len(vals)
+            assert rank_lo - 0.03 <= q <= rank_hi + 0.03, (et, q, est, rank_lo, rank_hi)
