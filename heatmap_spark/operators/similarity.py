@@ -520,3 +520,72 @@ def cosine_pandas_udf():
     # type-hint parser can't resolve for locally-imported names
     cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
     return pandas_udf("double")(cos)
+
+
+def trajectory_similarity(
+    spark: SparkSession,
+    sf_dir: str,
+    zoom: int = 6,
+    k: int = 20,
+    df_cap: int = 64,
+) -> DataFrame:
+    """Top-k most similar user-trajectory pairs by visited-cell Jaccard.
+
+    REPOSE-style discretization (Zheng et al., "REPOSE: Distributed
+    Top-k Trajectory Similarity Search", ICDE 2021 — PAPERS.md):
+    each trajectory becomes its SET of visited quadtree cells at a
+    reference zoom, turning curve similarity into set similarity that
+    distributes as a postings join — users only meet through a shared
+    cell, never all-pairs.  The reference's tile math (tile.py:29-37)
+    provides the discretizer; the reference itself has no similarity
+    operator (SURVEY.md §2.8).
+
+    Scale guards (same design as jaccard_pairs): hot cells — the city
+    centers every trajectory crosses — are document-frequency-capped
+    before the self-join (no discriminative signal, quadratic blowup),
+    and the postings are materialized once.  Output ordering is fully
+    deterministic: (rounded jaccard desc, user_a, user_b).
+    """
+    from heatmap_spark.functions import tiles as tl
+    from heatmap_spark.sources.locations import load_locations
+
+    loc = load_locations(spark, sf_dir).where(F.col("source") != "background")
+    cells = (
+        loc.select(
+            "user_id", tl.tile_id("latitude", "longitude", zoom).alias("cell")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hot = (
+        cells.groupBy("cell")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("cell")
+    )
+    kept = cells.join(F.broadcast(hot), "cell", "left_anti")
+    sizes = kept.groupBy("user_id").agg(F.count("*").alias("n_cells"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    inter = (
+        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("user_id").alias("user_a"), F.col("n_cells").alias("size_a"))
+    sb = sizes.select(F.col("user_id").alias("user_b"), F.col("n_cells").alias("size_b"))
+    jac = F.round(
+        F.col("n_common")
+        / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        6,
+    )
+    return (
+        inter.join(sa, "user_a")
+        .join(sb, "user_b")
+        .select("user_a", "user_b", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("user_a"), F.asc("user_b"))
+        .limit(k)
+    )

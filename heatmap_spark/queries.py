@@ -512,6 +512,32 @@ _SHINGLES_CTE = """toks AS (
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[i+2]))) AS token
   FROM documents)"""
 
+# MinHash signatures → bands → capped candidate pairs, shared by every
+# LSH-derived oracle.  Mirrors operators/dedup exactly: one md5 per
+# shingle split into two 48-bit ints (Kirsch–Mitzenmacher double
+# hashing), hash_i = (h1 + i·h2) mod 2^48, 4 bands × 4 rows, buckets
+# capped at 64 members before pair expansion.
+_LSH_CAND_CTE = """sigs AS (
+  SELECT doc_id, s.salt,
+    min((CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT)
+         + s.salt * CAST(('0x' || substr(md5(token), 13, 12)) AS BIGINT))
+        % 281474976710656) AS minhash
+  FROM toks CROSS JOIN generate_series(0, 15) AS s(salt)
+  GROUP BY doc_id, s.salt),
+bands AS (
+  SELECT doc_id, CAST(salt // 4 AS INTEGER) AS band,
+    string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY salt) AS band_sig
+  FROM sigs GROUP BY doc_id, CAST(salt // 4 AS INTEGER)),
+ok_buckets AS (
+  SELECT band, band_sig FROM bands
+  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  JOIN ok_buckets ob ON ob.band = a.band AND ob.band_sig = a.band_sig
+  GROUP BY 1, 2)"""
+
 
 # ---------------------------------------------------------------------------
 # Registry
@@ -961,31 +987,34 @@ WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.2""",
     ),
     "q_dedup_minhash_lsh": QuerySpec(
         dedup.minhash_lsh_candidates,
-        """WITH toks AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-    range(1, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) - 1),
-    i -> list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[i] || ' ' ||
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[i+1] || ' ' ||
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[i+2]))) AS token
-  FROM documents),
-sigs AS (
-  SELECT doc_id, s.salt,
-    min(md5(CAST(s.salt AS VARCHAR) || '|' || token)) AS minhash
-  FROM toks CROSS JOIN generate_series(0, 15) AS s(salt)
-  GROUP BY doc_id, s.salt),
-bands AS (
-  SELECT doc_id, CAST(salt // 4 AS INTEGER) AS band,
-    string_agg(minhash, ',' ORDER BY salt) AS band_sig
-  FROM sigs GROUP BY doc_id, CAST(salt // 4 AS INTEGER)),
-ok_buckets AS (
-  SELECT band, band_sig FROM bands
-  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-JOIN ok_buckets ob ON ob.band = a.band AND ob.band_sig = a.band_sig
-GROUP BY 1, 2""",
+        f"""WITH {_SHINGLES_CTE},
+{_LSH_CAND_CTE}
+SELECT doc_a, doc_b FROM cand""",
         headline=True,
+    ),
+    "q_trajectory_similarity": QuerySpec(
+        similarity.trajectory_similarity,
+        f"""WITH {_LOC_CTE},
+cells AS (
+  SELECT DISTINCT user_id,
+    '6_' || CAST(CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 64.0) AS BIGINT) AS VARCHAR)
+     || '_' || CAST(CAST(floor((longitude + 180.0)/360.0 * 64.0) AS BIGINT) AS VARCHAR) AS cell
+  FROM locations WHERE source <> 'background'),
+kept AS (
+  SELECT c.user_id, c.cell FROM cells c
+  JOIN (SELECT cell, count(*) AS df FROM cells GROUP BY cell) d USING (cell)
+  WHERE d.df <= 64),
+sizes AS (SELECT user_id, count(*) AS n_cells FROM kept GROUP BY user_id),
+inter AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.cell = b.cell AND a.user_id < b.user_id
+  GROUP BY 1, 2)
+SELECT user_a, user_b,
+  round(n_common / (sa.n_cells + sb.n_cells - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.user_id = user_a
+JOIN sizes sb ON sb.user_id = user_b
+ORDER BY jaccard DESC, user_a, user_b LIMIT 20""",
     ),
     "q_knn_cosine": QuerySpec(
         similarity.knn_cosine,
@@ -1367,20 +1396,7 @@ FROM t""",
     "q_dedup_clusters": QuerySpec(
         dedup.dedup_clusters,
         f"""WITH RECURSIVE {_SHINGLES_CTE},
-sigs AS (
-  SELECT doc_id, s.salt,
-    min(md5(CAST(s.salt AS VARCHAR) || '|' || token)) AS minhash
-  FROM toks CROSS JOIN generate_series(0, 15) AS s(salt)
-  GROUP BY doc_id, s.salt),
-bands AS (
-  SELECT doc_id, CAST(salt // 4 AS INTEGER) AS band,
-    string_agg(minhash, ',' ORDER BY salt) AS band_sig
-  FROM sigs GROUP BY doc_id, CAST(salt // 4 AS INTEGER)),
-cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
+{_LSH_CAND_CTE},
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM cand
   UNION SELECT doc_b, doc_a FROM cand),
@@ -1957,20 +1973,7 @@ FROM region a CROSS JOIN region b WHERE a.r_regionkey < b.r_regionkey""",
     "q_pagerank_near_dup": QuerySpec(
         graph.pagerank_near_dup,
         f"""WITH {_SHINGLES_CTE},
-sigs AS (
-  SELECT doc_id, s.salt,
-    min(md5(CAST(s.salt AS VARCHAR) || '|' || token)) AS minhash
-  FROM toks CROSS JOIN generate_series(0, 15) AS s(salt)
-  GROUP BY doc_id, s.salt),
-bands AS (
-  SELECT doc_id, CAST(salt // 4 AS INTEGER) AS band,
-    string_agg(minhash, ',' ORDER BY salt) AS band_sig
-  FROM sigs GROUP BY doc_id, CAST(salt // 4 AS INTEGER)),
-cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
+{_LSH_CAND_CTE},
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM cand
   UNION SELECT doc_b, doc_a FROM cand),
@@ -2382,20 +2385,7 @@ FROM per ORDER BY bm25 DESC, doc_id LIMIT 20""",
     "q_triangle_count": QuerySpec(
         graph.triangle_count,
         f"""WITH {_SHINGLES_CTE},
-sigs AS (
-  SELECT doc_id, s.salt,
-    min(md5(CAST(s.salt AS VARCHAR) || '|' || token)) AS minhash
-  FROM toks CROSS JOIN generate_series(0, 15) AS s(salt)
-  GROUP BY doc_id, s.salt),
-bands AS (
-  SELECT doc_id, CAST(salt // 4 AS INTEGER) AS band,
-    string_agg(minhash, ',' ORDER BY salt) AS band_sig
-  FROM sigs GROUP BY doc_id, CAST(salt // 4 AS INTEGER)),
-cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
+{_LSH_CAND_CTE},
 nodes AS (
   SELECT doc_a AS d FROM cand UNION SELECT doc_b FROM cand),
 tris AS (
@@ -2439,19 +2429,9 @@ FROM scattered GROUP BY 1, 2, 3, 4""",
     "q_curation_pipeline": QuerySpec(
         dedup.curation_pipeline,
         f"""WITH {_SHINGLES_CTE},
-sigs AS (
-  SELECT doc_id, s.salt,
-    min(md5(CAST(s.salt AS VARCHAR) || '|' || token)) AS minhash
-  FROM toks CROSS JOIN generate_series(0, 15) AS s(salt)
-  GROUP BY doc_id, s.salt),
-bands AS (
-  SELECT doc_id, CAST(salt // 4 AS INTEGER) AS band,
-    string_agg(minhash, ',' ORDER BY salt) AS band_sig
-  FROM sigs GROUP BY doc_id, CAST(salt // 4 AS INTEGER)),
+{_LSH_CAND_CTE},
 dupes AS (
-  SELECT DISTINCT b.doc_id
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+  SELECT DISTINCT doc_b AS doc_id FROM cand),
 kept AS (
   SELECT doc_id, n_chars FROM documents
   WHERE lang = 'en' AND n_chars >= 150

