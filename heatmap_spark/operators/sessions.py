@@ -297,3 +297,38 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_size",
         F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+def od_matrix(spark: SparkSession, sf_dir: str, zoom: int = 6) -> DataFrame:
+    """Origin→destination transition matrix: per user, consecutive
+    location points (ordered by ts with coordinate tiebreaks) become
+    (from_cell, to_cell) quadtree-cell transitions at ``zoom``; the
+    output counts each directed transition across all users — the
+    mobility-flow aggregate heatmap consumers pair with the density
+    pyramid.
+
+    One window shuffle on user_id (lag) + one map-side-combinable
+    groupBy; self-transitions (both points in one cell) are kept — a
+    downstream filter drops them when only flows matter.  The cell
+    discretizer is the reference's tile math (tile.py:29-37).
+    """
+    from heatmap_spark.functions import tiles as tl
+    from heatmap_spark.sources.locations import load_locations
+
+    loc = load_locations(spark, sf_dir).where(F.col("source") != "background")
+    cells = loc.select(
+        "user_id",
+        "ts",
+        "latitude",
+        "longitude",
+        tl.tile_id("latitude", "longitude", zoom).alias("cell"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "latitude", "longitude")
+    trans = cells.select(
+        "user_id",
+        F.lag("cell").over(w).alias("from_cell"),
+        F.col("cell").alias("to_cell"),
+    ).where(F.col("from_cell").isNotNull())
+    return trans.groupBy("from_cell", "to_cell").agg(
+        F.count("*").alias("n_transitions")
+    )

@@ -430,3 +430,31 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_len & ok_word & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+def feature_hashing(
+    spark: SparkSession, sf_dir: str, dim: int = 1024
+) -> DataFrame:
+    """Hashing-trick bag-of-words featurizer (Weinberger et al., ICML
+    2009): token → bucket = md5-derived 48-bit int mod ``dim``, output
+    the sparse (doc_id, bucket, count) triplets.
+
+    This is how a 100 TB corpus becomes fixed-width model input with no
+    vocabulary build, no dictionary broadcast, no OOV handling — the
+    hash IS the vocabulary.  One explode + one groupBy (map-side
+    combinable); md5+hex→int is the same portable kernel the MinHash
+    family uses, so the oracle reproduces buckets bit-for-bit.
+
+    Reference: none — SURVEY.md §2.8 (LLM-pipeline featurization).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(_all_tokens()).alias("term"))
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 12), 16, 10).cast("bigint")
+        % dim
+    ).cast("int")
+    return (
+        terms.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("count"))
+    )

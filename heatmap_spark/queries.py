@@ -992,6 +992,33 @@ WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.2""",
 SELECT doc_a, doc_b FROM cand""",
         headline=True,
     ),
+    "q_feature_hashing": QuerySpec(
+        textops.feature_hashing,
+        """WITH terms AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents)
+SELECT doc_id,
+  CAST(CAST(('0x' || substr(md5(term), 1, 12)) AS BIGINT) % 1024 AS INTEGER) AS bucket,
+  count(*) AS count
+FROM terms GROUP BY 1, 2""",
+    ),
+    "q_od_matrix": QuerySpec(
+        sessions.od_matrix,
+        f"""WITH {_LOC_CTE},
+cells AS (
+  SELECT user_id, ts, latitude, longitude,
+    '6_' || CAST(CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 64.0) AS BIGINT) AS VARCHAR)
+     || '_' || CAST(CAST(floor((longitude + 180.0)/360.0 * 64.0) AS BIGINT) AS VARCHAR) AS cell
+  FROM locations WHERE source <> 'background'),
+trans AS (
+  SELECT user_id,
+    lag(cell) OVER (PARTITION BY user_id ORDER BY ts, latitude, longitude) AS from_cell,
+    cell AS to_cell
+  FROM cells)
+SELECT from_cell, to_cell, count(*) AS n_transitions
+FROM trans WHERE from_cell IS NOT NULL
+GROUP BY 1, 2""",
+    ),
     "q_trajectory_similarity": QuerySpec(
         similarity.trajectory_similarity,
         f"""WITH {_LOC_CTE},

@@ -316,3 +316,41 @@ def test_decontaminate_statuses(spark, sf_smoke):
         else:
             assert r.status in ("contaminated", "clean")
             assert r.keep == (r.status == "clean")
+
+
+def test_feature_hashing_shape(spark, sf_smoke):
+    """Sparse featurizer: buckets in [0, dim), per-doc bucket counts sum
+    to the doc's token count."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.textops import _all_tokens, feature_hashing
+    from heatmap_spark.sources.tables import load_table
+
+    feats = feature_hashing(spark, sf_smoke, dim=64)
+    assert feats.where((F.col("bucket") < 0) | (F.col("bucket") >= 64)).count() == 0
+    per_doc = {
+        r.doc_id: r.total
+        for r in feats.groupBy("doc_id").agg(F.sum("count").alias("total")).collect()
+    }
+    toks = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_smoke, "documents")
+        .select("doc_id", F.size(_all_tokens()).alias("n"))
+        .collect()
+    }
+    assert per_doc == {k: v for k, v in toks.items() if v > 0}
+
+
+def test_od_matrix_conservation(spark, sf_correct):
+    """Every user with n ordered points contributes exactly n-1
+    transitions — the matrix total must equal sum(n_u - 1)."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.sessions import od_matrix
+    from heatmap_spark.sources.locations import load_locations
+
+    loc = load_locations(spark, sf_correct).where(F.col("source") != "background")
+    per_user = loc.groupBy("user_id").count().collect()
+    expected = sum(r["count"] - 1 for r in per_user if r["count"] > 0)
+    got = od_matrix(spark, sf_correct).agg(F.sum("n_transitions")).collect()[0][0]
+    assert got == expected
