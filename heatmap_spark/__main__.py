@@ -38,6 +38,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     cur.add_argument("--sf-dir", required=True, help="testdata sf dir")
     cur.add_argument("--output", required=True, help="output parquet path")
+    cur.add_argument(
+        "--stages",
+        default="classic",
+        help=(
+            "'classic' = the fixed curation_pipeline compose, or a comma "
+            "list of fluent Corpus stages in order from: quality, "
+            "repetition, decontaminate, dedup, dedup-exact, split"
+        ),
+    )
 
     args = p.parse_args(argv)
 
@@ -51,18 +60,42 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from heatmap_spark import get_spark
-        from heatmap_spark.operators.dedup import curation_pipeline
 
         spark = get_spark("heatmap-spark-cli")
-        curation_pipeline(spark, args.sf_dir).write.mode("overwrite").parquet(
-            args.output
-        )
+        if args.stages == "classic":
+            from heatmap_spark.operators.dedup import curation_pipeline
+
+            result = curation_pipeline(spark, args.sf_dir)
+        else:
+            from heatmap_spark.api import Corpus
+
+            b = Corpus(spark).from_sf_dir(args.sf_dir)
+            dispatch = {
+                "quality": lambda b: b.quality_filter(),
+                "repetition": lambda b: b.repetition_filter(),
+                "decontaminate": lambda b: b.decontaminate(),
+                "dedup": lambda b: b.dedup("minhash"),
+                "dedup-exact": lambda b: b.dedup("exact"),
+                "split": lambda b: b.split(),
+            }
+            for stage in args.stages.split(","):
+                stage = stage.strip()
+                if stage not in dispatch:
+                    p.error(f"unknown curate stage {stage!r}")
+                b = dispatch[stage](b)
+            result = b.df()
+        result.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)
-        counts = {
-            r.split: r.n
-            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
-        }
-        print(f"wrote {out.count()} curated docs to {args.output} (splits: {counts})")
+        if "split" in out.columns:
+            counts = {
+                r.split: r.n
+                for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+            }
+            print(
+                f"wrote {out.count()} curated docs to {args.output} (splits: {counts})"
+            )
+        else:
+            print(f"wrote {out.count()} curated docs to {args.output}")
         return 0
 
     from heatmap_spark import get_spark

@@ -88,3 +88,157 @@ class HeatmapBuilder:
         """Append to the heatmaps sink (reference heatmap.py:149-150 used
         Cassandra append; parquet is the test/fixture sink)."""
         self._df.write.format(fmt).mode(mode).save(path)
+
+
+class Corpus:
+    """Fluent training-data curation lifecycle over a documents relation:
+
+        Corpus(spark).from_sf_dir(sf).quality_filter().repetition_filter()
+              .decontaminate().dedup().split().save(path)
+
+    Each stage narrows the same DataFrame, so the full pipeline is ONE
+    Catalyst plan (quality predicates push toward the scan, dedup's
+    candidate doc-ids broadcast into an anti-join, nothing collects to
+    the driver) — the compose `operators/dedup.curation_pipeline`
+    hard-codes, exposed as a builder so users pick their own stages and
+    thresholds.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def from_documents(self, df: DataFrame) -> "CorpusBuilder":
+        """Start from any (doc_id, text[, ...]) relation."""
+        return CorpusBuilder(self.spark, df)
+
+    def from_parquet(self, path: str) -> "CorpusBuilder":
+        return self.from_documents(self.spark.read.parquet(path))
+
+    def from_sf_dir(self, sf_dir: str) -> "CorpusBuilder":
+        from heatmap_spark.sources.tables import load_table
+
+        return self.from_documents(load_table(self.spark, sf_dir, "documents"))
+
+
+class CorpusBuilder:
+    def __init__(self, spark: SparkSession, df: DataFrame):
+        self.spark = spark
+        self._df = df
+
+    def quality_filter(self) -> "CorpusBuilder":
+        """Keep documents passing the Gopher-style rules
+        (operators/textops.gopher_quality_df); map-only."""
+        from pyspark.sql import functions as F
+
+        from heatmap_spark.operators.textops import gopher_quality_df
+
+        keep = gopher_quality_df(self._df).where(F.col("keep")).select("doc_id")
+        return CorpusBuilder(
+            self.spark, self._df.join(keep, "doc_id", "left_semi")
+        )
+
+    def repetition_filter(
+        self,
+        max_dup_token_frac: float = 0.9,
+        max_top_bigram_frac: float = 0.5,
+    ) -> "CorpusBuilder":
+        """Drop boilerplate/templated documents by repetition signals
+        (operators/textops.repetition_metrics_df)."""
+        from pyspark.sql import functions as F
+
+        from heatmap_spark.operators.textops import repetition_metrics_df
+
+        keep = (
+            repetition_metrics_df(self._df)
+            .where(
+                (F.col("dup_token_frac") <= max_dup_token_frac)
+                & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+            )
+            .select("doc_id")
+        )
+        return CorpusBuilder(
+            self.spark, self._df.join(keep, "doc_id", "left_semi")
+        )
+
+    def decontaminate(
+        self, benchmark: DataFrame | None = None, shingle_n: int = 5
+    ) -> "CorpusBuilder":
+        """Remove documents sharing any shingle with the benchmark set
+        (operators/dedup.decontaminate_df).  ``benchmark`` is a
+        (doc_id, text) relation of held-out eval documents; default is
+        the fixture's doc_id % 97 == 0 stand-in.  Benchmark members
+        themselves are also removed from the corpus."""
+        from pyspark.sql import functions as F
+
+        from heatmap_spark.operators.dedup import decontaminate_df
+
+        if benchmark is None:
+            docs = self._df
+            is_bench = F.col("doc_id") % 97 == 0
+        else:
+            # corpus ∪ benchmark with a membership flag (benchmark wins
+            # on doc_id collision); the benchmark id set is tiny →
+            # broadcast left join
+            bench_ids = F.broadcast(
+                benchmark.select(F.col("doc_id").alias("__bid__")).distinct()
+            )
+            docs = (
+                self._df.select("doc_id", "text")
+                .unionByName(benchmark.select("doc_id", "text"))
+                .dropDuplicates(["doc_id"])
+                .join(bench_ids, F.col("doc_id") == F.col("__bid__"), "left")
+            )
+            is_bench = F.col("__bid__").isNotNull()
+        status = decontaminate_df(docs, is_bench, shingle_n)
+        clean = status.where(F.col("keep")).select("doc_id")
+        return CorpusBuilder(
+            self.spark, self._df.join(clean, "doc_id", "left_semi")
+        )
+
+    def dedup(self, method: str = "minhash") -> "CorpusBuilder":
+        """Near-dup removal keeping the lowest doc_id of each candidate
+        pair: 'minhash' (LSH banding) or 'exact' (identical text)."""
+        from pyspark.sql import functions as F
+
+        from heatmap_spark.operators.dedup import minhash_lsh_candidates_df
+
+        if method == "exact":
+            w_keep = self._df.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+            return CorpusBuilder(
+                self.spark,
+                self._df.join(
+                    w_keep.select("doc_id"), "doc_id", "left_semi"
+                ),
+            )
+        if method != "minhash":
+            raise ValueError(f"unknown dedup method {method!r}")
+        dupes = (
+            minhash_lsh_candidates_df(self._df.select("doc_id", "text"))
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        return CorpusBuilder(
+            self.spark,
+            self._df.join(F.broadcast(dupes), "doc_id", "left_anti"),
+        )
+
+    def split(
+        self, train_hex: str = "c", val_hex: str = "e"
+    ) -> "CorpusBuilder":
+        """Deterministic md5-prefix train/val/test split column (stable
+        under repartitioning; same policy as curation_pipeline)."""
+        from pyspark.sql import functions as F
+
+        h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        split = (
+            F.when(h <= train_hex, F.lit("train"))
+            .when(h <= val_hex, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+        return CorpusBuilder(self.spark, self._df.withColumn("split", split))
+
+    def df(self) -> DataFrame:
+        return self._df
+
+    def save(self, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+        self._df.write.format(fmt).mode(mode).save(path)

@@ -74,8 +74,10 @@ def fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, token) distinct shingle postings.
+def _doc_shingles(
+    docs: DataFrame, n: int = 3, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id[, *carry], token) distinct shingle postings.
 
     Two deliberate physical choices (measured 30×+ at sf0.1):
     * the token array is materialized as a real column BEFORE the
@@ -85,15 +87,20 @@ def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     * repartition by doc_id first — small text files arrive as one
       input split, and the shingle transform is CPU-bound, so without
       a spread it runs on a single core no matter the cluster size.
+
+    ``carry`` names extra doc-level columns to thread through to the
+    postings (e.g. a benchmark-membership flag).
     """
     toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda t: t != "")
-    with_toks = docs.repartition(F.col("doc_id")).select("doc_id", toks.alias("toks"))
+    with_toks = docs.repartition(F.col("doc_id")).select(
+        "doc_id", *carry, toks.alias("toks")
+    )
     grams = F.transform(
         F.sequence(F.lit(1), F.size("toks") - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]),
     )
     sh = F.array_distinct(F.when(F.size("toks") >= n, grams).otherwise(F.array()))
-    return with_toks.select("doc_id", F.explode(sh).alias("token"))
+    return with_toks.select("doc_id", *carry, F.explode(sh).alias("token"))
 
 
 def jaccard_pairs(
@@ -499,29 +506,40 @@ def decontaminate(
     Reference: none — SURVEY.md §2.8 (LLM-pipeline curation).
     """
     docs = load_table(spark, sf_dir, "documents")
-    is_bench = F.col("doc_id") % 97 == 0
-    post = _doc_shingles(docs, n=shingle_n)
+    return decontaminate_df(docs, F.col("doc_id") % 97 == 0, shingle_n)
+
+
+def decontaminate_df(
+    docs: DataFrame, is_bench: F.Column, shingle_n: int = 5
+) -> DataFrame:
+    """DataFrame-core of :func:`decontaminate`: ``is_bench`` is any
+    Column predicate over the docs relation marking the held-out set
+    (used by the fluent Corpus builder with caller-supplied benchmark
+    membership).  The predicate is evaluated ONCE into a carried
+    column, so it may reference any docs column, not just doc_id."""
+    flagged = docs.withColumn("__is_bench__", is_bench.cast("boolean"))
+    post = _doc_shingles(flagged, n=shingle_n, carry=("__is_bench__",))
     bench_shingles = (
-        post.where(is_bench).select("token").distinct()
+        post.where(F.col("__is_bench__")).select("token").distinct()
     )
     contaminated = (
-        post.where(~is_bench)
+        post.where(~F.col("__is_bench__"))
         .join(F.broadcast(bench_shingles), "token", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("__hit__", F.lit(True))
     )
     status = (
-        F.when(is_bench, F.lit("benchmark"))
+        F.when(F.col("__is_bench__"), F.lit("benchmark"))
         .when(F.col("__hit__"), F.lit("contaminated"))
         .otherwise(F.lit("clean"))
     )
     return (
-        docs.select("doc_id")
+        flagged.select("doc_id", "__is_bench__")
         .join(contaminated, "doc_id", "left")
         .select(
             "doc_id",
             status.alias("status"),
-            (~is_bench & F.col("__hit__").isNull()).alias("keep"),
+            (~F.col("__is_bench__") & F.col("__hit__").isNull()).alias("keep"),
         )
     )

@@ -309,7 +309,12 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: none — SURVEY.md §2.8 (LLM-pipeline text analysis).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics_df(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_metrics_df(docs: DataFrame) -> DataFrame:
+    """DataFrame-core of :func:`repetition_metrics` over any
+    (doc_id, text) relation (used by the fluent Corpus builder)."""
     t = docs.select("doc_id", _all_tokens().alias("toks"))
     n = F.size("toks")
     tri = F.transform(
@@ -389,7 +394,12 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: none — SURVEY.md §2.8 (LLM-pipeline quality scoring).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_df(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_quality_df(docs: DataFrame) -> DataFrame:
+    """DataFrame-core of :func:`gopher_quality` over any (doc_id, text)
+    relation (used by the fluent Corpus builder)."""
     t = docs.select("doc_id", _all_tokens().alias("toks"))
     n = F.size("toks")
     mean_len = F.round(

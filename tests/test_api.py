@@ -100,3 +100,56 @@ def test_concurrent_queries_different_sf_dirs(spark, sf_smoke, sf_correct):
         ]
         for sf, fut in futures:
             assert fut.result(timeout=300) == expected[sf]
+
+
+def test_corpus_builder_composes_stages(spark, sf_smoke):
+    """The fluent curation lifecycle narrows monotonically, each stage
+    matches its standalone operator, and the result carries a split."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.api import Corpus
+    from heatmap_spark.operators.dedup import decontaminate
+    from heatmap_spark.operators.textops import gopher_quality
+
+    base = Corpus(spark).from_sf_dir(sf_smoke)
+    n0 = base.df().count()
+
+    q = base.quality_filter()
+    expected_q = {
+        r.doc_id for r in gopher_quality(spark, sf_smoke).where("keep").collect()
+    }
+    assert {r.doc_id for r in q.df().select("doc_id").collect()} == expected_q
+
+    d = q.decontaminate()
+    clean = {
+        r.doc_id for r in decontaminate(spark, sf_smoke).where("keep").collect()
+    }
+    assert {r.doc_id for r in d.df().select("doc_id").collect()} == expected_q & clean
+
+    final = d.repetition_filter().dedup("minhash").split()
+    out = final.df()
+    n_final = out.count()
+    assert 0 < n_final <= len(expected_q & clean) <= n0
+    assert set(out.columns) >= {"doc_id", "text", "split"}
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+
+
+def test_corpus_decontaminate_custom_benchmark(spark, sf_smoke):
+    """A caller-supplied benchmark relation drives removal: docs whose
+    text IS a benchmark text (or shares a 5-gram with one) disappear;
+    the benchmark rows themselves never enter the corpus output."""
+    from heatmap_spark.api import Corpus
+    from heatmap_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    # benchmark = copies of two corpus docs under fresh ids
+    bench = (
+        docs.where("doc_id IN (3, 7)")
+        .selectExpr("doc_id + 1000000 AS doc_id", "text")
+    )
+    out = Corpus(spark).from_documents(docs).decontaminate(benchmark=bench).df()
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 3 not in kept and 7 not in kept
+    assert all(k < 1000000 for k in kept)
+    assert len(kept) > 0

@@ -257,3 +257,23 @@ def test_lsh_bucket_cap_drops_pathological_buckets(spark):
     )
     assert minhash_lsh_candidates_df(docs, max_bucket=64).count() == 0
     assert minhash_lsh_candidates_df(docs, max_bucket=200).count() == 100 * 99 // 2
+
+
+def test_gopher_quality_is_map_only(spark, sf_smoke):
+    """Quality rules are per-row Column arithmetic: ZERO exchanges —
+    at 100 TB the filter fuses into the scan."""
+    from heatmap_spark.operators.textops import gopher_quality
+
+    df = gopher_quality(spark, sf_smoke)
+    assert count_exchanges(df) == 0, plan_string(df, "simple")
+    assert not has_python_eval(df)
+
+
+def test_od_matrix_two_exchanges(spark, sf_smoke):
+    """OD matrix = one window shuffle (lag per user) + one aggregate
+    exchange; anything more means a regression snuck in a join."""
+    from heatmap_spark.operators.sessions import od_matrix
+
+    df = od_matrix(spark, sf_smoke)
+    assert count_exchanges(df) <= 2, plan_string(df, "simple")
+    assert not has_python_eval(df)
