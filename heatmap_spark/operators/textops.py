@@ -468,3 +468,76 @@ def feature_hashing(
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("count"))
     )
+
+
+def mixing_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic domain-mixing sampler: keep each document with
+    probability ``weights[source]`` (default: src0 1.0, src1 0.5,
+    src2 0.25, others 0.1), decided by an md5 hash of the doc_id — the
+    way a pretraining mix reweights domains without an RNG, so the
+    SAME documents are chosen on every run, any cluster, any
+    partitioning (rerunning a 100 TB mix is reproducible, and
+    incremental runs agree with full runs).
+
+    Map-only: hash-threshold predicate, no shuffle, fuses into the
+    scan.  hexint(md5)/2^48 is uniform on [0,1) and portable (same
+    kernel as the MinHash family).
+
+    Reference: none — SURVEY.md §2.8 (LLM-pipeline data mixing).
+    """
+    if weights is None:
+        weights = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    default_w = 0.1
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / float(1 << 48)
+    )
+    w = F.lit(default_w)
+    for src, wt in sorted(weights.items()):
+        w = F.when(F.col("source") == src, F.lit(float(wt))).otherwise(w)
+    return docs.where(u < w).select("doc_id", "source", "lang", "n_chars")
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = 512,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Sequence packing for training: assign documents to fixed-token-
+    budget packs.  Documents are hash-bucketed (doc_id % n_buckets),
+    ordered deterministically within each bucket, and a running token
+    sum greedily opens a new pack whenever the budget would overflow —
+    pack_id = floor((cumsum - n_tokens) / budget).
+
+    The bucket IS the unit of parallelism: each bucket's packing is an
+    independent window (one shuffle on bucket), so the operator scales
+    by raising n_buckets — the global-greedy spelling would be a
+    single-task window at 100 TB.  Cross-bucket packs never mix, which
+    costs at most one under-filled pack per bucket.
+
+    Reference: none — SURVEY.md §2.8 (LLM-pipeline batch assembly).
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_buckets).cast("int").alias("bucket"),
+        F.size(_all_tokens()).alias("n_tokens"),
+    )
+    w = W.partitionBy("bucket").orderBy("doc_id")
+    csum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.floor((csum - F.col("n_tokens")) / budget).cast("int").alias("pack_id"),
+    )

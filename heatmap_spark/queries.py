@@ -992,6 +992,23 @@ WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.2""",
 SELECT doc_a, doc_b FROM cand""",
         headline=True,
     ),
+    "q_mixing_sample": QuerySpec(
+        textops.mixing_sample,
+        """SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0
+  < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.1 END""",
+    ),
+    "q_pack_sequences": QuerySpec(
+        textops.pack_sequences,
+        """WITH t AS (
+  SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS bucket,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+  FROM documents)
+SELECT doc_id, bucket, CAST(n_tokens AS INTEGER) AS n_tokens,
+  CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens) / 512.0) AS INTEGER) AS pack_id
+FROM t""",
+    ),
     "q_feature_hashing": QuerySpec(
         textops.feature_hashing,
         """WITH terms AS (
@@ -2602,10 +2619,10 @@ _PRIORITY = [
     "q_tpch_q6",
     "q_tpch_q18",
     "q_sessionize",
-    "q_session_window_batch",
+    "q_trajectory_similarity",
     "q_asof_join",
     "q_window_tumbling",
-    "q_window_sliding",
+    "q_mixing_sample",
     "q_streaming_tumbling",
     "q_streaming_join",
     "q_heatmap_topk_tiles",

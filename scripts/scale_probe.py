@@ -179,6 +179,36 @@ def probe_neardup(spark, n: int) -> None:
     )
 
 
+def probe_od(spark, n: int) -> None:
+    """Origin-destination matrix at n points (default 10M): one lag
+    window per user + one combinable groupBy — the episodes/funnel
+    cost shape applied to the geo domain."""
+    from heatmap_spark.functions import tiles as tl
+    from pyspark.sql.window import Window as W
+
+    loc = synthetic_locations(spark, n).where(F.col("source") != "background")
+    loc.count()  # warm
+    t0 = time.perf_counter()
+    cells = loc.select(
+        "user_id", "ts", "latitude", "longitude",
+        tl.tile_id("latitude", "longitude", 6).alias("cell"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "latitude", "longitude")
+    trans = cells.select(
+        "user_id",
+        F.lag("cell").over(w).alias("from_cell"),
+        F.col("cell").alias("to_cell"),
+    ).where(F.col("from_cell").isNotNull())
+    rows = trans.groupBy("from_cell", "to_cell").agg(
+        F.count("*").alias("n_transitions")
+    ).count()
+    dt = time.perf_counter() - t0
+    print(
+        f"od-matrix {n:,} points -> {rows:,} directed flows in {dt:.1f}s"
+        f" = {n / dt / 1e6:.1f}M pts/s"
+    )
+
+
 def probe_gapfill(spark, n: int) -> None:
     """Gap-fill 10M irregular events onto a dense (50 types x 30-day
     minute grid) — the spine join + LOCF window at 100x bench scale."""
@@ -316,13 +346,14 @@ def main() -> None:
     defaults = {"pyramid": 10_000_000, "dedup": 500_000, "knn": 1_000_000,
                 "gapfill": 10_000_000, "pagerank": 2_000_000,
                 "funnel": 10_000_000, "episodes": 10_000_000,
-                "skew": 10_000_000, "neardup": 100_000}
+                "skew": 10_000_000, "neardup": 100_000, "od": 10_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
      "gapfill": probe_gapfill, "pagerank": probe_pagerank,
      "funnel": probe_funnel, "episodes": probe_episodes,
-     "skew": probe_skew, "neardup": probe_neardup}[which](spark, n)
+     "skew": probe_skew, "neardup": probe_neardup,
+     "od": probe_od}[which](spark, n)
 
 
 if __name__ == "__main__":

@@ -354,3 +354,53 @@ def test_od_matrix_conservation(spark, sf_correct):
     expected = sum(r["count"] - 1 for r in per_user if r["count"] > 0)
     got = od_matrix(spark, sf_correct).agg(F.sum("n_transitions")).collect()[0][0]
     assert got == expected
+
+
+def test_mixing_sample_is_deterministic_and_weighted(spark, sf_correct):
+    """Sampling is hash-deterministic (two runs identical) and roughly
+    respects the per-source weights."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.textops import mixing_sample
+    from heatmap_spark.sources.tables import load_table
+
+    a = {r.doc_id for r in mixing_sample(spark, sf_correct).collect()}
+    b = {r.doc_id for r in mixing_sample(spark, sf_correct).collect()}
+    assert a == b and a
+    docs = load_table(spark, sf_correct, "documents")
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = (
+        mixing_sample(spark, sf_correct)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    rates = {r.source: r.n / totals[r.source] for r in kept}
+    # src0 keeps everything; src1 ~ half; loose bounds (n≈170/source)
+    assert rates.get("src0", 0) == 1.0
+    if "src1" in rates:
+        assert 0.3 < rates["src1"] < 0.7
+
+
+def test_pack_sequences_respects_budget(spark, sf_correct):
+    """No pack exceeds budget + one document's overflow, pack ids are
+    dense from 0 within each bucket, and every doc is packed once."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.textops import pack_sequences
+    from heatmap_spark.sources.tables import load_table
+
+    budget = 512
+    out = pack_sequences(spark, sf_correct, budget=budget).collect()
+    n_docs = load_table(spark, sf_correct, "documents").count()
+    assert len(out) == n_docs
+    packs = {}
+    for r in out:
+        packs.setdefault((r.bucket, r.pack_id), []).append(r.n_tokens)
+    for (bucket, pack_id), sizes in packs.items():
+        # greedy running-sum rule: a pack only exceeds the budget by
+        # the tail of the document that crossed the boundary
+        assert sum(sizes) - max(sizes) < budget
+    for bucket in {b for b, _ in packs}:
+        ids = sorted(p for bb, p in packs if bb == bucket)
+        assert ids[0] == 0

@@ -153,3 +153,22 @@ def test_corpus_decontaminate_custom_benchmark(spark, sf_smoke):
     assert 3 not in kept and 7 not in kept
     assert all(k < 1000000 for k in kept)
     assert len(kept) > 0
+
+
+def test_corpus_builder_empty_input(spark):
+    """Every fluent stage must pass an empty corpus through cleanly."""
+    from heatmap_spark.api import Corpus
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = (
+        Corpus(spark)
+        .from_documents(empty)
+        .quality_filter()
+        .repetition_filter()
+        .decontaminate()
+        .dedup("minhash")
+        .split()
+        .df()
+    )
+    assert out.count() == 0
+    assert "split" in out.columns
