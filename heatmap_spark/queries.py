@@ -579,6 +579,65 @@ def _tile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recursive_cte_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pyramid rollup as a TRUE SQL recursive CTE (Spark 4's WITH
+    RECURSIVE): each zoom-10 tile recursively emits its ancestors down
+    to zoom 6 (pure projection in the recursive term — standard SQL
+    forbids aggregation there), aggregated once outside.  Declarative
+    twin of the iterative DataFrame cascade (operators/pyramid) and of
+    the driver-side loop in q_recursive_pyramid; DuckDB runs the
+    identical statement, so the recursion itself is hash-checked.
+
+    Scale note: the recursive explode is the same row expansion as
+    pyramid_explode (bounded by zoom depth), but Spark materializes
+    each recursion step — the single-aggregation explode stays the
+    production plan; this pins the SQL surface."""
+    from heatmap_spark.sources.locations import load_locations
+
+    v = register_sf_view(load_locations(spark, sf_dir), "__hm_loc_rec", sf_dir)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE base AS (
+          SELECT 10 AS zoom,
+                 CAST(floor((1 - ln(tan(radians(latitude)) + 1/cos(radians(latitude)))/pi())/2 * 1024.0) AS BIGINT) AS row,
+                 CAST(floor((longitude + 180.0)/360.0 * 1024.0) AS BIGINT) AS col,
+                 weight
+          FROM {v} WHERE source <> 'background'),
+        lineage AS (
+          SELECT zoom, row, col, weight FROM base
+          UNION ALL
+          SELECT zoom - 1, CAST(floor(row / 2.0) AS BIGINT),
+                 CAST(floor(col / 2.0) AS BIGINT), weight
+          FROM lineage WHERE zoom > 6)
+        SELECT zoom, row, col, sum(weight) AS visits
+        FROM lineage GROUP BY 1, 2, 3
+        """
+    )
+
+
+def _param_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args=...)): parameters bind
+    as literals into the plan — same pushdown/pruning as hand-inlined
+    SQL, no string splicing.  The oracle is the identical statement
+    with the literals written out."""
+    from heatmap_spark.sources.tables import load_table
+
+    v = register_sf_view(
+        load_table(spark, sf_dir, "lineitem"), "__hm_li_param", sf_dir
+    )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+        FROM {v}
+        WHERE l_quantity >= :min_qty AND l_discount BETWEEN :lo AND :hi
+        GROUP BY l_returnflag
+        """,
+        args={"min_qty": 25, "lo": 0.02, "hi": 0.08},
+    )
+
+
 def _cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO emulation (operators/layout.merge_upsert) applied to a
     deterministic change set: every orderkey ending in 0 is deleted,
@@ -991,6 +1050,33 @@ WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.2""",
 {_LSH_CAND_CTE}
 SELECT doc_a, doc_b FROM cand""",
         headline=True,
+    ),
+    "q_recursive_cte_rollup": QuerySpec(
+        _recursive_cte_rollup,
+        f"""WITH RECURSIVE {_LOC_CTE},
+base AS (
+  SELECT 10 AS zoom,
+         CAST(floor((1 - ln(tan(radians(latitude)) + 1/cos(radians(latitude)))/pi())/2 * 1024.0) AS BIGINT) AS row,
+         CAST(floor((longitude + 180.0)/360.0 * 1024.0) AS BIGINT) AS col,
+         weight
+  FROM locations WHERE source <> 'background'),
+lineage AS (
+  SELECT zoom, row, col, weight FROM base
+  UNION ALL
+  SELECT zoom - 1, CAST(floor(row / 2.0) AS BIGINT),
+         CAST(floor(col / 2.0) AS BIGINT), weight
+  FROM lineage WHERE zoom > 6)
+SELECT zoom, row, col, sum(weight) AS visits
+FROM lineage GROUP BY 1, 2, 3""",
+    ),
+    "q_param_query": QuerySpec(
+        _param_query,
+        """SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS total_qty
+FROM lineitem
+WHERE l_quantity >= 25 AND l_discount BETWEEN 0.02 AND 0.08
+GROUP BY l_returnflag""",
     ),
     "q_mixing_sample": QuerySpec(
         textops.mixing_sample,
