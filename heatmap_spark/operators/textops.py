@@ -541,3 +541,53 @@ def pack_sequences(
         "n_tokens",
         F.floor((csum - F.col("n_tokens")) / budget).cast("int").alias("pack_id"),
     )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and replace emails / phone numbers / IPv4
+    addresses with typed placeholders — the scrubbing pass a training
+    corpus runs before anything else sees the text.
+
+    The fixture corpus carries no PII, so a deterministic contact
+    header (email, phone, ip derived from doc_id) is prepended FIRST
+    and then scrubbed — the redaction machinery operates on real
+    matches and the md5 of the scrubbed text is hash-checked
+    end-to-end against DuckDB running the same RE2-safe patterns
+    (no lookaround, portable across Java regex / RE2).
+
+    Map-only: regexp_count + chained regexp_replace, fuses into the
+    scan; at 100 TB this is pure per-row CPU with zero shuffle.
+
+    Reference: none — SURVEY.md §2.8 (LLM-pipeline text scrubbing).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ph +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 "),
+        F.col("text"),
+    )
+    email_re = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    phone_re = "\\+1-555-[0-9][0-9][0-9][0-9]"
+    ip_re = "10\\.0\\.[0-9]+\\.[0-9]+"
+    t = docs.select("doc_id", raw.alias("raw"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ),
+        ip_re,
+        "<IP>",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("raw"), F.lit(email_re)).alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(phone_re)).alias("n_phones"),
+        F.regexp_count(F.col("raw"), F.lit(ip_re)).alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )

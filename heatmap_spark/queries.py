@@ -1078,6 +1078,24 @@ FROM lineitem
 WHERE l_quantity >= 25 AND l_discount BETWEEN 0.02 AND 0.08
 GROUP BY l_returnflag""",
     ),
+    "q_pii_scrub": QuerySpec(
+        textops.pii_scrub,
+        r"""WITH t AS (
+  SELECT doc_id,
+    'contact: user' || CAST(doc_id AS VARCHAR) || '@example.com ph +1-555-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 ' || text AS raw
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(raw, '\+1-555-[0-9][0-9][0-9][0-9]')) AS INTEGER) AS n_phones,
+  CAST(len(regexp_extract_all(raw, '10\.0\.[0-9]+\.[0-9]+')) AS INTEGER) AS n_ips,
+  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+        '\+1-555-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g'),
+        '10\.0\.[0-9]+\.[0-9]+', '<IP>', 'g')) AS scrubbed_md5
+FROM t""",
+    ),
     "q_mixing_sample": QuerySpec(
         textops.mixing_sample,
         """SELECT doc_id, source, lang, n_chars

@@ -404,3 +404,21 @@ def test_pack_sequences_respects_budget(spark, sf_correct):
     for bucket in {b for b, _ in packs}:
         ids = sorted(p for bb, p in packs if bb == bucket)
         assert ids[0] == 0
+
+
+def test_pii_scrub_finds_planted_contacts(spark, sf_smoke):
+    """Every doc carries exactly one planted email/phone and one ip;
+    scrubbing must change the text (md5 differs from the raw md5)."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.textops import pii_scrub
+    from heatmap_spark.sources.tables import load_table
+
+    rows = pii_scrub(spark, sf_smoke).collect()
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.n_emails == 1
+        assert r.n_phones == 1
+        assert r.n_ips >= 1
+        assert len(r.scrubbed_md5) == 32
