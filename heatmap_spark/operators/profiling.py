@@ -492,3 +492,46 @@ def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in (qty_range, cust_notnull, fk, chars_consistent, nonempty):
         out = out.unionByName(c)
     return out
+
+
+def zscore_outliers(spark: SparkSession, sf_dir: str, threshold: float = 3.0) -> DataFrame:
+    """Per-type z-score anomalies: events whose value deviates from the
+    type mean by ≥ threshold standard deviations.
+
+    Moments follow the exact policy (functions/exact): sum and
+    sum-of-squares accumulate in DECIMAL (order-independent — identical
+    on any partitioning or engine), converting to DOUBLE only for the
+    final mean/std, so z-scores are bit-reproducible and the oracle
+    hash-matches.  The tiny per-type moment table broadcasts back onto
+    the event stream — one aggregate + one broadcast join, no window.
+    """
+    from heatmap_spark.functions.exact import dec
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).cast("double").alias("s1"),
+        F.sum(dec("value") * dec("value")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    enriched = ev.join(
+        F.broadcast(
+            stats.select(
+                "event_type", mean.alias("mean"), F.sqrt(var).alias("std")
+            )
+        ),
+        "event_type",
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        enriched.where(F.abs(z) >= threshold)
+        .select(
+            "event_type",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("z"),
+        )
+    )

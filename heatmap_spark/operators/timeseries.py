@@ -178,3 +178,42 @@ def state_episodes_df(ev: DataFrame) -> DataFrame:
         "episode_end",
         "n_events",
     )
+
+
+def ewma_by_type(spark: SparkSession, sf_dir: str, alpha: float = 0.5) -> DataFrame:
+    """Exponentially weighted moving average per event_type as an
+    ORDERED FOLD: the series is collected in (ts, event_id) order and
+    reduced with acc = α·x + (1−α)·acc, seeded by the first element —
+    the same left-fold DuckDB's list_reduce computes, so the entire
+    recurrence (an inherently sequential computation) is hash-checked
+    cross-engine.
+
+    Scale note: a per-key fold materializes the key's series in one
+    task — fine for per-entity series (the common case: one device /
+    user / symbol per key), and the honest spelling for a recurrence
+    that cannot be partial-aggregated.  Very long single series would
+    use the segmented-scan decomposition (fold partials compose as
+    (a·acc + b)) — noted, not needed at fixture scale.
+    """
+    from heatmap_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    a = F.lit(float(alpha))
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals")),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+    )
+    return series.select(
+        "event_type",
+        F.size("vals").alias("n"),
+        F.round(ewma, 6).alias("ewma"),
+    )

