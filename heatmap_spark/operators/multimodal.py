@@ -141,3 +141,18 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """media table → stubbed decode features (query-registry shape)."""
     return decode_stub_features(media_table(spark, sf_dir))
+
+
+def media_frames(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> DataFrame:
+    """Frame sampling under the hash-match gate: each payload's byte
+    slices are identified by their md5, so the slicing arithmetic
+    (offsets, lengths, last-frame remainder) is verified value-for-
+    value against DuckDB doing the same substring math — the payload
+    bytes are ASCII here, making string-substr ≡ byte-substr."""
+    frames = sample_frames(media_table(spark, sf_dir), n_frames)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame_bytes").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )

@@ -1538,6 +1538,22 @@ SELECT doc_id, term, tfidf FROM ranked WHERE rn = 1""",
     ),
     # ---- multimodal plumbing (mapInPandas — no SQL twin) ----
     "q_media_features": QuerySpec(multimodal.media_features, None),
+    "q_media_frames": QuerySpec(
+        multimodal.media_frames,
+        """WITH m AS (SELECT doc_id, strlen(text) AS n_bytes, text FROM documents),
+f AS (SELECT doc_id, n_bytes, text, CAST(i AS INTEGER) AS frame_idx
+      FROM m CROSS JOIN range(0, 4) t(i)),
+sliced AS (
+  SELECT doc_id, frame_idx,
+    substr(text,
+           frame_idx * (CAST(floor(n_bytes / 4.0) AS INTEGER) + 1) + 1,
+           CAST(floor(n_bytes / 4.0) AS INTEGER) + 1) AS frame
+  FROM f)
+SELECT doc_id, frame_idx,
+  CAST(strlen(frame) AS INTEGER) AS frame_len,
+  md5(frame) AS frame_md5
+FROM sliced""",
+    ),
     # ---- MLlib LSH variants (engine-internal hash families — rows-only) ----
     "q_ml_minhash_lsh": QuerySpec(
         lambda spark, sf_dir: _ml().ml_minhash_candidates(spark, sf_dir), None
