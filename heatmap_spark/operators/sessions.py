@@ -332,3 +332,75 @@ def od_matrix(spark: SparkSession, sf_dir: str, zoom: int = 6) -> DataFrame:
     return trans.groupBy("from_cell", "to_cell").agg(
         F.count("*").alias("n_transitions")
     )
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the same user's most recent 'view' at-or-before it, with the
+    view→purchase latency in seconds.
+
+    Same scalable union+window shape as asof_join_last_signup (one
+    user shuffle, no range join), but carrying the view's EVENT ID —
+    so the sort is made total with (ts, side, event_id) and the
+    attributed view is deterministic even when several views share a
+    timestamp.  Unattributed purchases (no preceding view) keep NULL
+    credit — the funnel's cold-start rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        "event_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    unioned = views.unionByName(purchases)
+    return (
+        unioned.select(
+            "user_id",
+            "ts",
+            "side",
+            "event_id",
+            F.last("view_id", ignorenulls=True).over(w).alias("attributed_view_id"),
+            F.last("view_ts", ignorenulls=True).over(w).alias("attributed_view_ts"),
+        )
+        .where(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "attributed_view_id",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("attributed_view_ts")
+            ).alias("gap_s"),
+        )
+    )
+
+
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase latency distribution over the attributed pairs:
+    count, exact interpolated percentiles (p50/p90), and max — the
+    time-to-convert metric a growth dashboard reads.  One extra
+    aggregate over attribution_last_touch's single-shuffle output."""
+    attributed = attribution_last_touch(spark, sf_dir).where(
+        F.col("gap_s").isNotNull()
+    )
+    return attributed.agg(
+        F.count("*").alias("n_attributed"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_s"),
+        F.max("gap_s").alias("max_s"),
+    )

@@ -1078,6 +1078,55 @@ FROM lineitem
 WHERE l_quantity >= 25 AND l_discount BETWEEN 0.02 AND 0.08
 GROUP BY l_returnflag""",
     ),
+    "q_attribution": QuerySpec(
+        sessions.attribution_last_touch,
+        """WITH tagged AS (
+  SELECT user_id, ts, 0 AS side, event_id,
+         event_id AS view_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 1 AS side, event_id,
+         NULL AS view_id, NULL AS view_ts
+  FROM events WHERE event_type = 'purchase'),
+carried AS (
+  SELECT user_id, ts, side, event_id,
+    last_value(view_id IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, side, event_id
+      ROWS UNBOUNDED PRECEDING) AS attributed_view_id,
+    last_value(view_ts IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, side, event_id
+      ROWS UNBOUNDED PRECEDING) AS attributed_view_ts
+  FROM tagged)
+SELECT event_id AS purchase_id, ts AS purchase_ts,
+  attributed_view_id,
+  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(attributed_view_ts)) AS BIGINT) AS gap_s
+FROM carried WHERE side = 1""",
+    ),
+    "q_conversion_latency": QuerySpec(
+        sessions.conversion_latency,
+        """WITH tagged AS (
+  SELECT user_id, ts, 0 AS side, event_id,
+         event_id AS view_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 1 AS side, event_id,
+         NULL AS view_id, NULL AS view_ts
+  FROM events WHERE event_type = 'purchase'),
+carried AS (
+  SELECT user_id, ts, side,
+    last_value(view_ts IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, side, event_id
+      ROWS UNBOUNDED PRECEDING) AS attributed_view_ts
+  FROM tagged),
+gaps AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(attributed_view_ts)) AS BIGINT) AS gap_s
+  FROM carried WHERE side = 1 AND attributed_view_ts IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_attributed,
+  round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+  round(quantile_cont(gap_s, 0.9), 6) AS p90_s,
+  max(gap_s) AS max_s
+FROM gaps""",
+    ),
     "q_zscore_outliers": QuerySpec(
         profiling.zscore_outliers,
         """WITH stats AS (

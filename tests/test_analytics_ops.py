@@ -436,3 +436,38 @@ def test_data_expectations_all_pass_on_fixture(spark, sf_smoke):
         assert r.n_checked > 0
         assert r.n_violations == 0
         assert r.passed
+
+
+def test_attribution_last_touch_semantics(spark, sf_smoke):
+    """Attributed view must precede (<=) its purchase for the same
+    user, and be the LATEST such view (spot-verified in Python)."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.sessions import attribution_last_touch
+    from heatmap_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    views = {
+        r.event_id: (r.user_id, r.ts)
+        for r in ev.where("event_type = 'view'").collect()
+    }
+    purchases = {
+        r.event_id: (r.user_id, r.ts)
+        for r in ev.where("event_type = 'purchase'").collect()
+    }
+    rows = attribution_last_touch(spark, sf_smoke).collect()
+    assert len(rows) == len(purchases)
+    by_user_views = {}
+    for vid, (u, ts) in views.items():
+        by_user_views.setdefault(u, []).append((ts, vid))
+    for r in rows:
+        u, pts = purchases[r.purchase_id]
+        candidates = [
+            (ts, vid) for ts, vid in by_user_views.get(u, []) if ts <= pts
+        ]
+        if not candidates:
+            assert r.attributed_view_id is None
+        else:
+            best = max(candidates)
+            assert r.attributed_view_id == best[1]
+            assert r.gap_s >= 0
