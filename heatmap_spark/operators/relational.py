@@ -1334,3 +1334,25 @@ def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") / total, 6).alias("revenue_share"),
     )
+
+
+def trending_by_day(spark: SparkSession, sf_dir: str, top: int = 3) -> DataFrame:
+    """Windowed top-k (trending): the k most frequent event types per
+    day, ranked with deterministic tie-breaks — the "what's hot today"
+    query over any event stream.  One aggregate (map-side combinable)
+    + a rank over the tiny per-day result; the raw stream is never
+    window-sorted."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("day").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        daily.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top)
+        .select("day", "rank", "event_type", "n")
+    )

@@ -1078,6 +1078,17 @@ FROM lineitem
 WHERE l_quantity >= 25 AND l_discount BETWEEN 0.02 AND 0.08
 GROUP BY l_returnflag""",
     ),
+    "q_trending": QuerySpec(
+        relational.trending_by_day,
+        """WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT day, event_type, n,
+    CAST(row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS INTEGER) AS rank
+  FROM daily)
+SELECT day, rank, event_type, n FROM ranked WHERE rank <= 3""",
+    ),
     "q_attribution": QuerySpec(
         sessions.attribution_last_touch,
         """WITH tagged AS (

@@ -179,6 +179,33 @@ def probe_neardup(spark, n: int) -> None:
     )
 
 
+def probe_curation(spark, n: int) -> None:
+    """End-to-end fluent curation at n docs (default 500k): repetition
+    filter → LSH near-dup removal → split, one composed plan.  (The
+    quality/Gopher stage is map-only noise at probe scale and the
+    synthetic docs all pass it; the expensive stages are the shingle
+    pipelines.)"""
+    from heatmap_spark.api import Corpus
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    t0 = time.perf_counter()
+    out = (
+        Corpus(spark)
+        .from_documents(docs)
+        .repetition_filter()
+        .dedup("minhash")
+        .split()
+        .df()
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    print(
+        f"curation {n:,} docs -> {out:,} kept in {dt:.1f}s"
+        f" = {n / dt / 1000:.0f}k docs/s"
+    )
+
+
 def probe_od(spark, n: int) -> None:
     """Origin-destination matrix at n points (default 10M): one lag
     window per user + one combinable groupBy — the episodes/funnel
@@ -346,14 +373,15 @@ def main() -> None:
     defaults = {"pyramid": 10_000_000, "dedup": 500_000, "knn": 1_000_000,
                 "gapfill": 10_000_000, "pagerank": 2_000_000,
                 "funnel": 10_000_000, "episodes": 10_000_000,
-                "skew": 10_000_000, "neardup": 100_000, "od": 10_000_000}
+                "skew": 10_000_000, "neardup": 100_000, "od": 10_000_000,
+                "curation": 500_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
      "gapfill": probe_gapfill, "pagerank": probe_pagerank,
      "funnel": probe_funnel, "episodes": probe_episodes,
      "skew": probe_skew, "neardup": probe_neardup,
-     "od": probe_od}[which](spark, n)
+     "od": probe_od, "curation": probe_curation}[which](spark, n)
 
 
 if __name__ == "__main__":

@@ -31,3 +31,31 @@ def test_ml_brp_neighbors_shape(spark, sf_smoke):
     assert set(per_q.keys()) == {0, 1, 2}
     # LSH may return fewer than k if buckets are sparse, never more
     assert all(1 <= n <= 2 for n in per_q.values())
+
+
+def test_minhash_km_family_properties(spark):
+    """Kirsch-Mitzenmacher signature properties: identical texts get
+    identical signatures (and thus always become candidates), disjoint
+    vocabularies never collide on a full band, and signatures are
+    deterministic across invocations."""
+    from heatmap_spark.operators.dedup import (
+        minhash_lsh_candidates_df,
+        minhash_signatures_wide,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: tuple(r)[1:] for r in minhash_signatures_wide(docs).collect()}
+    sigs2 = {r.doc_id: tuple(r)[1:] for r in minhash_signatures_wide(docs).collect()}
+    assert sigs == sigs2
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates_df(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
