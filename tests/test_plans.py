@@ -277,3 +277,39 @@ def test_od_matrix_two_exchanges(spark, sf_smoke):
     df = od_matrix(spark, sf_smoke)
     assert count_exchanges(df) <= 2, plan_string(df, "simple")
     assert not has_python_eval(df)
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_smoke):
+    """Spark's runtime Bloom-filter join pruning (the 100 TB shuffle
+    reducer: a selective dim filter propagates as a bloom_filter_agg
+    probe onto the fact scan) must inject on a selective shuffled
+    join.  Fixture scans sit under the default application-side size
+    threshold, so the test lowers it — at real scale the defaults
+    trigger on their own."""
+    from heatmap_spark.sources.tables import load_table
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_th = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        li = load_table(spark, sf_smoke, "lineitem")
+        od = load_table(spark, sf_smoke, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).select(
+            F.sum("l_quantity").alias("q")
+        )
+        plan = plan_string(j, "simple")
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_th,
+        )
