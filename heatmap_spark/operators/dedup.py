@@ -543,3 +543,44 @@ def decontaminate_df(
             (~F.col("__is_bench__") & F.col("__hit__").isNull()).alias("keep"),
         )
     )
+
+
+def lsh_bucket_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """LSH bucket-size distribution BEFORE capping: (bucket_size,
+    n_buckets) — the diagnostic a production dedup run reads to choose
+    ``max_bucket`` (operators caps at 64) and to spot corpus pathology
+    (a fat tail of giant buckets = templated boilerplate that will
+    expand quadratically).  One extra aggregate over the band table;
+    the signature pipeline is shared with minhash_lsh_candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_wide(docs, n_hashes)
+    n_bands = n_hashes // band_rows
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"mh{b * band_rows + i}") for i in range(band_rows)]
+                        ).alias("band_sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    sizes = bands.groupBy("band", "band_sig").agg(
+        F.count("*").alias("bucket_size")
+    )
+    return (
+        sizes.groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .select(F.col("bucket_size").cast("int").alias("bucket_size"), "n_buckets")
+    )

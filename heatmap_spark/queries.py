@@ -1078,6 +1078,26 @@ FROM lineitem
 WHERE l_quantity >= 25 AND l_discount BETWEEN 0.02 AND 0.08
 GROUP BY l_returnflag""",
     ),
+    "q_lsh_bucket_stats": QuerySpec(
+        dedup.lsh_bucket_stats,
+        f"""WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, s.salt,
+    min((CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT)
+         + s.salt * CAST(('0x' || substr(md5(token), 13, 12)) AS BIGINT))
+        % 281474976710656) AS minhash
+  FROM toks CROSS JOIN generate_series(0, 15) AS s(salt)
+  GROUP BY doc_id, s.salt),
+bands AS (
+  SELECT doc_id, CAST(salt // 4 AS INTEGER) AS band,
+    string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY salt) AS band_sig
+  FROM sigs GROUP BY doc_id, CAST(salt // 4 AS INTEGER)),
+sizes AS (
+  SELECT band, band_sig, count(*) AS bucket_size
+  FROM bands GROUP BY 1, 2)
+SELECT CAST(bucket_size AS INTEGER) AS bucket_size, count(*) AS n_buckets
+FROM sizes GROUP BY 1""",
+    ),
     "q_trending": QuerySpec(
         relational.trending_by_day,
         """WITH daily AS (
