@@ -217,3 +217,69 @@ def ewma_by_type(spark: SparkSession, sf_dir: str, alpha: float = 0.5) -> DataFr
         F.size("vals").alias("n"),
         F.round(ewma, 6).alias("ewma"),
     )
+
+
+def ewma_segmented(spark: SparkSession, sf_dir: str, alpha: float = 0.5) -> DataFrame:
+    """EWMA by segmented scan: the recurrence acc' = (1-α)·acc + α·x is
+    AFFINE, so any segment folds to a pair (A, B) with
+    acc_out = A·acc_in + B, and segments compose associatively:
+    (A2,B2)∘(A1,B1) = (A2·A1, A2·B1 + B2) — the classic
+    parallel-prefix decomposition (Blelloch scan) that makes an
+    inherently sequential computation distributable.
+
+    Physical plan: per (event_type, day) the segment folds IN-ARRAY
+    (each day's slice is one task — no single task ever holds the full
+    series), then the per-day (A, B) pairs compose in day order with a
+    second small fold.  Zero-init convention (acc₀ = 0 ⇒ result =
+    B_total) so every segment is uniform; ewma_by_type keeps the
+    seeded-by-first-element convention for comparison.
+
+    Both folds are mirrored operation-for-operation in the DuckDB
+    oracle, so the hierarchical float evaluation is bit-checked — and
+    a test pins agreement with the flat sequential fold to 1e-9.
+    """
+    from heatmap_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = float(alpha)
+    per_day = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    seg_a = F.aggregate(
+        F.col("vals"), F.lit(1.0), lambda acc, x: acc * F.lit(1.0 - a)
+    )
+    seg_b = F.aggregate(
+        F.col("vals"),
+        F.lit(0.0),
+        lambda acc, x: F.lit(1.0 - a) * acc + F.lit(a) * x,
+    )
+    segments = per_day.select(
+        "event_type",
+        "day",
+        F.size("vals").alias("n"),
+        seg_a.alias("seg_a"),
+        seg_b.alias("seg_b"),
+    )
+    composed = segments.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("day", "seg_a", "seg_b"))
+            ),
+            F.struct(F.lit(1.0).alias("a"), F.lit(0.0).alias("b")),
+            lambda acc, s: F.struct(
+                (s["seg_a"] * acc["a"]).alias("a"),
+                (s["seg_a"] * acc["b"] + s["seg_b"]).alias("b"),
+            ),
+        ).alias("ab"),
+    )
+    return composed.select(
+        "event_type",
+        F.col("n").cast("int").alias("n"),
+        F.round(F.col("ab")["b"], 6).alias("ewma"),
+    )

@@ -1185,6 +1185,29 @@ SELECT event_type,
   round(list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ewma
 FROM series""",
     ),
+    "q_ewma_segmented": QuerySpec(
+        timeseries.ewma_segmented,
+        # mirrors the two-level segmented scan operation-for-operation:
+        # per-day in-array folds to (A, B), then ordered affine
+        # composition — hierarchical float evaluation is bit-checked
+        """WITH per_day AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+    list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY 1, 2),
+segs AS (
+  SELECT event_type, day, len(vals) AS n,
+    list_reduce(list_prepend(CAST(1.0 AS DOUBLE), list_transform(vals, x -> CAST(0.5 AS DOUBLE))), (acc, x) -> acc * x) AS seg_a,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals), (acc, x) -> 0.5 * acc + 0.5 * x) AS seg_b
+  FROM per_day),
+composed AS (
+  SELECT event_type, CAST(sum(n) AS INTEGER) AS n,
+    list_reduce(
+      list_prepend(struct_pack(a := CAST(1.0 AS DOUBLE), b := CAST(0.0 AS DOUBLE)),
+                   list(struct_pack(a := seg_a, b := seg_b) ORDER BY day)),
+      (acc, s) -> struct_pack(a := s.a * acc.a, b := s.a * acc.b + s.b)) AS ab
+  FROM segs GROUP BY event_type)
+SELECT event_type, n, round(ab.b, 6) AS ewma FROM composed""",
+    ),
     "q_data_expectations": QuerySpec(
         profiling.data_expectations,
         """SELECT 'orders.o_orderkey unique' AS check_name,

@@ -110,3 +110,32 @@ def test_zscore_outliers_are_extreme(spark, sf_correct):
     assert rows
     for r in rows:
         assert abs(r.z) >= 3.0
+
+
+def test_ewma_segmented_matches_flat_fold(spark, sf_smoke):
+    """The segmented scan (per-day affine folds composed in order) must
+    agree with the flat zero-init sequential fold to float-assoc
+    tolerance — same math, different association."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.timeseries import ewma_segmented
+    from heatmap_spark.sources.tables import load_table
+
+    got = {r.event_type: r for r in ewma_segmented(spark, sf_smoke).collect()}
+    ev = load_table(spark, sf_smoke, "events")
+    series = (
+        ev.select("event_type", "ts", "event_id", "value")
+        .orderBy("event_type", "ts", "event_id")
+        .collect()
+    )
+    flat = {}
+    counts = {}
+    for r in series:
+        acc = flat.get(r.event_type, 0.0)
+        flat[r.event_type] = 0.5 * acc + 0.5 * r.value
+        counts[r.event_type] = counts.get(r.event_type, 0) + 1
+    assert set(got) == set(flat)
+    for et, r in got.items():
+        assert r.n == counts[et]
+        # the query rounds to 6 decimals; assoc error itself is ~1e-12
+        assert abs(r.ewma - flat[et]) < 1e-6
