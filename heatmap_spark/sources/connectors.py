@@ -167,3 +167,31 @@ def read_jdbc(
         return reader.load()
     except Exception as e:
         _raise_if_missing(spark, "jdbc", e)
+
+
+def write_delta(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Delta Lake sink (gated): transactional append/overwrite with
+    time travel — the production tile-store sink when delta-spark is on
+    the classpath.  In this container the jar is absent; the parquet
+    sink (api.HeatmapBuilder.save) is the tested path, and MERGE
+    semantics are provided engine-side by operators/layout.merge_upsert.
+    """
+    try:
+        df.write.format("delta").mode(mode).save(path)
+    except Exception as e:
+        _raise_if_missing(df.sparkSession, "delta", e)
+
+
+def write_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
+    """Apache Iceberg sink (gated): writes to an Iceberg catalog table
+    (hidden-partition layout, snapshot isolation, schema evolution).
+    Jar absent in this container — gated like the Cassandra/Cosmos
+    connectors, with the gating behavior under test."""
+    try:
+        writer = df.writeTo(table)
+        if mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
+    except Exception as e:
+        _raise_if_missing(df.sparkSession, "iceberg", e)

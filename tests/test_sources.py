@@ -123,3 +123,26 @@ def test_register_sf_view_name_is_injective(spark, sf_smoke):
     # same dir through a different relative spelling → same ABS path
     # hash, but the readable prefix differs; both resolve and are usable
     assert spark.sql(f"SELECT count(*) FROM {n3}").collect()[0][0] >= 1
+
+
+def test_lakehouse_writers_gate_cleanly(spark, tmp_path):
+    """Delta/Iceberg jars are absent in this container: the writers
+    must raise the typed ConnectorUnavailable, never a raw classpath
+    stack, and leave no partial output."""
+    import os
+
+    import pytest
+
+    from heatmap_spark.sources.connectors import (
+        ConnectorUnavailable,
+        write_delta,
+        write_iceberg,
+    )
+
+    df = spark.range(3).selectExpr("id", "CAST(id AS STRING) AS s")
+    target = str(tmp_path / "delta_out")
+    with pytest.raises(ConnectorUnavailable):
+        write_delta(df, target)
+    assert not os.path.exists(os.path.join(target, "_delta_log"))
+    with pytest.raises(ConnectorUnavailable):
+        write_iceberg(df, "local.db.t")
