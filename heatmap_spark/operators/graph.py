@@ -101,3 +101,64 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def link_prediction_common_neighbors(
+    spark: SparkSession, sf_dir: str, top: int = 20
+) -> DataFrame:
+    """Link prediction on the co-purchase graph by common-neighbor
+    count (the classic CN score): parts never bought together but
+    whose neighborhoods overlap — for every NON-edge pair (u < v)
+    reachable in two hops, score = |N(u) ∩ N(v)|.  This is the
+    "customers also bought" recommender primitive.  (The near-dup doc
+    graph is unsuitable here: LSH candidate clusters are cliques, so
+    its two-hop non-edge set is empty by construction.)
+
+    Distributed shape: two-hop self-join THROUGH the shared neighbor
+    (u–w, w–v) — pairs only form where a witness exists, never
+    all-pairs — minus existing edges via left-anti join; the two-hop
+    blowup is bounded by degree² per node, the standard CN cost.
+    Deterministic top-k via TakeOrderedAndProject:
+    (score desc, doc_a, doc_b).
+    """
+    from heatmap_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    cand = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"))
+        .distinct()
+    )
+    edges = (
+        cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    e2 = edges.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    two_hop = (
+        e1.join(e2, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    non_edges = two_hop.join(
+        cand.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    )
+    from pyspark.sql.window import Window as W
+
+    # distributed top-k first (TakeOrderedAndProject — per-partition
+    # heaps, no global sort), then rank the ≤top surviving rows
+    topk = non_edges.orderBy(
+        F.desc("common_neighbors"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(top)
+    w = W.orderBy(F.desc("common_neighbors"), F.asc("doc_a"), F.asc("doc_b"))
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_a",
+        "doc_b",
+        "common_neighbors",
+    )

@@ -535,3 +535,41 @@ def zscore_outliers(spark: SparkSession, sf_dir: str, threshold: float = 3.0) ->
             F.round(z, 6).alias("z"),
         )
     )
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per source group, via
+    the Efraimidis-Spirakis A-ES key (PIPS 2006): each item draws
+    u ∈ (0,1) and ranks by key = ln(u)/w — the top-k by key are a
+    weighted sample without replacement (heavier docs proportionally
+    likelier), computed as ONE map-side key projection + a per-group
+    top-k.  No rejection loops, no sequential draws — the distributed
+    form of weighted reservoir sampling.
+
+    u is hash-derived (md5 of doc_id → uniform 48-bit), so the sample
+    is deterministic and rerun-reproducible like mixing_sample; the
+    key is rounded to 6 decimals before ranking with doc_id tiebreak,
+    making the ordering engine-portable (raw ln/pow ulp differences
+    cannot flip ranks).  Weight = n_chars (longer docs favored — the
+    token-budget-proportional choice a corpus sampler makes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+            ).cast("bigint")
+            + 1
+        ).cast("double")
+        / float((1 << 48) + 1)
+    )
+    key = F.round(F.log(u) / F.col("n_chars"), 6)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("source").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("es_key"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("source", "rank", "doc_id", "n_chars", "es_key")
+    )

@@ -1078,6 +1078,44 @@ FROM lineitem
 WHERE l_quantity >= 25 AND l_discount BETWEEN 0.02 AND 0.08
 GROUP BY l_returnflag""",
     ),
+    "q_link_prediction": QuerySpec(
+        graph.link_prediction_common_neighbors,
+        """WITH cand AS (
+  SELECT DISTINCT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION SELECT doc_b, doc_a FROM cand),
+two_hop AS (
+  SELECT e1.u AS doc_a, e2.v AS doc_b, count(*) AS common_neighbors
+  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+  WHERE e1.u < e2.v
+  GROUP BY 1, 2),
+non_edges AS (
+  SELECT t.* FROM two_hop t
+  LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+  WHERE c.doc_a IS NULL),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY common_neighbors DESC, doc_a, doc_b) AS INTEGER) AS rank,
+         doc_a, doc_b, common_neighbors
+  FROM non_edges)
+SELECT rank, doc_a, doc_b, common_neighbors FROM ranked WHERE rank <= 20""",
+    ),
+    "q_weighted_sample": QuerySpec(
+        profiling.weighted_sample,
+        """WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+             / 281474976710657.0) / n_chars, 6) AS es_key
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id, n_chars, es_key,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id) AS INTEGER) AS rank
+  FROM keyed)
+SELECT source, rank, doc_id, n_chars, es_key
+FROM ranked WHERE rank <= 10""",
+    ),
     "q_lsh_bucket_stats": QuerySpec(
         dedup.lsh_bucket_stats,
         f"""WITH {_SHINGLES_CTE},
