@@ -584,3 +584,45 @@ def lsh_bucket_stats(
         .agg(F.count("*").alias("n_buckets"))
         .select(F.col("bucket_size").cast("int").alias("bucket_size"), "n_buckets")
     )
+
+
+def containment_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8, df_cap: int = 128
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment C(A→B) = |A∩B| / |A| ≥
+    threshold means document A is (mostly) an excerpt/quote of B —
+    the subset relation Jaccard misses when sizes differ (a paragraph
+    inside a book has tiny Jaccard but containment ≈ 1).  Emits both
+    directions separately.
+
+    Same postings machinery and 100 TB guards as jaccard_pairs (single
+    materialized postings build, df-pruned hot shingles, both mirrored
+    in the oracle); only the normalizer changes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    post = _doc_shingles(docs).localCheckpoint(eager=True)
+    hot = (
+        post.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("token")
+    )
+    kept = post.join(F.broadcast(hot), "token", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    inter = (
+        a.join(b, F.col("a.token") == F.col("b.token"))
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    cont = inter.join(sa, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_common") / F.col("size_a")).alias("raw"),
+    )
+    return cont.where(F.col("raw") >= threshold).select(
+        "doc_a", "doc_b", F.round("raw", 6).alias("containment")
+    )

@@ -591,3 +591,36 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("raw"), F.lit(ip_re)).alias("n_ips"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+def novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's shingles
+    FIRST seen in that document (ordered by doc_id — the ingestion
+    order in an append-only corpus).  A near-zero score means the doc
+    is assembled from already-seen content; the running metric an
+    incremental corpus refresh tracks to decide whether a crawl batch
+    adds anything.
+
+    Shape: one groupBy(token) for the global first-seen owner + one
+    postings join back + one per-doc aggregate — all combinable, no
+    window over the corpus.
+    """
+    from heatmap_spark.operators.dedup import _doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = _doc_shingles(docs).localCheckpoint(eager=True)
+    first_seen = post.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    joined = post.join(first_seen, "token")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("int").alias("n_shingles"),
+            F.col("n_novel").cast("int").alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )

@@ -1102,6 +1102,33 @@ ranked AS (
   FROM non_edges)
 SELECT rank, doc_a, doc_b, common_neighbors FROM ranked WHERE rank <= 20""",
     ),
+    "q_containment_pairs": QuerySpec(
+        dedup.containment_pairs,
+        f"""WITH {_SHINGLES_CTE},
+kept AS (
+  SELECT t.doc_id, t.token FROM toks t
+  JOIN (SELECT token, count(*) AS df FROM toks GROUP BY token) d USING (token)
+  WHERE d.df <= 128),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.token = b.token AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(n_common / sa.set_size, 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+WHERE n_common / sa.set_size >= 0.8""",
+    ),
+    "q_novelty": QuerySpec(
+        textops.novelty_scores,
+        f"""WITH {_SHINGLES_CTE},
+first_seen AS (SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY token)
+SELECT t.doc_id,
+  CAST(count(*) AS INTEGER) AS n_shingles,
+  CAST(count(*) FILTER (WHERE f.first_doc = t.doc_id) AS INTEGER) AS n_novel,
+  round(count(*) FILTER (WHERE f.first_doc = t.doc_id) / count(*), 6) AS novelty
+FROM toks t JOIN first_seen f USING (token)
+GROUP BY t.doc_id""",
+    ),
     "q_weighted_sample": QuerySpec(
         profiling.weighted_sample,
         """WITH keyed AS (

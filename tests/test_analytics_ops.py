@@ -471,3 +471,40 @@ def test_attribution_last_touch_semantics(spark, sf_smoke):
             best = max(candidates)
             assert r.attributed_view_id == best[1]
             assert r.gap_s >= 0
+
+
+def test_containment_asymmetry_and_bounds(spark, sf_correct):
+    """Containment is directional: C(A->B) uses |A| as normalizer, so
+    a duplicate pair scores 1.0 both ways, and all scores are in
+    (0, 1]."""
+    from heatmap_spark.operators.dedup import containment_pairs
+
+    rows = containment_pairs(spark, sf_correct).collect()
+    assert rows
+    seen = {(r.doc_a, r.doc_b): r.containment for r in rows}
+    for c in seen.values():
+        assert 0.0 < c <= 1.0
+    # directionality: some pair scores differently in each direction
+    # (C(A->B)=1 with C(B->A)<1 means A is a strict subset of B —
+    # exactly the excerpt case Jaccard misses)
+    both = [
+        (seen[(a, b)], seen[(b, a)])
+        for (a, b) in seen
+        if (b, a) in seen
+    ]
+    assert both
+    assert any(x != y for x, y in both)
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_correct):
+    """The lowest doc_id is 100% novel by construction; every score is
+    a valid fraction and duplicate docs (planted) score 0."""
+    from heatmap_spark.operators.textops import novelty_scores
+
+    rows = {r.doc_id: r for r in novelty_scores(spark, sf_correct).collect()}
+    first = min(rows)
+    assert rows[first].novelty == 1.0
+    for r in rows.values():
+        assert 0.0 <= r.novelty <= 1.0
+        assert r.n_novel <= r.n_shingles
+    assert any(r.novelty == 0.0 for r in rows.values()), "planted dups score 0"
