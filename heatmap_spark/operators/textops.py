@@ -624,3 +624,54 @@ def novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
         )
     )
+
+
+def lang_id_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation at corpus scale: per-class precision /
+    recall / F1 of the stopword language-ID heuristic against the
+    fixture's ground-truth lang label (binarized en vs other — the
+    classifier's output space).
+
+    One conditional aggregate per class over a single pass — the
+    pattern any model-eval job uses on billions of scored rows (no
+    sklearn round-trip, no collect).  Ratios are exact integer-count
+    divisions rounded at the end, so the oracle hash-matches.
+    """
+    pred = lang_id(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("actual"),
+        F.col("predicted_lang").alias("predicted"),
+    )
+    classes = spark.createDataFrame([("en",), ("other",)], "cls string")
+    scored = pred.crossJoin(F.broadcast(classes))
+    agg = scored.groupBy("cls").agg(
+        F.count_if(F.col("actual") == F.col("cls")).alias("n_actual"),
+        F.count_if(
+            (F.col("actual") == F.col("cls")) & (F.col("predicted") == F.col("cls"))
+        ).alias("tp"),
+        F.count_if(
+            (F.col("actual") != F.col("cls")) & (F.col("predicted") == F.col("cls"))
+        ).alias("fp"),
+        F.count_if(
+            (F.col("actual") == F.col("cls")) & (F.col("predicted") != F.col("cls"))
+        ).alias("fn"),
+    )
+    precision = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    recall = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    f1 = (
+        2.0
+        * F.col("tp")
+        / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1))
+    )
+    return agg.select(
+        "cls",
+        "n_actual",
+        "tp",
+        "fp",
+        "fn",
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

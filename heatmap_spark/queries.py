@@ -1102,6 +1102,32 @@ ranked AS (
   FROM non_edges)
 SELECT rank, doc_a, doc_b, common_neighbors FROM ranked WHERE rank <= 20""",
     ),
+    "q_lang_id_metrics": QuerySpec(
+        textops.lang_id_metrics,
+        """WITH t AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+pred AS (
+  SELECT doc_id,
+    CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS actual,
+    CASE WHEN len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) / len(toks) > 0.05
+         THEN 'en' ELSE 'other' END AS predicted
+  FROM t),
+classes(cls) AS (VALUES ('en'), ('other')),
+agg AS (
+  SELECT cls,
+    CAST(count(*) FILTER (WHERE actual = cls) AS BIGINT) AS n_actual,
+    CAST(count(*) FILTER (WHERE actual = cls AND predicted = cls) AS BIGINT) AS tp,
+    CAST(count(*) FILTER (WHERE actual <> cls AND predicted = cls) AS BIGINT) AS fp,
+    CAST(count(*) FILTER (WHERE actual = cls AND predicted <> cls) AS BIGINT) AS fn
+  FROM pred CROSS JOIN classes GROUP BY cls)
+SELECT cls, n_actual, tp, fp, fn,
+  round(tp / greatest(tp + fp, 1), 6) AS precision,
+  round(tp / greatest(tp + fn, 1), 6) AS recall,
+  round(2.0 * tp / greatest(2 * tp + fp + fn, 1), 6) AS f1
+FROM agg""",
+    ),
     "q_containment_pairs": QuerySpec(
         dedup.containment_pairs,
         f"""WITH {_SHINGLES_CTE},
