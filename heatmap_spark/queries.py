@@ -638,6 +638,29 @@ def _param_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL surface: GROUP BY ALL (grouping keys inferred from
+    the non-aggregate select items) — runs identically in Spark 4 and
+    DuckDB, so the surface itself is hash-checked."""
+    from heatmap_spark.sources.tables import load_table
+
+    v = register_sf_view(
+        load_table(spark, sf_dir, "orders"), "__hm_ord_gba", sf_dir
+    )
+    return spark.sql(
+        f"""
+        SELECT *, round(avg_price / 1000.0, 6) AS avg_price_k
+        FROM (
+          SELECT o_orderpriority, o_orderstatus,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price
+          FROM {v}
+          GROUP BY ALL)
+        """
+    )
+
+
 def _cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO emulation (operators/layout.merge_upsert) applied to a
     deterministic change set: every orderkey ending in 0 is deleted,
@@ -1101,6 +1124,17 @@ ranked AS (
          doc_a, doc_b, common_neighbors
   FROM non_edges)
 SELECT rank, doc_a, doc_b, common_neighbors FROM ranked WHERE rank <= 20""",
+    ),
+    "q_group_by_all": QuerySpec(
+        _group_by_all,
+        """SELECT *, round(avg_price / 1000.0, 6) AS avg_price_k
+FROM (
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price
+  FROM orders
+  GROUP BY ALL)""",
     ),
     "q_lang_id_metrics": QuerySpec(
         textops.lang_id_metrics,
