@@ -626,3 +626,63 @@ def containment_pairs(
     return cont.where(F.col("raw") >= threshold).select(
         "doc_a", "doc_b", F.round("raw", 6).alias("containment")
     )
+
+
+def jaccard_prefix_filter(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT token-set similarity join via prefix filtering (the
+    PPJoin family — Xiao et al., WWW 2008): two sets with Jaccard ≥ t
+    MUST share a token within their (|A| − ceil(t·|A|) + 1)-length
+    prefixes under any global token order, so candidates are generated
+    from prefix postings only — provably NO recall loss, unlike LSH —
+    and rare-token-first ordering makes prefixes maximally selective.
+
+    Plan: one df aggregate orders the vocabulary (rare first), docs
+    sort their token arrays by that order (join + collect), prefixes
+    explode into postings ~(1−t)× the full posting volume, the
+    self-join runs on that reduced volume, and candidate pairs verify
+    with an in-array intersection of the full sorted sets.  The
+    result equals the brute-force Jaccard join at the same threshold
+    (pinned by test and by the brute-force DuckDB oracle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(shingles_expr()).alias("token"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    ordered = (
+        toks.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "token"))),
+                lambda s: s["token"],
+            ).alias("toks")
+        )
+    )
+    n = F.size("toks")
+    prefix_len = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    with_prefix = ordered.select(
+        "doc_id", "toks", F.slice("toks", 1, prefix_len).alias("prefix")
+    )
+    prefix_post = with_prefix.select(
+        "doc_id", "toks", F.explode("prefix").alias("token")
+    )
+    a = prefix_post.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"), "token"
+    )
+    b = prefix_post.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"), "token"
+    )
+    cand = (
+        a.join(b, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ta", "tb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter / (F.size("ta") + F.size("tb") - inter)
+    return (
+        cand.select("doc_a", "doc_b", jac.alias("raw"))
+        .where(F.col("raw") >= threshold)
+        .select("doc_a", "doc_b", F.round("raw", 6).alias("jaccard"))
+    )

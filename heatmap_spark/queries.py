@@ -1162,6 +1162,23 @@ SELECT cls, n_actual, tp, fp, fn,
   round(2.0 * tp / greatest(2 * tp + fp + fn, 1), 6) AS f1
 FROM agg""",
     ),
+    "q_jaccard_prefix_filter": QuerySpec(
+        dedup.jaccard_prefix_filter,
+        # brute-force shingle-set Jaccard — the prefix filter is EXACT,
+        # so the smart candidate generation must reproduce this
+        f"""WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+  round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.5""",
+    ),
     "q_containment_pairs": QuerySpec(
         dedup.containment_pairs,
         f"""WITH {_SHINGLES_CTE},

@@ -59,3 +59,47 @@ def test_minhash_km_family_properties(spark):
     pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates_df(docs).collect()}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_prefix_filter_is_exact_and_prunes(spark, sf_smoke):
+    """Prefix filtering must reproduce the brute-force shingle-Jaccard
+    join EXACTLY (no recall loss — the PPJoin guarantee), while its
+    candidate-generation postings are a strict subset of the full
+    postings volume."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.dedup import (
+        _doc_shingles,
+        jaccard_prefix_filter,
+        shingles_expr,
+    )
+    from heatmap_spark.sources.tables import load_table
+
+    t = 0.5
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_prefix_filter(spark, sf_smoke, threshold=t).collect()
+    }
+    docs = load_table(spark, sf_smoke, "documents")
+    sets = {
+        r.doc_id: set(r.sh)
+        for r in docs.select("doc_id", shingles_expr().alias("sh")).collect()
+    }
+    expected = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= t:
+                    expected[(a, b)] = round(j, 6)
+    assert got == expected
+    full_volume = _doc_shingles(docs).count()
+    n = F.size(F.col("sh"))
+    prefix_volume = docs.select(
+        shingles_expr().alias("sh")
+    ).select(
+        (n - F.ceil(F.lit(t) * n) + 1).cast("int").alias("p")
+    ).agg(F.sum("p")).collect()[0][0]
+    assert prefix_volume < full_volume
