@@ -686,3 +686,71 @@ def jaccard_prefix_filter(
         .where(F.col("raw") >= threshold)
         .select("doc_a", "doc_b", F.round("raw", 6).alias("jaccard"))
     )
+
+
+def duplicated_passages(spark: SparkSession, sf_dir: str, w: int = 8) -> DataFrame:
+    """Exact duplicated-passage detection (the ExactSubstr signal of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally): a document's w-token window is
+    *duplicated* if the identical window text occurs in at least one
+    OTHER document; report per-document window counts and the
+    duplicated fraction.
+
+    The suffix-array construction of the paper is a single-machine
+    design; the relational equivalent is a postings aggregation over
+    sliding window hashes — windows are md5-hashed BEFORE the shuffle
+    so the exchange carries 32-byte keys instead of w-gram strings.
+    Cross-doc document frequency is computed over DISTINCT (doc,
+    window) postings (map-side combinable), and the dup set joins back
+    onto the positional window stream on the hash (AQE picks broadcast
+    when the dup set is small; at heavy-duplication scale it degrades
+    gracefully to a shuffle join — never all-pairs).  Docs shorter than
+    w tokens surface with zero windows rather than vanishing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(w)])
+        ),
+    )
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(toks) >= w, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("h"),
+    )
+    dup = (
+        wins.distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    agg = (
+        wins.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.when(
+                    F.col("n_windows") > 0,
+                    F.col("n_dup_windows") / F.col("n_windows"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

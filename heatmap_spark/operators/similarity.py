@@ -589,3 +589,41 @@ def trajectory_similarity(
         .orderBy(F.desc("jaccard"), F.asc("user_a"), F.asc("user_b"))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_buckets: int = 8,
+    n_assign: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication decision per vector.
+
+    Policy (Abbas et al. 2023, "SemDeDup"): cluster the embedding space
+    coarsely, and within each cluster keep one representative of every
+    ε-ball — here the greedy deterministic rule "drop a vector iff some
+    LOWER-id vector in a shared IVF bucket has cosine ≥ threshold".
+    Greedy-by-id makes the keep set order-independent and reproducible
+    on any partitioning, so the approximate policy itself sits under
+    the DuckDB hash-match gate.
+
+    Scale shape: candidate generation is the bucketed
+    :func:`embedding_near_dup_pairs_df` (no CartesianProduct — IVF
+    multi-assignment bounds each block); the drop set is the distinct
+    right side of the pair list, applied back to the corpus as a left
+    join — one extra shuffle on vec_id, no collect.  Output is the full
+    corpus with a ``keep`` flag (a real pipeline then filters
+    ``keep`` and writes the surviving shard).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    pairs = embedding_near_dup_pairs_df(emb, threshold, n_buckets, n_assign)
+    dropped = pairs.select(F.col("vec_id_b").alias("vec_id")).distinct()
+    flagged = dropped.withColumn("dropped", F.lit(True))
+    return (
+        emb.select("vec_id")
+        .join(flagged, "vec_id", "left")
+        .select("vec_id", F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"))
+    )

@@ -675,3 +675,36 @@ def lang_id_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(recall, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram language-model score (CCNet-style quality
+    signal): avg_log2_prob = mean over token occurrences of
+    log2(corpus_tf / corpus_total_tokens).
+
+    Natural prose scores high (common words), gibberish / boilerplate /
+    wrong-language text scores low — the classic cheap LM filter run
+    before an expensive model-based one.  Scale shape: one explode to
+    token occurrences, one map-side-combinable groupBy for the vocab
+    counts, a 1-row broadcast for the corpus total, then a token-keyed
+    equi-join back onto the occurrence stream (AQE broadcasts the vocab
+    side when it fits; at 100 TB the vocab is ~10^7 rows — orders of
+    magnitude below the occurrence stream either way).  Per-token log
+    probs are rounded to 6 decimals and summed as DECIMAL so the score
+    is bit-identical on any partitioning and in the DuckDB oracle
+    (functions/exact.py policy).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_all_tokens()).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n_total"))
+    lp = F.round(F.log2(F.col("tf") / F.col("n_total")), 6).cast("decimal(18,6)")
+    return (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum(lp).cast("double") / F.count("*")).alias("avg_log2_prob"),
+        )
+    )

@@ -539,6 +539,35 @@ cand AS (
   GROUP BY 1, 2)"""
 
 
+# Deterministic IVF multi-bucketed candidate pairs over the embeddings
+# table — shared by the embedding near-dup and semantic-dedup oracles.
+# Mirrors operators/similarity.embedding_near_dup_pairs_df exactly: seed
+# codebook = per-coordinate means over vec_id % 8 groups, each vector
+# assigned to its top-2 buckets by dot affinity (ties to the lowest
+# bucket), pairs restricted to shared buckets.
+_EMB_PAIRS_CTE = """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+pos AS (
+  SELECT vec_id % 8 AS b, generate_subscripts(vec, 1) AS i, unnest(vec) AS x
+  FROM emb),
+cent AS (SELECT b, i, avg(x) AS m FROM pos GROUP BY 1, 2),
+cvec AS (SELECT b, list(m ORDER BY i) AS centroid FROM cent GROUP BY b),
+affs AS (
+  SELECT e.vec_id, e.vec, c.b,
+    list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * c.centroid[i])) AS aff
+  FROM emb e CROSS JOIN cvec c),
+assigned AS (
+  SELECT vec_id, vec, b AS bucket FROM (
+    SELECT vec_id, vec, b,
+      row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, b) AS rn
+    FROM affs) WHERE rn <= 2),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+    list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i])) /
+    (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * a.vec[i]))) *
+     sqrt(list_sum(list_transform(range(1, len(b.vec) + 1), i -> b.vec[i] * b.vec[i])))) AS raw
+  FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1674,27 +1703,7 @@ FROM per_bit GROUP BY doc_id""",
         # vector assigned to its top-2 buckets by dot affinity, ties to
         # the lowest bucket), then scores only shared-bucket pairs —
         # the approximation itself is hash-checked.
-        """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-pos AS (
-  SELECT vec_id % 8 AS b, generate_subscripts(vec, 1) AS i, unnest(vec) AS x
-  FROM emb),
-cent AS (SELECT b, i, avg(x) AS m FROM pos GROUP BY 1, 2),
-cvec AS (SELECT b, list(m ORDER BY i) AS centroid FROM cent GROUP BY b),
-affs AS (
-  SELECT e.vec_id, e.vec, c.b,
-    list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * c.centroid[i])) AS aff
-  FROM emb e CROSS JOIN cvec c),
-assigned AS (
-  SELECT vec_id, vec, b AS bucket FROM (
-    SELECT vec_id, vec, b,
-      row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, b) AS rn
-    FROM affs) WHERE rn <= 2),
-pairs AS (
-  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-    list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i])) /
-    (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * a.vec[i]))) *
-     sqrt(list_sum(list_transform(range(1, len(b.vec) + 1), i -> b.vec[i] * b.vec[i])))) AS raw
-  FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        f"""WITH {_EMB_PAIRS_CTE}
 SELECT vec_id_a, vec_id_b, round(raw, 6) AS cosine
 FROM pairs WHERE raw >= 0.4""",
     ),
@@ -2991,6 +3000,57 @@ ranked AS (
       ORDER BY dist_m, user_id, latitude, longitude) AS INTEGER) AS rank
   FROM cand)
 SELECT probe, rank, user_id, dist_m FROM ranked WHERE rank <= 5""",
+    ),
+    # SemDeDup-style semantic dedup decision: drop a vector iff some
+    # lower-id vector in a shared IVF bucket has cosine >= 0.4 — the
+    # greedy keep-one-per-ε-ball policy, hash-checked end to end.
+    "q_semantic_dedup": QuerySpec(
+        similarity.semantic_dedup,
+        f"""WITH {_EMB_PAIRS_CTE},
+dropped AS (SELECT DISTINCT vec_id_b AS vec_id FROM pairs WHERE raw >= 0.4)
+SELECT e.vec_id, (d.vec_id IS NULL) AS keep
+FROM emb e LEFT JOIN dropped d USING (vec_id)""",
+    ),
+    # CCNet-style unigram LM quality score: mean log2 corpus probability
+    # of the document's token occurrences (exact-decimal summation).
+    "q_unigram_logprob": QuerySpec(
+        textops.unigram_logprob,
+        """WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents),
+vocab AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
+total AS (SELECT sum(tf) AS n_total FROM vocab)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CAST(round(log2(CAST(v.tf AS DOUBLE) / CAST(tt.n_total AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+    / count(*) AS avg_log2_prob
+FROM tok t JOIN vocab v USING (token) CROSS JOIN total tt
+GROUP BY t.doc_id""",
+    ),
+    # Lee-et-al-style duplicated-passage fraction: 8-token windows whose
+    # exact text recurs in >= 2 distinct documents.
+    "q_duplicated_passages": QuerySpec(
+        dedup.duplicated_passages,
+        """WITH tl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+wins AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+             toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS h
+  FROM tl),
+dup AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins) GROUP BY h HAVING count(*) >= 2),
+agg AS (
+  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+    CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM wins w LEFT JOIN dup d ON w.h = d.h
+  GROUP BY w.doc_id)
+SELECT doc.doc_id,
+  COALESCE(a.n_windows, 0) AS n_windows,
+  COALESCE(a.n_dup_windows, 0) AS n_dup_windows,
+  round(CASE WHEN COALESCE(a.n_windows, 0) > 0
+             THEN CAST(a.n_dup_windows AS DOUBLE) / a.n_windows ELSE 0.0 END, 6) AS dup_frac
+FROM documents doc LEFT JOIN agg a USING (doc_id)""",
     ),
 }
 

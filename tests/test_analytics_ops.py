@@ -508,3 +508,58 @@ def test_novelty_first_doc_is_fully_novel(spark, sf_correct):
         assert 0.0 <= r.novelty <= 1.0
         assert r.n_novel <= r.n_shingles
     assert any(r.novelty == 0.0 for r in rows.values()), "planted dups score 0"
+
+
+def test_unigram_logprob_bounds_and_counts(spark, sf_smoke):
+    """Scores are negative (probabilities < 1), n_tokens matches the
+    raw tokenizer count, and common-word docs outscore rare-word docs."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.textops import _all_tokens, unigram_logprob
+    from heatmap_spark.sources.tables import load_table
+
+    scored = unigram_logprob(spark, sf_smoke)
+    rows = scored.collect()
+    assert rows and all(r["avg_log2_prob"] < 0 for r in rows)
+    raw = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", F.size(_all_tokens()).alias("n"))
+        .where(F.col("n") > 0)
+    )
+    joined = scored.join(raw, "doc_id").where(F.col("n") != F.col("n_tokens"))
+    assert joined.count() == 0
+
+
+def test_duplicated_passages_detects_planted_dup(spark, sf_smoke):
+    """Two docs sharing an exact 8-token passage are both flagged; a
+    unique doc has zero duplicated windows; short docs surface with
+    zero windows instead of vanishing."""
+    from heatmap_spark.operators.dedup import duplicated_passages
+    from heatmap_spark.sources import tables as tbl
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    df = spark.createDataFrame(
+        [
+            (0, f"intro one two three {passage} closing words here"),
+            (1, f"different lead in {passage} and a different tail"),
+            (2, "entirely unique content with no shared passage at all x y z"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = tbl.load_table
+    try:
+        tbl.load_table = lambda spark, sf_dir, name: df
+        import heatmap_spark.operators.dedup as dd
+
+        orig_dd = dd.load_table
+        dd.load_table = lambda spark, sf_dir, name: df
+        try:
+            out = {r["doc_id"]: r for r in duplicated_passages(spark, "ignored").collect()}
+        finally:
+            dd.load_table = orig_dd
+    finally:
+        tbl.load_table = orig
+    assert out[0]["n_dup_windows"] >= 1 and out[1]["n_dup_windows"] >= 1
+    assert out[2]["n_dup_windows"] == 0
+    assert out[3]["n_windows"] == 0 and out[3]["dup_frac"] == 0.0

@@ -169,3 +169,24 @@ def test_trajectory_similarity_invariants(spark, sf_correct):
         if prev is not None:
             assert cur >= prev
         prev = cur
+
+
+def test_semantic_dedup_greedy_policy(spark, sf_smoke):
+    """Every vector appears exactly once; a vector is dropped iff it is
+    the HIGHER id of some near-dup pair — the greedy keep-lowest rule."""
+    from heatmap_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    decisions = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(spark, sf_smoke).collect()
+    }
+    pairs = embedding_near_dup_pairs(spark, sf_smoke).collect()
+    should_drop = {r["vec_id_b"] for r in pairs}
+    dropped = {v for v, keep in decisions.items() if not keep}
+    assert dropped == should_drop
+    # lowest id of any pair is never dropped unless it's also a b-side
+    a_only = {r["vec_id_a"] for r in pairs} - should_drop
+    assert all(decisions[v] for v in a_only)
