@@ -21,6 +21,29 @@ from heatmap_spark.queries import headline_queries  # noqa: E402
 from heatmap_spark.sources.tables import load_table  # noqa: E402
 
 
+def _stage_totals(spark) -> dict[str, int]:
+    """Cumulative executor metrics summed over all retained stages —
+    spill and shuffle volume are the signals that predict 100 TB
+    behavior better than local wall-clock (a query that spills at sf0.1
+    will thrash at scale; one that shuffles 10× its input has the wrong
+    plan shape).  Reads the driver's AppStatusStore via py4j; deltas of
+    two snapshots bracket a query run."""
+    sc = spark.sparkContext
+    gw = sc._gateway
+    store = sc._jsc.sc().statusStore()
+    empty = gw.jvm.java.util.ArrayList()
+    stages = store.stageList(empty, False, False, gw.new_array(gw.jvm.double, 0), empty)
+    tot = {"spill_mem": 0, "spill_disk": 0, "shuffle_write": 0, "shuffle_read": 0, "input": 0}
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        tot["spill_mem"] += s.memoryBytesSpilled()
+        tot["spill_disk"] += s.diskBytesSpilled()
+        tot["shuffle_write"] += s.shuffleWriteBytes()
+        tot["shuffle_read"] += s.shuffleReadBytes()
+        tot["input"] += s.inputBytes()
+    return tot
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -45,6 +68,7 @@ def main() -> None:
     warm = os.path.isdir(warm_dir) and warm_dir != sf_dir
 
     timings: dict[str, float] = {}
+    stage_metrics: dict[str, dict[str, int]] = {}
     for name, fn in headline_queries().items():
         if warm:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
@@ -54,6 +78,7 @@ def main() -> None:
         # agree within 10% of the min, cap 4 — the reported number is
         # the steady-state query time, not the scheduler's mood.
         samples: list[float] = []
+        before = _stage_totals(spark)
         for _ in range(4):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -64,6 +89,12 @@ def main() -> None:
                 if sorted(samples)[1] <= lo * 1.10:
                     break
         timings[name] = round(min(samples), 3)
+        after = _stage_totals(spark)
+        # average per-run delta (shuffle volume is deterministic per
+        # run; spill is load-dependent — the average is the honest read)
+        stage_metrics[name] = {
+            k: max(0, (after[k] - before[k]) // len(samples)) for k in after
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -74,6 +105,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "stage_metrics_unit": "bytes_per_run",
+                "stage_metrics": stage_metrics,
             }
         )
     )

@@ -313,3 +313,41 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_smoke):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_th,
         )
+
+
+def test_new_pipeline_ops_have_no_cartesian_or_python(spark, sf_smoke):
+    """semantic_dedup, unigram_logprob and duplicated_passages stay
+    fully relational: bucketed/equi-join candidate generation only (no
+    CartesianProduct beyond the 1-row corpus-total broadcast) and zero
+    Python on the hot path."""
+    from heatmap_spark.operators.dedup import duplicated_passages
+    from heatmap_spark.operators.similarity import semantic_dedup
+    from heatmap_spark.operators.textops import unigram_logprob
+
+    for df in (
+        semantic_dedup(spark, sf_smoke),
+        duplicated_passages(spark, sf_smoke),
+    ):
+        plan = plan_string(df, "simple")
+        assert "CartesianProduct" not in plan, plan
+        assert not has_python_eval(df)
+    ul = unigram_logprob(spark, sf_smoke)
+    assert not has_python_eval(ul)
+    # the only product is the 1-row corpus total (broadcast nested loop)
+    plan = plan_string(ul, "simple")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_duplicated_passages_shuffles_hashes_not_text(spark, sf_smoke):
+    """Windows are md5-hashed BEFORE the exchange: the shuffle key is a
+    32-char digest, never the raw w-gram string."""
+    from heatmap_spark.operators.dedup import duplicated_passages
+
+    plan = plan_string(duplicated_passages(spark, sf_smoke), "formatted")
+    import re
+
+    # every hashpartitioning on the window column is on the md5 output
+    # (the explode emits the digest — no exchange sees concat_ws output)
+    assert "md5" in plan
+    exch = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+    assert exch and all("concat_ws" not in ln for ln in exch), exch
