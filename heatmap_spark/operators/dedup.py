@@ -707,7 +707,12 @@ def duplicated_passages(spark: SparkSession, sf_dir: str, w: int = 8) -> DataFra
     gracefully to a shuffle join — never all-pairs).  Docs shorter than
     w tokens surface with zero windows rather than vanishing.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_passages_df(load_table(spark, sf_dir, "documents"), w)
+
+
+def duplicated_passages_df(docs: DataFrame, w: int = 8) -> DataFrame:
+    """DataFrame-core of :func:`duplicated_passages` over any
+    (doc_id, text) relation."""
     toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda t: t != "")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (w - 1)),

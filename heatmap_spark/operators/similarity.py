@@ -619,7 +619,21 @@ def semantic_dedup(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    pairs = embedding_near_dup_pairs_df(emb, threshold, n_buckets, n_assign)
+    return semantic_dedup_df(emb, threshold, n_buckets, n_assign)
+
+
+def semantic_dedup_df(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_buckets: int = 8,
+    n_assign: int = 2,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """DataFrame-core of :func:`semantic_dedup` over any (vec_id, vec)
+    relation; ``assigned`` swaps the bucketing family (e.g.
+    :func:`hyperplane_assign` when bucket count must track corpus
+    size)."""
+    pairs = embedding_near_dup_pairs_df(emb, threshold, n_buckets, n_assign, assigned)
     dropped = pairs.select(F.col("vec_id_b").alias("vec_id")).distinct()
     flagged = dropped.withColumn("dropped", F.lit(True))
     return (

@@ -708,3 +708,42 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(lp).cast("double") / F.count("*")).alias("avg_log2_prob"),
         )
     )
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, w: int = 64, stride: int = 48
+) -> DataFrame:
+    """RAG-style document chunking: overlapping ``w``-token windows at
+    ``stride``-token steps over whitespace tokens (case preserved —
+    chunks are retrieval payload, not match keys).
+
+    The reference has no text surface at all (SURVEY.md §2.8); this is
+    the standard retrieval/context-window prep every LLM data pipeline
+    runs before embedding.  Start positions are 1, 1+stride, … up to
+    max(n_tokens − (w − stride), 1), so every token lands in ≥1 chunk
+    and the final chunk may run short; consecutive chunks share exactly
+    w − stride tokens.  Zero-token documents emit no chunks.
+
+    Scale shape: map-only — tokenize once, explode the start sequence,
+    slice per start.  No shuffle at all; chunk count per doc is
+    ~n_tokens/stride so output is a bounded constant factor of input,
+    and the whole plan fuses into the parquet scan (predicate/column
+    pruning intact).  The same arithmetic runs verbatim in DuckDB
+    (generate_series + list slicing), so chunk text is hash-checked.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    t = docs.select("doc_id", toks.alias("tk")).where(F.size("tk") >= 1)
+    last_start = F.greatest(F.size("tk") - F.lit(w - stride), F.lit(1))
+    e = t.select(
+        "doc_id",
+        "tk",
+        F.explode(F.sequence(F.lit(1), last_start, F.lit(stride))).alias("st"),
+    )
+    piece = F.slice("tk", F.col("st"), F.lit(w))
+    return e.select(
+        "doc_id",
+        ((F.col("st") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )

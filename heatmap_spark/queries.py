@@ -3052,6 +3052,22 @@ SELECT doc.doc_id,
              THEN CAST(a.n_dup_windows AS DOUBLE) / a.n_windows ELSE 0.0 END, 6) AS dup_frac
 FROM documents doc LEFT JOIN agg a USING (doc_id)""",
     ),
+    # RAG-style chunking: overlapping 64-token windows at 48-token
+    # stride (case preserved); start arithmetic identical both engines.
+    "q_chunk_documents": QuerySpec(
+        textops.chunk_documents,
+        r"""WITH tl AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents),
+st AS (
+  SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 16, 1) + 1, 48)) AS st
+  FROM tl WHERE len(tk) >= 1)
+SELECT doc_id,
+  CAST((st - 1) / 48 AS INTEGER) AS chunk_idx,
+  array_to_string(tk[st:st+63], ' ') AS chunk_text,
+  CAST(len(tk[st:st+63]) AS INTEGER) AS n_chunk_tokens
+FROM st""",
+    ),
 }
 
 

@@ -70,6 +70,21 @@ def synthetic_embeddings(spark, n: int, dim: int = 64):
     return spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("vec"))
 
 
+def synthetic_dup_embeddings(spark, n: int):
+    """CENTERED murmur3-mixed vectors (unlike synthetic_embeddings'
+    [0,1)^dim, whose positive-orthant cosines cluster near 1, and
+    unlike lattice arithmetic, whose orbits alias into massive
+    accidental duplicate classes), with every 13th vector a tiny
+    perturbation of its predecessor — the planted dups to find."""
+    base = F.when(F.col("id") % 13 == 0, F.col("id") - 1).otherwise(F.col("id"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (F.pmod(F.hash(base, j), F.lit(1000)).cast("double") / 1000.0 - 0.5)
+        + F.when(F.col("id") % 13 == 0, (F.col("id") % 7).cast("double") / 1e4).otherwise(F.lit(0.0)),
+    )
+    return spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("vec"))
+
+
 def probe_pyramid(spark, n: int) -> None:
     loc = synthetic_locations(spark, n)
     loc.count()  # warm
@@ -151,18 +166,7 @@ def probe_neardup(spark, n: int) -> None:
         hyperplane_assign,
     )
 
-    # CENTERED murmur3-mixed vectors (unlike synthetic_embeddings'
-    # [0,1)^dim, whose positive-orthant cosines cluster near 1, and
-    # unlike lattice arithmetic, whose orbits alias into massive
-    # accidental duplicate classes), with every 13th vector a tiny
-    # perturbation of its predecessor — the planted dups to find.
-    base = F.when(F.col("id") % 13 == 0, F.col("id") - 1).otherwise(F.col("id"))
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda j: (F.pmod(F.hash(base, j), F.lit(1000)).cast("double") / 1000.0 - 0.5)
-        + F.when(F.col("id") % 13 == 0, (F.col("id") % 7).cast("double") / 1e4).otherwise(F.lit(0.0)),
-    )
-    emb = spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("vec"))
+    emb = synthetic_dup_embeddings(spark, n)
     emb.count()  # warm
     n_planes = max(6, int(math.log2(max(n, 2) / 64)))
     t0 = time.perf_counter()
@@ -367,6 +371,51 @@ def probe_skew(spark, n: int) -> None:
     )
 
 
+
+def probe_passages(spark, n: int) -> None:
+    """duplicated_passages at ~100x sf0.1: every 13th doc repeats its
+    predecessor's full 60-token text, so exactly 2*(n//13) docs must
+    surface with every window duplicated (dup_frac 1.0)."""
+    from heatmap_spark.operators.dedup import duplicated_passages_df
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    t0 = time.perf_counter()
+    res = duplicated_passages_df(docs)
+    flagged = res.where(F.col("n_dup_windows") > 0).count()
+    dt = time.perf_counter() - t0
+    expect = 2 * (n // 13) - (1 if n % 13 == 1 else 0)
+    print(
+        f"duplicated-passages {n:,} docs: {dt:.1f}s = {n / dt / 1000:.0f}k docs/s, "
+        f"{flagged:,} docs flagged (expected ~{expect:,})"
+    )
+
+
+def probe_semdedup(spark, n: int) -> None:
+    """semantic_dedup at scale with the sign-LSH bucket family (bucket
+    count tracks corpus size): every 13th vector is a perturbed copy of
+    its predecessor, so ~n/13 vectors must be dropped."""
+    from heatmap_spark.operators.similarity import (
+        hyperplane_assign,
+        semantic_dedup_df,
+    )
+
+    emb = synthetic_dup_embeddings(spark, n)
+    emb.count()  # warm
+    t0 = time.perf_counter()
+    assigned = hyperplane_assign(emb, n_planes=10)
+    dropped = (
+        semantic_dedup_df(emb, threshold=0.99, assigned=assigned)
+        .where(~F.col("keep"))
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    print(
+        f"semantic-dedup {n:,} vecs: {dt:.1f}s = {n / dt / 1000:.0f}k vecs/s, "
+        f"{dropped:,} dropped (planted {n // 13:,})"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -374,14 +423,16 @@ def main() -> None:
                 "gapfill": 10_000_000, "pagerank": 2_000_000,
                 "funnel": 10_000_000, "episodes": 10_000_000,
                 "skew": 10_000_000, "neardup": 100_000, "od": 10_000_000,
-                "curation": 500_000}
+                "curation": 500_000,
+                "passages": 500_000, "semdedup": 100_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
      "gapfill": probe_gapfill, "pagerank": probe_pagerank,
      "funnel": probe_funnel, "episodes": probe_episodes,
      "skew": probe_skew, "neardup": probe_neardup,
-     "od": probe_od, "curation": probe_curation}[which](spark, n)
+     "od": probe_od, "curation": probe_curation,
+     "passages": probe_passages, "semdedup": probe_semdedup}[which](spark, n)
 
 
 if __name__ == "__main__":

@@ -563,3 +563,38 @@ def test_duplicated_passages_detects_planted_dup(spark, sf_smoke):
     assert out[0]["n_dup_windows"] >= 1 and out[1]["n_dup_windows"] >= 1
     assert out[2]["n_dup_windows"] == 0
     assert out[3]["n_windows"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Chunks are w tokens at stride steps: consecutive chunks overlap
+    by exactly w-stride tokens, every token is covered, short docs get
+    one chunk, empty docs vanish."""
+    import heatmap_spark.operators.textops as tx
+
+    long_text = " ".join(f"t{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(0, long_text), (1, "just a few tokens"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    orig = tx.load_table
+    tx.load_table = lambda spark, sf_dir, name: df
+    try:
+        out = tx.chunk_documents(spark, "ignored", w=64, stride=48).collect()
+    finally:
+        tx.load_table = orig
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    assert 2 not in by_doc  # whitespace-only doc emits nothing
+    assert list(by_doc[1]) == [0]
+    assert by_doc[1][0].chunk_text == "just a few tokens"
+    assert by_doc[1][0].n_chunk_tokens == 4
+    # 150 tokens, w=64, stride=48 -> starts 1,49,97 (97 <= 150-16=134)
+    chunks = [by_doc[0][i].chunk_text.split(" ") for i in sorted(by_doc[0])]
+    assert [len(c) for c in chunks] == [64, 64, 54]
+    # overlap: last 16 tokens of chunk i == first 16 of chunk i+1
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-16:] == b[:16]
+    # coverage: stride-spaced prefixes reassemble the original stream
+    reassembled = chunks[0] + chunks[1][16:] + chunks[2][16:]
+    assert reassembled == long_text.split(" ")

@@ -351,3 +351,14 @@ def test_duplicated_passages_shuffles_hashes_not_text(spark, sf_smoke):
     assert "md5" in plan
     exch = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
     assert exch and all("concat_ws" not in ln for ln in exch), exch
+
+
+def test_chunk_documents_is_map_only(spark, sf_smoke):
+    """RAG chunking is explode + slice per row: ZERO exchanges and no
+    Python — at 100 TB the chunker fuses into the parquet scan and the
+    only cost is the bounded ~n_tokens/stride output expansion."""
+    from heatmap_spark.operators.textops import chunk_documents
+
+    df = chunk_documents(spark, sf_smoke)
+    assert count_exchanges(df) == 0, plan_string(df, "simple")
+    assert not has_python_eval(df)
