@@ -759,3 +759,84 @@ def duplicated_passages_df(docs: DataFrame, w: int = 8) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: the split key is the document's near-dup CLUSTER
+    representative (min doc_id of its connected component; the doc
+    itself when unclustered), so every member of a duplicate cluster
+    lands in the same split — the assignment a naive per-doc hash
+    split gets wrong (one copy in train, its twin in test, eval
+    contaminated).
+
+    Reference: none — SURVEY.md §2.8 (LLM-pipeline north star; the
+    leakage control described in Lee et al. 2022 §6).
+
+    Scale shape: the cluster relation only contains docs that appear
+    in ≥1 candidate pair — orders of magnitude smaller than the corpus
+    — so the left join broadcasts under AQE; the split itself is
+    map-only md5 arithmetic (same portable bucket scheme as
+    curation_pipeline).  Fractions: 0-c → train (13/16), d-e → val
+    (2/16), f → test (1/16).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_clusters(spark, sf_dir)
+    joined = docs.join(clusters, "doc_id", "left")
+    key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    h = F.substring(F.md5(key.cast("string")), 1, 1)
+    split = (
+        F.when(h <= "c", F.lit("train"))
+        .when(h <= "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return joined.select("doc_id", key.alias("split_key"), split.alias("split"))
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl dedup: classify each NEW document (top 20% of
+    the id range — the latest batch) against the EXISTING corpus (the
+    other 80%) as 'dup_of_corpus' (near-dup of an existing doc),
+    'dup_in_batch' (novel vs the corpus but a near-dup of an
+    earlier-id doc in the same batch), or 'new'.
+
+    Reference: none — SURVEY.md §2.8.  This is the standing query of
+    an incremental ingestion pipeline: the corpus is NOT re-deduped
+    against itself each refresh; only new docs are checked, and the
+    candidate generation reuses the MinHash-LSH banding (corpus
+    signatures would be precomputed/stored in production — here both
+    sides flow through one signature build).
+
+    Scale shape: candidates come from the capped LSH buckets (no
+    self-join, no all-pairs); the two flag sets contain only flagged
+    new docs — tiny — so both status joins broadcast under AQE.  The
+    batch threshold is exact integer arithmetic ((max_id*4) div 5) so
+    the DuckDB oracle reproduces it bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    thr = docs.agg(F.expr("(max(doc_id) * 4) div 5").alias("thr"))
+    pairs = minhash_lsh_candidates(spark, sf_dir).crossJoin(F.broadcast(thr))
+    vs_corpus = (
+        pairs.where((F.col("doc_a") < F.col("thr")) & (F.col("doc_b") >= F.col("thr")))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("dup_corpus", F.lit(1))
+    )
+    in_batch = (
+        pairs.where(F.col("doc_a") >= F.col("thr"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("dup_batch", F.lit(1))
+    )
+    new = docs.crossJoin(F.broadcast(thr)).where(F.col("doc_id") >= F.col("thr"))
+    return (
+        new.join(vs_corpus, "doc_id", "left")
+        .join(in_batch, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("dup_corpus") == 1, F.lit("dup_of_corpus"))
+            .when(F.col("dup_batch") == 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

@@ -3052,6 +3052,45 @@ SELECT doc.doc_id,
              THEN CAST(a.n_dup_windows AS DOUBLE) / a.n_windows ELSE 0.0 END, 6) AS dup_frac
 FROM documents doc LEFT JOIN agg a USING (doc_id)""",
     ),
+    # Leakage-safe split: split key = near-dup cluster representative,
+    # so duplicate clusters can never straddle train/test.
+    "q_leakage_safe_split": QuerySpec(
+        dedup.leakage_safe_split,
+        f"""WITH RECURSIVE {_SHINGLES_CTE},
+{_LSH_CAND_CTE},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION SELECT doc_b, doc_a FROM cand),
+reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node),
+cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+  COALESCE(c.cluster_id, d.doc_id) AS split_key,
+  CASE WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+       WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents d LEFT JOIN cl c USING (doc_id)""",
+    ),
+    # Incremental-crawl dedup: new batch (top 20% of id range) vs the
+    # existing corpus via the same capped LSH candidate generation.
+    "q_incremental_dedup": QuerySpec(
+        dedup.incremental_dedup,
+        f"""WITH {_SHINGLES_CTE},
+{_LSH_CAND_CTE},
+thr AS (SELECT (max(doc_id) * 4) // 5 AS thr FROM documents),
+vs_corpus AS (
+  SELECT DISTINCT doc_b AS doc_id FROM cand, thr WHERE doc_a < thr AND doc_b >= thr),
+in_batch AS (
+  SELECT DISTINCT doc_b AS doc_id FROM cand, thr WHERE doc_a >= thr),
+newdocs AS (SELECT doc_id FROM documents, thr WHERE doc_id >= thr)
+SELECT n.doc_id,
+  CASE WHEN v.doc_id IS NOT NULL THEN 'dup_of_corpus'
+       WHEN b.doc_id IS NOT NULL THEN 'dup_in_batch'
+       ELSE 'new' END AS status
+FROM newdocs n LEFT JOIN vs_corpus v USING (doc_id) LEFT JOIN in_batch b USING (doc_id)""",
+    ),
     # RAG-style chunking: overlapping 64-token windows at 48-token
     # stride (case preserved); start arithmetic identical both engines.
     "q_chunk_documents": QuerySpec(

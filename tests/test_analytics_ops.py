@@ -598,3 +598,47 @@ def test_chunk_documents_overlap_and_coverage(spark):
     # coverage: stride-spaced prefixes reassemble the original stream
     reassembled = chunks[0] + chunks[1][16:] + chunks[2][16:]
     assert reassembled == long_text.split(" ")
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark, sf_smoke):
+    """THE property the operator exists for: both members of every
+    near-dup candidate pair land in the same split, and split_key is a
+    member of the doc's own cluster."""
+    from heatmap_spark.operators.dedup import (
+        leakage_safe_split,
+        minhash_lsh_candidates,
+    )
+
+    split = {r.doc_id: r for r in leakage_safe_split(spark, sf_smoke).collect()}
+    pairs = minhash_lsh_candidates(spark, sf_smoke).collect()
+    assert pairs, "fixture must contain near-dup candidates"
+    for p in pairs:
+        assert split[p.doc_a].split == split[p.doc_b].split
+        assert split[p.doc_a].split_key == split[p.doc_b].split_key
+    assert {r.split for r in split.values()} <= {"train", "val", "test"}
+
+
+def test_incremental_dedup_statuses_consistent_with_pairs(spark, sf_smoke):
+    """Statuses agree with the candidate-pair structure: corpus-linked
+    new docs are dup_of_corpus; batch-only-linked are dup_in_batch;
+    unpaired are new."""
+    from heatmap_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_lsh_candidates,
+    )
+    from heatmap_spark.sources.tables import load_table
+
+    out = {r.doc_id: r.status for r in incremental_dedup(spark, sf_smoke).collect()}
+    max_id = load_table(spark, sf_smoke, "documents").agg(F.max("doc_id")).collect()[0][0]
+    thr = (max_id * 4) // 5
+    assert out and all(d >= thr for d in out)
+    pairs = minhash_lsh_candidates(spark, sf_smoke).collect()
+    vs_corpus = {p.doc_b for p in pairs if p.doc_a < thr <= p.doc_b}
+    in_batch = {p.doc_b for p in pairs if p.doc_a >= thr}
+    for d, status in out.items():
+        if d in vs_corpus:
+            assert status == "dup_of_corpus"
+        elif d in in_batch:
+            assert status == "dup_in_batch"
+        else:
+            assert status == "new"
