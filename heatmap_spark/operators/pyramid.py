@@ -190,7 +190,7 @@ def pyramid_cascade(
     min_zoom: int = MIN_PYRAMID_ZOOM,
     max_zoom: int = DETAIL_MAX_ZOOM,
     persist: bool = True,
-    checkpoint_stride: int = 4,
+    checkpoint_stride: int = 8,
 ) -> DataFrame:
     """Level-by-level rollup with partial-aggregate reuse
     (reference heatmap.py:107-118, strategy 2 of SURVEY.md §2.5).
@@ -216,10 +216,18 @@ def pyramid_cascade(
     16-level build costs ceil(16/stride)+1 shuffle stages and barriers
     instead of 16 sequential shuffles: the level-by-level spelling
     measured 8.3-10.4 s at sf0.1 and 55-78 s at the 10M-point probe;
-    this chunked form measures 3.3-4.3 s and 69.8 s cold (with explode
+    this chunked form measures 2.5-4.2 s and 45-63 s (with explode
     mode at 86.4 s in the same session — the chunked cascade is the
     faster strategy at probe scale, the first time cascade beats
     explode, because each chunk aggregates pre-shrunk partials).
+
+    Stride choice (measured warm, same session): at sf0.1 fewer
+    barriers win outright (stride 4/8/16 → 3.6/3.0/2.5 s — the
+    aggregates are tiny, checkpoint latency dominates); at the
+    10M-point probe the explode factor of a point-sized chunk matters
+    too (62.8/45.2/56.6 s).  Stride 8 is fastest-or-close at BOTH
+    scales and stays the default; pass 4 when intermediate levels are
+    huge relative to memory, 16 when the corpus is small.
 
     DISK_ONLY checkpoints (not heap): fine zoom levels don't shrink
     until ~4^z exceeds the point count, so chunk outputs are
