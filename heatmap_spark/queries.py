@@ -825,17 +825,18 @@ FROM leveled GROUP BY 1""",
     "q_heatmap_table": QuerySpec(
         q_heatmap_table,
         # A4 (reference heatmap.py:128-129): the engine builds the JSON
-        # via to_json over map_from_entries(array_sort(...)), so entry
-        # order is pinned to lexicographic detail_tile_id — string_agg
-        # with the same ORDER BY reproduces the byte-identical string
-        # (Spark/Jackson and DuckDB both print doubles shortest-round-trip).
+        # via to_json over map_from_entries(array_sort(struct(row, col,
+        # visits))), so entry order is pinned to NUMERIC detail
+        # (row, col) — string_agg with the same ORDER BY reproduces the
+        # byte-identical string (Spark/Jackson and DuckDB both print
+        # doubles shortest-round-trip).
         f"""WITH {_LOC_CTE},\n{_PTS_CTE},\n{_EXPANDED_CTE},
 leveled AS ({_LEVELED_AGG})
 SELECT user_group || '|' || timespan || '|' ||
          CAST(zoom - 5 AS VARCHAR) || '_' || CAST(CAST(floor(row/32.0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(floor(col/32.0) AS BIGINT) AS VARCHAR) AS id,
        '{{' || string_agg(
            '"' || CAST(zoom AS VARCHAR) || '_' || CAST(row AS VARCHAR) || '_' || CAST(col AS VARCHAR) || '":' || CAST(visits AS VARCHAR),
-           ',' ORDER BY CAST(zoom AS VARCHAR) || '_' || CAST(row AS VARCHAR) || '_' || CAST(col AS VARCHAR)) || '}}' AS heatmap
+           ',' ORDER BY row, col) || '}}' AS heatmap
 FROM leveled GROUP BY 1""",
     ),
     "q_tile_functions": QuerySpec(
