@@ -416,6 +416,86 @@ def probe_semdedup(spark, n: int) -> None:
     )
 
 
+def probe_split(spark, n: int) -> None:
+    """leakage_safe_split at scale: CC over the planted-dup pair graph
+    (clusters of size 2, diameter 1) + the corpus-wide split join.
+    Every doc of a planted pair must share its twin's split."""
+    import heatmap_spark.operators.dedup as dd
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    orig = dd.load_table
+    dd.load_table = lambda spark, sf_dir, name: docs
+    try:
+        t0 = time.perf_counter()
+        out = dd.leakage_safe_split(spark, "synthetic")
+        by_split = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        mismatched = (
+            out.alias("a")
+            .join(out.alias("b"), F.col("a.doc_id") == F.col("b.doc_id") + 1)
+            .where((F.col("a.doc_id") % 13 == 0) & (F.col("a.split") != F.col("b.split")))
+            .count()
+        )
+        dt = time.perf_counter() - t0
+    finally:
+        dd.load_table = orig
+    print(
+        f"leakage-split {n:,} docs: {dt:.1f}s = {n / dt / 1000:.0f}k docs/s, "
+        f"splits {by_split}, cross-split planted pairs: {mismatched} (must be 0)"
+    )
+
+
+def probe_incr(spark, n: int) -> None:
+    """incremental_dedup at scale: planted dups (every 13th doc copies
+    its predecessor) classify as dup_of_corpus when the twin is below
+    the 80% id threshold, dup_in_batch when both are in the batch."""
+    import heatmap_spark.operators.dedup as dd
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    orig = dd.load_table
+    dd.load_table = lambda spark, sf_dir, name: docs
+    try:
+        t0 = time.perf_counter()
+        counts = {
+            r["status"]: r["n"]
+            for r in dd.incremental_dedup(spark, "synthetic")
+            .groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        dt = time.perf_counter() - t0
+    finally:
+        dd.load_table = orig
+    thr = ((n - 1) * 4) // 5
+    batch = n - thr
+    planted_in_batch = sum(1 for i in range(thr, n) if i % 13 == 0)
+    print(
+        f"incremental-dedup {n:,} docs ({batch:,} new): {dt:.1f}s = "
+        f"{n / dt / 1000:.0f}k docs/s, statuses {counts} "
+        f"(planted batch dups: {planted_in_batch:,})"
+    )
+
+
+def probe_chunk(spark, n: int) -> None:
+    """chunk_documents at scale: map-only scan-rate ceiling; 60-token
+    docs at w=64 yield exactly one chunk per doc."""
+    import heatmap_spark.operators.textops as tx
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    orig = tx.load_table
+    tx.load_table = lambda spark, sf_dir, name: docs
+    try:
+        t0 = time.perf_counter()
+        n_chunks = tx.chunk_documents(spark, "synthetic").count()
+        dt = time.perf_counter() - t0
+    finally:
+        tx.load_table = orig
+    print(
+        f"chunking {n:,} docs: {dt:.1f}s = {n / dt / 1000:.0f}k docs/s, "
+        f"{n_chunks:,} chunks (expect {n:,})"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -424,7 +504,8 @@ def main() -> None:
                 "funnel": 10_000_000, "episodes": 10_000_000,
                 "skew": 10_000_000, "neardup": 100_000, "od": 10_000_000,
                 "curation": 500_000,
-                "passages": 500_000, "semdedup": 100_000}
+                "passages": 500_000, "semdedup": 100_000,
+                "split": 500_000, "incr": 500_000, "chunk": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -432,7 +513,9 @@ def main() -> None:
      "funnel": probe_funnel, "episodes": probe_episodes,
      "skew": probe_skew, "neardup": probe_neardup,
      "od": probe_od, "curation": probe_curation,
-     "passages": probe_passages, "semdedup": probe_semdedup}[which](spark, n)
+     "passages": probe_passages, "semdedup": probe_semdedup,
+     "split": probe_split, "incr": probe_incr,
+     "chunk": probe_chunk}[which](spark, n)
 
 
 if __name__ == "__main__":
