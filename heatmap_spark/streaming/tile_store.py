@@ -110,3 +110,174 @@ def stream_pyramid_to_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned store: per-spatial-bucket versions, so a localized
+# micro-batch rewrites only the buckets it touches.
+# ---------------------------------------------------------------------------
+
+BUCKET_ZOOM = 4  # 2^4 × 2^4 = 256 coarse cells
+
+
+def spatial_bucket(bucket_zoom: int = BUCKET_ZOOM):
+    """Coarse-cell id of a pyramid row: its zoom-``bucket_zoom``
+    ancestor tile, flattened to row*2^B + col.  Pure integer shifts of
+    the grouping keys — requires every stored row to have
+    zoom >= bucket_zoom (asserted by callers via min_zoom)."""
+    from pyspark.sql import functions as F
+
+    b = 1 << bucket_zoom
+    # SQL shiftright accepts a column shift amount (the Python helper
+    # F.shiftright is literal-only)
+    return F.expr(
+        f"CAST(shiftright(row, CAST(zoom - {bucket_zoom} AS INT)) * {b}"
+        f" + shiftright(col, CAST(zoom - {bucket_zoom} AS INT)) AS INT)"
+    )
+
+
+def _bucket_marker_path(store_path: str, bucket: int) -> str:
+    return os.path.join(store_path, f"bucket={bucket}", _LATEST)
+
+
+def _read_bucket_marker(store_path: str, bucket: int) -> tuple[int, int]:
+    marker = _bucket_marker_path(store_path, bucket)
+    if not os.path.exists(marker):
+        return -1, -1
+    with open(marker, encoding="utf-8") as f:
+        version, batch = f.read().strip().split(":")
+    return int(version), int(batch)
+
+
+def _live_buckets(store_path: str) -> list[int]:
+    if not os.path.isdir(store_path):
+        return []
+    out = []
+    for d in os.listdir(store_path):
+        if d.startswith("bucket="):
+            k = int(d.split("=", 1)[1])
+            if _read_bucket_marker(store_path, k)[0] >= 0:
+                out.append(k)
+    return sorted(out)
+
+
+def read_partitioned_store(
+    spark: SparkSession, store_path: str, buckets: list[int] | None = None
+) -> DataFrame | None:
+    """Current pyramid across ``buckets`` (default: all live buckets).
+
+    Passing an explicit bucket list is DIRECTORY-level partition
+    pruning: a bbox serving read maps its viewport to coarse cells and
+    never opens the other buckets' files (row-group Z-order skipping
+    then applies within — operators/layout.py)."""
+    live = _live_buckets(store_path)
+    ks = live if buckets is None else [k for k in buckets if k in set(live)]
+    if not ks:
+        return None
+    paths = [
+        os.path.join(store_path, f"bucket={k}", f"v={_read_bucket_marker(store_path, k)[0]}")
+        for k in ks
+    ]
+    return spark.read.parquet(*paths)
+
+
+def merge_delta_into_partitioned_store(
+    spark: SparkSession,
+    delta: DataFrame,
+    store_path: str,
+    batch_id: int = 0,
+    bucket_zoom: int = BUCKET_ZOOM,
+) -> int:
+    """Merge one delta pyramid, rewriting ONLY the spatial buckets it
+    touches.  Returns the number of buckets committed (0 = replay
+    no-op).
+
+    This is the steady-state answer to the whole-store rewrite the
+    flat store pays per batch: per-batch cost is O(delta + live tiles
+    of TOUCHED buckets).  A localized batch (one city) touches a
+    handful of the 256 zoom-4 cells, so merge cost tracks batch
+    locality instead of store size — the property that makes
+    incremental maintenance viable at 100 TB of history.  (An ACID
+    table format with MERGE INTO + partition pruning gives the same
+    shape; this is the format-agnostic spelling.)
+
+    Exactly-once under crash-replay, per bucket: each bucket dir has
+    its own (version, last_batch) marker, swapped atomically AFTER its
+    new version directory is in place.  A replayed batch skips buckets
+    whose marker already records it and re-merges only the ones that
+    had not committed — a bucket is never merged twice and never
+    skipped, regardless of where the previous attempt died.  Markers
+    move strictly forward because streaming batch ids are monotone.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    d = delta.withColumn("bucket", spatial_bucket(bucket_zoom))
+    touched = sorted(r.bucket for r in d.select("bucket").distinct().collect())
+    pending = [k for k in touched if _read_bucket_marker(store_path, k)[1] < batch_id]
+    if not pending:
+        return 0
+    d_pending = d.where(F.col("bucket").isin(pending)).drop("bucket")
+    base = read_partitioned_store(spark, store_path, buckets=pending)
+    merged = d_pending if base is None else pyramid_merge(base, d_pending)
+    staged = merged.withColumn("bucket", spatial_bucket(bucket_zoom))
+    staging = os.path.join(store_path, f"_staging_{batch_id}")
+    (
+        staged.repartition("bucket")
+        .sortWithinPartitions("bucket", "zoom", "row", "col")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging)
+    )
+    committed = 0
+    for k in pending:
+        src = os.path.join(staging, f"bucket={k}")
+        if not os.path.isdir(src):  # delta rows all cancelled out — still advance marker
+            os.makedirs(src, exist_ok=True)
+        ver, _ = _read_bucket_marker(store_path, k)
+        dstdir = os.path.join(store_path, f"bucket={k}")
+        os.makedirs(dstdir, exist_ok=True)
+        dst = os.path.join(dstdir, f"v={ver + 1}")
+        if os.path.isdir(dst):  # orphan from a crashed attempt
+            shutil.rmtree(dst)
+        os.rename(src, dst)
+        tmp = _bucket_marker_path(store_path, k) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(f"{ver + 1}:{batch_id}")
+        os.replace(tmp, _bucket_marker_path(store_path, k))
+        committed += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    return committed
+
+
+def stream_pyramid_to_partitioned_store(
+    locations: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    min_zoom: int = 6,
+    max_zoom: int = 21,
+    bucket_zoom: int = BUCKET_ZOOM,
+):
+    """Partitioned-store twin of :func:`stream_pyramid_to_store`."""
+    if min_zoom < bucket_zoom:
+        raise ValueError(
+            f"min_zoom {min_zoom} must be >= bucket_zoom {bucket_zoom} "
+            "(every stored row needs a zoom-level-B ancestor)"
+        )
+    spark = locations.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = build_pyramid(batch_df, mode="explode", min_zoom=min_zoom, max_zoom=max_zoom)
+        merge_delta_into_partitioned_store(
+            spark, delta, store_path, batch_id, bucket_zoom
+        )
+
+    return (
+        locations.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

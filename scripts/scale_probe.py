@@ -540,6 +540,73 @@ def probe_stream(spark, n: int) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_streampart(spark, n: int) -> None:
+    """Locality payoff of the partitioned tile store: 4 city-localized
+    micro-batches (n/4 points each, ~0.5-degree boxes) merged into the
+    flat store (whole-store rewrite per batch) vs the bucket-partitioned
+    store (touched buckets only).  Store contents must be identical."""
+    import shutil
+    import tempfile
+
+    from heatmap_spark.streaming.tile_store import (
+        merge_delta_into_partitioned_store,
+        merge_delta_into_store,
+        read_partitioned_store,
+        read_tile_store,
+    )
+
+    cities = [(40.7, -74.0), (51.5, -0.1), (35.7, 139.7), (-33.9, 151.2)]
+    per = n // 20
+
+    def city_batch(i):
+        la, lo = cities[i]
+        return spark.range(per).select(
+            (F.lit(la) + (F.col("id") % 1000).cast("double") / 2000.0).alias("latitude"),
+            (F.lit(lo) + (F.floor(F.col("id") / 1000) % 1000).cast("double") / 2000.0).alias("longitude"),
+            F.timestamp_millis(F.lit(1700000000000) + F.col("id") % 2592000000).alias("ts"),
+            F.concat(F.lit("u"), (F.col("id") % 5000).cast("string")).alias("user_id"),
+            F.lit("gps").alias("source"),
+            F.lit(1.0).alias("weight"),
+        )
+
+    base = P.build_pyramid(synthetic_locations(spark, n), mode="explode", min_zoom=6, max_zoom=16)
+    deltas = [
+        P.build_pyramid(city_batch(i), mode="explode", min_zoom=6, max_zoom=16)
+        for i in range(len(cities))
+    ]
+    for d in deltas:
+        d.count()  # warm
+
+    root = tempfile.mkdtemp(prefix="streampart_")
+    flat, part = os.path.join(root, "flat"), os.path.join(root, "part")
+    try:
+        # batch 0 = the historical base (uniform global points, ~33M
+        # tiles at n=2M) — its build cost is common to both layouts and
+        # excluded; we time the 4 localized incremental batches.
+        merge_delta_into_store(spark, base, flat, batch_id=0)
+        merge_delta_into_partitioned_store(spark, base, part, batch_id=0)
+        t0 = time.perf_counter()
+        for i, d in enumerate(deltas):
+            merge_delta_into_store(spark, d, flat, batch_id=i + 1)
+        t_flat = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        touched = [
+            merge_delta_into_partitioned_store(spark, d, part, batch_id=i + 1)
+            for i, d in enumerate(deltas)
+        ]
+        t_part = time.perf_counter() - t0
+        a, b = read_tile_store(spark, flat), read_partitioned_store(spark, part)
+        same = a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+        print(
+            f"partitioned-store locality: {n:,}-point base + 4 city batches "
+            f"({per:,} points each): flat {t_flat:.1f}s vs partitioned "
+            f"{t_part:.1f}s ({t_flat / t_part:.1f}x), buckets touched per "
+            f"batch {touched} of 256, stores identical: {same}"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -550,7 +617,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -560,7 +627,8 @@ def main() -> None:
      "od": probe_od, "curation": probe_curation,
      "passages": probe_passages, "semdedup": probe_semdedup,
      "split": probe_split, "incr": probe_incr,
-     "chunk": probe_chunk, "stream": probe_stream}[which](spark, n)
+     "chunk": probe_chunk, "stream": probe_stream,
+     "streampart": probe_streampart}[which](spark, n)
 
 
 if __name__ == "__main__":

@@ -53,3 +53,82 @@ def test_replayed_batch_is_skipped(spark, sf_smoke, tmp_path):
     assert merge_delta_into_store(spark, delta, store, batch_id=1)
     total2 = read_tile_store(spark, store).agg(F.sum("visits")).first()[0]
     assert total2 == 2 * total1
+
+
+def test_partitioned_store_equals_batch_and_prunes(spark, sf_smoke, tmp_path):
+    """Partitioned store: multi-batch merge equals the one-shot batch
+    pyramid; a localized second batch rewrites ONLY its touched
+    buckets; replay is a per-bucket no-op; bucket-list reads prune."""
+    from heatmap_spark.streaming.tile_store import (
+        _live_buckets,
+        _read_bucket_marker,
+        merge_delta_into_partitioned_store,
+        read_partitioned_store,
+        spatial_bucket,
+    )
+
+    store = str(tmp_path / "pstore")
+    loc = load_locations(spark, sf_smoke)
+    # batch 0: everything; batch 1: a localized slice (one small bbox)
+    b0 = loc
+    b1 = loc.where(
+        (F.col("latitude").between(10.0, 45.0))
+        & (F.col("longitude").between(0.0, 45.0))
+    )
+    assert b1.count() > 0
+    d0 = build_pyramid(b0, mode="explode", **ZOOMS)
+    d1 = build_pyramid(b1, mode="explode", **ZOOMS)
+
+    assert merge_delta_into_partitioned_store(spark, d0, store, batch_id=0) > 0
+    markers_before = {k: _read_bucket_marker(store, k) for k in _live_buckets(store)}
+    touched1 = {r.b for r in d1.select(spatial_bucket().alias("b")).distinct().collect()}
+    assert 0 < len(touched1) < len(markers_before), "batch 1 must be localized"
+
+    n1 = merge_delta_into_partitioned_store(spark, d1, store, batch_id=1)
+    assert n1 == len(touched1)
+    for k, before in markers_before.items():
+        after = _read_bucket_marker(store, k)
+        if k in touched1:
+            assert after == (before[0] + 1, 1)
+        else:
+            assert after == before, f"untouched bucket {k} was rewritten"
+
+    # replay of batch 1: no bucket advances
+    assert merge_delta_into_partitioned_store(spark, d1, store, batch_id=1) == 0
+
+    got = read_partitioned_store(spark, store)
+    want = pyramid_merge_ref = build_pyramid(b0, mode="explode", **ZOOMS)
+    from heatmap_spark.operators.pyramid import pyramid_merge
+
+    want = pyramid_merge(want, d1)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    # pruned read: only the requested buckets' rows come back
+    some = sorted(touched1)[:1]
+    pruned = read_partitioned_store(spark, store, buckets=some)
+    assert pruned.select(spatial_bucket().alias("b")).distinct().collect() == [
+        pruned.sparkSession.createDataFrame([(some[0],)], "b int").collect()[0]
+    ]
+
+
+def test_partitioned_streaming_face_equals_batch(spark, sf_smoke, tmp_path):
+    from heatmap_spark.streaming.tile_store import (
+        read_partitioned_store,
+        stream_pyramid_to_partitioned_store,
+    )
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "pstore")
+    ckpt = str(tmp_path / "ckpt")
+    loc = load_locations(spark, sf_smoke)
+    loc.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(loc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_pyramid_to_partitioned_store(stream, store, ckpt, **ZOOMS)
+    q.awaitTermination(timeout=300)
+    got = read_partitioned_store(spark, store)
+    want = build_pyramid(spark.read.parquet(src), mode="explode", **ZOOMS)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
