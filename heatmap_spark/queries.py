@@ -206,6 +206,33 @@ def q_streaming_tile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_tile_store(spark, store)
 
 
+def q_streaming_tile_store_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-store twin of q_streaming_tile_store: the same
+    3-micro-batch drain through the bucket-partitioned store (per-
+    spatial-cell versions — localized batches rewrite only touched
+    cells).  The final store must equal the batch pyramid, so the
+    SAME oracle gates both layouts."""
+    import tempfile
+
+    from heatmap_spark.streaming.tile_store import (
+        read_partitioned_store,
+        stream_pyramid_to_partitioned_store,
+    )
+
+    loc = load_locations(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="tile_store_part_q_")
+    src, store, ckpt = f"{d}/in", f"{d}/store", f"{d}/ckpt"
+    loc.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(loc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_pyramid_to_partitioned_store(stream, store, ckpt, min_zoom=8, max_zoom=12)
+    q.awaitTermination(timeout=600)
+    return read_partitioned_store(spark, store)
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton keys for the distinct zoom-12 tile set — the layout key
     operators/layout.cluster_by_zorder writes by (pure integer
@@ -1637,6 +1664,11 @@ WHERE c.event_type = 'click' AND v.event_type = 'view'""",
     ),
     "q_streaming_tile_store": QuerySpec(
         q_streaming_tile_store,
+        f"""WITH {_LOC_CTE},\n{_PTS_CTE},\n{_EXPANDED_CTE}\n"""
+        + _LEVELED_AGG.replace("generate_series(6, 21)", "generate_series(8, 12)"),
+    ),
+    "q_streaming_tile_store_partitioned": QuerySpec(
+        q_streaming_tile_store_partitioned,
         f"""WITH {_LOC_CTE},\n{_PTS_CTE},\n{_EXPANDED_CTE}\n"""
         + _LEVELED_AGG.replace("generate_series(6, 21)", "generate_series(8, 12)"),
     ),
