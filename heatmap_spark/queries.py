@@ -454,6 +454,23 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: purchase events joined per micro-batch
+    to the (broadcastable) customer dimension — zero streaming state."""
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming import incremental as S
+
+    customer = load_table(spark, sf_dir, "customer")
+    n_cust = customer.count()
+    return _run_stream_append(
+        spark,
+        S.streaming_static_enrich(
+            S.read_events_stream(spark, sf_dir), customer, n_cust
+        ),
+        "q_streaming_enrich_sink",
+    )
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicatesWithinWatermark over (user_id, event_type)."""
     from heatmap_spark.streaming import incremental as S
@@ -1671,6 +1688,14 @@ WHERE c.event_type = 'click' AND v.event_type = 'view'""",
         q_streaming_tile_store_partitioned,
         f"""WITH {_LOC_CTE},\n{_PTS_CTE},\n{_EXPANDED_CTE}\n"""
         + _LEVELED_AGG.replace("generate_series(6, 21)", "generate_series(8, 12)"),
+    ),
+    "q_streaming_enrich": QuerySpec(
+        q_streaming_enrich,
+        """SELECT e.event_id, e.user_id, e.value, c.c_custkey, c.c_name, c.c_nationkey
+FROM events e
+JOIN customer c
+  ON c.c_custkey = CAST(e.user_id AS BIGINT) % (SELECT count(*) FROM customer) + 1
+WHERE e.event_type = 'purchase'""",
     ),
     "q_streaming_sessions": QuerySpec(
         q_streaming_sessions,

@@ -222,3 +222,29 @@ def streaming_distinct_pairs(events: DataFrame) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+def streaming_static_enrich(
+    events: DataFrame, customer: DataFrame, n_cust: int
+) -> DataFrame:
+    """Stream-static enrichment join: purchase events decorated with
+    their customer dimension row (the classic streaming lookup).
+
+    The static side is re-planned per micro-batch, so dimension
+    updates between batches are picked up automatically, and Spark
+    broadcasts it when small — no state store, no watermark needed for
+    an inner stream-static equi-join, so state is ZERO no matter how
+    long the stream runs.  the integer user_id maps onto c_custkey
+    via user_id % n_cust + 1 — deterministic arithmetic the DuckDB oracle
+    reproduces, so the enriched row set is hash-checked.
+    """
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("user_id").cast("bigint") % n_cust + 1).alias("ck"),
+    )
+    dim = customer.select("c_custkey", "c_name", "c_nationkey")
+    return purchases.join(dim, purchases.ck == dim.c_custkey).select(
+        "event_id", "user_id", "value", "c_custkey", "c_name", "c_nationkey"
+    )

@@ -233,8 +233,13 @@ def merge_delta_into_partitioned_store(
     committed = 0
     for k in pending:
         src = os.path.join(staging, f"bucket={k}")
-        if not os.path.isdir(src):  # delta rows all cancelled out — still advance marker
-            os.makedirs(src, exist_ok=True)
+        if not os.path.isdir(src):
+            # Unreachable with this delta algebra: visits are sums of
+            # positive weights, so a touched bucket's merge is never
+            # empty.  If a retraction-capable delta ever lands here,
+            # skipping (no marker advance) keeps the store readable and
+            # the replay re-merges the bucket idempotently.
+            continue
         ver, _ = _read_bucket_marker(store_path, k)
         dstdir = os.path.join(store_path, f"bucket={k}")
         os.makedirs(dstdir, exist_ok=True)

@@ -159,3 +159,31 @@ def test_streaming_funnel_converges_to_batch(spark, sf_smoke):
         want.n_purchase_after_funnel,
         want.n_users,
     )
+
+
+def test_streaming_enrich_matches_batch_and_holds_no_state(spark, sf_smoke):
+    """Stream-static enrichment equals the same batch join, and the
+    streaming query runs with ZERO stateful operators (the property
+    that makes it free at any stream length)."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming import incremental as S
+
+    customer = load_table(spark, sf_smoke, "customer")
+    n_cust = customer.count()
+    events = S.read_events_stream(spark, sf_smoke)
+    out = S.streaming_static_enrich(events, customer, n_cust)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_state_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    assert not q.lastProgress or not q.lastProgress.get("stateOperators")
+    got = spark.table("enrich_state_test")
+    batch_events = load_table(spark, sf_smoke, "events")
+    want = S.streaming_static_enrich(batch_events, customer, n_cust)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
