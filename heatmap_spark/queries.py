@@ -145,13 +145,39 @@ def q_heatmap_resultsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_heatmap_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rs = pyr.resultsets(pyr.build_pyramid(load_locations(spark, sf_dir), mode="explode"))
-    return rs.select(
-        F.concat_ws("|", "user_group", "timespan", "rs_tile_id").alias("id"),
-        F.size("heatmap").alias("n_entries"),
-        F.aggregate(F.map_values("heatmap"), F.lit(0.0), lambda a, x: a + x).alias(
-            "total_visits"
-        ),
+    """Sink-table statistics (entry count + total visits per result
+    set) as a DIRECT grouped aggregation over the pyramid.
+
+    The stats never need the heatmap map itself, so this path skips
+    the collect-to-map ObjectHashAggregate (exercised by
+    q_heatmap_resultsets / q_heatmap_table instead): count/sum
+    partial-aggregate map-side, so the exchange carries result-set
+    partials (~300k rows) instead of every detail entry (~2M rows /
+    ~87 MB at sf0.1).  visits are integer-valued doubles (sums of 1.0
+    weights), so the sum is order-exact and hash-matches DuckDB."""
+    p = pyr.build_pyramid(load_locations(spark, sf_dir), mode="explode")
+    return (
+        p.groupBy(
+            "user_group",
+            "timespan",
+            (F.col("zoom") - 5).alias("rs_zoom"),
+            F.shiftright("row", 5).alias("rs_row"),
+            F.shiftright("col", 5).alias("rs_col"),
+        )
+        .agg(
+            F.count("*").cast("int").alias("n_entries"),
+            F.sum("visits").alias("total_visits"),
+        )
+        .select(
+            F.concat_ws(
+                "|",
+                "user_group",
+                "timespan",
+                tl.tile_id_from_zrc(F.col("rs_zoom"), F.col("rs_row"), F.col("rs_col")),
+            ).alias("id"),
+            "n_entries",
+            "total_visits",
+        )
     )
 
 
