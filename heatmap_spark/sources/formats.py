@@ -62,3 +62,49 @@ def read_table(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Fault-tolerant text ingestion: returns (good, quarantine).
+
+    PERMISSIVE-mode read with an explicit corrupt-record column: rows
+    that fail the schema land in ``quarantine`` with their raw text
+    intact (for replay after a parser fix) instead of killing the job
+    (FAILFAST) or silently nulling out (PERMISSIVE without the
+    column).  At 100 TB a single malformed line MUST NOT abort a
+    multi-hour ingest, and dropping it unlogged is a data-loss bug —
+    this is the standard quarantine split, one scan, no UDFs.
+
+    Spark caveat encoded here: queries referencing ONLY the corrupt
+    column on a raw read are disallowed
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the parser
+    would never run for the pruned projection), so the full projection
+    is cached before the split; both halves then filter the same
+    materialized parse, which also guarantees good/bad see one
+    consistent read of mutable input files.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"quarantine reads support csv/json, not {fmt!r}")
+    full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    df = read_table(
+        spark,
+        path,
+        fmt,
+        schema=full,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt_col,
+    ).cache()
+    good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return good, bad
