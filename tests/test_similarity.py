@@ -190,3 +190,33 @@ def test_semantic_dedup_greedy_policy(spark, sf_smoke):
     # lowest id of any pair is never dropped unless it's also a b-side
     a_only = {r["vec_id_a"] for r in pairs} - should_drop
     assert all(decisions[v] for v in a_only)
+
+
+def test_pq_roundtrip_and_recall(spark, sf_correct):
+    """PQ codebooks/encode/ADC: codes are valid (m entries in [0, k)),
+    encoding is deterministic, and shortlist+rerank recall@5 clears the
+    registry pin (the declared query raises below 0.7)."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_recall,
+    )
+    from heatmap_spark.sources.tables import load_table
+
+    m, k = 16, 32
+    emb = load_table(spark, sf_correct, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cb = pq_codebooks(emb, m, k, train_iters=1)
+    assert set(cb) == {(s, c) for s in range(m) for c in range(k)}
+    assert all(len(v) == 64 // m for v in cb.values())
+    codes = pq_encode(emb, cb, m, k)
+    row = codes.first()
+    assert len(row.codes) == m and all(0 <= c < k for c in row.codes)
+    again = pq_encode(emb, cb, m, k)
+    assert codes.exceptAll(again).isEmpty()
+    # the registry pin: raises if recall@5 < 0.7
+    out = pq_recall(spark, sf_correct).collect()[0]
+    assert out.recall >= 0.7 and out.bytes_per_vec_pq == m
