@@ -223,19 +223,53 @@ class CorpusBuilder:
         )
 
     def split(
-        self, train_hex: str = "c", val_hex: str = "e"
+        self, train_hex: str = "c", val_hex: str = "e", leakage_safe: bool = False
     ) -> "CorpusBuilder":
         """Deterministic md5-prefix train/val/test split column (stable
-        under repartitioning; same policy as curation_pipeline)."""
+        under repartitioning; same policy as curation_pipeline).
+
+        ``leakage_safe=True`` keys the hash on the doc's near-dup
+        cluster representative instead of the doc itself, so duplicate
+        clusters can never straddle splits (operators/dedup.
+        leakage_safe_split semantics over the CURRENT corpus stage —
+        run it before .dedup() to protect evaluation integrity even
+        when near-dups survive)."""
         from pyspark.sql import functions as F
 
-        h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        if leakage_safe:
+            from heatmap_spark.operators.dedup import (
+                connected_components,
+                minhash_lsh_candidates_df,
+            )
+
+            clusters = connected_components(
+                minhash_lsh_candidates_df(self._df.select("doc_id", "text"))
+            )
+            joined = self._df.join(clusters, "doc_id", "left")
+            key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            base = joined
+        else:
+            key = F.col("doc_id")
+            base = self._df
+        h = F.substring(F.md5(key.cast("string")), 1, 1)
         split = (
             F.when(h <= train_hex, F.lit("train"))
             .when(h <= val_hex, F.lit("val"))
             .otherwise(F.lit("test"))
         )
-        return CorpusBuilder(self.spark, self._df.withColumn("split", split))
+        out = base.withColumn("split", split)
+        if leakage_safe:
+            out = out.drop("cluster_id")
+        return CorpusBuilder(self.spark, out)
+
+    def chunk(self, w: int = 64, stride: int = 48) -> "CorpusBuilder":
+        """RAG chunking stage: the corpus becomes (doc_id, chunk_idx,
+        chunk_text, n_chunk_tokens) — overlapping w-token windows at
+        stride steps (textops.chunk_documents, map-only).  Terminal-ish:
+        downstream stages that expect a ``text`` column don't apply."""
+        from heatmap_spark.operators.textops import chunk_documents_df
+
+        return CorpusBuilder(self.spark, chunk_documents_df(self._df, w, stride))
 
     def df(self) -> DataFrame:
         return self._df

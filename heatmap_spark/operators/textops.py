@@ -731,7 +731,12 @@ def chunk_documents(
     pruning intact).  The same arithmetic runs verbatim in DuckDB
     (generate_series + list slicing), so chunk text is hash-checked.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents_df(load_table(spark, sf_dir, "documents"), w, stride)
+
+
+def chunk_documents_df(docs: DataFrame, w: int = 64, stride: int = 48) -> DataFrame:
+    """DataFrame-core of :func:`chunk_documents` over any
+    (doc_id, text) relation (fluent Corpus.chunk / scale probe)."""
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     t = docs.select("doc_id", toks.alias("tk")).where(F.size("tk") >= 1)
     last_start = F.greatest(F.size("tk") - F.lit(w - stride), F.lit(1))

@@ -172,3 +172,23 @@ def test_corpus_builder_empty_input(spark):
     )
     assert out.count() == 0
     assert "split" in out.columns
+
+
+def test_corpus_chunk_and_leakage_safe_split(spark, sf_smoke):
+    """Fluent surface for the new curation ops: .chunk() yields the
+    chunk schema; .split(leakage_safe=True) keeps near-dup candidate
+    pairs in one split."""
+    from heatmap_spark.api import Corpus
+    from heatmap_spark.operators.dedup import minhash_lsh_candidates
+
+    chunks = Corpus(spark).from_sf_dir(sf_smoke).chunk().df()
+    assert set(chunks.columns) == {"doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens"}
+    assert chunks.count() > 0
+
+    split = Corpus(spark).from_sf_dir(sf_smoke).split(leakage_safe=True).df()
+    assert "cluster_id" not in split.columns
+    by_doc = {r.doc_id: r.split for r in split.select("doc_id", "split").collect()}
+    pairs = minhash_lsh_candidates(spark, sf_smoke).collect()
+    assert pairs
+    for p in pairs:
+        assert by_doc[p.doc_a] == by_doc[p.doc_b]
