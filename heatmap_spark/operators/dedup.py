@@ -710,9 +710,19 @@ def duplicated_passages(spark: SparkSession, sf_dir: str, w: int = 8) -> DataFra
     return duplicated_passages_df(load_table(spark, sf_dir, "documents"), w)
 
 
-def duplicated_passages_df(docs: DataFrame, w: int = 8) -> DataFrame:
+def duplicated_passages_df(
+    docs: DataFrame, w: int = 8, persist: bool = True
+) -> DataFrame:
     """DataFrame-core of :func:`duplicated_passages` over any
-    (doc_id, text) relation."""
+    (doc_id, text) relation.
+
+    The hashed window stream is consumed twice (document-frequency
+    aggregate, then the join-back); ``persist=True`` (default) caches
+    it DISK_ONLY so tokenize+md5 run once — measured 53.5 → 31.8 s at
+    the 100k-doc probe.  The cached stream is (doc_id, 32-hex-hash)
+    rows, ~w× the corpus token count in narrow rows — disk-backed and
+    sequential, cheaper than a second full CPU pass at any scale;
+    pass persist=False to trade CPU for zero storage."""
     toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda t: t != "")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (w - 1)),
@@ -728,6 +738,10 @@ def duplicated_passages_df(docs: DataFrame, w: int = 8) -> DataFrame:
             )
         ).alias("h"),
     )
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        wins = wins.persist(StorageLevel.DISK_ONLY)
     dup = (
         wins.distinct()
         .groupBy("h")
