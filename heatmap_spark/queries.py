@@ -259,6 +259,48 @@ def q_streaming_tile_store_partitioned(spark: SparkSession, sf_dir: str) -> Data
     return read_partitioned_store(spark, store)
 
 
+def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining-data refresh as one Catalyst plan:
+    quality gate (lang/length) → benchmark decontamination (5-gram
+    broadcast semi-join) → MinHash-LSH near-dup removal (keep lowest
+    id) → deterministic md5 split → RAG chunking.
+
+    Every stage is one of this repo's operators chained as DataFrames,
+    so the optimizer sees the whole DAG: the quality predicates push
+    into the scan, the benchmark-shingle and dupe sets ride broadcast
+    joins, and the chunker is a map-only tail.  Output: one row per
+    surviving CHUNK with its split assignment — exactly what a
+    downstream tokenizer job consumes.  The DuckDB oracle runs the
+    identical five stages, so the end-to-end composition (not just
+    each stage) is hash-checked."""
+    from heatmap_spark.operators.textops import chunk_documents_df
+    from heatmap_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.where((F.col("lang") == "en") & (F.col("n_chars") >= 150))
+    clean = (
+        dedup.decontaminate(spark, sf_dir).where(F.col("keep")).select("doc_id")
+    )
+    dupes = (
+        dedup.minhash_lsh_candidates(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    surv = keep.join(clean, "doc_id", "left_semi").join(
+        F.broadcast(dupes), "doc_id", "left_anti"
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h <= "c", F.lit("train"))
+        .when(h <= "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    chunks = chunk_documents_df(surv.select("doc_id", "text"))
+    return chunks.join(
+        surv.select("doc_id", split.alias("split")), "doc_id"
+    ).select("doc_id", "split", "chunk_idx", "chunk_text", "n_chunk_tokens")
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton keys for the distinct zoom-12 tile set — the layout key
     operators/layout.cluster_by_zorder writes by (pure integer
@@ -3138,6 +3180,45 @@ SELECT doc.doc_id,
   round(CASE WHEN COALESCE(a.n_windows, 0) > 0
              THEN CAST(a.n_dup_windows AS DOUBLE) / a.n_windows ELSE 0.0 END, 6) AS dup_frac
 FROM documents doc LEFT JOIN agg a USING (doc_id)""",
+    ),
+    # The full curation DAG in one plan: quality -> decontaminate ->
+    # LSH dedup -> split -> chunk; the composition itself hash-checked.
+    "q_curation_full": QuerySpec(
+        q_curation_full,
+        rf"""WITH {_SHINGLES_CTE},
+{_LSH_CAND_CTE},
+dupes AS (SELECT DISTINCT doc_b AS doc_id FROM cand),
+dtk AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t5
+  FROM documents),
+dsh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t5) - 3),
+    i -> t5[i] || ' ' || t5[i+1] || ' ' || t5[i+2] || ' ' || t5[i+3] || ' ' || t5[i+4]))) AS token
+  FROM dtk),
+bench AS (SELECT DISTINCT token FROM dsh WHERE doc_id % 97 = 0),
+cont AS (
+  SELECT DISTINCT doc_id FROM dsh
+  WHERE doc_id % 97 <> 0 AND token IN (SELECT token FROM bench)),
+surv AS (
+  SELECT d.doc_id, d.text FROM documents d
+  LEFT JOIN cont c USING (doc_id)
+  WHERE d.lang = 'en' AND d.n_chars >= 150
+    AND d.doc_id % 97 <> 0 AND c.doc_id IS NULL
+    AND d.doc_id NOT IN (SELECT doc_id FROM dupes)),
+tl AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM surv),
+stt AS (
+  SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 16, 1) + 1, 48)) AS st
+  FROM tl WHERE len(tk) >= 1)
+SELECT doc_id,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
+       ELSE 'test' END AS split,
+  CAST((st - 1) / 48 AS INTEGER) AS chunk_idx,
+  array_to_string(tk[st:st+63], ' ') AS chunk_text,
+  CAST(len(tk[st:st+63]) AS INTEGER) AS n_chunk_tokens
+FROM stt""",
     ),
     # Leakage-safe split: split key = near-dup cluster representative,
     # so duplicate clusters can never straddle train/test.

@@ -642,3 +642,25 @@ def test_incremental_dedup_statuses_consistent_with_pairs(spark, sf_smoke):
             assert status == "dup_in_batch"
         else:
             assert status == "new"
+
+
+def test_curation_full_invariants(spark, sf_correct):
+    """End-to-end refresh: every emitted chunk's doc passed ALL gates
+    (quality, decontamination, dedup), and chunk token counts are
+    bounded by the window size."""
+    from heatmap_spark.operators.dedup import decontaminate, minhash_lsh_candidates
+    from heatmap_spark.queries import q_curation_full
+    from heatmap_spark.sources.tables import load_table
+
+    out = q_curation_full(spark, sf_correct)
+    rows = out.collect()
+    assert rows
+    emitted = {r.doc_id for r in rows}
+    docs = {r.doc_id: r for r in load_table(spark, sf_correct, "documents").collect()}
+    clean = {r.doc_id for r in decontaminate(spark, sf_correct).collect() if r.keep}
+    dupes = {r.doc_b for r in minhash_lsh_candidates(spark, sf_correct).collect()}
+    for d in emitted:
+        assert docs[d].lang == "en" and docs[d].n_chars >= 150
+        assert d in clean and d not in dupes
+    assert all(1 <= r.n_chunk_tokens <= 64 for r in rows)
+    assert {r.split for r in rows} <= {"train", "val", "test"}
