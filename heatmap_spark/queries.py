@@ -3323,8 +3323,8 @@ _PRIORITY = [
     "q_text_stats",
     "q_lang_id",
     "q_token_counts",
-    "q_normalized_text",
-    "q_rolling_fingerprint",
+    "q_curation_full",
+    "q_chunk_documents",
     "q_multimodal_meta",
     # relational + temporal + streaming flagships
     "q_tpch_q1",
@@ -3335,11 +3335,11 @@ _PRIORITY = [
     "q_sessionize",
     "q_trajectory_similarity",
     "q_asof_join",
-    "q_window_tumbling",
+    "q_leakage_safe_split",
     "q_mixing_sample",
     "q_streaming_tumbling",
     "q_streaming_join",
-    "q_heatmap_topk_tiles",
+    "q_incremental_dedup",
     "q_heatmap_unique_users",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
