@@ -441,3 +441,74 @@ def smooth_tiles(pyramid: DataFrame, zoom: int) -> DataFrame:
     return scattered.groupBy("user_group", "timespan", "row", "col").agg(
         F.sum("wv").cast("double").alias("smoothed")
     )
+
+
+def dense_regions(
+    locations: DataFrame, zoom: int = 6, min_count: int = 3
+) -> DataFrame:
+    """Grid-DBSCAN dense-region detection on the tile grid: cells with
+    ≥ ``min_count`` points are core cells; core cells touching
+    (8-neighborhood) merge into one region via connected components.
+
+    This is the spatial-clustering query the reference's heatmap
+    domain actually asks ("where are the hotspots?") — DBSCAN
+    semantics with the tile grid as the index, so there is no
+    pairwise-distance join anywhere: density is one groupBy on the
+    quantized keys (map-side combinable), adjacency is an equi-join of
+    the dense-cell set against its 8 shifted copies (dense cells ≪
+    points, and the join key is exact integers), and the iterative
+    min-label propagation runs on the tiny dense-cell graph
+    (operators/dedup.connected_components, O(diameter) rounds).
+    Output: one row per dense cell with its region label and point
+    count; region_id = min cell_id in the region (deterministic).
+
+    Reference: none — SURVEY.md §2.8 extension of the reference's own
+    geo domain.
+    """
+    from heatmap_spark.operators.dedup import connected_components
+
+    side = F.lit(1 << zoom).cast("long")
+    cells = (
+        locations.where(F.col("source") != "background")
+        .select(
+            tile_row(F.col("latitude"), zoom).alias("row"),
+            tile_col(F.col("longitude"), zoom).alias("col"),
+        )
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("n_points"))
+        .where(F.col("n_points") >= min_count)
+        .withColumn("cell_id", F.col("row") * side + F.col("col"))
+    )
+    offsets = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1) if (dr, dc) != (0, 0)]
+    shifted = cells.select(
+        "cell_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("row") + dr).alias("nr"), (F.col("col") + dc).alias("nc")
+                    )
+                    for dr, dc in offsets
+                ]
+            )
+        ).alias("nb"),
+    ).select("cell_id", F.col("nb.nr").alias("row"), F.col("nb.nc").alias("col"))
+    edges = (
+        shifted.join(cells.select("row", "col", F.col("cell_id").alias("cell_b")), ["row", "col"])
+        .where(F.col("cell_id") < F.col("cell_b"))
+        .select(F.col("cell_id").alias("cell_a"), "cell_b")
+        .distinct()
+    )
+    labels = connected_components(edges, a="cell_a", b="cell_b").select(
+        F.col("doc_id").alias("cell_id"), F.col("cluster_id").alias("region_id")
+    )
+    return (
+        cells.join(labels, "cell_id", "left")
+        .select(
+            "cell_id",
+            "row",
+            "col",
+            "n_points",
+            F.coalesce("region_id", F.col("cell_id")).alias("region_id"),
+        )
+    )

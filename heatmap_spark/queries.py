@@ -259,6 +259,12 @@ def q_streaming_tile_store_partitioned(spark: SparkSession, sf_dir: str) -> Data
     return read_partitioned_store(spark, store)
 
 
+def q_dense_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN hotspots at zoom 6: dense cells (≥3 points) merged
+    into regions via 8-neighbor connected components."""
+    return pyr.dense_regions(load_locations(spark, sf_dir), zoom=6, min_count=3)
+
+
 def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE pretraining-data refresh as one Catalyst plan:
     quality gate (lang/length) → benchmark decontamination (5-gram
@@ -3180,6 +3186,30 @@ SELECT doc.doc_id,
   round(CASE WHEN COALESCE(a.n_windows, 0) > 0
              THEN CAST(a.n_dup_windows AS DOUBLE) / a.n_windows ELSE 0.0 END, 6) AS dup_frac
 FROM documents doc LEFT JOIN agg a USING (doc_id)""",
+    ),
+    # Grid-DBSCAN hotspots: dense zoom-6 cells + 8-neighbor CC regions.
+    "q_dense_regions": QuerySpec(
+        q_dense_regions,
+        f"""WITH RECURSIVE {_LOC_CTE},
+cells AS (
+  SELECT r, c, count(*) AS n_points, r * 64 + c AS cell_id
+  FROM (
+    SELECT
+      CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 64.0) AS BIGINT) AS r,
+      CAST(floor((longitude + 180.0)/360.0 * 64.0) AS BIGINT) AS c
+    FROM locations WHERE source <> 'background')
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+edges AS (
+  SELECT a.cell_id AS u, b.cell_id AS v FROM cells a JOIN cells b
+    ON abs(a.r - b.r) <= 1 AND abs(a.c - b.c) <= 1 AND a.cell_id <> b.cell_id),
+reach(node, lab) AS (
+  SELECT cell_id, cell_id FROM cells
+  UNION
+  SELECT e.u, r2.lab FROM edges e JOIN reach r2 ON e.v = r2.node),
+lab AS (SELECT node AS cell_id, min(lab) AS region_id FROM reach GROUP BY node)
+SELECT c.cell_id, c.r AS row, c.c AS col,
+       CAST(c.n_points AS BIGINT) AS n_points, l.region_id
+FROM cells c JOIN lab l USING (cell_id)""",
     ),
     # The full curation DAG in one plan: quality -> decontaminate ->
     # LSH dedup -> split -> chunk; the composition itself hash-checked.

@@ -211,3 +211,31 @@ def test_cascade_reliable_checkpoint(spark, locations, tmp_path):
         for f in fs
     ]
     assert written, "reliable checkpoint wrote no files"
+
+
+def test_dense_regions_grid_dbscan_semantics(spark, sf_correct):
+    """Dense-region invariants: every cell has >= min_count points,
+    8-adjacent dense cells share a region, region_id is the min
+    cell_id of its region, and regions partition the dense cells."""
+    from heatmap_spark.operators.pyramid import dense_regions
+    from heatmap_spark.sources.locations import load_locations
+
+    out = dense_regions(load_locations(spark, sf_correct), zoom=6, min_count=3).collect()
+    assert out
+    cells = {(r.row, r.col): r for r in out}
+    for r in out:
+        assert r.n_points >= 3
+        assert r.cell_id == r.row * 64 + r.col
+    # adjacency implies same region
+    for (row, col), r in cells.items():
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                nb = cells.get((row + dr, col + dc))
+                if nb is not None:
+                    assert nb.region_id == r.region_id
+    # region_id = min cell_id of its member set
+    by_region = {}
+    for r in out:
+        by_region.setdefault(r.region_id, []).append(r.cell_id)
+    for rid, members in by_region.items():
+        assert rid == min(members)
