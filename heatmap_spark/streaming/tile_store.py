@@ -286,3 +286,42 @@ def stream_pyramid_to_partitioned_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def vacuum_partitioned_store(store_path: str, keep: int = 1) -> int:
+    """Delete superseded version directories, keeping the latest
+    ``keep`` versions per bucket (the Delta VACUUM analogue for this
+    layout).  Returns the number of directories removed.
+
+    Safety: the marker is the commit record — only versions strictly
+    below (latest − keep + 1) are removed, so concurrent readers that
+    resolved the marker before the vacuum still find their version as
+    long as ``keep`` ≥ 1 covers their read window; crash-orphaned
+    staging dirs (no marker pointing at them) are also swept.  Pure
+    driver-side os calls — no Spark job."""
+    import shutil
+
+    removed = 0
+    if not os.path.isdir(store_path):
+        return 0
+    for d in os.listdir(store_path):
+        p = os.path.join(store_path, d)
+        if d.startswith("_staging_") and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+            removed += 1
+            continue
+        if not d.startswith("bucket="):
+            continue
+        k = int(d.split("=", 1)[1])
+        latest, _ = _read_bucket_marker(store_path, k)
+        if latest < 0:
+            continue
+        floor = latest - keep + 1
+        for v in os.listdir(p):
+            if not v.startswith("v="):
+                continue
+            ver = int(v.split("=", 1)[1])
+            if ver < floor:
+                shutil.rmtree(os.path.join(p, v), ignore_errors=True)
+                removed += 1
+    return removed

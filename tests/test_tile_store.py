@@ -132,3 +132,35 @@ def test_partitioned_streaming_face_equals_batch(spark, sf_smoke, tmp_path):
     got = read_partitioned_store(spark, store)
     want = build_pyramid(spark.read.parquet(src), mode="explode", **ZOOMS)
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_vacuum_keeps_latest_versions_readable(spark, sf_smoke, tmp_path):
+    """After several merges, vacuum removes superseded version dirs and
+    orphaned staging, keeps the latest per bucket, and reads are
+    unchanged."""
+    import os
+
+    from heatmap_spark.streaming.tile_store import (
+        _live_buckets,
+        _read_bucket_marker,
+        merge_delta_into_partitioned_store,
+        read_partitioned_store,
+        vacuum_partitioned_store,
+    )
+
+    store = str(tmp_path / "pstore")
+    delta = build_pyramid(load_locations(spark, sf_smoke), mode="explode", **ZOOMS)
+    for b in range(3):
+        merge_delta_into_partitioned_store(spark, delta, store, batch_id=b)
+    os.makedirs(os.path.join(store, "_staging_99"), exist_ok=True)  # orphan
+    before = read_partitioned_store(spark, store).agg(F.sum("visits")).first()[0]
+
+    removed = vacuum_partitioned_store(store, keep=1)
+    assert removed > 0
+    assert not os.path.exists(os.path.join(store, "_staging_99"))
+    for k in _live_buckets(store):
+        latest, _ = _read_bucket_marker(store, k)
+        vdirs = [d for d in os.listdir(os.path.join(store, f"bucket={k}")) if d.startswith("v=")]
+        assert vdirs == [f"v={latest}"]
+    after = read_partitioned_store(spark, store).agg(F.sum("visits")).first()[0]
+    assert after == before
