@@ -56,14 +56,22 @@ def knn_cosine(
 def knn_cosine_df(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """DataFrame-core of :func:`knn_cosine` over any (vec_id, vec)
     relation (used by the scale probe on synthetic corpora)."""
+    # norms as carried columns: computed once per row on each side,
+    # not once per candidate PAIR (each corpus row is scored against
+    # n_queries queries — the naive inline norm_expr re-folds per
+    # pair; same bit-identical floats, just factored out)
     queries = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        norm_expr(F.col("vec")).alias("qn"),
     )
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        norm_expr(F.col("vec")).alias("nn"),
+    )
     sim = F.round(
-        dot_expr(F.col("qvec"), F.col("nvec"))
-        / (norm_expr(F.col("qvec")) * norm_expr(F.col("nvec"))),
-        6,
+        dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6
     )
     scored = (
         corpus.crossJoin(F.broadcast(queries))
@@ -196,6 +204,7 @@ def knn_ivf_recall(
     if emb.count() < 1000:
         min_recall = min(min_recall, 0.2)
     exact = knn_cosine_df(emb, n_queries, k).select("query_id", "neighbor_id")
+    n_exact = exact.count()  # < n_queries*k on tiny corpora — the true denominator
     codebook = ivf_codebook(emb, n_buckets, train_iters)
     rows = []
     for nprobe in (1, n_buckets):
@@ -205,7 +214,7 @@ def knn_ivf_recall(
         hits = exact.join(
             approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
         ).count()
-        recall = round(hits / (n_queries * k), 6)
+        recall = round(hits / n_exact, 6)
         rows.append((nprobe, recall))
     if rows[0][1] < min_recall:
         raise AssertionError(
@@ -241,11 +250,19 @@ def knn_cosine_ivf_df(
         if codebook is None:
             codebook = ivf_codebook(emb, n_buckets)
         assigned = _assign_to_codebook(emb, codebook)
+    # norms carried per row, not recomputed per candidate pair (see
+    # knn_cosine_df note — bit-identical floats, factored out)
     queries = assigned.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        norm_expr(F.col("vec")).alias("qn"),
+        "bucket",
     )
     corpus = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"), "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        norm_expr(F.col("vec")).alias("nn"),
+        "bucket",
     )
     if nprobe <= 1:
         cand = corpus.join(F.broadcast(queries), "bucket")
@@ -276,9 +293,7 @@ def knn_cosine_ivf_df(
             q2, F.array_contains(q2["probe_buckets"], corpus["bucket"])
         )
     sim = F.round(
-        dot_expr(F.col("qvec"), F.col("nvec"))
-        / (norm_expr(F.col("qvec")) * norm_expr(F.col("nvec"))),
-        6,
+        dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6
     )
     scored = cand.where(F.col("neighbor_id") != F.col("query_id")).select(
         "query_id", "neighbor_id", sim.alias("cosine")
@@ -661,7 +676,53 @@ def _sq_dist(a: Column, b: Column) -> Column:
 
 
 def _l2_normalize(vec: Column) -> Column:
-    return F.transform(vec, lambda x: x / norm_expr(vec))
+    """Normalize with the O(dim) norm fold evaluated ONCE per vector:
+    zip_with against array_repeat(norm, size) — array_repeat's element
+    argument is evaluated once per row.  The naive
+    transform(vec, x -> x / norm_expr(vec)) re-runs the fold per
+    ELEMENT (O(dim²) per vector; Catalyst does no CSE inside lambdas,
+    and a struct let-binding gets simplified away by
+    SimplifyExtractValueOps right back into the per-element fold)."""
+    return F.zip_with(
+        vec,
+        F.array_repeat(norm_expr(vec), F.size(vec)),
+        lambda x, n: x / n,
+    )
+
+
+def _rerank_exact(
+    shortlist: DataFrame,
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    topk: int,
+) -> DataFrame:
+    """Exact cosine re-rank of an ADC shortlist: only the shortlist's
+    raw vectors are fetched (broadcast query set, neighbor-keyed join),
+    output (query_id, neighbor_id, cosine, rank<=topk).  Shared by the
+    Column and numpy ADC paths so tie-break/rounding changes can't
+    diverge between them."""
+    qdf = emb.sparkSession.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        "query_id bigint, qvec array<double>",
+    )
+    raw = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"))
+    exact = (
+        shortlist.join(raw, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr(F.col("qvec"), F.col("nvec"))
+                / (norm_expr(F.col("qvec")) * norm_expr(F.col("nvec"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return exact.select(
+        "query_id", "neighbor_id", "cosine", F.row_number().over(w2).alias("rank")
+    ).where(F.col("rank") <= topk)
 
 
 def pq_codebooks(
@@ -841,28 +902,7 @@ def pq_adc_topk(
     shortlist = ranked.where(F.col("rank") <= topk * rerank_oversample).select(
         "query_id", "neighbor_id"
     )
-    qdf = emb.sparkSession.createDataFrame(
-        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
-        "query_id bigint, qvec array<double>",
-    )
-    raw = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"))
-    exact = (
-        shortlist.join(raw, "neighbor_id")
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot_expr(F.col("qvec"), F.col("nvec"))
-                / (norm_expr(F.col("qvec")) * norm_expr(F.col("nvec"))),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return exact.select(
-        "query_id", "neighbor_id", "cosine", F.row_number().over(w2).alias("rank")
-    ).where(F.col("rank") <= topk)
+    return _rerank_exact(shortlist, emb, queries, topk)
 
 
 def pq_recall(
@@ -886,12 +926,13 @@ def pq_recall(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     exact = knn_cosine_df(emb, n_queries, topk).select("query_id", "neighbor_id")
+    n_exact = exact.count()  # true denominator on tiny corpora
     cb = pq_codebooks(emb, m, k, train_iters=2)
     approx = pq_adc_topk(emb, cb, n_queries, topk, m, k, rerank_oversample=8)
     hits = exact.join(
         approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     ).count()
-    recall = round(hits / (n_queries * topk), 6)
+    recall = round(hits / n_exact, 6)
     if recall < min_recall:
         raise AssertionError(f"PQ recall@{topk} is {recall} < pinned {min_recall}")
     bytes_raw = 64 * 8
@@ -1025,25 +1066,4 @@ def pq_adc_topk_np(
         .where(F.col("rank") <= topk * rerank_oversample)
         .select("query_id", "neighbor_id")
     )
-    qdf = emb.sparkSession.createDataFrame(
-        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
-        "query_id bigint, qvec array<double>",
-    )
-    raw = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"))
-    exact = (
-        shortlist.join(raw, "neighbor_id")
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot_expr(F.col("qvec"), F.col("nvec"))
-                / (norm_expr(F.col("qvec")) * norm_expr(F.col("nvec"))),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return exact.select(
-        "query_id", "neighbor_id", "cosine", F.row_number().over(w2).alias("rank")
-    ).where(F.col("rank") <= topk)
+    return _rerank_exact(shortlist, emb, queries, topk)

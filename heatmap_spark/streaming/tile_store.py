@@ -129,11 +129,23 @@ def spatial_bucket(bucket_zoom: int = BUCKET_ZOOM):
 
     b = 1 << bucket_zoom
     # SQL shiftright accepts a column shift amount (the Python helper
-    # F.shiftright is literal-only)
-    return F.expr(
+    # F.shiftright is literal-only).  A zoom below bucket_zoom would be
+    # Java-masked (shiftright(row, -2) == shiftright(row, 30)) and
+    # silently collapse rows into bucket 0 — raise per-row instead.
+    expr = F.expr(
         f"CAST(shiftright(row, CAST(zoom - {bucket_zoom} AS INT)) * {b}"
         f" + shiftright(col, CAST(zoom - {bucket_zoom} AS INT)) AS INT)"
     )
+    return F.when(
+        F.col("zoom") < bucket_zoom,
+        F.raise_error(
+            F.concat(
+                F.lit(f"spatial_bucket: zoom "),
+                F.col("zoom").cast("string"),
+                F.lit(f" < bucket_zoom {bucket_zoom}"),
+            )
+        ).cast("int"),
+    ).otherwise(expr)
 
 
 def _bucket_marker_path(store_path: str, bucket: int) -> str:
@@ -213,7 +225,14 @@ def merge_delta_into_partitioned_store(
 
     from pyspark.sql import functions as F
 
-    d = delta.withColumn("bucket", spatial_bucket(bucket_zoom))
+    from pyspark.storagelevel import StorageLevel
+
+    # two actions consume the delta (touched-bucket collect + staging
+    # write) — cut lineage once so the micro-batch pyramid is built
+    # once, not twice (same DISK_ONLY discipline as the cascade)
+    d = delta.withColumn(
+        "bucket", spatial_bucket(bucket_zoom)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     touched = sorted(r.bucket for r in d.select("bucket").distinct().collect())
     pending = [k for k in touched if _read_bucket_marker(store_path, k)[1] < batch_id]
     if not pending:
@@ -234,12 +253,15 @@ def merge_delta_into_partitioned_store(
     for k in pending:
         src = os.path.join(staging, f"bucket={k}")
         if not os.path.isdir(src):
-            # Unreachable with this delta algebra: visits are sums of
+            # Unreachable with this delta algebra (visits are sums of
             # positive weights, so a touched bucket's merge is never
-            # empty.  If a retraction-capable delta ever lands here,
-            # skipping (no marker advance) keeps the store readable and
-            # the replay re-merges the bucket idempotently.
-            continue
+            # empty) — if the staged dir is gone, something external
+            # removed it (e.g. a concurrent vacuum).  FAIL the batch so
+            # the stream restarts and replays it; silently skipping
+            # would commit the checkpoint with the delta never merged.
+            raise RuntimeError(
+                f"staged bucket dir vanished before commit: {src}"
+            )
         ver, _ = _read_bucket_marker(store_path, k)
         dstdir = os.path.join(store_path, f"bucket={k}")
         os.makedirs(dstdir, exist_ok=True)
@@ -298,7 +320,13 @@ def vacuum_partitioned_store(store_path: str, keep: int = 1) -> int:
     resolved the marker before the vacuum still find their version as
     long as ``keep`` ≥ 1 covers their read window; crash-orphaned
     staging dirs (no marker pointing at them) are also swept.  Pure
-    driver-side os calls — no Spark job."""
+    driver-side os calls — no Spark job.
+
+    Concurrency contract (same as Delta VACUUM's retention caveat):
+    run with no ACTIVE writer on this store.  A concurrent merge whose
+    staging dir is swept mid-flight FAILS LOUDLY (the merge raises
+    before committing any marker) rather than losing the batch, but
+    the failed batch then relies on stream restart/replay."""
     import shutil
 
     removed = 0

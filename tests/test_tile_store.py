@@ -97,10 +97,9 @@ def test_partitioned_store_equals_batch_and_prunes(spark, sf_smoke, tmp_path):
     assert merge_delta_into_partitioned_store(spark, d1, store, batch_id=1) == 0
 
     got = read_partitioned_store(spark, store)
-    want = pyramid_merge_ref = build_pyramid(b0, mode="explode", **ZOOMS)
     from heatmap_spark.operators.pyramid import pyramid_merge
 
-    want = pyramid_merge(want, d1)
+    want = pyramid_merge(build_pyramid(b0, mode="explode", **ZOOMS), d1)
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
 
     # pruned read: only the requested buckets' rows come back
