@@ -180,9 +180,9 @@ def connected_components(
     one-giant-component dense-grid graph (diameter ~100) vs
     non-convergence at 20 plain rounds.  Every step
     is joins + groupBys; localCheckpoint() truncates the growing
-    lineage each round.  Raises if the 20-round cap (diameter 2^20 via
-    the doubling) somehow fails to converge rather than returning
-    wrong labels.
+    lineage each round.  Raises if the ``max_rounds`` cap (default 50,
+    i.e. diameter up to ~2^50 via the pointer-jump doubling) somehow
+    fails to converge rather than returning wrong labels.
     """
     edges = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
@@ -715,7 +715,9 @@ def jaccard_prefix_filter(
     )
 
 
-def duplicated_passages(spark: SparkSession, sf_dir: str, w: int = 8) -> DataFrame:
+def duplicated_passages(
+    spark: SparkSession, sf_dir: str, w: int = 8, persist: bool = True
+) -> DataFrame:
     """Exact duplicated-passage detection (the ExactSubstr signal of
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     Better", re-expressed relationally): a document's w-token window is
@@ -734,7 +736,7 @@ def duplicated_passages(spark: SparkSession, sf_dir: str, w: int = 8) -> DataFra
     gracefully to a shuffle join — never all-pairs).  Docs shorter than
     w tokens surface with zero windows rather than vanishing.
     """
-    return duplicated_passages_df(load_table(spark, sf_dir, "documents"), w)
+    return duplicated_passages_df(load_table(spark, sf_dir, "documents"), w, persist)
 
 
 def duplicated_passages_df(
@@ -749,7 +751,13 @@ def duplicated_passages_df(
     the 100k-doc probe.  The cached stream is (doc_id, 32-hex-hash)
     rows, ~w× the corpus token count in narrow rows — disk-backed and
     sequential, cheaper than a second full CPU pass at any scale;
-    pass persist=False to trade CPU for zero storage."""
+    pass persist=False to trade CPU for zero storage.
+
+    Cache lifetime: with persist=True the per-doc aggregate is
+    materialized eagerly (localCheckpoint) and the window stream is
+    unpersisted before returning, so repeated invocations do NOT
+    accumulate cached blocks for the app lifetime — the returned
+    DataFrame reads the small checkpointed aggregate, not the cache."""
     toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda t: t != "")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (w - 1)),
@@ -784,6 +792,12 @@ def duplicated_passages_df(
             F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_windows"),
         )
     )
+    if persist:
+        # Materialize the small per-doc aggregate (both passes over the
+        # cached window stream happen here), then release the cache so
+        # repeated calls don't leak DISK_ONLY blocks for the app lifetime.
+        agg = agg.localCheckpoint(eager=True)
+        wins.unpersist()
     return (
         docs.select("doc_id")
         .join(agg, "doc_id", "left")

@@ -205,6 +205,11 @@ def knn_ivf_recall(
         min_recall = min(min_recall, 0.2)
     exact = knn_cosine_df(emb, n_queries, k).select("query_id", "neighbor_id")
     n_exact = exact.count()  # < n_queries*k on tiny corpora — the true denominator
+    if n_exact == 0:
+        raise AssertionError(
+            "knn_ivf_recall: exact kNN returned 0 neighbor pairs — corpus "
+            "too small to measure recall (need >= 2 vectors)"
+        )
     codebook = ivf_codebook(emb, n_buckets, train_iters)
     rows = []
     for nprobe in (1, n_buckets):
@@ -838,7 +843,13 @@ def pq_adc_topk(
     order (||a−b||² = 2 − 2·cos), so results rank like the exact
     cosine kNN and recall is measured against it (pq_recall).  Query
     cost: |corpus| × m element_at lookups + a per-query top-k window
-    over the broadcast-small candidate stream."""
+    over the broadcast-small candidate stream.
+
+    Codes come from :func:`pq_encode_np` — the SAME encoder
+    :func:`pq_codebooks` trains with — so train and serve can never
+    disagree on a near-tie centroid assignment (the Column encoder
+    uses a different float formula and may break ties differently).
+    """
     d = dim // m
     queries = [
         (r["vec_id"], r["vec"])
@@ -846,7 +857,7 @@ def pq_adc_topk(
         .select("vec_id", _l2_normalize(F.col("vec")).alias("vec"))
         .collect()
     ]
-    codes = pq_encode(emb, cb, m, k, dim)
+    codes = pq_encode_np(emb, cb, m, k, dim)
 
     def table_for(qvec: list[float]) -> Column:
         return F.array(
@@ -927,6 +938,11 @@ def pq_recall(
     )
     exact = knn_cosine_df(emb, n_queries, topk).select("query_id", "neighbor_id")
     n_exact = exact.count()  # true denominator on tiny corpora
+    if n_exact == 0:
+        raise AssertionError(
+            "pq_recall: exact kNN returned 0 neighbor pairs — corpus too "
+            "small to measure recall (need >= 2 vectors)"
+        )
     cb = pq_codebooks(emb, m, k, train_iters=2)
     approx = pq_adc_topk(emb, cb, n_queries, topk, m, k, rerank_oversample=8)
     hits = exact.join(
@@ -958,8 +974,13 @@ def pq_encode_np(
     three numpy einsum/argmin calls per Arrow batch (measured >100x).
     Encoding stays embarrassingly parallel and shuffle-free; the
     codebook ships once per task inside the closure (k·dim doubles).
-    Ties break to the lowest code id in both spellings (np.argmin and
-    array_sort both take the first minimum).
+    Both spellings take the first minimum (np.argmin / array_sort), so
+    codes agree up to floating-point ties: the two paths compute the
+    distance with different formulas (||c||^2 - 2 s·c here vs
+    sum((s-c)^2) in the Column form), so an assignment can diverge
+    when two centroids are within float rounding of equidistant.
+    Train and serve therefore both use THIS encoder for code
+    assignment; the Column form is the slow-path cross-check only.
     """
     import numpy as np
 

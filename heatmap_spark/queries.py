@@ -182,9 +182,11 @@ def q_heatmap_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_heatmap_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sink shape (id, heatmap JSON) — JSON key order is engine-specific,
-    so this is a rows-only declared query; content is pinned by
-    tests/test_pyramid.py golden comparison."""
+    """Sink shape (id, heatmap JSON).  Map entries are emitted in
+    sorted-key order on both sides, so the JSON string is byte-stable
+    and the DuckDB oracle hash-matches it (CORRECTNESS_r02: hash pass);
+    content is additionally pinned by tests/test_pyramid.py golden
+    comparison."""
     return pyr.heatmap_table(
         pyr.resultsets(pyr.build_pyramid(load_locations(spark, sf_dir), mode="explode"))
     )

@@ -88,6 +88,14 @@ def read_with_quarantine(
     is cached before the split; both halves then filter the same
     materialized parse, which also guarantees good/bad see one
     consistent read of mutable input files.
+
+    Cache lifetime: the shared parse stays cached until Spark's LRU
+    block manager evicts it (MEMORY_AND_DISK default) — deliberate,
+    because unpersisting before the caller consumes BOTH halves would
+    re-parse and could see a different read of mutable inputs.  A
+    caller done with both halves can release it early via
+    ``good.sparkSession.catalog.clearCache()`` or by unpersisting the
+    parent (``good.storageLevel``-bearing) plan.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField

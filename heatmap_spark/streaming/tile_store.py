@@ -310,7 +310,9 @@ def stream_pyramid_to_partitioned_store(
     )
 
 
-def vacuum_partitioned_store(store_path: str, keep: int = 1) -> int:
+def vacuum_partitioned_store(
+    store_path: str, keep: int = 1, staging_age_s: float = 3600.0
+) -> int:
     """Delete superseded version directories, keeping the latest
     ``keep`` versions per bucket (the Delta VACUUM analogue for this
     layout).  Returns the number of directories removed.
@@ -323,20 +325,32 @@ def vacuum_partitioned_store(store_path: str, keep: int = 1) -> int:
     driver-side os calls — no Spark job.
 
     Concurrency contract (same as Delta VACUUM's retention caveat):
-    run with no ACTIVE writer on this store.  A concurrent merge whose
-    staging dir is swept mid-flight FAILS LOUDLY (the merge raises
-    before committing any marker) rather than losing the batch, but
-    the failed batch then relies on stream restart/replay."""
+    run with no ACTIVE writer on this store.  As a belt-and-braces
+    guard, staging dirs are only swept when their mtime is older than
+    ``staging_age_s`` (default 1 h) — a live merge's fresh staging dir
+    survives an accidentally-concurrent vacuum; only genuinely
+    crash-orphaned staging is reclaimed.  If a merge DOES outlive the
+    age threshold and its staging is swept, it FAILS LOUDLY (raises
+    before committing any marker) rather than losing the batch, and
+    the failed batch then relies on stream restart/replay.  Pass
+    ``staging_age_s=0`` for the old sweep-everything behavior."""
     import shutil
+    import time
 
     removed = 0
     if not os.path.isdir(store_path):
         return 0
+    now = time.time()
     for d in os.listdir(store_path):
         p = os.path.join(store_path, d)
         if d.startswith("_staging_") and os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
-            removed += 1
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue  # racing writer just committed/removed it
+            if age >= staging_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
             continue
         if not d.startswith("bucket="):
             continue

@@ -326,7 +326,9 @@ def test_new_pipeline_ops_have_no_cartesian_or_python(spark, sf_smoke):
 
     for df in (
         semantic_dedup(spark, sf_smoke),
-        duplicated_passages(spark, sf_smoke),
+        # persist=False keeps the full lazy plan visible (persist=True
+        # checkpoints the aggregate, hiding the subplan from explain)
+        duplicated_passages(spark, sf_smoke, persist=False),
     ):
         plan = plan_string(df, "simple")
         assert "CartesianProduct" not in plan, plan
@@ -343,7 +345,7 @@ def test_duplicated_passages_shuffles_hashes_not_text(spark, sf_smoke):
     32-char digest, never the raw w-gram string."""
     from heatmap_spark.operators.dedup import duplicated_passages
 
-    plan = plan_string(duplicated_passages(spark, sf_smoke), "formatted")
+    plan = plan_string(duplicated_passages(spark, sf_smoke, persist=False), "formatted")
     import re
 
     # every hashpartitioning on the window column is on the md5 output

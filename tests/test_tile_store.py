@@ -154,7 +154,12 @@ def test_vacuum_keeps_latest_versions_readable(spark, sf_smoke, tmp_path):
     os.makedirs(os.path.join(store, "_staging_99"), exist_ok=True)  # orphan
     before = read_partitioned_store(spark, store).agg(F.sum("visits")).first()[0]
 
-    removed = vacuum_partitioned_store(store, keep=1)
+    # Default staging-age guard: a FRESH staging dir (possibly a live
+    # merge) must survive a vacuum.
+    vacuum_partitioned_store(store, keep=1)
+    assert os.path.exists(os.path.join(store, "_staging_99"))
+    # Explicit age=0 reclaims genuinely orphaned staging.
+    removed = vacuum_partitioned_store(store, keep=1, staging_age_s=0)
     assert removed > 0
     assert not os.path.exists(os.path.join(store, "_staging_99"))
     for k in _live_buckets(store):
