@@ -212,7 +212,10 @@ def q_streaming_tile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the locations stream through the versioned tile store
     (foreachBatch delta-pyramid merge, zooms 8-12, 3 micro-batches) and
     return the final store contents — which must equal the batch
-    pyramid over the same rows (the oracle)."""
+    pyramid over the same rows (the oracle).  Uses the production
+    default layout (auto → bucket-partitioned, since min_zoom=8 >=
+    BUCKET_ZOOM): per-batch merge cost tracks batch locality, not
+    store size."""
     import tempfile
 
     from heatmap_spark.streaming.tile_store import (

@@ -9,11 +9,28 @@ stored base with :func:`heatmap_spark.operators.pyramid.pyramid_merge`
 base is written Z-ordered so bbox reads over the store prune row
 groups (operators/layout.py).
 
-Storage is versioned directories + a ``_LATEST`` marker, swapped only
-after the new version's write succeeds — readers never observe a
-partial version.  On a real deployment this versioning is what an ACID
-table format (Delta/Iceberg/Hudi) provides; the merge/layout logic
-here is format-agnostic and would move over unchanged.
+Two layouts share one commit protocol (versioned directories + a
+``_LATEST`` marker, swapped only after the new version's write
+succeeds — readers never observe a partial version):
+
+* **partitioned** (production default): per-spatial-bucket versions, a
+  micro-batch rewrites only the coarse cells it touches — per-batch
+  cost tracks batch locality, not store size.
+* **flat**: one version dir for the whole store — simplest possible
+  layout, kept for sub-``BUCKET_ZOOM`` pyramids and as the minimal
+  reference implementation of the protocol.  Its merge is O(store)
+  per batch, so it is NOT the path for a large store.
+
+All marker/staging metadata I/O goes through the Hadoop FileSystem
+API via the JVM gateway (:class:`_Fs`), so the store works on any
+Hadoop-supported URI (``hdfs://``, ``s3a://``, ``abfs://``, local
+paths) — not just driver-local POSIX.  On rename-as-copy stores
+(S3A without a committer) the directory promote is slower but still
+correct: the marker swap remains the commit point.
+
+On a real deployment this versioning is what an ACID table format
+(Delta/Iceberg/Hudi) provides; the merge/layout logic here is
+format-agnostic and would move over unchanged.
 
 Exactly-once: the marker records (version, last merged batch_id).  A
 micro-batch replayed after a crash (checkpoint not yet committed but
@@ -24,13 +41,11 @@ leaves an orphan version dir the next write simply overwrites.
 Scale shape per batch: the delta shuffles only the micro-batch's
 aggregates, the merge shuffles (base ∪ delta) AGGREGATE rows — never
 raw event history — and the base row count is bounded by the live tile
-set, so steady-state cost is O(batch + live tiles), independent of
-total history (the property that matters at 100 TB/day).
+set, so steady-state cost is O(batch + live tiles of touched buckets),
+independent of total history (the property that matters at 100 TB/day).
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -40,30 +55,184 @@ from heatmap_spark.operators.pyramid import build_pyramid, pyramid_merge
 _LATEST = "_LATEST"
 
 
+def _join(*parts: str) -> str:
+    """URI-safe path join (never os.path.join — scheme-qualified URIs
+    are not OS paths)."""
+    return "/".join(p.rstrip("/") for p in parts)
+
+
+class _Fs:
+    """Driver-side metadata I/O through Hadoop's FileSystem API.
+
+    Every marker read/write, staging promote, and vacuum delete in
+    this module routes through here, so the commit protocol is
+    storage-agnostic: the same code runs against ``hdfs://``,
+    ``s3a://``, ``abfs://`` or a plain local path, resolved per-path
+    by Hadoop (FileSystem instances are cached JVM-side, so
+    constructing this per call is cheap).
+
+    Atomic marker swap uses FileContext.rename(..., OVERWRITE) — the
+    HDFS-atomic overwrite rename (public Hadoop API).  On object
+    stores without atomic rename the swap degrades to
+    delete+copy-visible semantics; the tiny marker file makes the
+    non-atomic window milliseconds, and a reader that catches it
+    treats the store as "no version committed" and retries.
+
+    Falls back to POSIX os calls when no SparkSession is active (pure
+    unit tests, offline vacuum of a local store).
+    """
+
+    def __init__(self, spark: SparkSession | None = None):
+        self._spark = spark or SparkSession.getActiveSession()
+        if self._spark is not None:
+            sc = self._spark.sparkContext
+            self._jvm = sc._jvm
+            self._conf = sc._jsc.hadoopConfiguration()
+            self._Path = self._jvm.org.apache.hadoop.fs.Path
+            self._gateway = sc._gateway
+
+    # -- JVM-backed implementations -------------------------------------
+    def _fs(self, path: str):
+        return self._Path(path).getFileSystem(self._conf)
+
+    def exists(self, path: str) -> bool:
+        if self._spark is None:
+            import os
+
+            return os.path.exists(path)
+        return self._fs(path).exists(self._Path(path))
+
+    def is_dir(self, path: str) -> bool:
+        if self._spark is None:
+            import os
+
+            return os.path.isdir(path)
+        fs, p = self._fs(path), self._Path(path)
+        return fs.exists(p) and fs.getFileStatus(p).isDirectory()
+
+    def read_text(self, path: str) -> str:
+        if self._spark is None:
+            with open(path, encoding="utf-8") as f:
+                return f.read()
+        stream = self._fs(path).open(self._Path(path))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        """Write ``text`` to ``path`` via a sibling temp file + an
+        overwriting rename — readers see the old content or the new,
+        never a partial write."""
+        if self._spark is None:
+            import os
+
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(text)
+            os.replace(tmp, path)
+            return
+        tmp = path + ".tmp"
+        out = self._fs(path).create(self._Path(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(self._conf)
+        Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gateway.new_array(Rename, 1)
+        opts[0] = Rename.OVERWRITE
+        fc.rename(self._Path(tmp), self._Path(path), opts)
+
+    def list_names(self, path: str) -> list[str]:
+        """Child entry names of a directory ([] if missing)."""
+        if self._spark is None:
+            import os
+
+            return os.listdir(path) if os.path.isdir(path) else []
+        fs, p = self._fs(path), self._Path(path)
+        if not fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(p)]
+
+    def delete(self, path: str) -> None:
+        """Recursive delete; missing path is a no-op."""
+        if self._spark is None:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            return
+        self._fs(path).delete(self._Path(path), True)
+
+    def rename(self, src: str, dst: str) -> bool:
+        """Move src → dst (dst must not exist).  Directory moves are
+        metadata-only on HDFS/local; a copy on S3A — correct either
+        way because the marker swap AFTER this is the commit point."""
+        if self._spark is None:
+            import os
+
+            os.rename(src, dst)
+            return True
+        return self._fs(src).rename(self._Path(src), self._Path(dst))
+
+    def mkdirs(self, path: str) -> None:
+        if self._spark is None:
+            import os
+
+            os.makedirs(path, exist_ok=True)
+            return
+        self._fs(path).mkdirs(self._Path(path))
+
+    def mtime(self, path: str) -> float | None:
+        """Modification time (epoch seconds), None if missing/racing."""
+        if self._spark is None:
+            import os
+
+            try:
+                return os.path.getmtime(path)
+            except OSError:
+                return None
+        fs, p = self._fs(path), self._Path(path)
+        try:
+            return fs.getFileStatus(p).getModificationTime() / 1000.0
+        except Exception:
+            return None  # vanished under a racing writer
+
+
 def _read_marker(store_path: str) -> tuple[int, int]:
     """(version, last_batch_id), (-1, -1) if nothing committed."""
-    marker = os.path.join(store_path, _LATEST)
-    if not os.path.exists(marker):
+    fs = _Fs()
+    marker = _join(store_path, _LATEST)
+    if not fs.exists(marker):
         return -1, -1
-    with open(marker, encoding="utf-8") as f:
-        version, batch = f.read().strip().split(":")
+    version, batch = fs.read_text(marker).strip().split(":")
     return int(version), int(batch)
 
 
 def read_tile_store(spark: SparkSession, store_path: str) -> DataFrame | None:
-    """Current pyramid in the store, or None if no version committed."""
+    """Current pyramid in the store, or None if no version committed.
+
+    Layout-dispatching: a flat ``_LATEST`` marker wins; otherwise any
+    live ``bucket=`` dirs are read through the partitioned path — so
+    readers need not know which layout the writer used."""
     version, _ = _read_marker(store_path)
-    if version < 0:
-        return None
-    return spark.read.parquet(os.path.join(store_path, f"v={version}"))
+    if version >= 0:
+        return spark.read.parquet(_join(store_path, f"v={version}"))
+    return read_partitioned_store(spark, store_path)
 
 
 def merge_delta_into_store(
     spark: SparkSession, delta: DataFrame, store_path: str, batch_id: int = 0
 ) -> bool:
-    """Merge one delta pyramid into the store: write a new Z-ordered
-    version dir, then atomically swap the marker.  Returns False (no-op)
-    if ``batch_id`` was already merged — the replay guard."""
+    """Flat-layout merge: write a new whole-store Z-ordered version
+    dir, then atomically swap the marker.  Returns False (no-op) if
+    ``batch_id`` was already merged — the replay guard.
+
+    O(store) per batch — use :func:`merge_delta_into_partitioned_store`
+    (the production default) unless the pyramid has zoom levels below
+    ``BUCKET_ZOOM``."""
     version, last_batch = _read_marker(store_path)
     if batch_id <= last_batch:
         return False
@@ -73,12 +242,8 @@ def merge_delta_into_store(
     out = cluster_by_zorder(
         merged, num_partitions=max(2, spark.sparkContext.defaultParallelism // 4)
     )
-    out.write.mode("overwrite").parquet(os.path.join(store_path, f"v={nxt}"))
-    marker = os.path.join(store_path, _LATEST)
-    tmp = marker + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(f"{nxt}:{batch_id}")
-    os.replace(tmp, marker)  # atomic on POSIX — readers see old or new
+    out.write.mode("overwrite").parquet(_join(store_path, f"v={nxt}"))
+    _Fs(spark).write_text_atomic(_join(store_path, _LATEST), f"{nxt}:{batch_id}")
     return True
 
 
@@ -88,14 +253,28 @@ def stream_pyramid_to_store(
     checkpoint_path: str,
     min_zoom: int = 6,
     max_zoom: int = 21,
+    layout: str = "auto",
 ):
     """Maintain the tile store from a locations stream via foreachBatch.
 
     Returns the started StreamingQuery (availableNow trigger drains all
     pending input then stops — call ``.awaitTermination()``).  Each
     micro-batch runs the BATCH pyramid build on the batch DataFrame and
-    merges under the replay guard above.
+    merges under the replay guard.
+
+    ``layout``: ``"auto"`` (default) uses the bucket-PARTITIONED store
+    whenever ``min_zoom >= BUCKET_ZOOM`` — the production path whose
+    per-batch cost tracks batch locality instead of store size — and
+    falls back to the flat store only for coarser pyramids;
+    ``"partitioned"`` / ``"flat"`` force a layout.
+    :func:`read_tile_store` reads either layout transparently.
     """
+    if layout not in ("auto", "partitioned", "flat"):
+        raise ValueError(f"unknown layout {layout!r}")
+    if layout == "partitioned" or (layout == "auto" and min_zoom >= BUCKET_ZOOM):
+        return stream_pyramid_to_partitioned_store(
+            locations, store_path, checkpoint_path, min_zoom, max_zoom
+        )
     spark = locations.sparkSession
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -149,23 +328,22 @@ def spatial_bucket(bucket_zoom: int = BUCKET_ZOOM):
 
 
 def _bucket_marker_path(store_path: str, bucket: int) -> str:
-    return os.path.join(store_path, f"bucket={bucket}", _LATEST)
+    return _join(store_path, f"bucket={bucket}", _LATEST)
 
 
 def _read_bucket_marker(store_path: str, bucket: int) -> tuple[int, int]:
+    fs = _Fs()
     marker = _bucket_marker_path(store_path, bucket)
-    if not os.path.exists(marker):
+    if not fs.exists(marker):
         return -1, -1
-    with open(marker, encoding="utf-8") as f:
-        version, batch = f.read().strip().split(":")
+    version, batch = fs.read_text(marker).strip().split(":")
     return int(version), int(batch)
 
 
 def _live_buckets(store_path: str) -> list[int]:
-    if not os.path.isdir(store_path):
-        return []
+    fs = _Fs()
     out = []
-    for d in os.listdir(store_path):
+    for d in fs.list_names(store_path):
         if d.startswith("bucket="):
             k = int(d.split("=", 1)[1])
             if _read_bucket_marker(store_path, k)[0] >= 0:
@@ -187,7 +365,7 @@ def read_partitioned_store(
     if not ks:
         return None
     paths = [
-        os.path.join(store_path, f"bucket={k}", f"v={_read_bucket_marker(store_path, k)[0]}")
+        _join(store_path, f"bucket={k}", f"v={_read_bucket_marker(store_path, k)[0]}")
         for k in ks
     ]
     return spark.read.parquet(*paths)
@@ -221,12 +399,11 @@ def merge_delta_into_partitioned_store(
     skipped, regardless of where the previous attempt died.  Markers
     move strictly forward because streaming batch ids are monotone.
     """
-    import shutil
-
     from pyspark.sql import functions as F
 
     from pyspark.storagelevel import StorageLevel
 
+    fs = _Fs(spark)
     # two actions consume the delta (touched-bucket collect + staging
     # write) — cut lineage once so the micro-batch pyramid is built
     # once, not twice (same DISK_ONLY discipline as the cascade)
@@ -241,7 +418,7 @@ def merge_delta_into_partitioned_store(
     base = read_partitioned_store(spark, store_path, buckets=pending)
     merged = d_pending if base is None else pyramid_merge(base, d_pending)
     staged = merged.withColumn("bucket", spatial_bucket(bucket_zoom))
-    staging = os.path.join(store_path, f"_staging_{batch_id}")
+    staging = _join(store_path, f"_staging_{batch_id}")
     (
         staged.repartition("bucket")
         .sortWithinPartitions("bucket", "zoom", "row", "col")
@@ -251,8 +428,8 @@ def merge_delta_into_partitioned_store(
     )
     committed = 0
     for k in pending:
-        src = os.path.join(staging, f"bucket={k}")
-        if not os.path.isdir(src):
+        src = _join(staging, f"bucket={k}")
+        if not fs.is_dir(src):
             # Unreachable with this delta algebra (visits are sums of
             # positive weights, so a touched bucket's merge is never
             # empty) — if the staged dir is gone, something external
@@ -263,18 +440,15 @@ def merge_delta_into_partitioned_store(
                 f"staged bucket dir vanished before commit: {src}"
             )
         ver, _ = _read_bucket_marker(store_path, k)
-        dstdir = os.path.join(store_path, f"bucket={k}")
-        os.makedirs(dstdir, exist_ok=True)
-        dst = os.path.join(dstdir, f"v={ver + 1}")
-        if os.path.isdir(dst):  # orphan from a crashed attempt
-            shutil.rmtree(dst)
-        os.rename(src, dst)
-        tmp = _bucket_marker_path(store_path, k) + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(f"{ver + 1}:{batch_id}")
-        os.replace(tmp, _bucket_marker_path(store_path, k))
+        dstdir = _join(store_path, f"bucket={k}")
+        fs.mkdirs(dstdir)
+        dst = _join(dstdir, f"v={ver + 1}")
+        if fs.is_dir(dst):  # orphan from a crashed attempt
+            fs.delete(dst)
+        fs.rename(src, dst)
+        fs.write_text_atomic(_bucket_marker_path(store_path, k), f"{ver + 1}:{batch_id}")
         committed += 1
-    shutil.rmtree(staging, ignore_errors=True)
+    fs.delete(staging)
     return committed
 
 
@@ -322,7 +496,7 @@ def vacuum_partitioned_store(
     resolved the marker before the vacuum still find their version as
     long as ``keep`` ≥ 1 covers their read window; crash-orphaned
     staging dirs (no marker pointing at them) are also swept.  Pure
-    driver-side os calls — no Spark job.
+    driver-side FileSystem metadata calls — no Spark job.
 
     Concurrency contract (same as Delta VACUUM's retention caveat):
     run with no ACTIVE writer on this store.  As a belt-and-braces
@@ -334,22 +508,19 @@ def vacuum_partitioned_store(
     before committing any marker) rather than losing the batch, and
     the failed batch then relies on stream restart/replay.  Pass
     ``staging_age_s=0`` for the old sweep-everything behavior."""
-    import shutil
     import time
 
+    fs = _Fs()
     removed = 0
-    if not os.path.isdir(store_path):
-        return 0
     now = time.time()
-    for d in os.listdir(store_path):
-        p = os.path.join(store_path, d)
-        if d.startswith("_staging_") and os.path.isdir(p):
-            try:
-                age = now - os.path.getmtime(p)
-            except OSError:
+    for d in fs.list_names(store_path):
+        p = _join(store_path, d)
+        if d.startswith("_staging_") and fs.is_dir(p):
+            mt = fs.mtime(p)
+            if mt is None:
                 continue  # racing writer just committed/removed it
-            if age >= staging_age_s:
-                shutil.rmtree(p, ignore_errors=True)
+            if now - mt >= staging_age_s:
+                fs.delete(p)
                 removed += 1
             continue
         if not d.startswith("bucket="):
@@ -359,11 +530,11 @@ def vacuum_partitioned_store(
         if latest < 0:
             continue
         floor = latest - keep + 1
-        for v in os.listdir(p):
+        for v in fs.list_names(p):
             if not v.startswith("v="):
                 continue
             ver = int(v.split("=", 1)[1])
             if ver < floor:
-                shutil.rmtree(os.path.join(p, v), ignore_errors=True)
+                fs.delete(_join(p, v))
                 removed += 1
     return removed

@@ -15,6 +15,10 @@ ZOOMS = dict(min_zoom=8, max_zoom=12)
 
 
 def test_streamed_store_equals_batch_pyramid(spark, sf_smoke, tmp_path):
+    """Default (auto) layout: min_zoom=8 >= BUCKET_ZOOM routes to the
+    bucket-PARTITIONED store; read_tile_store reads it transparently."""
+    from heatmap_spark.streaming.tile_store import _live_buckets, _read_bucket_marker
+
     src = str(tmp_path / "in")
     store = str(tmp_path / "store")
     ckpt = str(tmp_path / "ckpt")
@@ -29,13 +33,41 @@ def test_streamed_store_equals_batch_pyramid(spark, sf_smoke, tmp_path):
     q = stream_pyramid_to_store(stream, store, ckpt, **ZOOMS)
     q.awaitTermination(timeout=300)
 
+    assert _read_marker(store) == (-1, -1), "auto layout must be partitioned"
+    live = _live_buckets(store)
+    assert live, "expected live buckets"
+    assert max(_read_bucket_marker(store, k)[1] for k in live) >= 2, (
+        "expected one merge per input file"
+    )
+
+    got = read_tile_store(spark, store)
+    want = build_pyramid(spark.read.parquet(src), mode="explode", **ZOOMS)
+    # visits are sums of 1.0 weights — integer-valued doubles, exact
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_streamed_flat_store_equals_batch_pyramid(spark, sf_smoke, tmp_path):
+    """layout='flat' keeps the whole-store versioned path working."""
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    loc = load_locations(spark, sf_smoke)
+    loc.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(loc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_pyramid_to_store(stream, store, ckpt, layout="flat", **ZOOMS)
+    q.awaitTermination(timeout=300)
+
     version, last_batch = _read_marker(store)
     assert last_batch >= 2, "expected one merge per input file"
     assert version == last_batch
 
     got = read_tile_store(spark, store)
     want = build_pyramid(spark.read.parquet(src), mode="explode", **ZOOMS)
-    # visits are sums of 1.0 weights — integer-valued doubles, exact
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
 
 
