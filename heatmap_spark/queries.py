@@ -1635,8 +1635,12 @@ ORDER BY jaccard DESC, user_a, user_b LIMIT 20""",
     ),
     "q_knn_cosine_ivf": QuerySpec(similarity.knn_cosine_ivf, None),
     # PQ-ADC compressed-domain search + exact re-rank; rows-only with
-    # an in-registry recall pin (raises below 0.7) like q_knn_ivf_recall.
+    # an in-registry recall pin (raises below 0.85) like q_knn_ivf_recall.
     "q_knn_pq_recall": QuerySpec(similarity.pq_recall, None),
+    # OPQ: learned-rotation PQ at 8 B/vec (64x compression) — rows-only
+    # with an in-registry pin (raises below 0.8); the returned row also
+    # carries plain-PQ recall at the same budget for the comparison.
+    "q_knn_opq_recall": QuerySpec(similarity.opq_recall, None),
     # nprobe = all buckets ⇒ IVF output provably equals brute force, so
     # the whole IVF machinery rides the exact oracle's hash-match gate
     "q_knn_cosine_ivf_exact": QuerySpec(

@@ -645,6 +645,66 @@ def probe_pq(spark, n: int) -> None:
     )
 
 
+def probe_opq(spark, n: int) -> None:
+    """OPQ at scale: rotation+codebook train on a 100k sample (each OPQ
+    iteration = map-only rotate, linear PQ train, one distributed
+    dim x dim cross-matrix pass + driver-side SVD), then map-only
+    rotate+encode of the full corpus at 8 B/vec (64x compression) and
+    ADC top-5 + exact re-rank."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.similarity import (
+        opq_train,
+        pq_adc_scores_np,
+        pq_encode_np,
+        rotate_vectors,
+        _l2_normalize,
+        _rerank_exact,
+    )
+    from pyspark.sql.window import Window as W
+    from pyspark.storagelevel import StorageLevel
+
+    m, k = 8, 32
+    emb = synthetic_dup_embeddings(spark, n)
+    emb.count()  # warm
+    t0 = time.perf_counter()
+    R, cb = opq_train(
+        emb.where(F.col("vec_id") < 100_000), m, k, opq_iters=3, train_iters=1
+    )
+    t_train = time.perf_counter() - t0
+    nv = emb.select("vec_id", _l2_normalize(F.col("vec")).alias("vec"))
+    t0 = time.perf_counter()
+    codes = pq_encode_np(rotate_vectors(nv, R), cb, m, k).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+    n_codes = codes.count()
+    t_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    Rm = np.asarray(R)
+    raw_queries = [
+        (r["vec_id"], r["vec"]) for r in nv.where(F.col("vec_id") < 10).collect()
+    ]
+    rot_queries = [(qid, list(np.asarray(qv) @ Rm)) for qid, qv in raw_queries]
+    scored = pq_adc_scores_np(codes, cb, rot_queries, m, k).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 40)
+        .select("query_id", "neighbor_id")
+    )
+    n_top = _rerank_exact(shortlist, emb, raw_queries, 5).count()
+    t_q = time.perf_counter() - t0
+    print(
+        f"OPQ {n:,} vecs: train {t_train:.1f}s (100k sample, 3 OPQ iters), "
+        f"rotate+encode {t_enc:.1f}s = {n / t_enc / 1000:.0f}k vecs/s, ADC "
+        f"top-5 for 10 queries {t_q:.1f}s, codes={n_codes:,}, "
+        f"bytes/vec 512 -> {m}, top rows={n_top}"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -655,7 +715,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -666,7 +726,8 @@ def main() -> None:
      "passages": probe_passages, "semdedup": probe_semdedup,
      "split": probe_split, "incr": probe_incr,
      "chunk": probe_chunk, "stream": probe_stream,
-     "streampart": probe_streampart, "pq": probe_pq}[which](spark, n)
+     "streampart": probe_streampart, "pq": probe_pq,
+     "opq": probe_opq}[which](spark, n)
 
 
 if __name__ == "__main__":
