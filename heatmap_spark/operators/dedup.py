@@ -739,6 +739,31 @@ def duplicated_passages(
     return duplicated_passages_df(load_table(spark, sf_dir, "documents"), w, persist)
 
 
+def passage_windows(docs: DataFrame, w: int = 8) -> DataFrame:
+    """Positional w-token window stream of a (doc_id, text) relation:
+    one (doc_id, h) row per window, h = md5 of the space-joined
+    lowercase tokens — hashed BEFORE any exchange so shuffles carry
+    32-hex keys, never w-gram strings.  Docs shorter than w tokens
+    emit no rows (callers left-join the doc universe back).  Shared by
+    the batch detector and the streaming store so the two can never
+    disagree on tokenization."""
+    toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(w)])
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(toks) >= w, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("h"),
+    )
+
+
 def duplicated_passages_df(
     docs: DataFrame, w: int = 8, persist: bool = True
 ) -> DataFrame:
@@ -758,21 +783,7 @@ def duplicated_passages_df(
     unpersisted before returning, so repeated invocations do NOT
     accumulate cached blocks for the app lifetime — the returned
     DataFrame reads the small checkpointed aggregate, not the cache."""
-    toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda t: t != "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (w - 1)),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(w)])
-        ),
-    )
-    wins = docs.select(
-        "doc_id",
-        F.explode(
-            F.when(F.size(toks) >= w, grams).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("h"),
-    )
+    wins = passage_windows(docs, w)
     if persist:
         from pyspark.storagelevel import StorageLevel
 

@@ -264,6 +264,61 @@ def q_streaming_tile_store_partitioned(spark: SparkSession, sf_dir: str) -> Data
     return read_partitioned_store(spark, store)
 
 
+_DUP_PASSAGES_SQL = """WITH tl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+wins AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+             toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS h
+  FROM tl),
+dup AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins) GROUP BY h HAVING count(*) >= 2),
+agg AS (
+  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+    CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM wins w LEFT JOIN dup d ON w.h = d.h
+  GROUP BY w.doc_id)
+SELECT doc.doc_id,
+  COALESCE(a.n_windows, 0) AS n_windows,
+  COALESCE(a.n_dup_windows, 0) AS n_dup_windows,
+  round(CASE WHEN COALESCE(a.n_windows, 0) > 0
+             THEN CAST(a.n_dup_windows AS DOUBLE) / a.n_windows ELSE 0.0 END, 6) AS dup_frac
+FROM documents doc LEFT JOIN agg a USING (doc_id)"""
+
+
+def q_streaming_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the documents table as a 3-micro-batch stream through the
+    log-structured passage store (per-batch postings/df partials,
+    marker-committed), run an LSM compaction of the df partials, and
+    return the final per-doc duplicated-passage stats — which must
+    equal the batch detector over the same rows (the shared oracle).
+    Mid-history compaction + replay idempotence are pinned by
+    tests/test_passages.py."""
+    import tempfile
+
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.passages import (
+        compact_passage_store,
+        read_duplicated_passages,
+        stream_duplicated_passages,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="passage_store_q_")
+    src, store, ckpt = f"{d}/in", f"{d}/store", f"{d}/ckpt"
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_duplicated_passages(stream, store, ckpt)
+    q.awaitTermination(timeout=600)
+    compact_passage_store(spark, store)
+    return read_duplicated_passages(spark, store)
+
+
 def q_dense_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-DBSCAN hotspots at zoom 6: dense cells (≥3 points) merged
     into regions via 8-neighbor connected components."""
@@ -3173,28 +3228,13 @@ GROUP BY t.doc_id""",
     # Lee-et-al-style duplicated-passage fraction: 8-token windows whose
     # exact text recurs in >= 2 distinct documents.
     "q_duplicated_passages": QuerySpec(
-        dedup.duplicated_passages,
-        """WITH tl AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-  FROM documents),
-wins AS (
-  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
-    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
-             toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS h
-  FROM tl),
-dup AS (
-  SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins) GROUP BY h HAVING count(*) >= 2),
-agg AS (
-  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
-    CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
-  FROM wins w LEFT JOIN dup d ON w.h = d.h
-  GROUP BY w.doc_id)
-SELECT doc.doc_id,
-  COALESCE(a.n_windows, 0) AS n_windows,
-  COALESCE(a.n_dup_windows, 0) AS n_dup_windows,
-  round(CASE WHEN COALESCE(a.n_windows, 0) > 0
-             THEN CAST(a.n_dup_windows AS DOUBLE) / a.n_windows ELSE 0.0 END, 6) AS dup_frac
-FROM documents doc LEFT JOIN agg a USING (doc_id)""",
+        dedup.duplicated_passages, _DUP_PASSAGES_SQL
+    ),
+    # Streaming twin: 3-micro-batch drain through the log-structured
+    # passage store + mid-stream compaction — final state must equal
+    # the batch detector, so the SAME oracle gates both.
+    "q_streaming_duplicated_passages": QuerySpec(
+        q_streaming_duplicated_passages, _DUP_PASSAGES_SQL
     ),
     # Grid-DBSCAN hotspots: dense zoom-6 cells + 8-neighbor CC regions.
     "q_dense_regions": QuerySpec(

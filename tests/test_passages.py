@@ -1,0 +1,66 @@
+"""Streaming duplicated-passage store: incremental ≡ batch; replay
+guard; LSM compaction is transparent to readers and later batches."""
+
+from pyspark.sql import functions as F
+
+from heatmap_spark.operators.dedup import duplicated_passages
+from heatmap_spark.sources.tables import load_table
+from heatmap_spark.streaming.passages import (
+    _committed_batches,
+    _read_last_batch,
+    compact_passage_store,
+    merge_batch_into_passage_store,
+    read_duplicated_passages,
+    stream_duplicated_passages,
+)
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def test_streamed_passages_equal_batch(spark, sf_smoke, tmp_path):
+    docs = _docs(spark, sf_smoke)
+    src, store, ckpt = str(tmp_path / "in"), str(tmp_path / "store"), str(tmp_path / "ckpt")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_duplicated_passages(stream, store, ckpt)
+    q.awaitTermination(timeout=300)
+    assert _read_last_batch(store) >= 2, "expected one merge per input file"
+
+    got = read_duplicated_passages(spark, store)
+    want = duplicated_passages(spark, sf_smoke)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_replay_and_midhistory_compaction(spark, sf_smoke, tmp_path):
+    """Split the corpus in half by doc_id parity; ingest batch 0,
+    compact, ingest batch 1 (partials then straddle a base), replay
+    batch 1 (must be a no-op) — final result equals the batch detector
+    over the whole corpus."""
+    store = str(tmp_path / "store")
+    docs = _docs(spark, sf_smoke)
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+
+    assert merge_batch_into_passage_store(spark, b0, store, batch_id=0)
+    folded = compact_passage_store(spark, store)
+    assert folded == 1
+    assert _committed_batches(store, "df") == [], "partials folded into base"
+
+    assert merge_batch_into_passage_store(spark, b1, store, batch_id=1)
+    # crash-replay of batch 1: committed marker makes it a no-op
+    assert not merge_batch_into_passage_store(spark, b1, store, batch_id=1)
+
+    got = read_duplicated_passages(spark, store)
+    want = duplicated_passages(spark, sf_smoke)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    # a second compaction folds the straddling partial; reads unchanged
+    assert compact_passage_store(spark, store) == 1
+    got2 = read_duplicated_passages(spark, store)
+    assert got2.exceptAll(want).isEmpty() and want.exceptAll(got2).isEmpty()
