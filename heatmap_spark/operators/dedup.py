@@ -165,7 +165,11 @@ def jaccard_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_rounds: int = 50
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_rounds: int = 50,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over near-dup
     pairs by iterative min-label propagation (an inherently iterative
@@ -193,7 +197,9 @@ def connected_components(
         F.col("u").alias("node"), F.col("u").alias("label")
     )
     converged = False
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
+        if rounds_out is not None:
+            rounds_out[:] = [rnd + 1]  # rounds executed, for scale probes
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")

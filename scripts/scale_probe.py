@@ -705,6 +705,37 @@ def probe_opq(spark, n: int) -> None:
     )
 
 
+def probe_cc(spark, n: int) -> None:
+    """Pointer-jumping connected components at n edges (default 10M):
+    path components of length 65,536 — the DIAMETER-stress shape (a
+    near-dup cluster graph is shallow; this pins the O(log d)
+    convergence and the non-convergence guard at scale).  Expected
+    rounds ≈ log2(65,536) + small constant."""
+    from heatmap_spark.operators.dedup import connected_components
+
+    B = 65_536
+    edges = (
+        spark.range(1, n + 1)
+        .where(F.col("id") % B != 0)
+        .select((F.col("id") - 1).alias("doc_a"), F.col("id").alias("doc_b"))
+    )
+    edges.count()  # warm
+    rounds: list = []
+    t0 = time.perf_counter()
+    labels = connected_components(edges, rounds_out=rounds)
+    stats = labels.agg(
+        F.countDistinct("cluster_id").alias("ncomp"),
+        F.count("*").alias("nodes"),
+    ).first()
+    dt = time.perf_counter() - t0
+    expect = (n + 1 + B - 1) // B
+    print(
+        f"cc {n:,} edges (paths of {B:,}): {dt:.1f}s, {rounds[0]} rounds, "
+        f"{stats.ncomp:,} components (expect {expect:,}), "
+        f"{stats.nodes:,} nodes = {stats.nodes / dt / 1000:.0f}k nodes/s"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -715,7 +746,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -727,7 +758,7 @@ def main() -> None:
      "split": probe_split, "incr": probe_incr,
      "chunk": probe_chunk, "stream": probe_stream,
      "streampart": probe_streampart, "pq": probe_pq,
-     "opq": probe_opq}[which](spark, n)
+     "opq": probe_opq, "cc": probe_cc}[which](spark, n)
 
 
 if __name__ == "__main__":
