@@ -78,12 +78,13 @@ def test_rows_only_runs(spark, sf_smoke, name, spec):
 
 def test_priority_window_is_first_50():
     """The grading driver hash-checks REGISTRY positions 0-49: the
-    curated _PRIORITY list must be exactly that prefix, with at most
-    the two intended rows-only entries (IVF approximate + recall pin)
-    inside the window."""
+    curated _PRIORITY list must be exactly that prefix, and — after the
+    round-3 rotation freed the two approximate-ANN slots — every
+    window entry must be oracle-gated (no rows-only rows spending
+    hash-signal slots)."""
     from heatmap_spark.queries import _PRIORITY, REGISTRY
 
     keys = list(REGISTRY)
     assert keys[:50] == _PRIORITY
     rows_only = [k for k in keys[:50] if REGISTRY[k].oracle is None]
-    assert set(rows_only) <= {"q_knn_cosine_ivf", "q_knn_ivf_recall"}
+    assert rows_only == []
