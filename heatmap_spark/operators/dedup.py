@@ -745,6 +745,89 @@ def duplicated_passages(
     return duplicated_passages_df(load_table(spark, sf_dir, "documents"), w, persist)
 
 
+def remove_duplicated_passages(
+    spark: SparkSession, sf_dir: str, w: int = 8
+) -> DataFrame:
+    """ExactSubstr REMOVAL (the other half of Lee et al. 2022:
+    flagging tells you how contaminated a doc is, removal actually
+    cleans the training text): every token covered by at least one
+    cross-document duplicated w-token window is dropped from the
+    document, and the cleaned text is re-emitted alongside the token
+    counts.  All occurrences are removed (the C4-style boilerplate
+    treatment — a span shared across documents is noise in each of
+    them), unlike keep-first dedup of whole documents.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text) over the
+    NORMALIZED token stream (lowercased, punctuation-split — the same
+    tokenization every passage operator here shares).
+
+    Scale shape: positional windows are md5-hashed before the df
+    aggregate (32-hex shuffle keys); the duplicated set joins back on
+    the hash; covered token indices explode only for windows that ARE
+    duplicated (bounded by dup density, not corpus size); the rebuild
+    is a map-side indexed filter against each doc's own covered-index
+    set.  No all-pairs anywhere; everything is joins/aggregates on
+    hashes.
+    """
+    return remove_duplicated_passages_df(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), w
+    )
+
+
+def remove_duplicated_passages_df(docs: DataFrame, w: int = 8) -> DataFrame:
+    toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda t: t != "")
+    d1 = docs.select("doc_id", toks.alias("toks"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - (w - 1)),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(w)]
+            )
+        ),
+    )
+    wins = d1.select(
+        "doc_id",
+        F.posexplode(
+            F.when(F.size(F.col("toks")) >= w, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("p0", "h"),  # p0 = 0-based window start
+    )
+    dup = (
+        wins.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("h")
+    )
+    covered = (
+        wins.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p0"), F.col("p0") + (w - 1))
+            ).alias("ti"),  # 0-based covered token index
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("ti").alias("cov"))
+    )
+    keep = F.filter(
+        F.col("toks"),
+        lambda t, i: F.col("cov").isNull() | ~F.array_contains(F.col("cov"), i),
+    )
+    return (
+        d1.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.size("cov"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.concat_ws(" ", keep).alias("clean_text"),
+        )
+    )
+
+
 def passage_windows(docs: DataFrame, w: int = 8) -> DataFrame:
     """Positional w-token window stream of a (doc_id, text) relation:
     one (doc_id, h) row per window, h = md5 of the space-joined

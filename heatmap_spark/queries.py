@@ -3236,6 +3236,35 @@ GROUP BY t.doc_id""",
     "q_streaming_duplicated_passages": QuerySpec(
         q_streaming_duplicated_passages, _DUP_PASSAGES_SQL
     ),
+    # ExactSubstr REMOVAL: tokens covered by cross-doc duplicated
+    # windows are dropped and the cleaned text re-emitted — the oracle
+    # rebuilds the exact same strings via DuckDB's indexed lambdas.
+    "q_remove_duplicated_passages": QuerySpec(
+        dedup.remove_duplicated_passages,
+        """WITH tl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+wins AS (
+  SELECT doc_id, i,
+    md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]) AS h
+  FROM tl, unnest(range(1, greatest(len(toks) - 6, 1))) AS t(i)),
+dup AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins) GROUP BY h HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, u.ti
+  FROM wins w JOIN dup d USING (h), unnest(range(w.i, w.i + 8)) AS u(ti)),
+covagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed, list(ti) AS covs
+  FROM cov GROUP BY doc_id)
+SELECT tl.doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  COALESCE(c.n_removed, 0) AS n_removed,
+  COALESCE(array_to_string(
+    list_filter(toks, (x, i) -> c.covs IS NULL OR NOT list_contains(c.covs, i)),
+    ' '), '') AS clean_text
+FROM tl LEFT JOIN covagg c USING (doc_id)""",
+    ),
     # Grid-DBSCAN hotspots: dense zoom-6 cells + 8-neighbor CC regions.
     "q_dense_regions": QuerySpec(
         q_dense_regions,

@@ -64,3 +64,36 @@ def test_replay_and_midhistory_compaction(spark, sf_smoke, tmp_path):
     assert compact_passage_store(spark, store) == 1
     got2 = read_duplicated_passages(spark, store)
     assert got2.exceptAll(want).isEmpty() and want.exceptAll(got2).isEmpty()
+
+
+def test_remove_duplicated_passages_invariants(spark, sf_smoke):
+    """Removal is consistent with flagging: a doc's removed-token count
+    is bounded by its window coverage; fully-duplicated docs clean to
+    empty text; clean docs come back verbatim (normalized)."""
+    from heatmap_spark.operators.dedup import (
+        duplicated_passages,
+        remove_duplicated_passages,
+    )
+
+    flags = duplicated_passages(spark, sf_smoke)
+    removed = remove_duplicated_passages(spark, sf_smoke)
+    j = flags.join(removed, "doc_id")
+    n = j.count()
+    assert n == flags.count() == removed.count()
+    assert j.where(F.col("n_removed") > F.col("n_tokens")).count() == 0
+    # dup_frac == 1 (every window duplicated) ⇒ every token covered
+    assert (
+        j.where((F.col("dup_frac") == 1.0) & (F.col("n_windows") > 0))
+        .where((F.col("clean_text") != "") | (F.col("n_removed") != F.col("n_tokens")))
+        .count()
+        == 0
+    )
+    # dup_frac == 0 ⇒ nothing removed, normalized text survives intact
+    clean = j.where((F.col("dup_frac") == 0.0) & (F.col("n_windows") > 0))
+    assert clean.where(F.col("n_removed") != 0).count() == 0
+    assert clean.where(F.col("clean_text") == "").count() == 0
+    # any duplicated window ⇒ at least w tokens removed (overlapping
+    # dup windows CAN cover a whole doc even at dup_frac < 1, so only
+    # the lower bound is an invariant)
+    partial = j.where((F.col("dup_frac") > 0.0) & (F.col("dup_frac") < 1.0))
+    assert partial.where(F.col("n_removed") < 8).count() == 0
