@@ -705,6 +705,59 @@ def probe_opq(spark, n: int) -> None:
     )
 
 
+def probe_streampass(spark, n: int) -> None:
+    """Log-structured passage store at n docs (default 500k), ingested
+    in 5 equal batches: per-batch merge cost must track BATCH size
+    (flat across batches as history grows 5x), compaction is the only
+    history-proportional step, and the final read must agree with the
+    one-shot batch detector (aggregate-level equality — full
+    row-compare is its own batch run)."""
+    import shutil
+    import tempfile
+
+    from heatmap_spark.operators.dedup import duplicated_passages_df
+    from heatmap_spark.streaming.passages import (
+        compact_passage_store,
+        merge_batch_into_passage_store,
+        read_duplicated_passages,
+    )
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    root = tempfile.mkdtemp(prefix="passage_probe_")
+    store = f"{root}/store"
+    per = n // 5
+    try:
+        times = []
+        for b in range(5):
+            batch = docs.where(
+                (F.col("doc_id") >= b * per) & (F.col("doc_id") < (b + 1) * per)
+            )
+            t0 = time.perf_counter()
+            merge_batch_into_passage_store(spark, batch, store, batch_id=b)
+            times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        compact_passage_store(spark, store)
+        t_compact = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got = read_duplicated_passages(spark, store).agg(
+            F.count("*").alias("docs"), F.sum("n_dup_windows").alias("dupw")
+        ).first()
+        t_read = time.perf_counter() - t0
+        want = duplicated_passages_df(docs.where(F.col("doc_id") < 5 * per)).agg(
+            F.count("*").alias("docs"), F.sum("n_dup_windows").alias("dupw")
+        ).first()
+        same = (got.docs, got.dupw) == (want.docs, want.dupw)
+        tline = "/".join(f"{t:.1f}" for t in times)
+        print(
+            f"passage-store {n:,} docs in 5 batches: per-batch {tline}s "
+            f"(flat = O(batch)), compaction {t_compact:.1f}s, read "
+            f"{t_read:.1f}s, agrees with batch detector: {same}"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_cc(spark, n: int) -> None:
     """Pointer-jumping connected components at n edges (default 10M):
     path components of length 65,536 — the DIAMETER-stress shape (a
@@ -746,7 +799,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -758,7 +811,8 @@ def main() -> None:
      "split": probe_split, "incr": probe_incr,
      "chunk": probe_chunk, "stream": probe_stream,
      "streampart": probe_streampart, "pq": probe_pq,
-     "opq": probe_opq, "cc": probe_cc}[which](spark, n)
+     "opq": probe_opq, "cc": probe_cc,
+     "streampass": probe_streampass}[which](spark, n)
 
 
 if __name__ == "__main__":
