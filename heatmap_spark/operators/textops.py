@@ -752,3 +752,201 @@ def chunk_documents_df(docs: DataFrame, w: int = 64, stride: int = 48) -> DataFr
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).alias("n_chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE: corpus-scale byte-pair-encoding merge training + encode.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply_merge(syms, left: str, right: str, merged: str):
+    """Greedy left-to-right replacement of adjacent (left, right) with
+    ``merged`` — one sequential fold over the symbol array (the fold
+    order IS the BPE greedy order, so overlapping occurrences resolve
+    exactly like the reference algorithm: 'aaa' + (a,a) → [aa, a])."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame, n_merges: int = 40
+) -> list[tuple[str, str, str, int]]:
+    """Train BPE merges (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units" — public method) over
+    a (doc_id, text) corpus.  Returns [(left, right, merged,
+    pair_count), …] in rank order.
+
+    Scale shape — the detail that makes corpus-scale BPE viable, and
+    how every production trainer works: the ONLY corpus-sized pass is
+    the word-frequency aggregate (one shuffle on the word).  The merge
+    loop then runs entirely on the word-frequency TABLE (distinct
+    words × their counts — vocabulary-sized, independent of corpus row
+    count): each round explodes adjacent symbol pairs weighted by word
+    frequency, takes the arg-max pair (ties broken (count desc, left
+    asc, right asc) — fully deterministic), and rewrites the symbol
+    arrays map-only with one fold.  localCheckpoint each round keeps
+    the 40-round lineage flat.
+
+    Training stops early when no adjacent pair remains (every word
+    fully merged)."""
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), TOKEN_SPLIT),
+                    lambda t: t != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = words.select(
+        "cnt", F.concat(F.split("w", ""), F.array(F.lit("</w>"))).alias("syms")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, str, int]] = []
+    for _ in range(n_merges):
+        pair_structs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("l"),
+                    F.element_at("syms", i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (
+            vocab.select("cnt", F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        m = l + r
+        merges.append((l, r, m, c))
+        vocab = vocab.withColumn(
+            "syms", _bpe_apply_merge(F.col("syms"), l, r, m)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = 40
+) -> DataFrame:
+    """Declared query: the trained merge table (rank, left, right,
+    merged, pair_count) over the documents fixture.  Training is
+    iterative (the SQL-inexpressible class — no DuckDB oracle), so the
+    query self-checks its invariants and RAISES on violation:
+    pair counts must be non-increasing in rank (merging the most
+    frequent pair can only create pairs no more frequent than it), and
+    every merged symbol must be the concatenation of its parts.
+    Exact-match verification against a pure-Python reference trainer
+    lives in tests/test_bpe.py."""
+    ms = bpe_train_merges(
+        load_table(spark, sf_dir, "documents").select("text"), n_merges
+    )
+    if not ms:
+        raise AssertionError("bpe_merges: corpus produced no merges")
+    for i in range(1, len(ms)):
+        if ms[i][3] > ms[i - 1][3]:
+            raise AssertionError(
+                f"BPE invariant broken: pair count rose at rank {i}: "
+                f"{ms[i - 1]} -> {ms[i]}"
+            )
+    for l, r, m, _ in ms:
+        if m != l + r:
+            raise AssertionError(f"merged symbol {m!r} != {l!r}+{r!r}")
+    return spark.createDataFrame(
+        [(i, l, r, m, c) for i, (l, r, m, c) in enumerate(ms)],
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+def bpe_encode_df(docs: DataFrame, merges: list[tuple[str, str, str, int]]) -> DataFrame:
+    """Arrow-batched BPE encode: (doc_id, n_chars, n_words,
+    n_bpe_tokens).  The merge list rides the closure (a few KB);
+    encoding applies merges in rank order per word — identical
+    semantics to training's vocab rewrite, so a word seen in training
+    encodes to exactly its trained symbol sequence.  Map-only: fuses
+    into the scan, no shuffle, Python cost amortized over Arrow
+    batches (the PQ-encode deployment shape)."""
+    import re as _re
+
+    mlist = [(l, r, m) for l, r, m, _ in merges]
+    tok_re = TOKEN_SPLIT
+
+    def kern(batches):
+        import pandas as pd
+
+        splitter = _re.compile(tok_re)
+
+        def encode(text):
+            words = [w for w in splitter.split(text.lower()) if w != ""]
+            total = 0
+            for w in words:
+                syms = list(w) + ["</w>"]
+                for l, r, m in mlist:
+                    out = []
+                    for s in syms:
+                        if out and out[-1] == l and s == r:
+                            out[-1] = m
+                        else:
+                            out.append(s)
+                    syms = out
+                total += len(syms)
+            return len(words), total
+
+        for pdf in batches:
+            enc = pdf["text"].map(lambda t: encode(t or ""))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars": pdf["text"].map(lambda t: len(t or "")),
+                    "n_words": enc.map(lambda e: e[0]),
+                    "n_bpe_tokens": enc.map(lambda e: e[1]),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kern, "doc_id bigint, n_chars bigint, n_words bigint, n_bpe_tokens bigint"
+    )
+
+
+def bpe_token_counts(
+    spark: SparkSession, sf_dir: str, n_merges: int = 40
+) -> DataFrame:
+    """Declared query: per-doc BPE token counts under freshly trained
+    merges.  Self-checks: every doc's BPE token count must lie between
+    its word count (fully merged floor) and chars + words (unmerged
+    ceiling), and SOME doc must compress (fewer symbols than
+    chars+words) or the merges did nothing."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ms = bpe_train_merges(docs.select("text"), n_merges)
+    out = bpe_encode_df(docs, ms).localCheckpoint(eager=True)
+    bad = out.where(
+        (F.col("n_bpe_tokens") < F.col("n_words"))
+        | (F.col("n_bpe_tokens") > F.col("n_chars") + F.col("n_words"))
+    ).count()
+    if bad:
+        raise AssertionError(f"BPE bounds violated for {bad} docs")
+    compressed = out.where(
+        F.col("n_bpe_tokens") < F.col("n_chars") + F.col("n_words")
+    ).count()
+    if compressed == 0:
+        raise AssertionError("BPE merges compressed nothing")
+    return out

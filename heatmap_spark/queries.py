@@ -1738,6 +1738,15 @@ FROM t""",
   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
 FROM documents""",
     ),
+    # Real BPE merge training (Sennrich 2016): iterative — the
+    # SQL-inexpressible class, so rows-only with in-registry invariant
+    # raises; exact-match oracle vs a pure-Python trainer in
+    # tests/test_bpe.py.  The only corpus-scale pass is the word-count
+    # aggregate; the merge loop runs on the vocabulary table.
+    "q_bpe_merges": QuerySpec(textops.bpe_merges, None),
+    # Arrow-batched BPE encode under freshly trained merges (bounds-
+    # pinned rows-only; per-word exact agreement pinned in tests).
+    "q_bpe_token_counts": QuerySpec(textops.bpe_token_counts, None),
     "q_multimodal_meta": QuerySpec(
         textops.multimodal_meta,
         """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, md5(text) AS content_md5,
