@@ -200,3 +200,30 @@ def test_vacuum_keeps_latest_versions_readable(spark, sf_smoke, tmp_path):
         assert vdirs == [f"v={latest}"]
     after = read_partitioned_store(spark, store).agg(F.sum("visits")).first()[0]
     assert after == before
+
+
+def test_fs_layer_handles_scheme_qualified_uris(spark, tmp_path):
+    """The Hadoop-FS metadata layer must treat a scheme-qualified URI
+    (file:/...) exactly like a bare path — markers, listing, atomic
+    overwrite-rename, mtime, recursive delete — since production
+    stores are hdfs://s3a:// URIs, never driver-local paths."""
+    from heatmap_spark.streaming.tile_store import _Fs, _join
+
+    base = "file:" + str(tmp_path / "fsprobe")
+    fs = _Fs(spark)
+    fs.mkdirs(_join(base, "d1"))
+    assert fs.is_dir(_join(base, "d1"))
+    marker = _join(base, "_LATEST")
+    fs.write_text_atomic(marker, "3:7")
+    assert fs.exists(marker)
+    assert fs.read_text(marker) == "3:7"
+    fs.write_text_atomic(marker, "4:9")  # overwrite must be atomic, not fail
+    assert fs.read_text(marker) == "4:9"
+    assert fs.mtime(marker) is not None
+    assert fs.mtime(_join(base, "nope")) is None
+    assert sorted(fs.list_names(base)) == ["_LATEST", "d1"]
+    assert fs.list_names(_join(base, "missing")) == []
+    fs.rename(_join(base, "d1"), _join(base, "d2"))
+    assert fs.is_dir(_join(base, "d2")) and not fs.exists(_join(base, "d1"))
+    fs.delete(base)
+    assert not fs.exists(base)
