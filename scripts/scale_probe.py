@@ -758,6 +758,29 @@ def probe_streampass(spark, n: int) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_bpe(spark, n: int) -> None:
+    """BPE at n docs (default 2M): the word-frequency aggregate is the
+    only corpus-sized pass; the 40-round merge loop runs on the
+    word-count TABLE (vocabulary-sized), so its cost must NOT track
+    corpus row count.  Encode throughput is the Arrow-batched serving
+    path."""
+    from heatmap_spark.operators.textops import bpe_encode_df, bpe_train_merges
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    t0 = time.perf_counter()
+    merges = bpe_train_merges(docs.select("text"), n_merges=40)
+    t_train = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_enc = bpe_encode_df(docs, merges).count()
+    t_enc = time.perf_counter() - t0
+    print(
+        f"bpe {n:,} docs: train 40 merges {t_train:.1f}s (word-count agg + "
+        f"vocab-table loop), encode {t_enc:.1f}s = {n / t_enc / 1000:.0f}k "
+        f"docs/s, {n_enc:,} rows, top merge {merges[0][:3]}"
+    )
+
+
 def probe_cc(spark, n: int) -> None:
     """Pointer-jumping connected components at n edges (default 10M):
     path components of length 65,536 — the DIAMETER-stress shape (a
@@ -799,7 +822,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -812,7 +835,7 @@ def main() -> None:
      "chunk": probe_chunk, "stream": probe_stream,
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
-     "streampass": probe_streampass}[which](spark, n)
+     "streampass": probe_streampass, "bpe": probe_bpe}[which](spark, n)
 
 
 if __name__ == "__main__":
