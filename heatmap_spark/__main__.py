@@ -44,7 +44,8 @@ def main(argv: list[str] | None = None) -> int:
         help=(
             "'classic' = the fixed curation_pipeline compose, or a comma "
             "list of fluent Corpus stages in order from: quality, "
-            "repetition, decontaminate, dedup, dedup-exact, split"
+            "repetition, decontaminate, dedup, dedup-exact, "
+            "remove-passages, split"
         ),
     )
 
@@ -76,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
                 "decontaminate": lambda b: b.decontaminate(),
                 "dedup": lambda b: b.dedup("minhash"),
                 "dedup-exact": lambda b: b.dedup("exact"),
+                "remove-passages": lambda b: b.remove_duplicated_passages(),
                 "split": lambda b: b.split(),
             }
             for stage in args.stages.split(","):

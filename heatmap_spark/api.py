@@ -262,6 +262,29 @@ class CorpusBuilder:
             out = out.drop("cluster_id")
         return CorpusBuilder(self.spark, out)
 
+    def remove_duplicated_passages(self, w: int = 8) -> "CorpusBuilder":
+        """ExactSubstr removal stage (operators/dedup.
+        remove_duplicated_passages_df): every token covered by a
+        cross-document duplicated w-token window is dropped and the
+        document's ``text`` becomes the cleaned (normalized) token
+        stream — downstream stages keep composing on ``text``.  Other
+        columns survive via a doc_id join; ``n_removed_tokens`` is
+        carried for filtering/reporting."""
+        from pyspark.sql import functions as F
+
+        from heatmap_spark.operators.dedup import remove_duplicated_passages_df
+
+        cleaned = remove_duplicated_passages_df(
+            self._df.select("doc_id", "text"), w
+        ).select(
+            "doc_id",
+            F.col("clean_text").alias("text"),
+            F.col("n_removed").alias("n_removed_tokens"),
+        )
+        return CorpusBuilder(
+            self.spark, self._df.drop("text").join(cleaned, "doc_id")
+        )
+
     def chunk(self, w: int = 64, stride: int = 48) -> "CorpusBuilder":
         """RAG chunking stage: the corpus becomes (doc_id, chunk_idx,
         chunk_text, n_chunk_tokens) — overlapping w-token windows at

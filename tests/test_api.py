@@ -192,3 +192,30 @@ def test_corpus_chunk_and_leakage_safe_split(spark, sf_smoke):
     assert pairs
     for p in pairs:
         assert by_doc[p.doc_a] == by_doc[p.doc_b]
+
+
+def test_corpus_remove_passages_stage_and_cli_dispatch(spark, sf_smoke):
+    """The removal stage rewrites ``text`` to the cleaned token stream
+    (matching the operator's clean_text), keeps other columns, and
+    composes with downstream stages; the CLI dispatch table knows it."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.api import Corpus
+    from heatmap_spark.operators.dedup import remove_duplicated_passages
+
+    out = Corpus(spark).from_sf_dir(sf_smoke).remove_duplicated_passages().df()
+    assert {"doc_id", "text", "n_removed_tokens", "lang"} <= set(out.columns)
+    op = remove_duplicated_passages(spark, sf_smoke)
+    j = out.select("doc_id", "text").join(
+        op.select("doc_id", "clean_text"), "doc_id"
+    )
+    assert j.where(F.col("text") != F.col("clean_text")).count() == 0
+    # composes: chunking the cleaned corpus works and drops dup spans
+    chunks = (
+        Corpus(spark)
+        .from_sf_dir(sf_smoke)
+        .remove_duplicated_passages()
+        .chunk()
+        .df()
+    )
+    assert chunks.count() > 0
