@@ -319,6 +319,47 @@ def q_streaming_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFra
     return read_duplicated_passages(spark, store)
 
 
+def q_tile_store_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production SERVING request path end-to-end under the hash
+    gate: build the partitioned tile store from the batch pyramid
+    (zooms 8-12), then fetch ONE result set — the busiest zoom-7
+    parent tile for ('all', 'alltime'), chosen deterministically
+    (max total visits, ties to lowest row/col) — via
+    :func:`read_resultset`'s bucket-pruned point read, and emit the
+    sink-shape (id, heatmap JSON) row.  The oracle recomputes the same
+    selection and the byte-identical JSON."""
+    import tempfile
+
+    from heatmap_spark.streaming.tile_store import (
+        merge_delta_into_partitioned_store,
+        read_resultset,
+    )
+
+    pyr12 = pyr.build_pyramid(
+        load_locations(spark, sf_dir), mode="explode", min_zoom=8, max_zoom=12
+    )
+    store = tempfile.mkdtemp(prefix="tile_store_serve_q_") + "/store"
+    merge_delta_into_partitioned_store(spark, pyr12, store, batch_id=0)
+    top = (
+        pyr12.where(
+            (F.col("zoom") == 12)
+            & (F.col("user_group") == "all")
+            & (F.col("timespan") == "alltime")
+        )
+        .groupBy(
+            F.shiftright("row", 5).alias("r"), F.shiftright("col", 5).alias("c")
+        )
+        .agg(F.sum("visits").alias("total"))
+        .orderBy(F.desc("total"), F.asc("r"), F.asc("c"))
+        .limit(1)
+        .collect()[0]
+    )
+    rs = read_resultset(
+        spark, store, "all", "alltime", f"7_{top['r']}_{top['c']}"
+    )
+    return pyr.heatmap_table(rs)
+
+
 def q_dense_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-DBSCAN hotspots at zoom 6: dense cells (≥3 points) merged
     into regions via 8-neighbor connected components."""
@@ -3244,6 +3285,26 @@ GROUP BY t.doc_id""",
     # the batch detector, so the SAME oracle gates both.
     "q_streaming_duplicated_passages": QuerySpec(
         q_streaming_duplicated_passages, _DUP_PASSAGES_SQL
+    ),
+    # Production serving path: partitioned store build + bucket-pruned
+    # point read of the busiest parent tile, sink-shape JSON out.
+    "q_tile_store_serving": QuerySpec(
+        q_tile_store_serving,
+        f"""WITH {_LOC_CTE},\n{_PTS_CTE},
+d12 AS (
+  SELECT CAST(floor(row21 / pow(2.0, 9.0)) AS BIGINT) AS row,
+         CAST(floor(col21 / pow(2.0, 9.0)) AS BIGINT) AS col,
+         sum(weight) AS visits
+  FROM pts GROUP BY 1, 2),
+top AS (
+  SELECT CAST(floor(row/32.0) AS BIGINT) AS r, CAST(floor(col/32.0) AS BIGINT) AS c
+  FROM d12 GROUP BY 1, 2 ORDER BY sum(visits) DESC, r, c LIMIT 1)
+SELECT 'all|alltime|7_' || CAST(r AS VARCHAR) || '_' || CAST(c AS VARCHAR) AS id,
+  '{{' || string_agg(
+      '"12_' || CAST(row AS VARCHAR) || '_' || CAST(col AS VARCHAR) || '":' || CAST(visits AS VARCHAR),
+      ',' ORDER BY row, col) || '}}' AS heatmap
+FROM d12 JOIN top ON CAST(floor(row/32.0) AS BIGINT) = r AND CAST(floor(col/32.0) AS BIGINT) = c
+GROUP BY r, c""",
     ),
     # ExactSubstr REMOVAL: tokens covered by cross-doc duplicated
     # windows are dropped and the cleaned text re-emitted — the oracle

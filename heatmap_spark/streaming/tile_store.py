@@ -484,6 +484,66 @@ def stream_pyramid_to_partitioned_store(
     )
 
 
+def read_resultset(
+    spark: SparkSession,
+    store_path: str,
+    user_group: str,
+    timespan: str,
+    rs_tile_id: str,
+    delta: int = 5,
+    bucket_zoom: int = BUCKET_ZOOM,
+) -> DataFrame:
+    """Point SERVING read: the single result set (user_group, timespan,
+    parent tile) a tile UI requests, from the partitioned store — the
+    production request path of the reference's heatmaps table
+    (reference heatmap.py:120-129 packages these; a UI fetches one per
+    viewport tile).
+
+    Pruning story, the whole point: the parent id "z_r_c" resolves
+    DRIVER-side to the coarse cell(s) its detail tiles can live in —
+    exactly ONE bucket when z >= bucket_zoom (every detail tile shares
+    the parent's zoom-B ancestor), 4^(B-z) cells otherwise — so the
+    scan opens ONE bucket directory of 256, and inside it the
+    zoom/row/col range predicates push to parquet row-group stats
+    (the store is written sorted by (bucket, zoom, row, col)).  Cost
+    is O(one bucket's row groups), independent of store size.
+
+    Output: one (user_group, timespan, rs_zoom, rs_row, rs_col,
+    heatmap, rs_tile_id) row (empty if the key has no visits), plus
+    the sink-shape JSON via :func:`heatmap_table` composes on top.
+    """
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.pyramid import resultsets
+
+    z, r, c = (int(x) for x in rs_tile_id.split("_"))
+    dz = z + delta
+    if z >= bucket_zoom:
+        buckets = [(r >> (z - bucket_zoom)) * (1 << bucket_zoom) + (c >> (z - bucket_zoom))]
+    else:
+        span = 1 << (bucket_zoom - z)
+        buckets = [
+            br * (1 << bucket_zoom) + bc
+            for br in range(r * span, (r + 1) * span)
+            for bc in range(c * span, (c + 1) * span)
+        ]
+    base = read_partitioned_store(spark, store_path, buckets=buckets)
+    if base is None:
+        return spark.createDataFrame(
+            [],
+            "user_group string, timespan string, rs_zoom int, rs_row bigint,"
+            " rs_col bigint, heatmap map<string,double>, rs_tile_id string",
+        )
+    detail = base.where(
+        (F.col("zoom") == dz)
+        & (F.col("user_group") == user_group)
+        & (F.col("timespan") == timespan)
+        & F.col("row").between(r << delta, ((r + 1) << delta) - 1)
+        & F.col("col").between(c << delta, ((c + 1) << delta) - 1)
+    )
+    return resultsets(detail, delta)
+
+
 def vacuum_partitioned_store(
     store_path: str, keep: int = 1, staging_age_s: float = 3600.0
 ) -> int:

@@ -227,3 +227,49 @@ def test_fs_layer_handles_scheme_qualified_uris(spark, tmp_path):
     assert fs.is_dir(_join(base, "d2")) and not fs.exists(_join(base, "d1"))
     fs.delete(base)
     assert not fs.exists(base)
+
+
+def test_point_resultset_read_matches_batch(spark, sf_smoke, tmp_path):
+    """Serving read: one (user_group, timespan, parent tile) fetched
+    from the partitioned store equals the batch resultsets row; the
+    scan opens only the parent's coarse cell(s)."""
+    from heatmap_spark.operators.pyramid import resultsets
+    from heatmap_spark.streaming.tile_store import (
+        merge_delta_into_partitioned_store,
+        read_resultset,
+    )
+
+    store = str(tmp_path / "pstore")
+    pyr = build_pyramid(load_locations(spark, sf_smoke), mode="explode", **ZOOMS)
+    merge_delta_into_partitioned_store(spark, pyr, store, batch_id=0)
+
+    want_all = resultsets(pyr.where(F.col("zoom") == 12), 5)
+    # a couple of distinct keys, including the aggregate group
+    picks = (
+        want_all.select("user_group", "timespan", "rs_tile_id")
+        .orderBy("user_group", "rs_tile_id")
+        .limit(3)
+        .collect()
+    )
+    assert picks
+    for p in picks:
+        got = read_resultset(
+            spark, store, p["user_group"], p["timespan"], p["rs_tile_id"]
+        )
+        want = want_all.where(
+            (F.col("user_group") == p["user_group"])
+            & (F.col("timespan") == p["timespan"])
+            & (F.col("rs_tile_id") == p["rs_tile_id"])
+        )
+        assert got.count() == 1
+        # map columns disallow set ops — compare via deterministic JSON
+        ser = lambda df: df.select(
+            "user_group", "timespan", "rs_tile_id", F.to_json("heatmap").alias("j")
+        )
+        assert ser(got).exceptAll(ser(want)).isEmpty()
+        assert ser(want).exceptAll(ser(got)).isEmpty()
+    # absent key → empty, not an error
+    assert (
+        read_resultset(spark, store, "no-such-group", "alltime", "7_1_1").count()
+        == 0
+    )
