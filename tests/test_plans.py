@@ -364,3 +364,31 @@ def test_chunk_documents_is_map_only(spark, sf_smoke):
     df = chunk_documents(spark, sf_smoke)
     assert count_exchanges(df) == 0, plan_string(df, "simple")
     assert not has_python_eval(df)
+
+
+def test_resultset_serving_read_prunes_to_one_bucket(spark, sf_smoke, tmp_path):
+    """The point serving read must scan exactly ONE bucket directory
+    (directory-level pruning from the parent tile id) and push the
+    zoom/row/col range predicates to the parquet scan."""
+    from heatmap_spark.operators.pyramid import build_pyramid
+    from heatmap_spark.sources.locations import load_locations
+    from heatmap_spark.streaming.tile_store import (
+        merge_delta_into_partitioned_store,
+        read_resultset,
+    )
+
+    store = str(tmp_path / "pstore")
+    pyr = build_pyramid(
+        load_locations(spark, sf_smoke), mode="explode", min_zoom=8, max_zoom=12
+    )
+    merge_delta_into_partitioned_store(spark, pyr, store, batch_id=0)
+    df = read_resultset(spark, store, "all", "alltime", "7_40_60")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # ONE path in the file index = one bucket dir (the path itself may
+    # be truncated in the rendered plan, so count paths, not names)
+    locs = re.findall(r"InMemoryFileIndex\((\d+) paths?\)", plan)
+    assert locs and all(n == "1" for n in locs), plan[:2000]
+    pf = pushed_filters(df)
+    assert "row" in pf and "col" in pf and "zoom" in pf, pf
