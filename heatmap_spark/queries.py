@@ -1737,6 +1737,10 @@ ORDER BY jaccard DESC, user_a, user_b LIMIT 20""",
     # with an in-registry pin (raises below 0.8); the returned row also
     # carries plain-PQ recall at the same budget for the comparison.
     "q_knn_opq_recall": QuerySpec(similarity.opq_recall, None),
+    # IVFADC (FAISS IVFPQ architecture): coarse inverted lists + PQ on
+    # residuals — the recall/cost dial rows (nprobe 1/half/all) with
+    # candidate fractions; raises below 0.6 full-probe recall.
+    "q_knn_ivfpq_recall": QuerySpec(similarity.ivfpq_recall, None),
     # nprobe = all buckets ⇒ IVF output provably equals brute force, so
     # the whole IVF machinery rides the exact oracle's hash-match gate
     "q_knn_cosine_ivf_exact": QuerySpec(

@@ -271,3 +271,33 @@ def test_opq_rotation_is_orthonormal_and_beats_plain_pq(spark, sf_correct):
         "rotation should improve recall at 8 B/vec on this fixture"
     )
     assert out.bytes_per_vec == m
+
+
+def test_ivfpq_index_and_recall_dial(spark, sf_correct):
+    """IVFADC: codes carry (bucket, m codes in [0,k)); recall is
+    non-decreasing in nprobe; full probe clears the registry pin; the
+    candidate fraction scales with nprobe."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.similarity import ivfpq_build, ivfpq_recall
+    from heatmap_spark.sources.tables import load_table
+
+    n_buckets, m, k = 8, 8, 32
+    emb = load_table(spark, sf_correct, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    coarse, cb, codes = ivfpq_build(emb, n_buckets, m, k)
+    assert set(coarse) == set(range(n_buckets))
+    assert set(cb) == {(s, c) for s in range(m) for c in range(k)}
+    row = codes.first()
+    assert 0 <= row["bucket"] < n_buckets
+    assert len(row["codes"]) == m and all(0 <= c < k for c in row["codes"])
+    assert codes.count() == emb.count()
+
+    out = {r["nprobe"]: r for r in ivfpq_recall(spark, sf_correct).collect()}
+    nprobes = sorted(out)
+    recalls = [out[p]["recall"] for p in nprobes]
+    assert recalls == sorted(recalls), "recall must not decrease with nprobe"
+    assert out[n_buckets]["recall"] >= 0.6
+    assert out[n_buckets]["candidate_frac"] == 1.0
+    assert out[nprobes[0]]["candidate_frac"] < 1.0
