@@ -1327,6 +1327,7 @@ def ivfpq_build(
     k: int = 32,
     dim: int = 64,
     train_iters: int = 1,
+    train_sample_n: int | None = None,
 ):
     """Build the IVFADC index (Jégou et al. 2011 §IV — the FAISS IVFPQ
     architecture, public method): assign each vector to its nearest
@@ -1345,9 +1346,13 @@ def ivfpq_build(
     linear Arrow paths.  Nothing shuffles the corpus beyond the
     existing codebook aggregates."""
     # everything downstream lives in the normalized space (cosine), so
-    # the coarse codebook trains on normalized vectors too
+    # the coarse codebook trains on normalized vectors too.
+    # train_sample_n caps BOTH codebook trainings to the first N
+    # vectors (the production lifecycle: train on a sample, encode the
+    # full corpus — codebook quality saturates long before corpus size)
     nv = emb.select("vec_id", _l2_normalize(F.col("vec")).alias("vec"))
-    coarse = ivf_codebook(nv, n_buckets, train_iters)
+    tr = nv if train_sample_n is None else nv.where(F.col("vec_id") < train_sample_n)
+    coarse = ivf_codebook(tr, n_buckets, train_iters)
     assigned = _assign_to_codebook(nv, coarse)
     cents = F.array(
         *[F.array(*[F.lit(float(x)) for x in coarse[b]]) for b in sorted(coarse)]
@@ -1359,7 +1364,12 @@ def ivfpq_build(
             "vec", F.element_at(cents, F.col("bucket") + 1), lambda a, b: a - b
         ).alias("vec"),
     )
-    cb = pq_codebooks(resid, m, k, dim, train_iters, normalize=False)
+    resid_tr = (
+        resid
+        if train_sample_n is None
+        else resid.where(F.col("vec_id") < train_sample_n)
+    )
+    cb = pq_codebooks(resid_tr, m, k, dim, train_iters, normalize=False)
     codes = pq_encode_np(resid, cb, m, k, dim, normalize=False).join(
         resid.select("vec_id", "bucket"), "vec_id"
     )
@@ -1438,9 +1448,17 @@ def ivfpq_topk(
                 }
             )
 
-    scored = codes.mapInPandas(
-        kern, "query_id bigint, neighbor_id bigint, adc_dist double"
-    ).where(F.col("query_id") != F.col("neighbor_id"))
+    # JVM-side bucket pre-filter: only rows of SOME probed list reach
+    # the Python kernel (on a bucket-partitioned codes store this is
+    # directory-level pruning, the same trick as the tile store) —
+    # without it the kernel would scan every code row and prune in
+    # Python, wasting the whole point of the inverted lists.
+    probed_all = sorted({b for bs in probe_buckets.values() for b in bs})
+    scored = (
+        codes.where(F.col("bucket").isin(probed_all))
+        .mapInPandas(kern, "query_id bigint, neighbor_id bigint, adc_dist double")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     shortlist = (
         scored.select(
