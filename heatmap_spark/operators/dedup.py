@@ -386,18 +386,15 @@ def minhash_lsh_candidates(
     return minhash_lsh_candidates_df(docs, n_hashes, band_rows, max_bucket)
 
 
-def minhash_lsh_candidates_df(
-    docs: DataFrame,
-    n_hashes: int = N_HASHES,
-    band_rows: int = BAND_ROWS,
-    max_bucket: int = 64,
+def lsh_band_postings(
+    docs: DataFrame, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS
 ) -> DataFrame:
-    """DataFrame-core of :func:`minhash_lsh_candidates` — takes any
-    (doc_id, text) relation (used by the scale probe on synthetic
-    corpora)."""
+    """(doc_id, band, band_sig) LSH band postings — the bucket-key
+    relation candidate generation AND the streaming crawl store share,
+    so the two can never disagree on banding."""
     sigs = minhash_signatures_wide(docs, n_hashes)
     n_bands = n_hashes // band_rows
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -413,6 +410,18 @@ def minhash_lsh_candidates_df(
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+
+
+def minhash_lsh_candidates_df(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """DataFrame-core of :func:`minhash_lsh_candidates` — takes any
+    (doc_id, text) relation (used by the scale probe on synthetic
+    corpora)."""
+    bands = lsh_band_postings(docs, n_hashes, band_rows)
     buckets = (
         bands.groupBy("band", "band_sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))

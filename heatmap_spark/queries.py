@@ -360,6 +360,31 @@ def q_tile_store_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pyr.heatmap_table(rs)
 
 
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-shape incremental dedup: the documents table arrives as
+    3 deterministic batches (doc_id thirds); each batch is flagged AT
+    INGEST against the accumulated LSH store — dup_of_corpus (bucket
+    shared with an earlier batch), dup_in_batch (bucket shared with a
+    lower doc_id in the same batch), else new.  The flags log is
+    immutable; the oracle recomputes the same order-dependent statuses
+    from the banding relation."""
+    import tempfile
+
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.crawl import (
+        merge_batch_into_lsh_store,
+        read_crawl_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).first()[0] + 1
+    store = tempfile.mkdtemp(prefix="crawl_store_q_") + "/store"
+    for b in range(3):
+        batch = docs.where(F.expr(f"CAST(doc_id * 3 DIV {mx} AS INT)") == b)
+        merge_batch_into_lsh_store(spark, batch, store, b)
+    return read_crawl_flags(spark, store)
+
+
 def q_dense_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-DBSCAN hotspots at zoom 6: dense cells (≥3 points) merged
     into regions via 8-neighbor connected components."""
@@ -3289,6 +3314,31 @@ GROUP BY t.doc_id""",
     # the batch detector, so the SAME oracle gates both.
     "q_streaming_duplicated_passages": QuerySpec(
         q_streaming_duplicated_passages, _DUP_PASSAGES_SQL
+    ),
+    # Streaming crawl dedup: per-batch ingest-time flags against the
+    # accumulated LSH store (order-dependent statuses, uncapped
+    # membership join — mirrored exactly from the shared bands CTE).
+    "q_streaming_incremental_dedup": QuerySpec(
+        q_streaming_incremental_dedup,
+        f"""WITH {_SHINGLES_CTE},
+{_LSH_CAND_CTE},
+mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+bt AS (SELECT doc_id, CAST((doc_id * 3) // n AS INTEGER) AS batch FROM documents, mx),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ba.batch AS batch_a, bb.batch AS batch_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id <> b.doc_id
+  JOIN bt ba ON ba.doc_id = a.doc_id JOIN bt bb ON bb.doc_id = b.doc_id
+  GROUP BY 1, 2, 3, 4),
+vs_corpus AS (SELECT DISTINCT doc_b AS doc_id FROM p WHERE batch_a < batch_b),
+in_batch AS (
+  SELECT DISTINCT doc_b AS doc_id FROM p
+  WHERE batch_a = batch_b AND doc_a < doc_b)
+SELECT bt.doc_id, bt.batch,
+  CASE WHEN v.doc_id IS NOT NULL THEN 'dup_of_corpus'
+       WHEN ib.doc_id IS NOT NULL THEN 'dup_in_batch'
+       ELSE 'new' END AS status
+FROM bt LEFT JOIN vs_corpus v USING (doc_id) LEFT JOIN in_batch ib USING (doc_id)""",
     ),
     # Production serving path: partitioned store build + bucket-pruned
     # point read of the busiest parent tile, sink-shape JSON out.
