@@ -156,3 +156,63 @@ def media_frames(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> DataFra
         F.octet_length("frame_bytes").alias("frame_len"),
         F.md5("frame_bytes").alias("frame_md5"),
     )
+
+
+RESIZED_SCHEMA = "doc_id long, src_w int, src_h int, resized binary"
+
+
+def resize_media(media: DataFrame, out_h: int = 16, out_w: int = 16) -> DataFrame:
+    """Nearest-neighbor resize of the stub-decoded pixel grid — the
+    'resize' stage of an image pipeline with the DECODE stubbed and
+    the RESIZE math real.
+
+    The stub decode views payload byte i of a length-L payload as
+    pixel (i // w, i %% w) of an (h, w) grid with w=(L%%64)+1,
+    h=(L%%48)+1 (wrapping modulo L — same fake dims as
+    :func:`decode_stub_features`).  Resize picks source pixel
+    (r·h // out_h, c·w // out_w) for every output (r, c) — the
+    standard floor-mapping nearest neighbor, and REAL math: swap the
+    grid construction for a PIL decode and the operator is a real
+    image resizer with an identical plan shape (Arrow-batched
+    mapInPandas, map-only, no shuffle)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # output index grid is shared by every row
+        rr = (np.arange(out_h)[:, None] * np.ones(out_w, dtype=np.int64)).astype(np.int64)
+        cc = (np.ones((out_h, 1), dtype=np.int64) * np.arange(out_w)).astype(np.int64)
+        for pdf in it:
+            outs = []
+            ws, hs = [], []
+            for payload in pdf["payload"]:
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                L = len(buf)
+                w, h = (L % 64) + 1, (L % 48) + 1
+                ws.append(w)
+                hs.append(h)
+                src = ((rr * h // out_h) * w + (cc * w // out_w)) % L
+                outs.append(buf[src].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": ws,
+                    "src_h": hs,
+                    "resized": outs,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def media_resize(
+    spark: SparkSession, sf_dir: str, out_h: int = 16, out_w: int = 16
+) -> DataFrame:
+    """Declared query: resized thumbnails as (doc_id, src dims, md5 of
+    the resized pixel buffer) — the fixture payloads are pure-ASCII
+    text bytes, so the DuckDB oracle reconstructs the identical buffer
+    with character indexing and the md5 hash-matches byte-for-byte."""
+    out = resize_media(media_table(spark, sf_dir), out_h, out_w)
+    return out.select(
+        "doc_id", "src_w", "src_h", F.md5("resized").alias("resized_md5")
+    )

@@ -2070,6 +2070,25 @@ SELECT doc_id, term, tfidf FROM ranked WHERE rn = 1""",
     ),
     # ---- multimodal plumbing (mapInPandas — no SQL twin) ----
     "q_media_features": QuerySpec(multimodal.media_features, None),
+    # Nearest-neighbor thumbnail resize over the stub-decoded grid —
+    # the resize math is REAL and byte-hash-gated (ASCII payloads let
+    # DuckDB rebuild the identical pixel buffer by char indexing).
+    "q_media_resize": QuerySpec(
+        multimodal.media_resize,
+        """WITH m AS (
+  SELECT doc_id, length(text) AS L,
+         CAST((length(text) % 64) + 1 AS INTEGER) AS src_w,
+         CAST((length(text) % 48) + 1 AS INTEGER) AS src_h,
+         text
+  FROM documents)
+SELECT doc_id, src_w, src_h,
+  md5(array_to_string(list_transform(range(0, 256),
+    i -> substr(text,
+                CAST((((i // 16) * src_h // 16) * src_w
+                      + ((i % 16) * src_w // 16)) % L AS INTEGER) + 1,
+                1)), '')) AS resized_md5
+FROM m""",
+    ),
     "q_media_frames": QuerySpec(
         multimodal.media_frames,
         """WITH m AS (SELECT doc_id, strlen(text) AS n_bytes, text FROM documents),

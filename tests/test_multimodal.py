@@ -50,3 +50,31 @@ def test_sample_frames_covers_payload(spark, sf_smoke):
         assert set(fr.keys()) == {0, 1, 2, 3}
         # concatenated frames reassemble the original payload
         assert b"".join(fr[i] for i in range(4)) == raw[doc_id]
+
+
+def test_resize_media_matches_python_reference(spark, sf_smoke):
+    """The nearest-neighbor resize must reproduce a per-row Python
+    reference exactly (buffer bytes, not just shape), and every
+    thumbnail is out_h*out_w bytes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.multimodal import media_table, resize_media
+
+    media = media_table(spark, sf_smoke).limit(40)
+    rows = media.select("doc_id", "payload").collect()
+    got = {
+        r["doc_id"]: bytes(r["resized"])
+        for r in resize_media(media).collect()
+    }
+    assert all(len(v) == 256 for v in got.values())
+    for r in rows:
+        buf = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+        L = len(buf)
+        w, h = (L % 64) + 1, (L % 48) + 1
+        want = bytes(
+            buf[(((rr * h) // 16) * w + ((cc * w) // 16)) % L]
+            for rr in range(16)
+            for cc in range(16)
+        )
+        assert got[r["doc_id"]] == want
