@@ -1004,3 +1004,67 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+def dedup_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal duplicate clustering — the entity-resolution
+    compose: edges from BOTH (a) identical content fingerprints (md5
+    of the sorted distinct token set — catches reorderings LSH scores
+    below threshold) and (b) MinHash-LSH candidates (catches near-dups
+    fingerprints miss), unioned into one graph and clustered by
+    connected components.  Every document gets a row:
+    (doc_id, cluster_id = min doc of its component or itself,
+    n_members, has_fp_edge, has_lsh_edge) — the provenance columns say
+    WHICH signal(s) linked the doc, the audit a curation decision
+    needs.
+
+    Scale shape: fingerprint edges are star edges to the group
+    representative (one groupBy, no pair expansion); LSH edges come
+    from the capped-bucket candidate path; CC is the pointer-jumping
+    O(log d) loop; membership stats are one count per cluster.  No
+    all-pairs anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(tokens_expr())))
+    fps = docs.select("doc_id", fp.alias("fingerprint"))
+    rep = fps.groupBy("fingerprint").agg(F.min("doc_id").alias("rep"))
+    fp_edges = (
+        fps.join(rep, "fingerprint")
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    lsh_edges = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    edges = fp_edges.unionByName(lsh_edges).distinct()
+    labels = connected_components(edges)
+    fp_docs = (
+        fp_edges.select(F.col("doc_a").alias("doc_id"))
+        .union(fp_edges.select("doc_b"))
+        .distinct()
+        .withColumn("has_fp_edge", F.lit(1))
+    )
+    lsh_docs = (
+        lsh_edges.select(F.col("doc_a").alias("doc_id"))
+        .union(lsh_edges.select("doc_b"))
+        .distinct()
+        .withColumn("has_lsh_edge", F.lit(1))
+    )
+    base = (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("cluster_id", "lab"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("lab", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    sizes = base.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return (
+        base.join(sizes, "cluster_id")
+        .join(fp_docs, "doc_id", "left")
+        .join(lsh_docs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_members",
+            F.coalesce("has_fp_edge", F.lit(0)).alias("has_fp_edge"),
+            F.coalesce("has_lsh_edge", F.lit(0)).alias("has_lsh_edge"),
+        )
+    )

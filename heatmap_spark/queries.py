@@ -2187,6 +2187,49 @@ reach(node, lab) AS (
   SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node)
 SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""",
     ),
+    # Multi-signal duplicate clustering (the entity-resolution
+    # compose): fingerprint star edges ∪ LSH candidate edges → CC,
+    # with per-doc signal provenance.
+    "q_dedup_fusion": QuerySpec(
+        dedup.dedup_fusion,
+        f"""WITH RECURSIVE {_SHINGLES_CTE},
+{_LSH_CAND_CTE},
+fp AS (
+  SELECT doc_id,
+    md5(array_to_string(list_sort(list_distinct(
+      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))), ' ')) AS fingerprint
+  FROM documents),
+rep AS (SELECT fingerprint, min(doc_id) AS rep FROM fp GROUP BY fingerprint),
+fpe AS (
+  SELECT r.rep AS doc_a, f.doc_id AS doc_b
+  FROM fp f JOIN rep r USING (fingerprint) WHERE f.doc_id <> r.rep),
+alledges AS (
+  SELECT doc_a, doc_b FROM cand UNION SELECT doc_a, doc_b FROM fpe),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM alledges
+  UNION SELECT doc_b, doc_a FROM alledges),
+reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node),
+lab AS (SELECT node AS doc_id, min(lab) AS cid FROM reach GROUP BY node),
+base AS (
+  SELECT d.doc_id, COALESCE(l.cid, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab l USING (doc_id)),
+sizes AS (SELECT cluster_id, count(*) AS n_members FROM base GROUP BY cluster_id),
+fpd AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM fpe UNION ALL SELECT doc_b FROM fpe)),
+lshd AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b FROM cand))
+SELECT b.doc_id, b.cluster_id, s.n_members,
+  CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS has_fp_edge,
+  CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END AS has_lsh_edge
+FROM base b JOIN sizes s USING (cluster_id)
+LEFT JOIN fpd f ON f.doc_id = b.doc_id
+LEFT JOIN lshd x ON x.doc_id = b.doc_id""",
+    ),
     "q_streaming_stateful": QuerySpec(
         q_streaming_stateful,
         """SELECT user_id, count(*) AS n_events, max(ts) AS last_ts

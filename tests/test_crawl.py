@@ -74,3 +74,32 @@ def test_crawl_replay_and_immutability(spark, sf_smoke, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_dedup_fusion_clusters_superset_signals(spark, sf_smoke):
+    """Fusion clusters must be coarser-or-equal than each single
+    signal: every LSH candidate pair and every fingerprint group lands
+    in one fusion cluster; provenance flags match edge membership."""
+    from heatmap_spark.operators.dedup import (
+        dedup_fusion,
+        fingerprint_dedup,
+        minhash_lsh_candidates,
+    )
+
+    out = dedup_fusion(spark, sf_smoke)
+    cl = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    # LSH pairs co-clustered
+    for r in minhash_lsh_candidates(spark, sf_smoke).collect():
+        assert cl[r["doc_a"]] == cl[r["doc_b"]]
+    # fingerprint groups co-clustered: n_members >= group size
+    sizes = {r["doc_id"]: r["n_members"] for r in out.collect()}
+    fp_groups = fingerprint_dedup(spark, sf_smoke).collect()
+    for g in fp_groups:
+        if g["n_members"] > 1:
+            assert sizes[g["keep_id"]] >= g["n_members"]
+    # provenance sanity: singleton clusters carry no edge flags
+    singles = out.where(
+        (F.col("n_members") == 1)
+        & ((F.col("has_fp_edge") == 1) | (F.col("has_lsh_edge") == 1))
+    )
+    assert singles.count() == 0
