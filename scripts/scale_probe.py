@@ -389,6 +389,25 @@ def probe_passages(spark, n: int) -> None:
         f"duplicated-passages {n:,} docs: {dt:.1f}s = {n / dt / 1000:.0f}k docs/s, "
         f"{flagged:,} docs flagged (expected ~{expect:,})"
     )
+    # removal: planted full-dup docs must clean to EMPTY text; all
+    # other docs survive untouched (token conservation check)
+    from heatmap_spark.operators.dedup import remove_duplicated_passages_df
+
+    t0 = time.perf_counter()
+    rem = remove_duplicated_passages_df(docs)
+    stats = rem.agg(
+        F.count("*").alias("docs"),
+        F.sum((F.col("n_removed") == F.col("n_tokens")).cast("int")).alias(
+            "emptied"
+        ),
+        F.sum((F.col("n_removed") == 0).cast("int")).alias("untouched"),
+    ).first()
+    dt = time.perf_counter() - t0
+    print(
+        f"passage-removal {n:,} docs: {dt:.1f}s = {n / dt / 1000:.0f}k docs/s, "
+        f"{stats.emptied:,} emptied (expected ~{expect:,}), "
+        f"{stats.untouched:,} untouched"
+    )
 
 
 def probe_semdedup(spark, n: int) -> None:
