@@ -11,6 +11,11 @@ history:
   of that batch only — O(batch) to produce, append-only.  The banding
   is :func:`heatmap_spark.operators.dedup.lsh_band_postings`, the SAME
   relation candidate generation uses.
+* ``postings_base/v=<n>`` — LSM compaction target:
+  :func:`compact_crawl_store` folds the per-batch postings partials
+  into a base version (marker-committed, repartitioned by the join
+  key), so membership joins read one base + recent partials
+  regardless of crawl age.
 * ``flags/batch=<id>`` — (doc_id, batch, status) decided AT INGEST:
   ``dup_of_corpus`` (shares an LSH bucket with any earlier-batch doc),
   else ``dup_in_batch`` (shares a bucket with a lower doc_id in the
@@ -49,6 +54,65 @@ from heatmap_spark.streaming.tile_store import _Fs, _join
 _LATEST = "_LATEST"
 
 
+def _postings_base(spark: SparkSession, store_path: str):
+    """(compacted postings base DataFrame | None, version)."""
+    fs = _Fs()
+    marker = _join(store_path, "postings_base", _LATEST)
+    if not fs.exists(marker):
+        return None, -1
+    ver = int(fs.read_text(marker).strip())
+    return (
+        spark.read.parquet(_join(store_path, "postings_base", f"v={ver}")),
+        ver,
+    )
+
+
+def _stored_postings(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """Every committed posting: compacted base (if any) + the per-batch
+    partials written since its fold."""
+    base, _ = _postings_base(spark, store_path)
+    dirs = _committed_batches(store_path, "postings")
+    parts = [spark.read.parquet(*dirs)] if dirs else []
+    if base is not None:
+        parts.append(base)
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_crawl_store(spark: SparkSession, store_path: str) -> int:
+    """LSM compaction: fold every committed per-batch postings dir into
+    a new postings base version (marker-committed), then delete the
+    folded dirs — membership joins read ONE base + recent partials
+    regardless of crawl age (docs arrive exactly once, so the fold is
+    a plain rewrite, no aggregation).  Returns the number of partials
+    folded.  Safe against a concurrent WRITER: a partial written after
+    the listing survives for the next compaction; flags are untouched
+    (they are the immutable log)."""
+    fs = _Fs(spark)
+    dirs = _committed_batches(store_path, "postings")
+    if not dirs:
+        return 0
+    base, ver = _postings_base(spark, store_path)
+    allp = spark.read.parquet(*dirs)
+    if base is not None:
+        allp = allp.unionByName(base)
+    # repartition by the join key so the bucket-membership join against
+    # future batches shuffles only the batch side
+    allp.repartition("band", "band_sig").write.mode("overwrite").parquet(
+        _join(store_path, "postings_base", f"v={ver + 1}")
+    )
+    fs.write_text_atomic(
+        _join(store_path, "postings_base", _LATEST), str(ver + 1)
+    )
+    for p in dirs:
+        fs.delete(p)
+    return len(dirs)
+
+
 def merge_batch_into_lsh_store(
     spark: SparkSession, batch_docs: DataFrame, store_path: str, batch_id: int
 ) -> bool:
@@ -65,9 +129,8 @@ def merge_batch_into_lsh_store(
     written = spark.read.parquet(
         _join(store_path, "postings", f"batch={batch_id}")
     )
-    prior_dirs = _committed_batches(store_path, "postings")
-    if prior_dirs:
-        prior = spark.read.parquet(*prior_dirs)
+    prior = _stored_postings(spark, store_path)
+    if prior is not None:
         vs_corpus = (
             written.join(prior, ["band", "band_sig"])
             .select(written["doc_id"])

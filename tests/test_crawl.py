@@ -76,6 +76,25 @@ def test_crawl_replay_and_immutability(spark, sf_smoke, tmp_path):
     )
 
 
+def test_crawl_compaction_transparent_to_flagging(spark, sf_smoke, tmp_path):
+    """Compacting the postings partials between batches must not change
+    any later batch's flags: two stores — one compacted after every
+    batch, one never — produce identical flag logs."""
+    from heatmap_spark.streaming.crawl import compact_crawl_store
+
+    docs = _docs(spark, sf_smoke)
+    batches = _thirds(docs)
+    plain, compacted = str(tmp_path / "plain"), str(tmp_path / "compacted")
+    for b, bdf in enumerate(batches):
+        merge_batch_into_lsh_store(spark, bdf, plain, b)
+        merge_batch_into_lsh_store(spark, bdf, compacted, b)
+        folded = compact_crawl_store(spark, compacted)
+        assert folded >= 1
+    want = read_crawl_flags(spark, plain)
+    got = read_crawl_flags(spark, compacted)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
 def test_dedup_fusion_clusters_superset_signals(spark, sf_smoke):
     """Fusion clusters must be coarser-or-equal than each single
     signal: every LSH candidate pair and every fingerprint group lands
