@@ -49,7 +49,52 @@ def main(argv: list[str] | None = None) -> int:
         ),
     )
 
+    crawl = sub.add_parser(
+        "crawl",
+        help="incremental-crawl dedup: flag document batches against a "
+        "persistent LSH store at ingest time",
+    )
+    crawl.add_argument("--sf-dir", required=True, help="testdata sf dir")
+    crawl.add_argument("--store", required=True, help="crawl store path")
+    crawl.add_argument(
+        "--batches", type=int, default=3, help="split documents into N ingest batches"
+    )
+    crawl.add_argument(
+        "--compact", action="store_true", help="fold postings partials after the run"
+    )
+
     args = p.parse_args(argv)
+
+    if args.cmd == "crawl":
+        from pyspark.sql import functions as F
+
+        from heatmap_spark import get_spark
+        from heatmap_spark.sources.tables import load_table
+        from heatmap_spark.streaming.crawl import (
+            compact_crawl_store,
+            merge_batch_into_lsh_store,
+            read_crawl_flags,
+        )
+
+        spark = get_spark("heatmap-spark-cli")
+        docs = load_table(spark, args.sf_dir, "documents").select("doc_id", "text")
+        mx = docs.agg(F.max("doc_id")).first()[0] + 1
+        n = args.batches
+        for b in range(n):
+            batch = docs.where(F.expr(f"CAST(doc_id * {n} DIV {mx} AS INT)") == b)
+            merge_batch_into_lsh_store(spark, batch, args.store, b)
+        if args.compact:
+            compact_crawl_store(spark, args.store)
+        counts = {
+            (r.batch, r.status): r.n
+            for r in read_crawl_flags(spark, args.store)
+            .groupBy("batch", "status")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for (b, s), c in sorted(counts.items()):
+            print(f"batch {b}: {s} = {c}")
+        return 0
 
     if args.cmd == "bench":
         import bench
