@@ -777,6 +777,56 @@ def probe_streampass(spark, n: int) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_serve(spark, n: int) -> None:
+    """Point-serving reads against a large partitioned tile store
+    (default 2M points → ~33M pyramid rows): one result-set fetch must
+    cost a bucket's row groups, not a store scan."""
+    import shutil
+    import tempfile
+
+    from heatmap_spark.streaming.tile_store import (
+        merge_delta_into_partitioned_store,
+        read_partitioned_store,
+        read_resultset,
+    )
+
+    root = tempfile.mkdtemp(prefix="serve_probe_")
+    store = f"{root}/store"
+    try:
+        loc = synthetic_locations(spark, n)
+        delta = P.build_pyramid(loc, mode="explode", min_zoom=6, max_zoom=21)
+        t0 = time.perf_counter()
+        merge_delta_into_partitioned_store(spark, delta, store, batch_id=0)
+        t_build = time.perf_counter() - t0
+        # busiest zoom-7 parent for the aggregate group
+        top = (
+            read_partitioned_store(spark, store)
+            .where((F.col("zoom") == 12) & (F.col("user_group") == "all"))
+            .groupBy(F.expr("shiftright(row, 5)").alias("r"), F.expr("shiftright(col, 5)").alias("c"))
+            .agg(F.sum("visits").alias("t"))
+            .orderBy(F.desc("t"))
+            .first()
+        )
+        t0 = time.perf_counter()
+        full = read_partitioned_store(spark, store).where(
+            F.col("zoom") == 12
+        ).count()
+        t_full = time.perf_counter() - t0
+        tid = f"7_{top['r']}_{top['c']}"
+        t0 = time.perf_counter()
+        rs = read_resultset(spark, store, "all", "alltime", tid).collect()
+        t_point = time.perf_counter() - t0
+        n_entries = len(rs[0]["heatmap"]) if rs else 0
+        print(
+            f"serve {n:,} pts: store build {t_build:.1f}s, full zoom-12 "
+            f"scan {t_full:.1f}s vs point result-set fetch {t_point:.2f}s "
+            f"({t_full / max(t_point, 1e-9):.0f}x, {n_entries} entries from "
+            f"parent {tid})"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_ivfpq(spark, n: int) -> None:
     """IVFADC at n vectors (default 1M), 64 coarse lists: build
     (coarse train + assign + residual PQ train + encode) vs query at
@@ -876,7 +926,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "serve": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -890,7 +940,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq}[which](spark, n)
+     "ivfpq": probe_ivfpq, "serve": probe_serve}[which](spark, n)
 
 
 if __name__ == "__main__":
