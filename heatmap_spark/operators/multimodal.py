@@ -191,6 +191,11 @@ def resize_media(media: DataFrame, out_h: int = 16, out_w: int = 16) -> DataFram
                 w, h = (L % 64) + 1, (L % 48) + 1
                 ws.append(w)
                 hs.append(h)
+                if L == 0:
+                    # nothing to sample from — emit an empty buffer
+                    # (mod-by-zero would otherwise poison the task)
+                    outs.append(b"")
+                    continue
                 src = ((rr * h // out_h) * w + (cc * w // out_w)) % L
                 outs.append(buf[src].tobytes())
             yield pd.DataFrame(

@@ -1413,7 +1413,9 @@ def ivfpq_topk(
     probe_buckets: dict[int, list[int]] = {}
     for qid, qv in raw_queries:
         q = np.asarray(qv, dtype=np.float64)
-        order = np.argsort(-(cents @ q))  # ties: lowest bucket id first
+        # stable sort so exact affinity ties deterministically pick the
+        # lowest bucket id (default quicksort would not guarantee it)
+        order = np.argsort(-(cents @ q), kind="stable")
         probes = [int(b) for b in order[:nprobe]]
         probe_buckets[qid] = probes
         for b in probes:
@@ -1504,7 +1506,9 @@ def ivfpq_recall(
 
     codes = codes.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     rows = []
-    for nprobe in (1, max(2, n_buckets // 2), n_buckets):
+    # dedupe probe depths (n_buckets == 2 would otherwise emit the
+    # nprobe=2 row twice)
+    for nprobe in sorted({1, max(2, n_buckets // 2), n_buckets}):
         approx = ivfpq_topk(
             emb, coarse, cb, codes, n_queries, topk, m, k, nprobe=nprobe
         )

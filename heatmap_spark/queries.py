@@ -45,6 +45,21 @@ class QuerySpec:
     headline: bool = False  # included in bench.py
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Per-invocation temp dir for queries that materialize a store on
+    disk, removed at interpreter exit (the returned DataFrame reads the
+    store lazily, so cleanup can't happen inside the query — atexit is
+    the earliest safe point).  Repeated driver/bench runs therefore
+    leave no orphaned /tmp trees behind."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # Shared DuckDB SQL fragments (heatmap family)
 # ---------------------------------------------------------------------------
@@ -216,15 +231,13 @@ def q_streaming_tile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     default layout (auto → bucket-partitioned, since min_zoom=8 >=
     BUCKET_ZOOM): per-batch merge cost tracks batch locality, not
     store size."""
-    import tempfile
-
     from heatmap_spark.streaming.tile_store import (
         read_tile_store,
         stream_pyramid_to_store,
     )
 
     loc = load_locations(spark, sf_dir)
-    d = tempfile.mkdtemp(prefix="tile_store_q_")
+    d = _scratch_dir("tile_store_q_")
     src, store, ckpt = f"{d}/in", f"{d}/store", f"{d}/ckpt"
     loc.repartition(3).write.parquet(src)
     stream = (
@@ -243,15 +256,13 @@ def q_streaming_tile_store_partitioned(spark: SparkSession, sf_dir: str) -> Data
     spatial-cell versions — localized batches rewrite only touched
     cells).  The final store must equal the batch pyramid, so the
     SAME oracle gates both layouts."""
-    import tempfile
-
     from heatmap_spark.streaming.tile_store import (
         read_partitioned_store,
         stream_pyramid_to_partitioned_store,
     )
 
     loc = load_locations(spark, sf_dir)
-    d = tempfile.mkdtemp(prefix="tile_store_part_q_")
+    d = _scratch_dir("tile_store_part_q_")
     src, store, ckpt = f"{d}/in", f"{d}/store", f"{d}/ckpt"
     loc.repartition(3).write.parquet(src)
     stream = (
@@ -295,8 +306,6 @@ def q_streaming_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFra
     equal the batch detector over the same rows (the shared oracle).
     Mid-history compaction + replay idempotence are pinned by
     tests/test_passages.py."""
-    import tempfile
-
     from heatmap_spark.sources.tables import load_table
     from heatmap_spark.streaming.passages import (
         compact_passage_store,
@@ -305,7 +314,7 @@ def q_streaming_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    d = tempfile.mkdtemp(prefix="passage_store_q_")
+    d = _scratch_dir("passage_store_q_")
     src, store, ckpt = f"{d}/in", f"{d}/store", f"{d}/ckpt"
     docs.repartition(3).write.parquet(src)
     stream = (
@@ -328,8 +337,6 @@ def q_tile_store_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`read_resultset`'s bucket-pruned point read, and emit the
     sink-shape (id, heatmap JSON) row.  The oracle recomputes the same
     selection and the byte-identical JSON."""
-    import tempfile
-
     from heatmap_spark.streaming.tile_store import (
         merge_delta_into_partitioned_store,
         read_resultset,
@@ -338,7 +345,7 @@ def q_tile_store_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyr12 = pyr.build_pyramid(
         load_locations(spark, sf_dir), mode="explode", min_zoom=8, max_zoom=12
     )
-    store = tempfile.mkdtemp(prefix="tile_store_serve_q_") + "/store"
+    store = _scratch_dir("tile_store_serve_q_") + "/store"
     merge_delta_into_partitioned_store(spark, pyr12, store, batch_id=0)
     top = (
         pyr12.where(
@@ -368,8 +375,6 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     lower doc_id in the same batch), else new.  The flags log is
     immutable; the oracle recomputes the same order-dependent statuses
     from the banding relation."""
-    import tempfile
-
     from heatmap_spark.sources.tables import load_table
     from heatmap_spark.streaming.crawl import (
         merge_batch_into_lsh_store,
@@ -378,7 +383,7 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mx = docs.agg(F.max("doc_id")).first()[0] + 1
-    store = tempfile.mkdtemp(prefix="crawl_store_q_") + "/store"
+    store = _scratch_dir("crawl_store_q_") + "/store"
     for b in range(3):
         batch = docs.where(F.expr(f"CAST(doc_id * 3 DIV {mx} AS INT)") == b)
         merge_batch_into_lsh_store(spark, batch, store, b)
@@ -2082,11 +2087,12 @@ SELECT doc_id, term, tfidf FROM ranked WHERE rn = 1""",
          text
   FROM documents)
 SELECT doc_id, src_w, src_h,
+  CASE WHEN L = 0 THEN md5('') ELSE
   md5(array_to_string(list_transform(range(0, 256),
     i -> substr(text,
                 CAST((((i // 16) * src_h // 16) * src_w
                       + ((i % 16) * src_w // 16)) % L AS INTEGER) + 1,
-                1)), '')) AS resized_md5
+                1)), '')) END AS resized_md5
 FROM m""",
     ),
     "q_media_frames": QuerySpec(

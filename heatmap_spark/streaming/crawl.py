@@ -46,7 +46,9 @@ from pyspark.sql import functions as F
 
 from heatmap_spark.operators.dedup import lsh_band_postings
 from heatmap_spark.streaming.passages import (
+    _batch_id,
     _committed_batches,
+    _parse_base_marker,
     _read_last_batch,
 )
 from heatmap_spark.streaming.tile_store import _Fs, _join
@@ -55,23 +57,27 @@ _LATEST = "_LATEST"
 
 
 def _postings_base(spark: SparkSession, store_path: str):
-    """(compacted postings base DataFrame | None, version)."""
+    """(compacted postings base DataFrame | None, version, max folded
+    batch id)."""
     fs = _Fs()
     marker = _join(store_path, "postings_base", _LATEST)
     if not fs.exists(marker):
-        return None, -1
-    ver = int(fs.read_text(marker).strip())
+        return None, -1, -1
+    ver, folded = _parse_base_marker(fs.read_text(marker))
     return (
         spark.read.parquet(_join(store_path, "postings_base", f"v={ver}")),
         ver,
+        folded,
     )
 
 
 def _stored_postings(spark: SparkSession, store_path: str) -> DataFrame | None:
     """Every committed posting: compacted base (if any) + the per-batch
-    partials written since its fold."""
-    base, _ = _postings_base(spark, store_path)
-    dirs = _committed_batches(store_path, "postings")
+    partials written since its fold (partials already folded into the
+    base are skipped by batch id, so un-GC'd stragglers from a crashed
+    compaction are never read twice)."""
+    base, _, folded = _postings_base(spark, store_path)
+    dirs = _committed_batches(store_path, "postings", min_batch=folded)
     parts = [spark.read.parquet(*dirs)] if dirs else []
     if base is not None:
         parts.append(base)
@@ -93,10 +99,15 @@ def compact_crawl_store(spark: SparkSession, store_path: str) -> int:
     the listing survives for the next compaction; flags are untouched
     (they are the immutable log)."""
     fs = _Fs(spark)
-    dirs = _committed_batches(store_path, "postings")
+    base, ver, folded = _postings_base(spark, store_path)
+    dirs = _committed_batches(store_path, "postings", min_batch=folded)
     if not dirs:
+        # GC stragglers a prior crashed compaction left behind
+        for p in _committed_batches(store_path, "postings"):
+            if _batch_id(p) <= folded:
+                fs.delete(p)
         return 0
-    base, ver = _postings_base(spark, store_path)
+    new_folded = max(_batch_id(p) for p in dirs)
     allp = spark.read.parquet(*dirs)
     if base is not None:
         allp = allp.unionByName(base)
@@ -105,11 +116,14 @@ def compact_crawl_store(spark: SparkSession, store_path: str) -> int:
     allp.repartition("band", "band_sig").write.mode("overwrite").parquet(
         _join(store_path, "postings_base", f"v={ver + 1}")
     )
+    # marker carries the max folded batch id: readers skip ≤-folded
+    # partials, so the deletes below are pure GC (crash-safe)
     fs.write_text_atomic(
-        _join(store_path, "postings_base", _LATEST), str(ver + 1)
+        _join(store_path, "postings_base", _LATEST), f"{ver + 1}:{new_folded}"
     )
-    for p in dirs:
-        fs.delete(p)
+    for p in _committed_batches(store_path, "postings"):
+        if _batch_id(p) <= new_folded:
+            fs.delete(p)
     return len(dirs)
 
 

@@ -55,17 +55,33 @@ def _read_last_batch(store_path: str) -> int:
     return int(fs.read_text(marker).strip())
 
 
-def _committed_batches(store_path: str, sub: str) -> list[str]:
-    """Paths of ``sub``'s per-batch dirs with id ≤ the committed marker
-    (uncommitted/partial dirs from a crashed attempt are ignored)."""
+def _batch_id(path: str) -> int:
+    return int(path.rsplit("batch=", 1)[1])
+
+
+def _committed_batches(
+    store_path: str, sub: str, min_batch: int = -1
+) -> list[str]:
+    """Paths of ``sub``'s per-batch dirs with ``min_batch`` < id ≤ the
+    committed marker (uncommitted/partial dirs from a crashed attempt
+    are ignored; dirs already folded into a compacted base are skipped
+    via ``min_batch`` so a crash between the base-marker swap and the
+    partial deletes can never double-count — deletion is pure GC)."""
     fs = _Fs()
     last = _read_last_batch(store_path)
     out = []
     for d in fs.list_names(_join(store_path, sub)):
         if d.startswith("batch="):
-            if int(d.split("=", 1)[1]) <= last:
+            if min_batch < int(d.split("=", 1)[1]) <= last:
                 out.append(_join(store_path, sub, d))
     return sorted(out)
+
+
+def _parse_base_marker(text: str) -> tuple[int, int]:
+    """Base-marker payload ``"<ver>"`` (legacy) or
+    ``"<ver>:<folded_batch>"`` → (version, max folded batch id)."""
+    parts = text.strip().split(":")
+    return int(parts[0]), (int(parts[1]) if len(parts) > 1 else -1)
 
 
 def merge_batch_into_passage_store(
@@ -121,15 +137,21 @@ def stream_duplicated_passages(
     )
 
 
-def _df_base(spark: SparkSession, store_path: str) -> tuple[DataFrame | None, int]:
-    """(current compacted df base, its version) — (None, -1) if never
-    compacted."""
+def _df_base(
+    spark: SparkSession, store_path: str
+) -> tuple[DataFrame | None, int, int]:
+    """(current compacted df base, its version, max batch id folded
+    into it) — (None, -1, -1) if never compacted."""
     fs = _Fs()
     marker = _join(store_path, "df_base", _LATEST)
     if not fs.exists(marker):
-        return None, -1
-    ver = int(fs.read_text(marker).strip())
-    return spark.read.parquet(_join(store_path, "df_base", f"v={ver}")), ver
+        return None, -1, -1
+    ver, folded = _parse_base_marker(fs.read_text(marker))
+    return (
+        spark.read.parquet(_join(store_path, "df_base", f"v={ver}")),
+        ver,
+        folded,
+    )
 
 
 def dup_hashes(spark: SparkSession, store_path: str) -> DataFrame:
@@ -137,8 +159,8 @@ def dup_hashes(spark: SparkSession, store_path: str) -> DataFrame:
     ≥ 2 — the live duplicated-passage set: compacted base + the df
     partials written since, summed per hash.  One shuffle over
     (recent partials + base), never over raw postings or text."""
-    base, _ = _df_base(spark, store_path)
-    partials = _committed_batches(store_path, "df")
+    base, _, folded = _df_base(spark, store_path)
+    partials = _committed_batches(store_path, "df", min_batch=folded)
     parts = [spark.read.parquet(p) for p in partials]
     if base is not None:
         parts.append(base)
@@ -161,12 +183,22 @@ def compact_passage_store(spark: SparkSession, store_path: str) -> int:
     delete the folded partials.  Returns the number of partials folded.
     Run with no concurrent compactor; safe against a concurrent WRITER
     (a partial written after the fold's listing is simply not folded
-    and survives for the next compaction)."""
+    and survives for the next compaction).  Crash-safe against partial
+    deletion: the base marker records the max FOLDED batch id, and all
+    reads skip df partials ≤ that id — so the deletes below are pure
+    GC, and a crash between the marker swap and the deletes can never
+    double-count a partial."""
     fs = _Fs(spark)
-    partials = _committed_batches(store_path, "df")
+    base, ver, folded = _df_base(spark, store_path)
+    partials = _committed_batches(store_path, "df", min_batch=folded)
     if not partials:
+        # nothing new to fold — still GC any ≤-folded stragglers a
+        # prior crashed compaction left behind
+        for p in _committed_batches(store_path, "df"):
+            if _batch_id(p) <= folded:
+                fs.delete(p)
         return 0
-    base, ver = _df_base(spark, store_path)
+    new_folded = max(_batch_id(p) for p in partials)
     allp = spark.read.parquet(*partials)
     if base is not None:
         allp = allp.unionByName(base)
@@ -174,9 +206,14 @@ def compact_passage_store(spark: SparkSession, store_path: str) -> int:
     merged.write.mode("overwrite").parquet(
         _join(store_path, "df_base", f"v={ver + 1}")
     )
-    fs.write_text_atomic(_join(store_path, "df_base", _LATEST), str(ver + 1))
-    for p in partials:
-        fs.delete(p)
+    fs.write_text_atomic(
+        _join(store_path, "df_base", _LATEST), f"{ver + 1}:{new_folded}"
+    )
+    # pure GC from here on — includes any ≤-folded stragglers a prior
+    # crashed compaction left behind
+    for p in _committed_batches(store_path, "df"):
+        if _batch_id(p) <= new_folded:
+            fs.delete(p)
     return len(partials)
 
 

@@ -66,6 +66,45 @@ def test_replay_and_midhistory_compaction(spark, sf_smoke, tmp_path):
     assert got2.exceptAll(want).isEmpty() and want.exceptAll(got2).isEmpty()
 
 
+def test_compaction_crash_between_marker_and_gc_never_double_counts(
+    spark, sf_smoke, tmp_path
+):
+    """A crash AFTER the base-marker swap but BEFORE the partial deletes
+    must not double-count: the marker records the max folded batch id,
+    readers skip ≤-folded partials, and the next compaction GCs the
+    stragglers without re-folding them."""
+    import shutil
+
+    store = str(tmp_path / "store")
+    docs = _docs(spark, sf_smoke)
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    assert merge_batch_into_passage_store(spark, b0, store, batch_id=0)
+    assert merge_batch_into_passage_store(spark, b1, store, batch_id=1)
+
+    # snapshot the df partials, compact, then restore them — simulating
+    # the crash window where the marker landed but the deletes didn't
+    saved = {}
+    for i, p in enumerate(_committed_batches(store, "df")):
+        saved[p] = str(tmp_path / f"crashsave_{i}")
+        shutil.copytree(p, saved[p])
+    assert compact_passage_store(spark, store) == 2
+    for p, s in saved.items():
+        shutil.copytree(s, p)
+        shutil.rmtree(s)
+
+    # readers skip the resurrected partials: result equals the batch
+    # detector (a double count would inflate every df and flag
+    # singleton windows as duplicated)
+    got = read_duplicated_passages(spark, store)
+    want = duplicated_passages(spark, sf_smoke)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    # next compaction has nothing unfolded to fold — it only GCs
+    assert compact_passage_store(spark, store) == 0
+    assert _committed_batches(store, "df") == []
+
+
 def test_remove_duplicated_passages_invariants(spark, sf_smoke):
     """Removal is consistent with flagging: a doc's removed-token count
     is bounded by its window coverage; fully-duplicated docs clean to

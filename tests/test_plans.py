@@ -69,7 +69,7 @@ def test_ingest_reads_only_needed_event_columns(spark, sf_smoke):
     assert "event_type" not in plan
 
 
-def test_runtime_bloom_filter_join_pruning(spark, sf_smoke):
+def test_runtime_bloom_filter_part_join_pruning(spark, sf_smoke):
     """At cluster scale a selective dim-side predicate should prune the
     fact scan before the shuffle: Spark injects a bloom-filter runtime
     filter (might_contain) on the fact side.  Local fixtures sit below
