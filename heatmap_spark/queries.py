@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from heatmap_spark.functions import tiles as tl
 from heatmap_spark.operators import (
     dedup,
+    entity,
     graph,
     multimodal,
     profiling,
@@ -2192,6 +2193,45 @@ reach(node, lab) AS (
   UNION
   SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node)
 SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""",
+    ),
+    # Entity resolution over STRUCTURED records (blocking + multi-
+    # attribute similarity + CC over the dirty multi-source customer
+    # fixture).  Spark generates candidates via lossless banded
+    # blocking; the oracle brute-forces within (nation, segment) — the
+    # hash equality proves the banding loses no pair.
+    "q_entity_resolution": QuerySpec(
+        entity.entity_resolution,
+        """WITH RECURSIVE records AS (
+  SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name,
+         CAST(c_nationkey AS INTEGER) AS nation, c_mktsegment AS segment,
+         CAST(c_acctbal AS DOUBLE) AS bal, 'src' AS source
+  FROM customer
+  UNION ALL
+  SELECT CAST(c_custkey + 2000000 AS BIGINT), lower(c_name) || 'x',
+         CAST(c_nationkey AS INTEGER), c_mktsegment,
+         CAST(c_acctbal AS DOUBLE) + 0.25, 'crm'
+  FROM customer WHERE c_custkey % 3 = 0),
+cand AS (
+  SELECT a.rec_id AS u, b.rec_id AS v
+  FROM records a JOIN records b
+    ON a.nation = b.nation AND a.segment = b.segment AND a.rec_id < b.rec_id
+   AND abs(a.bal - b.bal) <= 1.0
+   AND levenshtein(lower(a.name), lower(b.name)) <= 1),
+edges AS (SELECT u, v FROM cand UNION SELECT v, u FROM cand),
+reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node),
+lab AS (SELECT node, min(lab) AS entity_id FROM reach GROUP BY node),
+assigned AS (
+  SELECT r.rec_id, r.source, COALESCE(l.entity_id, r.rec_id) AS entity_id
+  FROM records r LEFT JOIN lab l ON r.rec_id = l.node),
+stats AS (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM assigned GROUP BY entity_id)
+SELECT a.rec_id, a.source, a.entity_id, s.n_members, s.n_sources
+FROM assigned a JOIN stats s USING (entity_id)""",
     ),
     # Multi-signal duplicate clustering (the entity-resolution
     # compose): fingerprint star edges ∪ LSH candidate edges → CC,
