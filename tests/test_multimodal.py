@@ -78,3 +78,59 @@ def test_resize_media_matches_python_reference(spark, sf_smoke):
             for cc in range(16)
         )
         assert got[r["doc_id"]] == want
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Encode→decode is the identity for grids tall enough to use all
+    five scanline filters, including single-pixel and extreme-value
+    images; corrupted bytes are rejected by CRC."""
+    import numpy as np
+    import pytest
+
+    from heatmap_spark.operators.multimodal import png_decode, png_encode
+
+    cases = [
+        (np.arange(7 * 11, dtype=np.uint8).reshape(7, 11) * 3) % 256,
+        np.zeros((1, 1), dtype=np.uint8),
+        np.full((6, 2), 255, dtype=np.uint8),
+        ((np.arange(10)[:, None] * 31 + np.arange(64)[None, :] * 7) % 256).astype(
+            np.uint8
+        ),
+    ]
+    for px in cases:
+        data = png_encode(px)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        h, w, out = png_decode(data)
+        assert (h, w) == px.shape
+        assert np.array_equal(out, px)
+
+    good = png_encode(cases[0])
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # flip a byte inside a chunk payload
+    with pytest.raises(ValueError, match="CRC|signature|mismatch"):
+        png_decode(bytes(bad))
+
+
+def test_png_decode_query_matches_python_reference(spark, sf_smoke):
+    """The Spark decode operator reproduces the raster a direct Python
+    round trip produces for every document."""
+    import hashlib
+
+    from heatmap_spark.operators.multimodal import media_decode_png
+    from heatmap_spark.sources.tables import load_table
+
+    got = {
+        r["doc_id"]: r for r in media_decode_png(spark, sf_smoke).collect()
+    }
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for r in docs:
+        buf = r["text"].encode("utf-8")
+        L = len(buf)
+        w = (L % 64) + 1
+        h = max(1, -(-L // w))
+        padded = buf + b" " * (h * w - L)
+        g = got[r["doc_id"]]
+        assert (g["width"], g["height"]) == (w, h)
+        assert g["pixel_sum"] == sum(padded)
+        assert g["pixel_md5"] == hashlib.md5(padded).hexdigest()
