@@ -1153,6 +1153,7 @@ def opq_train(
     dim: int = 64,
     opq_iters: int = 4,
     train_iters: int = 2,
+    normalize: bool = True,
 ):
     """Train OPQ (Ge et al., "Optimized Product Quantization", CVPR
     2013 / TPAMI 2014 — public method): an orthonormal rotation R and
@@ -1179,12 +1180,16 @@ def opq_train(
     """
     import numpy as np
 
-    nv = emb.select("vec_id", _l2_normalize(F.col("vec")).alias("vec"))
+    nv = (
+        emb.select("vec_id", _l2_normalize(F.col("vec")).alias("vec"))
+        if normalize
+        else emb.select("vec_id", "vec")
+    )
     R = np.eye(dim)
     cb = None
     for _ in range(opq_iters):
         rot = rotate_vectors(nv, R)
-        cb = pq_codebooks(rot, m, k, dim, train_iters)
+        cb = pq_codebooks(rot, m, k, dim, train_iters, normalize=normalize)
         C = np.array(
             [[cb[(s, c)] for c in range(k)] for s in range(m)], dtype=np.float64
         )
@@ -1212,7 +1217,7 @@ def opq_train(
         U, _, Vt = np.linalg.svd(M)
         R = U @ Vt
     rot = rotate_vectors(nv, R)
-    cb = pq_codebooks(rot, m, k, dim, train_iters)
+    cb = pq_codebooks(rot, m, k, dim, train_iters, normalize=normalize)
     return [[float(x) for x in row] for row in R], cb
 
 
@@ -1376,6 +1381,57 @@ def ivfpq_build(
     return coarse, cb, codes
 
 
+def ivfpq_opq_build(
+    emb: DataFrame,
+    n_buckets: int = 8,
+    m: int = 8,
+    k: int = 32,
+    dim: int = 64,
+    opq_iters: int = 4,
+    train_iters: int = 1,
+    train_sample_n: int | None = None,
+):
+    """The full FAISS ``OPQ..,IVF..,PQ..`` chain: coarse inverted lists
+    as in :func:`ivfpq_build`, but the RESIDUALS pass through an OPQ
+    learned rotation before PQ encoding — the rotation re-balances the
+    residual energy across subspaces, recovering quantization accuracy
+    the fixed coordinate slicing loses.  Returns (coarse codebook, R,
+    residual PQ codebooks, codes DataFrame).
+
+    Scale shape: identical to ivfpq_build plus the opq_train loop —
+    per iteration one map-only rotate + linear PQ train + one
+    dim×dim partial-sum pass; the rotation itself fuses into the
+    encode scan.  The codes artifact is the same m bytes + bucket id
+    per vector."""
+    nv = emb.select("vec_id", _l2_normalize(F.col("vec")).alias("vec"))
+    tr = nv if train_sample_n is None else nv.where(F.col("vec_id") < train_sample_n)
+    coarse = ivf_codebook(tr, n_buckets, train_iters)
+    assigned = _assign_to_codebook(nv, coarse)
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in coarse[b]]) for b in sorted(coarse)]
+    )
+    resid = assigned.select(
+        "vec_id",
+        "bucket",
+        F.zip_with(
+            "vec", F.element_at(cents, F.col("bucket") + 1), lambda a, b: a - b
+        ).alias("vec"),
+    )
+    resid_tr = (
+        resid
+        if train_sample_n is None
+        else resid.where(F.col("vec_id") < train_sample_n)
+    )
+    R, cb = opq_train(
+        resid_tr, m, k, dim, opq_iters, train_iters, normalize=False
+    )
+    codes = pq_encode_np(
+        rotate_vectors(resid.select("vec_id", "vec"), R), cb, m, k, dim,
+        normalize=False,
+    ).join(resid.select("vec_id", "bucket"), "vec_id")
+    return coarse, R, cb, codes
+
+
 def ivfpq_topk(
     emb: DataFrame,
     coarse: dict[int, list[float]],
@@ -1388,6 +1444,7 @@ def ivfpq_topk(
     dim: int = 64,
     nprobe: int = 2,
     rerank_oversample: int = 8,
+    R=None,
 ) -> DataFrame:
     """IVFADC search: per query, rank coarse centroids by dot product,
     probe the top ``nprobe`` inverted lists, and ADC-score ONLY their
@@ -1396,9 +1453,14 @@ def ivfpq_topk(
     (query, probed bucket) (q − c_b against the shared residual
     codebooks); tables ride the kernel closure (n_queries · nprobe ·
     m · k doubles).  Exact cosine re-rank of the shortlist on the raw
-    vectors finishes, as in every pq/opq path."""
+    vectors finishes, as in every pq/opq path.  Pass the OPQ rotation
+    ``R`` from :func:`ivfpq_opq_build` to search rotated-residual
+    codes: only the per-query residuals rotate (a dim×dim matmul per
+    probed bucket, driver-side) — the kernel and the plan shape are
+    unchanged."""
     import numpy as np
 
+    Rm = None if R is None else np.asarray(R, dtype=np.float64)
     nv = emb.select("vec_id", _l2_normalize(F.col("vec")).alias("vec"))
     raw_queries = [
         (r["vec_id"], r["vec"])
@@ -1419,7 +1481,10 @@ def ivfpq_topk(
         probes = [int(b) for b in order[:nprobe]]
         probe_buckets[qid] = probes
         for b in probes:
-            rq = (q - cents[b]).reshape(m, d)
+            rq = q - cents[b]
+            if Rm is not None:
+                rq = rq @ Rm
+            rq = rq.reshape(m, d)
             tables[(qid, b)] = ((rq[:, None, :] - C) ** 2).sum(axis=2)
 
     def kern(batches):
@@ -1525,4 +1590,72 @@ def ivfpq_recall(
         )
     return spark.createDataFrame(
         rows, "nprobe int, recall double, candidate_frac double"
+    )
+
+
+def ivfpq_opq_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_buckets: int = 8,
+    m: int = 8,
+    k: int = 32,
+    min_recall_full: float = 0.75,
+) -> DataFrame:
+    """Recall@k of the composed OPQ+IVFPQ chain vs plain IVFPQ at the
+    same 8 B/vec budget, one row per probe depth — the rotation's value
+    measured where it matters, inside the inverted-list index.  RAISES
+    if the full-probe composed recall falls below ``min_recall_full``
+    (only PQ-on-rotated-residual error remains there)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    exact = knn_cosine_df(emb, n_queries, topk).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    if n_exact == 0:
+        raise AssertionError(
+            "ivfpq_opq_recall: exact kNN returned 0 neighbor pairs — corpus "
+            "too small to measure recall (need >= 2 vectors)"
+        )
+    from pyspark.storagelevel import StorageLevel
+
+    coarse_o, R, cb_o, codes_o = ivfpq_opq_build(
+        emb, n_buckets, m, k, train_iters=1
+    )
+    codes_o = codes_o.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+    coarse_p, cb_p, codes_p = ivfpq_build(emb, n_buckets, m, k, train_iters=1)
+    codes_p = codes_p.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+
+    def _recall(coarse, cb, codes, nprobe, R=None):
+        approx = ivfpq_topk(
+            emb, coarse, cb, codes, n_queries, topk, m, k, nprobe=nprobe, R=R
+        )
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        ).count()
+        return round(hits / n_exact, 6)
+
+    rows = []
+    for nprobe in sorted({1, max(2, n_buckets // 2), n_buckets}):
+        rows.append(
+            (
+                nprobe,
+                _recall(coarse_o, cb_o, codes_o, nprobe, R=R),
+                _recall(coarse_p, cb_p, codes_p, nprobe),
+                round(nprobe / n_buckets, 6),
+            )
+        )
+    if rows[-1][1] < min_recall_full:
+        raise AssertionError(
+            f"OPQ+IVFPQ full-probe recall@{topk} is {rows[-1][1]} < pinned "
+            f"{min_recall_full}"
+        )
+    return spark.createDataFrame(
+        rows,
+        "nprobe int, recall_opq double, recall_plain double, candidate_frac double",
     )

@@ -862,6 +862,46 @@ def probe_ivfpq(spark, n: int) -> None:
     )
 
 
+def probe_ivfpq_opq(spark, n: int) -> None:
+    """OPQ+IVFPQ chain at n vectors (default 1M), 64 coarse lists:
+    build (coarse train + assign + OPQ rotation train on residual
+    sample + rotated-residual encode) vs query at nprobe 2 and 8 —
+    the rotation adds one matmul per Arrow batch to the encode and a
+    driver-side dim×dim matmul per probed bucket at query time, so
+    both costs must stay within noise of plain IVFPQ."""
+    from pyspark.storagelevel import StorageLevel
+
+    from heatmap_spark.operators.similarity import ivfpq_opq_build, ivfpq_topk
+
+    nb, m, k = 64, 8, 32
+    emb = synthetic_dup_embeddings(spark, n)
+    emb.count()  # warm
+    t0 = time.perf_counter()
+    coarse, R, cb, codes = ivfpq_opq_build(
+        emb, nb, m, k, opq_iters=3, train_iters=1, train_sample_n=100_000
+    )
+    codes = codes.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    n_codes = codes.count()
+    t_build = time.perf_counter() - t0
+    for nprobe in (2, 8):
+        t0 = time.perf_counter()
+        rows = ivfpq_topk(
+            emb, coarse, cb, codes, n_queries=10, topk=5, m=m, k=k,
+            nprobe=nprobe, R=R,
+        ).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"ivfpq_opq {n:,} vecs, {nb} lists: nprobe={nprobe} "
+            f"(~{nprobe / nb:.1%} candidates) query x 10 {dt:.1f}s "
+            f"({rows} rows)"
+        )
+    print(
+        f"ivfpq_opq build {n:,} vecs: {t_build:.1f}s = "
+        f"{n / t_build / 1000:.0f}k vecs/s, codes={n_codes:,}, "
+        f"bytes/vec 512 -> {m}+bucket"
+    )
+
+
 def probe_bpe(spark, n: int) -> None:
     """BPE at n docs (default 2M): the word-frequency aggregate is the
     only corpus-sized pass; the 40-round merge loop runs on the
@@ -926,7 +966,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "serve": 2_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "serve": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -940,7 +980,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "serve": probe_serve}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "serve": probe_serve}[which](spark, n)
 
 
 if __name__ == "__main__":

@@ -301,3 +301,37 @@ def test_ivfpq_index_and_recall_dial(spark, sf_correct):
     assert out[n_buckets]["recall"] >= 0.6
     assert out[n_buckets]["candidate_frac"] == 1.0
     assert out[nprobes[0]]["candidate_frac"] < 1.0
+
+
+def test_ivfpq_opq_compose(spark, sf_correct):
+    """OPQ+IVFPQ chain: R is orthonormal; codes are well-formed over
+    the full corpus; the full-probe composed recall clears the 0.75
+    registry pin and the comparison row carries plain IVFPQ at the
+    same budget."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.similarity import (
+        ivfpq_opq_build,
+        ivfpq_opq_recall,
+    )
+    from heatmap_spark.sources.tables import load_table
+
+    n_buckets, m, k = 8, 8, 32
+    emb = load_table(spark, sf_correct, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    coarse, R, cb, codes = ivfpq_opq_build(emb, n_buckets, m, k, opq_iters=2)
+    Rm = np.asarray(R)
+    assert np.allclose(Rm @ Rm.T, np.eye(Rm.shape[0]), atol=1e-8)
+    assert set(coarse) == set(range(n_buckets))
+    row = codes.first()
+    assert 0 <= row["bucket"] < n_buckets
+    assert len(row["codes"]) == m and all(0 <= c < k for c in row["codes"])
+    assert codes.count() == emb.count()
+
+    out = {r["nprobe"]: r for r in ivfpq_opq_recall(spark, sf_correct).collect()}
+    full = out[n_buckets]
+    assert full["candidate_frac"] == 1.0
+    assert full["recall_opq"] >= 0.75
+    assert 0.0 <= full["recall_plain"] <= 1.0
