@@ -391,6 +391,30 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     return read_crawl_flags(spark, store)
 
 
+def q_streaming_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-drift monitoring over a streamed corpus: the
+    documents table arrives as 3 deterministic batches (doc_id
+    thirds); each batch's token counts land in the log-structured
+    vocab store and a drift row — new-type counts, OOV occurrence
+    rate, exact-integer L1 distance vs the accumulated distribution —
+    is computed AT INGEST.  The oracle recomputes the same
+    order-dependent log from the full relation with a per-token
+    cumulative window."""
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.vocab import (
+        merge_batch_into_vocab_store,
+        read_vocab_drift,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).first()[0] + 1
+    store = _scratch_dir("vocab_store_q_") + "/store"
+    for b in range(3):
+        batch = docs.where(F.expr(f"CAST(doc_id * 3 DIV {mx} AS INT)") == b)
+        merge_batch_into_vocab_store(spark, batch, store, b)
+    return read_vocab_drift(spark, store)
+
+
 def q_dense_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-DBSCAN hotspots at zoom 6: dense cells (≥3 points) merged
     into regions via 8-neighbor connected components."""
@@ -3453,6 +3477,48 @@ GROUP BY t.doc_id""",
     # Streaming crawl dedup: per-batch ingest-time flags against the
     # accumulated LSH store (order-dependent statuses, uncapped
     # membership join — mirrored exactly from the shared bands CTE).
+    # Streaming vocabulary-drift log (order-dependent: each batch's
+    # drift is measured against the vocab accumulated BEFORE it).
+    "q_streaming_vocab_drift": QuerySpec(
+        q_streaming_vocab_drift,
+        """WITH mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+d3 AS (SELECT CAST((doc_id * 3) // n AS INTEGER) AS batch, text
+       FROM documents, mx),
+tok AS (SELECT batch,
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS token
+        FROM d3),
+cnt AS (SELECT batch, token, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+grid AS (SELECT b.batch, t.token
+         FROM (SELECT DISTINCT batch FROM cnt) b
+         CROSS JOIN (SELECT DISTINCT token FROM cnt) t),
+g2 AS (SELECT g.batch, g.token, COALESCE(c.c, 0) AS cb
+       FROM grid g LEFT JOIN cnt c
+         ON g.batch = c.batch AND g.token = c.token),
+g3 AS (SELECT batch, token, cb,
+       COALESCE(SUM(cb) OVER (PARTITION BY token ORDER BY batch
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+       FROM g2),
+tot AS (SELECT batch, CAST(SUM(cb) AS BIGINT) AS nb FROM g2 GROUP BY batch),
+tot2 AS (SELECT batch, nb,
+         CAST(COALESCE(SUM(nb) OVER (ORDER BY batch
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS np
+         FROM tot),
+agg AS (SELECT g3.batch,
+  CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
+  CAST(SUM(CASE WHEN cb > 0 AND cp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_types,
+  CAST(SUM(CASE WHEN cp = 0 THEN cb ELSE 0 END) AS BIGINT) AS new_occ,
+  CAST(SUM(abs(cb * t.np - cp * t.nb)) AS BIGINT) AS l1_num
+  FROM g3 JOIN tot2 t ON g3.batch = t.batch GROUP BY g3.batch)
+SELECT a.batch AS batch_id, t.nb AS n_tokens, a.n_types, a.n_new_types,
+  CASE WHEN t.nb > 0 THEN round(CAST(a.new_occ AS DOUBLE) / t.nb, 6)
+       ELSE 0.0 END AS oov_rate,
+  CASE WHEN t.nb > 0 AND t.np > 0
+       THEN round(CAST(a.l1_num AS DOUBLE) / (CAST(t.nb AS DOUBLE) * t.np), 6)
+       ELSE 0.0 END AS l1_drift
+FROM agg a JOIN tot2 t ON a.batch = t.batch""",
+    ),
     "q_streaming_incremental_dedup": QuerySpec(
         q_streaming_incremental_dedup,
         f"""WITH {_SHINGLES_CTE},
@@ -3650,8 +3716,8 @@ FROM st""",
 # driver-green queries; round 4 ROTATES the window onto 46 more
 # never-driver-checked ORACLE-GATED queries (all locally sweep-green
 # via scripts/driver_sim.py), keeping the 4-query sentinel set from
-# the reference's core surface.  After this round 163 of 201 declared
-# queries carry a hard driver row; the remaining 38 (26 oracle-gated
+# the reference's core surface.  After this round 163 of 202 declared
+# queries carry a hard driver row; the remaining 39 (27 oracle-gated
 # + the 12 rows-only sketch/ANN/BPE pins, which raise in-registry on
 # regression regardless) fit in one final round-5 rotation.
 _PRIORITY = [
