@@ -862,6 +862,60 @@ def probe_ivfpq(spark, n: int) -> None:
     )
 
 
+def probe_entity(spark, n: int) -> None:
+    """Entity resolution at n base records (default 2M) + n/3 dirty
+    variants: candidate generation must stay an equi-join bounded by
+    block sizes (nation × segment × balance band ≈ 250k blocks here),
+    and CC must converge in O(log d) rounds on the star-shaped match
+    graph.  Planted variants must all link back to their originals."""
+    from heatmap_spark.operators.dedup import connected_components
+    from heatmap_spark.operators.entity import (
+        _VARIANT_OFFSET,
+        er_candidate_pairs,
+    )
+
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]
+    seg = F.element_at(
+        F.array(*[F.lit(s) for s in segs]), (F.col("id") % 5 + 1).cast("int")
+    )
+    base = spark.range(n).select(
+        F.col("id").alias("rec_id"),
+        F.format_string("Customer#%09d", F.col("id")).alias("name"),
+        (F.col("id") % 25).cast("int").alias("nation"),
+        seg.alias("segment"),
+        (F.pmod(F.hash(F.col("id")), F.lit(10_000_000)).cast("double") / 100.0).alias("bal"),
+        F.lit("src").alias("source"),
+    )
+    var = base.where(F.col("rec_id") % 3 == 0).select(
+        (F.col("rec_id") + _VARIANT_OFFSET * 10).alias("rec_id"),
+        F.concat(F.lower("name"), F.lit("x")).alias("name"),
+        "nation",
+        "segment",
+        (F.col("bal") + 0.25).alias("bal"),
+        F.lit("crm").alias("source"),
+    )
+    records = base.unionByName(var)
+    records.count()  # warm
+    t0 = time.perf_counter()
+    pairs = er_candidate_pairs(records)
+    n_pairs = pairs.count()
+    t_cand = time.perf_counter() - t0
+    planted = (n + 2) // 3
+    linked = pairs.where(
+        F.col("v") - F.col("u") == _VARIANT_OFFSET * 10
+    ).count()
+    t0 = time.perf_counter()
+    n_clustered = connected_components(pairs, "u", "v").count()
+    t_cc = time.perf_counter() - t0
+    total = n + planted
+    print(
+        f"entity {total:,} records: candidates {t_cand:.1f}s = "
+        f"{total / t_cand / 1000:.0f}k recs/s, {n_pairs:,} pairs "
+        f"({linked:,}/{planted:,} planted links found), "
+        f"cc {t_cc:.1f}s over {n_clustered:,} matched records"
+    )
+
+
 def probe_ivfpq_opq(spark, n: int) -> None:
     """OPQ+IVFPQ chain at n vectors (default 1M), 64 coarse lists:
     build (coarse train + assign + OPQ rotation train on residual
@@ -966,7 +1020,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "serve": 2_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "serve": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -980,7 +1034,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "serve": probe_serve}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "serve": probe_serve}[which](spark, n)
 
 
 if __name__ == "__main__":

@@ -392,3 +392,20 @@ def test_resultset_serving_read_prunes_to_one_bucket(spark, sf_smoke, tmp_path):
     assert locs and all(n == "1" for n in locs), plan[:2000]
     pf = pushed_filters(df)
     assert "row" in pf and "col" in pf and "zoom" in pf, pf
+
+
+def test_entity_resolution_candidates_never_cartesian(spark, sf_smoke):
+    """ER candidate generation must be an equi-join on the block key
+    (hash- or sort-merge-joinable; similarity predicates ride as the
+    residual join condition) — never a nested-loop/cartesian pair
+    comparison, and no Python on the path."""
+    from heatmap_spark.operators.entity import (
+        dirty_customer_records,
+        er_candidate_pairs,
+    )
+
+    pairs = er_candidate_pairs(dirty_customer_records(spark, sf_smoke))
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]
+    assert not has_python_eval(pairs)
