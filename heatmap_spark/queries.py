@@ -2147,6 +2147,24 @@ SELECT doc_id, width, height,
   md5(text || repeat(' ', CAST(width * height - L AS INTEGER))) AS pixel_md5
 FROM dims""",
     ),
+    # Real AUDIO decode: text bytes → int16 PCM in a real RIFF/WAV
+    # container → parsed back; oracle reconstructs sample values from
+    # ascii codes.
+    "q_media_wav": QuerySpec(
+        multimodal.media_decode_wav,
+        """WITH m AS (SELECT doc_id, strlen(text) AS L, text FROM documents),
+s AS (
+  SELECT doc_id, L,
+    list_transform(range(1, CAST(L AS INTEGER) + 1),
+                   i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS codes
+  FROM m)
+SELECT doc_id,
+  CAST(L AS BIGINT) AS n_samples,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(COALESCE(list_sum(codes), 0) AS BIGINT) AS sample_sum,
+  md5(COALESCE(array_to_string(codes, ','), '')) AS samples_md5
+FROM s""",
+    ),
     "q_media_frames": QuerySpec(
         multimodal.media_frames,
         """WITH m AS (SELECT doc_id, strlen(text) AS n_bytes, text FROM documents),

@@ -134,3 +134,30 @@ def test_png_decode_query_matches_python_reference(spark, sf_smoke):
         assert (g["width"], g["height"]) == (w, h)
         assert g["pixel_sum"] == sum(padded)
         assert g["pixel_md5"] == hashlib.md5(padded).hexdigest()
+
+
+def test_wav_codec_roundtrip_and_validation():
+    """WAV encode→decode is the identity on int16 samples (including
+    negative values and odd lengths — word-aligned chunk walk);
+    malformed containers are rejected."""
+    import numpy as np
+    import pytest
+
+    from heatmap_spark.operators.multimodal import wav_decode, wav_encode
+
+    for samples in [
+        np.array([0, 1, -1, 32767, -32768, 123], dtype=np.int16),
+        np.arange(101, dtype=np.int16) - 50,
+        np.array([], dtype=np.int16),
+    ]:
+        rate, out = wav_decode(wav_encode(samples, sample_rate=8000))
+        assert rate == 8000
+        assert np.array_equal(out, samples)
+
+    good = bytearray(wav_encode(np.array([1, 2, 3], dtype=np.int16)))
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"JUNK" + bytes(good[4:]))
+    bad = bytearray(good)
+    bad[4] ^= 0xFF  # corrupt the RIFF length
+    with pytest.raises(ValueError, match="length"):
+        wav_decode(bytes(bad))
