@@ -65,12 +65,22 @@ def _try_real_codec():
         return False
 
 
-def decode_real(payload: bytes):  # pragma: no cover
-    """Real decode path — requires a codec library."""
-    if not _try_real_codec():
+def decode_real(payload: bytes):
+    """Best-effort real decode by content sniffing: PNG and WAV decode
+    through the native stdlib codecs below (no external library);
+    other container formats (JPEG/MP3/MP4/...) still require
+    PIL/librosa/ffmpeg and raise until one is installed."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        h, w, px = png_decode(payload)
+        return {"kind": "image", "height": h, "width": w, "pixels": px}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, pcm = wav_decode(payload)
+        return {"kind": "audio", "sample_rate": rate, "samples": pcm}
+    if not _try_real_codec():  # pragma: no cover - PIL absent here
         raise NotImplementedError(
-            "media codecs (PIL/librosa/ffmpeg) not installed; "
-            "use decode_stub_features for the deterministic fake path"
+            "payload is neither PNG nor WAV, and external codecs "
+            "(PIL/librosa/ffmpeg) are not installed; use "
+            "decode_stub_features for the deterministic fake path"
         )
 
 

@@ -33,9 +33,21 @@ def test_decode_stub_features(spark, sf_smoke):
         assert r.fake_width == (len(payload) % 64) + 1
 
 
-def test_decode_real_is_gated(spark):
+def test_decode_real_sniffs_native_formats_and_gates_the_rest(spark):
+    import numpy as np
+
+    # unknown container + no external codec → clean gate
     with pytest.raises(NotImplementedError):
         M.decode_real(b"\x00\x01")
+    # PNG and WAV decode for real, no external library
+    px = (np.arange(12, dtype=np.uint8)).reshape(3, 4)
+    img = M.decode_real(M.png_encode(px))
+    assert img["kind"] == "image" and (img["height"], img["width"]) == (3, 4)
+    assert np.array_equal(img["pixels"], px)
+    pcm = np.array([5, -5, 300], dtype=np.int16)
+    aud = M.decode_real(M.wav_encode(pcm, sample_rate=8000))
+    assert aud["kind"] == "audio" and aud["sample_rate"] == 8000
+    assert np.array_equal(aud["samples"], pcm)
 
 
 def test_sample_frames_covers_payload(spark, sf_smoke):
