@@ -1798,8 +1798,12 @@ ORDER BY jaccard DESC, user_a, user_b LIMIT 20""",
     "q_knn_ivfpq_recall": QuerySpec(similarity.ivfpq_recall, None),
     # OPQ rotation composed INTO the IVFPQ residual encode (the FAISS
     # OPQ..,IVF..,PQ.. chain) — rows-only with an in-registry raise:
-    # full-probe recall@5 measured 0.76 (vs 0.72 plain IVFPQ) at
-    # sf0.01, pinned >= 0.75.
+    # full-probe recall@5 at 16x re-rank oversample measured 0.86
+    # (plain IVFPQ comparison row 0.90 — on isotropic fixtures the
+    # residual rotation's gain shows at tight shortlists, 0.76 vs
+    # 0.72 at 8x, and washes out at deeper re-rank; clustered real
+    # corpora shift the gain up), pinned >= 0.75 at both fixture
+    # tiers.
     "q_knn_ivfpq_opq_recall": QuerySpec(similarity.ivfpq_opq_recall, None),
     # nprobe = all buckets ⇒ IVF output provably equals brute force, so
     # the whole IVF machinery rides the exact oracle's hash-match gate
