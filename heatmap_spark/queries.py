@@ -3738,8 +3738,8 @@ FROM st""",
 # driver-green queries; round 4 ROTATES the window onto 46 more
 # never-driver-checked ORACLE-GATED queries (all locally sweep-green
 # via scripts/driver_sim.py), keeping the 4-query sentinel set from
-# the reference's core surface.  After this round 163 of 202 declared
-# queries carry a hard driver row; the remaining 39 (27 oracle-gated
+# the reference's core surface.  After this round 163 of 203 declared
+# queries carry a hard driver row; the remaining 40 (28 oracle-gated
 # + the 12 rows-only sketch/ANN/BPE pins, which raise in-registry on
 # regression regardless) fit in one final round-5 rotation.
 _PRIORITY = [
