@@ -63,7 +63,79 @@ def main(argv: list[str] | None = None) -> int:
         "--compact", action="store_true", help="fold postings partials after the run"
     )
 
+    drift = sub.add_parser(
+        "drift",
+        help="vocabulary-drift monitoring: ingest document batches into "
+        "a persistent vocab store, printing per-batch drift metrics",
+    )
+    drift.add_argument("--sf-dir", required=True, help="testdata sf dir")
+    drift.add_argument("--store", required=True, help="vocab store path")
+    drift.add_argument(
+        "--batches", type=int, default=3, help="split documents into N ingest batches"
+    )
+    drift.add_argument(
+        "--compact", action="store_true", help="fold vocab partials after the run"
+    )
+
+    res = sub.add_parser(
+        "resolve",
+        help="entity resolution over the dirty multi-source customer "
+        "fixture: blocking + similarity + connected components",
+    )
+    res.add_argument("--sf-dir", required=True, help="testdata sf dir")
+    res.add_argument("--output", required=True, help="output parquet path")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "drift":
+        from pyspark.sql import functions as F
+
+        from heatmap_spark import get_spark
+        from heatmap_spark.sources.tables import load_table
+        from heatmap_spark.streaming.vocab import (
+            compact_vocab_store,
+            merge_batch_into_vocab_store,
+            read_vocab_drift,
+        )
+
+        spark = get_spark("heatmap-spark-cli")
+        docs = load_table(spark, args.sf_dir, "documents").select("doc_id", "text")
+        mx = docs.agg(F.max("doc_id")).first()[0] + 1
+        n = args.batches
+        for b in range(n):
+            batch = docs.where(F.expr(f"CAST(doc_id * {n} DIV {mx} AS INT)") == b)
+            merge_batch_into_vocab_store(spark, batch, args.store, b)
+        if args.compact:
+            compact_vocab_store(spark, args.store)
+        for r in sorted(
+            read_vocab_drift(spark, args.store).collect(),
+            key=lambda r: r["batch_id"],
+        ):
+            print(
+                f"batch {r['batch_id']}: {r['n_tokens']} tokens, "
+                f"{r['n_new_types']}/{r['n_types']} new types, "
+                f"oov={r['oov_rate']}, l1={r['l1_drift']}"
+            )
+        return 0
+
+    if args.cmd == "resolve":
+        from pyspark.sql import functions as F
+
+        from heatmap_spark import get_spark
+        from heatmap_spark.operators.entity import entity_resolution
+
+        spark = get_spark("heatmap-spark-cli")
+        out = entity_resolution(spark, args.sf_dir)
+        out.write.mode("overwrite").parquet(args.output)
+        saved = spark.read.parquet(args.output)
+        n_rec = saved.count()
+        n_ent = saved.select("entity_id").distinct().count()
+        n_linked = saved.where(F.col("n_sources") > 1).count()
+        print(
+            f"wrote {n_rec} records -> {n_ent} entities to {args.output} "
+            f"({n_linked} records in cross-source entities)"
+        )
+        return 0
 
     if args.cmd == "crawl":
         from pyspark.sql import functions as F

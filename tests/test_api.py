@@ -219,3 +219,39 @@ def test_corpus_remove_passages_stage_and_cli_dispatch(spark, sf_smoke):
         .df()
     )
     assert chunks.count() > 0
+
+
+def test_cli_drift_and_resolve_subcommands(spark, sf_smoke, tmp_path, capsys):
+    """The drift and resolve CLI subcommands run end-to-end: the drift
+    store commits one drift row per batch, and resolve writes the ER
+    assignment with cross-source entities present."""
+    from heatmap_spark.__main__ import main
+    from heatmap_spark.streaming.vocab import read_vocab_drift
+
+    store = str(tmp_path / "vocab")
+    assert (
+        main(
+            [
+                "drift",
+                "--sf-dir",
+                sf_smoke,
+                "--store",
+                store,
+                "--batches",
+                "3",
+                "--compact",
+            ]
+        )
+        == 0
+    )
+    log = read_vocab_drift(spark, store)
+    assert log.count() == 3
+    assert "oov=" in capsys.readouterr().out
+
+    out_dir = str(tmp_path / "er")
+    assert main(["resolve", "--sf-dir", sf_smoke, "--output", out_dir]) == 0
+    saved = spark.read.parquet(out_dir)
+    assert {"rec_id", "source", "entity_id", "n_members", "n_sources"} == set(
+        saved.columns
+    )
+    assert saved.where("n_sources > 1").count() > 0
