@@ -415,6 +415,48 @@ def q_streaming_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_vocab_drift(spark, store)
 
 
+def q_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance: embeddings arrive as 3
+    deterministic batches (vec_id ranges); batch 0 trains the frozen
+    IVFPQ model, every batch encodes through it into the codes store.
+    Because the model is frozen and encode is per-row deterministic,
+    the store must be BIT-IDENTICAL to a one-shot ivfpq_build trained
+    on the same prefix — asserted here on every run (the
+    raise-on-regression gate for this rows-only query).  Returns
+    per-bucket code counts."""
+    from heatmap_spark.operators.similarity import ivfpq_build
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.ann_store import (
+        compact_ann_store,
+        merge_batch_into_ann_store,
+        read_ann_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    n = emb.count()
+    n0 = (n + 2) // 3
+    store = _scratch_dir("ann_store_q_") + "/store"
+    bounds = [(0, n0), (n0, 2 * n0), (2 * n0, n + 1)]
+    for b, (lo, hi) in enumerate(bounds):
+        batch = emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        merge_batch_into_ann_store(spark, batch, store, b)
+    compact_ann_store(spark, store)
+    got = read_ann_codes(spark, store).select("vec_id", "bucket", "codes")
+    _, _, want = ivfpq_build(emb, train_iters=1, train_sample_n=n0)
+    want = want.select("vec_id", "bucket", "codes")
+    if not (got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()):
+        raise AssertionError(
+            "streamed ANN store diverged from the one-shot frozen-model build"
+        )
+    return (
+        got.groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+        .select(F.col("bucket").cast("int"), "n_vecs")
+    )
+
+
 def q_dense_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-DBSCAN hotspots at zoom 6: dense cells (≥3 points) merged
     into regions via 8-neighbor connected components."""
@@ -3499,6 +3541,11 @@ GROUP BY t.doc_id""",
     # Streaming crawl dedup: per-batch ingest-time flags against the
     # accumulated LSH store (order-dependent statuses, uncapped
     # membership join — mirrored exactly from the shared bands CTE).
+    # Incremental ANN-index maintenance (frozen IVFPQ model + per-batch
+    # encode into the codes store) — rows-only, but the registry
+    # function ASSERTS bit-equality with the one-shot build on every
+    # run, so divergence turns the driver red.
+    "q_streaming_ann_index": QuerySpec(q_streaming_ann_index, None),
     # Streaming vocabulary-drift log (order-dependent: each batch's
     # drift is measured against the vocab accumulated BEFORE it).
     "q_streaming_vocab_drift": QuerySpec(
@@ -3738,9 +3785,9 @@ FROM st""",
 # driver-green queries; round 4 ROTATES the window onto 46 more
 # never-driver-checked ORACLE-GATED queries (all locally sweep-green
 # via scripts/driver_sim.py), keeping the 4-query sentinel set from
-# the reference's core surface.  After this round 163 of 203 declared
-# queries carry a hard driver row; the remaining 40 (28 oracle-gated
-# + the 12 rows-only sketch/ANN/BPE pins, which raise in-registry on
+# the reference's core surface.  After this round 163 of 204 declared
+# queries carry a hard driver row; the remaining 41 (28 oracle-gated
+# + the 13 rows-only sketch/ANN/BPE pins, which raise in-registry on
 # regression regardless) fit in one final round-5 rotation.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round

@@ -1,0 +1,222 @@
+"""Incremental ANN (IVFPQ) index maintenance over an embedding stream.
+
+Production vector search doesn't rebuild its index per crawl batch: the
+quantization model (coarse centroids + residual PQ codebooks) is
+trained ONCE on an early corpus sample and FROZEN; every later batch is
+assigned + encoded through the frozen model (map-only, O(batch)) and
+appended to the codes store.  This module is that lifecycle on the
+repo's store protocol:
+
+* ``model/coarse`` / ``model/cb`` — the frozen quantization model,
+  written with the first batch (parquet, so any session can reload it).
+* ``codes/batch=<id>``           — the batch's (vec_id, bucket, codes)
+  rows — m bytes + a bucket id per vector, the only per-batch write.
+* ``codes_base/v=<n>``           — LSM compaction target, repartitioned
+  by ``bucket`` so probed-list reads prune at directory level (the
+  crawl-store postings pattern); folded-batch marker, crash-safe GC.
+* ``_LATEST``                    — marker-committed exactly-once, same
+  replay semantics as every store in this package.
+
+Because the model is frozen and assign/encode are per-row
+deterministic, the streamed store is BIT-IDENTICAL to a one-shot
+``ivfpq_build`` trained on the same prefix — the in-registry query
+asserts that equality on every run (raise-on-regression), and searches
+served from the store go through the ordinary :func:`ivfpq_topk`.
+
+Model drift is the operational caveat (a frozen quantizer degrades as
+the corpus distribution moves); pair with the vocabulary-drift monitor
+pattern (streaming/vocab.py) to decide when to retrain+re-encode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from heatmap_spark.operators.similarity import (
+    _assign_to_codebook,
+    _l2_normalize,
+    ivf_codebook,
+    pq_codebooks,
+    pq_encode_np,
+)
+from heatmap_spark.streaming.passages import (
+    _batch_id,
+    _committed_batches,
+    _parse_base_marker,
+    _read_last_batch,
+)
+from heatmap_spark.streaming.tile_store import _Fs, _join
+
+_LATEST = "_LATEST"
+
+
+def _write_model(spark, store_path, coarse, cb, dim):
+    rows = [(int(b), [float(x) for x in v]) for b, v in coarse.items()]
+    spark.createDataFrame(rows, "bucket int, vec array<double>").write.mode(
+        "overwrite"
+    ).parquet(_join(store_path, "model", "coarse"))
+    rows = [
+        (int(s), int(c), [float(x) for x in v]) for (s, c), v in cb.items()
+    ]
+    spark.createDataFrame(
+        rows, "s int, c int, vec array<double>"
+    ).write.mode("overwrite").parquet(_join(store_path, "model", "cb"))
+
+
+def load_ann_model(spark: SparkSession, store_path: str):
+    """(coarse codebook dict, residual PQ codebook dict) from the
+    store's frozen model."""
+    coarse = {
+        r["bucket"]: list(r["vec"])
+        for r in spark.read.parquet(_join(store_path, "model", "coarse")).collect()
+    }
+    cb = {
+        (r["s"], r["c"]): list(r["vec"])
+        for r in spark.read.parquet(_join(store_path, "model", "cb")).collect()
+    }
+    return coarse, cb
+
+
+def _encode_batch(batch_emb, coarse, cb, m, k, dim):
+    nv = batch_emb.select("vec_id", _l2_normalize(F.col("vec")).alias("vec"))
+    assigned = _assign_to_codebook(nv, coarse)
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in coarse[b]]) for b in sorted(coarse)]
+    )
+    resid = assigned.select(
+        "vec_id",
+        "bucket",
+        F.zip_with(
+            "vec", F.element_at(cents, F.col("bucket") + 1), lambda a, b: a - b
+        ).alias("vec"),
+    )
+    return pq_encode_np(resid, cb, m, k, dim, normalize=False).join(
+        resid.select("vec_id", "bucket"), "vec_id"
+    )
+
+
+def merge_batch_into_ann_store(
+    spark: SparkSession,
+    batch_emb: DataFrame,
+    store_path: str,
+    batch_id: int,
+    n_buckets: int = 8,
+    m: int = 8,
+    k: int = 32,
+    dim: int = 64,
+    train_iters: int = 1,
+) -> bool:
+    """Ingest one batch of (vec_id, vec) rows.  The FIRST committed
+    batch trains and persists the frozen model; every batch (including
+    the first) is assigned + encoded through it — map-only, O(batch).
+    Returns False (no-op) on replay of a committed batch."""
+    if batch_id <= _read_last_batch(store_path):
+        return False
+    fs = _Fs(spark)
+    if not fs.exists(_join(store_path, "model", "cb")):
+        nv = batch_emb.select(
+            "vec_id", _l2_normalize(F.col("vec")).alias("vec")
+        )
+        coarse = ivf_codebook(nv, n_buckets, train_iters)
+        cents = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in coarse[b]])
+                for b in sorted(coarse)
+            ]
+        )
+        resid = _assign_to_codebook(nv, coarse).select(
+            "vec_id",
+            F.zip_with(
+                "vec", F.element_at(cents, F.col("bucket") + 1), lambda a, b: a - b
+            ).alias("vec"),
+        )
+        cb = pq_codebooks(resid, m, k, dim, train_iters, normalize=False)
+        _write_model(spark, store_path, coarse, cb, dim)
+    coarse, cb = load_ann_model(spark, store_path)
+    codes = _encode_batch(batch_emb, coarse, cb, m, k, dim)
+    codes.write.mode("overwrite").parquet(
+        _join(store_path, "codes", f"batch={batch_id}")
+    )
+    fs.write_text_atomic(_join(store_path, _LATEST), str(batch_id))
+    return True
+
+
+def _codes_base(spark, store_path):
+    fs = _Fs()
+    marker = _join(store_path, "codes_base", _LATEST)
+    if not fs.exists(marker):
+        return None, -1, -1
+    ver, folded = _parse_base_marker(fs.read_text(marker))
+    return (
+        spark.read.parquet(_join(store_path, "codes_base", f"v={ver}")),
+        ver,
+        folded,
+    )
+
+
+def read_ann_codes(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """Every committed code row: compacted base + partials since."""
+    base, _, folded = _codes_base(spark, store_path)
+    dirs = _committed_batches(store_path, "codes", min_batch=folded)
+    parts = [spark.read.parquet(*dirs)] if dirs else []
+    if base is not None:
+        parts.append(base)
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_ann_store(spark: SparkSession, store_path: str) -> int:
+    """Fold committed code partials into a bucket-repartitioned base
+    (probed-list reads then prune at directory level); folded-batch
+    marker + pure-GC deletes — the crash-safe protocol."""
+    fs = _Fs(spark)
+    base, ver, folded = _codes_base(spark, store_path)
+    dirs = _committed_batches(store_path, "codes", min_batch=folded)
+    if not dirs:
+        for p in _committed_batches(store_path, "codes"):
+            if _batch_id(p) <= folded:
+                fs.delete(p)
+        return 0
+    new_folded = max(_batch_id(p) for p in dirs)
+    allp = spark.read.parquet(*dirs)
+    if base is not None:
+        allp = allp.unionByName(base)
+    allp.repartition("bucket").write.mode("overwrite").parquet(
+        _join(store_path, "codes_base", f"v={ver + 1}")
+    )
+    fs.write_text_atomic(
+        _join(store_path, "codes_base", _LATEST), f"{ver + 1}:{new_folded}"
+    )
+    for p in _committed_batches(store_path, "codes"):
+        if _batch_id(p) <= new_folded:
+            fs.delete(p)
+    return len(dirs)
+
+
+def ann_store_topk(
+    spark: SparkSession,
+    store_path: str,
+    emb: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    m: int = 8,
+    k: int = 32,
+    dim: int = 64,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve a top-k search straight from the store: frozen model +
+    accumulated codes through the ordinary IVFADC search kernel."""
+    from heatmap_spark.operators.similarity import ivfpq_topk
+
+    coarse, cb = load_ann_model(spark, store_path)
+    codes = read_ann_codes(spark, store_path)
+    if codes is None:
+        raise ValueError("ANN store has no committed codes")
+    return ivfpq_topk(
+        emb, coarse, cb, codes, n_queries, topk, m, k, dim, nprobe=nprobe
+    )

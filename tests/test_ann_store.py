@@ -1,0 +1,82 @@
+"""Incremental ANN (IVFPQ) codes store: frozen-model equivalence with
+the one-shot build, replay guard, compaction transparency, and serving
+straight from the store."""
+
+from pyspark.sql import functions as F
+
+from heatmap_spark.sources.tables import load_table
+from heatmap_spark.streaming.ann_store import (
+    ann_store_topk,
+    compact_ann_store,
+    load_ann_model,
+    merge_batch_into_ann_store,
+    read_ann_codes,
+)
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+
+
+def _range_batches(emb, n_batches=3):
+    n = emb.count()
+    n0 = (n + n_batches - 1) // n_batches
+    return [
+        emb.where((F.col("vec_id") >= i * n0) & (F.col("vec_id") < (i + 1) * n0))
+        for i in range(n_batches)
+    ]
+
+
+def test_streamed_codes_equal_one_shot_build(spark, sf_smoke, tmp_path):
+    from heatmap_spark.operators.similarity import ivfpq_build
+
+    emb = _emb(spark, sf_smoke)
+    batches = _range_batches(emb)
+    n0 = batches[0].count()
+    store = str(tmp_path / "store")
+    for b, batch in enumerate(batches):
+        assert merge_batch_into_ann_store(spark, batch, store, b)
+    got = read_ann_codes(spark, store).select("vec_id", "bucket", "codes")
+    _, _, want = ivfpq_build(emb, train_iters=1, train_sample_n=n0)
+    want = want.select("vec_id", "bucket", "codes")
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    assert got.count() == emb.count()
+
+
+def test_replay_and_compaction_preserve_codes_and_search(spark, sf_smoke, tmp_path):
+    emb = _emb(spark, sf_smoke)
+    batches = _range_batches(emb)
+    store = str(tmp_path / "store")
+    for b, batch in enumerate(batches):
+        assert merge_batch_into_ann_store(spark, batch, store, b)
+    # replay guard: committed batch is a no-op and the model is stable
+    model_before = load_ann_model(spark, store)
+    assert not merge_batch_into_ann_store(spark, batches[1], store, 1)
+    assert load_ann_model(spark, store) == model_before
+
+    before = sorted(
+        tuple(r) for r in read_ann_codes(spark, store).select("vec_id", "bucket").collect()
+    )
+    res_before = sorted(
+        tuple(r)
+        for r in ann_store_topk(spark, store, emb, nprobe=8)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    assert compact_ann_store(spark, store) == 3
+    after = sorted(
+        tuple(r) for r in read_ann_codes(spark, store).select("vec_id", "bucket").collect()
+    )
+    assert before == after
+    res_after = sorted(
+        tuple(r)
+        for r in ann_store_topk(spark, store, emb, nprobe=8)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    assert res_before == res_after
+    assert len(res_after) == 10 * 5  # topk rows per query
+    # second compaction: nothing unfolded remains
+    assert compact_ann_store(spark, store) == 0
