@@ -862,6 +862,88 @@ def probe_ivfpq(spark, n: int) -> None:
     )
 
 
+def probe_vocab(spark, n: int) -> None:
+    """Vocabulary-drift store at n docs (default 2M) in 5 equal
+    batches: per-batch cost must track batch vocabulary, not history
+    (the partial write is O(batch); the drift join is batch-vocab ×
+    accumulated-vocab, which saturates once the synthetic vocabulary
+    is covered); compaction folds the partials."""
+    import tempfile
+
+    from heatmap_spark.streaming.vocab import (
+        compact_vocab_store,
+        merge_batch_into_vocab_store,
+        read_vocab_drift,
+    )
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    store = tempfile.mkdtemp(prefix="vocab_probe_") + "/store"
+    per = []
+    nb = 5
+    for b in range(nb):
+        batch = docs.where(F.col("doc_id") % nb == b)
+        t0 = time.perf_counter()
+        merge_batch_into_vocab_store(spark, batch, store, b)
+        per.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    folded = compact_vocab_store(spark, store)
+    t_comp = time.perf_counter() - t0
+    log = {r["batch_id"]: r for r in read_vocab_drift(spark, store).collect()}
+    print(
+        f"vocab {n:,} docs / {nb} batches: per-batch "
+        + "/".join(f"{t:.1f}" for t in per)
+        + f" s, compaction({folded}) {t_comp:.1f}s, "
+        f"oov by batch "
+        + "/".join(f"{log[b]['oov_rate']:.3f}" for b in sorted(log))
+        + f", l1 final {log[nb - 1]['l1_drift']:.4f}"
+    )
+
+
+def probe_ann_store(spark, n: int) -> None:
+    """Incremental ANN store at n vectors (default 1M) in 5 batches:
+    batch 0 pays model training once; later batches must be flat
+    O(batch) map-only encodes.  Compaction folds to the
+    bucket-partitioned base; a store-served query must match the
+    probed-candidate cost profile of the one-shot index."""
+    import tempfile
+
+    from heatmap_spark.streaming.ann_store import (
+        ann_store_topk,
+        compact_ann_store,
+        merge_batch_into_ann_store,
+        read_ann_codes,
+    )
+
+    emb = synthetic_dup_embeddings(spark, n)
+    emb.count()  # warm
+    store = tempfile.mkdtemp(prefix="ann_store_probe_") + "/store"
+    nb_batches, nb, m, k = 5, 64, 8, 32
+    per = []
+    n0 = (n + nb_batches - 1) // nb_batches
+    for b in range(nb_batches):
+        batch = emb.where(
+            (F.col("vec_id") >= b * n0) & (F.col("vec_id") < (b + 1) * n0)
+        )
+        t0 = time.perf_counter()
+        merge_batch_into_ann_store(spark, batch, store, b, n_buckets=nb, m=m, k=k)
+        per.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    folded = compact_ann_store(spark, store)
+    t_comp = time.perf_counter() - t0
+    n_codes = read_ann_codes(spark, store).count()
+    t0 = time.perf_counter()
+    rows = ann_store_topk(spark, store, emb, nprobe=8, m=m, k=k).count()
+    t_q = time.perf_counter() - t0
+    print(
+        f"ann-store {n:,} vecs / {nb_batches} batches, {nb} lists: per-batch "
+        + "/".join(f"{t:.1f}" for t in per)
+        + f" s (batch 0 includes model training), compaction({folded}) "
+        f"{t_comp:.1f}s, {n_codes:,} codes, store-served query x 10 "
+        f"{t_q:.1f}s ({rows} rows)"
+    )
+
+
 def probe_entity(spark, n: int) -> None:
     """Entity resolution at n base records (default 2M) + n/3 dirty
     variants: candidate generation must stay an equi-join bounded by
@@ -1020,7 +1102,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "serve": 2_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -1034,7 +1116,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "serve": probe_serve}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve}[which](spark, n)
 
 
 if __name__ == "__main__":
