@@ -415,6 +415,31 @@ def q_streaming_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_vocab_drift(spark, store)
 
 
+def q_streaming_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entity resolution: the dirty multi-source record set
+    arrives as 3 deterministic batches (rec_id mod 3, so most variants
+    land in a different batch than their original — the cross-batch
+    match is the point); each batch's edges are discovered at ingest
+    against the accumulated store, with a mid-stream compaction.  The
+    final assignment must equal the one-shot batch ER — the SAME
+    DuckDB oracle hash-gates both."""
+    from heatmap_spark.operators.entity import dirty_customer_records
+    from heatmap_spark.streaming.entity_store import (
+        compact_entity_store,
+        merge_batch_into_entity_store,
+        read_entity_assignments,
+    )
+
+    records = dirty_customer_records(spark, sf_dir)
+    store = _scratch_dir("entity_store_q_") + "/store"
+    for b in range(3):
+        batch = records.where(F.col("rec_id") % 3 == b)
+        merge_batch_into_entity_store(spark, batch, store, b)
+        if b == 1:
+            compact_entity_store(spark, store)
+    return read_entity_assignments(spark, store)
+
+
 def q_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN-index maintenance: embeddings arrive as 3
     deterministic batches (vec_id ranges); batch 0 trains the frozen
@@ -1076,6 +1101,41 @@ ranked AS (
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
   FROM scored)
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5"""
+
+
+# Shared oracle for batch AND streaming entity resolution — the
+# streamed store must produce the identical assignment.
+_ER_ORACLE = """WITH RECURSIVE records AS (
+  SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name,
+         CAST(c_nationkey AS INTEGER) AS nation, c_mktsegment AS segment,
+         CAST(c_acctbal AS DOUBLE) AS bal, 'src' AS source
+  FROM customer
+  UNION ALL
+  SELECT CAST(c_custkey + 2000000 AS BIGINT), lower(c_name) || 'x',
+         CAST(c_nationkey AS INTEGER), c_mktsegment,
+         CAST(c_acctbal AS DOUBLE) + 0.25, 'crm'
+  FROM customer WHERE c_custkey % 3 = 0),
+cand AS (
+  SELECT a.rec_id AS u, b.rec_id AS v
+  FROM records a JOIN records b
+    ON a.nation = b.nation AND a.segment = b.segment AND a.rec_id < b.rec_id
+   AND abs(a.bal - b.bal) <= 1.0
+   AND levenshtein(lower(a.name), lower(b.name)) <= 1),
+edges AS (SELECT u, v FROM cand UNION SELECT v, u FROM cand),
+reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node),
+lab AS (SELECT node, min(lab) AS entity_id FROM reach GROUP BY node),
+assigned AS (
+  SELECT r.rec_id, r.source, COALESCE(l.entity_id, r.rec_id) AS entity_id
+  FROM records r LEFT JOIN lab l ON r.rec_id = l.node),
+stats AS (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM assigned GROUP BY entity_id)
+SELECT a.rec_id, a.source, a.entity_id, s.n_members, s.n_sources
+FROM assigned a JOIN stats s USING (entity_id)"""
 
 
 REGISTRY: dict[str, QuerySpec] = {
@@ -2316,37 +2376,15 @@ SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""",
     # hash equality proves the banding loses no pair.
     "q_entity_resolution": QuerySpec(
         entity.entity_resolution,
-        """WITH RECURSIVE records AS (
-  SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name,
-         CAST(c_nationkey AS INTEGER) AS nation, c_mktsegment AS segment,
-         CAST(c_acctbal AS DOUBLE) AS bal, 'src' AS source
-  FROM customer
-  UNION ALL
-  SELECT CAST(c_custkey + 2000000 AS BIGINT), lower(c_name) || 'x',
-         CAST(c_nationkey AS INTEGER), c_mktsegment,
-         CAST(c_acctbal AS DOUBLE) + 0.25, 'crm'
-  FROM customer WHERE c_custkey % 3 = 0),
-cand AS (
-  SELECT a.rec_id AS u, b.rec_id AS v
-  FROM records a JOIN records b
-    ON a.nation = b.nation AND a.segment = b.segment AND a.rec_id < b.rec_id
-   AND abs(a.bal - b.bal) <= 1.0
-   AND levenshtein(lower(a.name), lower(b.name)) <= 1),
-edges AS (SELECT u, v FROM cand UNION SELECT v, u FROM cand),
-reach(node, lab) AS (
-  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
-  UNION
-  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node),
-lab AS (SELECT node, min(lab) AS entity_id FROM reach GROUP BY node),
-assigned AS (
-  SELECT r.rec_id, r.source, COALESCE(l.entity_id, r.rec_id) AS entity_id
-  FROM records r LEFT JOIN lab l ON r.rec_id = l.node),
-stats AS (
-  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
-         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
-  FROM assigned GROUP BY entity_id)
-SELECT a.rec_id, a.source, a.entity_id, s.n_members, s.n_sources
-FROM assigned a JOIN stats s USING (entity_id)""",
+        _ER_ORACLE,
+    ),
+    # Incremental ER: records arrive in 3 deterministic batches; each
+    # batch's match edges (internal + vs accumulated history) are
+    # discovered AT INGEST; the final assignment equals the one-shot
+    # ER, so the SAME oracle gates both.
+    "q_streaming_entity_resolution": QuerySpec(
+        q_streaming_entity_resolution,
+        _ER_ORACLE,
     ),
     # Multi-signal duplicate clustering (the entity-resolution
     # compose): fingerprint star edges ∪ LSH candidate edges → CC,
@@ -3785,8 +3823,8 @@ FROM st""",
 # driver-green queries; round 4 ROTATES the window onto 46 more
 # never-driver-checked ORACLE-GATED queries (all locally sweep-green
 # via scripts/driver_sim.py), keeping the 4-query sentinel set from
-# the reference's core surface.  After this round 163 of 204 declared
-# queries carry a hard driver row; the remaining 41 (28 oracle-gated
+# the reference's core surface.  After this round 163 of 205 declared
+# queries carry a hard driver row; the remaining 42 (29 oracle-gated
 # + the 13 rows-only sketch/ANN/BPE pins, which raise in-registry on
 # regression regardless) fit in one final round-5 rotation.
 _PRIORITY = [
