@@ -998,6 +998,67 @@ def probe_entity(spark, n: int) -> None:
     )
 
 
+def probe_entity_store(spark, n: int) -> None:
+    """Incremental ER at n base records (default 1M) in 3 batches:
+    per-batch ingest cost must track the batch and its block partners
+    (the history joins through the block key only); the final streamed
+    assignment must link every planted variant across batches."""
+    import tempfile
+
+    from heatmap_spark.operators.entity import _VARIANT_OFFSET
+    from heatmap_spark.streaming.entity_store import (
+        compact_entity_store,
+        merge_batch_into_entity_store,
+        read_entity_assignments,
+    )
+
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]
+    seg = F.element_at(
+        F.array(*[F.lit(s) for s in segs]), (F.col("id") % 5 + 1).cast("int")
+    )
+    base = spark.range(n).select(
+        F.col("id").alias("rec_id"),
+        F.format_string("Customer#%09d", F.col("id")).alias("name"),
+        (F.col("id") % 25).cast("int").alias("nation"),
+        seg.alias("segment"),
+        (F.pmod(F.hash(F.col("id")), F.lit(10_000_000)).cast("double") / 100.0).alias("bal"),
+        F.lit("src").alias("source"),
+    )
+    var = base.where(F.col("rec_id") % 3 == 0).select(
+        (F.col("rec_id") + _VARIANT_OFFSET * 10).alias("rec_id"),
+        F.concat(F.lower("name"), F.lit("x")).alias("name"),
+        "nation",
+        "segment",
+        (F.col("bal") + 0.25).alias("bal"),
+        F.lit("crm").alias("source"),
+    )
+    records = base.unionByName(var)
+    records.count()  # warm
+    store = tempfile.mkdtemp(prefix="entity_store_probe_") + "/store"
+    per = []
+    for b in range(3):
+        batch = records.where(F.col("rec_id") % 3 == b)
+        t0 = time.perf_counter()
+        merge_batch_into_entity_store(spark, batch, store, b)
+        per.append(time.perf_counter() - t0)
+        if b == 1:
+            compact_entity_store(spark, store)
+    t0 = time.perf_counter()
+    out = read_entity_assignments(spark, store)
+    planted = (n + 2) // 3
+    linked = out.where(
+        (F.col("source") == "crm") & (F.col("n_sources") == 2)
+    ).count()
+    t_read = time.perf_counter() - t0
+    total = n + planted
+    print(
+        f"entity-store {total:,} records / 3 batches: per-batch "
+        + "/".join(f"{t:.1f}" for t in per)
+        + f" s, final assignment {t_read:.1f}s, "
+        f"{linked:,}/{planted:,} planted variants linked cross-batch"
+    )
+
+
 def probe_ivfpq_opq(spark, n: int) -> None:
     """OPQ+IVFPQ chain at n vectors (default 1M), 64 coarse lists:
     build (coarse train + assign + OPQ rotation train on residual
@@ -1102,7 +1163,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -1116,7 +1177,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve}[which](spark, n)
 
 
 if __name__ == "__main__":
