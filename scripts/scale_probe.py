@@ -863,11 +863,11 @@ def probe_ivfpq(spark, n: int) -> None:
 
 
 def probe_vocab(spark, n: int) -> None:
-    """Vocabulary-drift store at n docs (default 2M) in 5 equal
-    batches: per-batch cost must track batch vocabulary, not history
-    (the partial write is O(batch); the drift join is batch-vocab ×
-    accumulated-vocab, which saturates once the synthetic vocabulary
-    is covered); compaction folds the partials."""
+    """Vocabulary-drift store at n docs (default 2M) in 5 batches whose
+    token universes SHIFT half a window per batch (planted drift —
+    expected OOV ≈ 0.5 per batch after the first), so the probe
+    demonstrates both the flat O(batch) ingest cost AND a real drift
+    signal; compaction folds the partials."""
     import tempfile
 
     from heatmap_spark.streaming.vocab import (
@@ -876,13 +876,26 @@ def probe_vocab(spark, n: int) -> None:
         read_vocab_drift,
     )
 
-    docs = synthetic_documents(spark, n)
-    docs.count()  # warm
+    nb = 5
+    per_batch = n // nb
     store = tempfile.mkdtemp(prefix="vocab_probe_") + "/store"
     per = []
-    nb = 5
     for b in range(nb):
-        batch = docs.where(F.col("doc_id") % nb == b)
+        # 60 tokens/doc drawn from a 200k-token window that advances
+        # 100k per batch — half of each batch's vocabulary is new
+        shift = b * 100_000
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda j: F.concat(
+                F.lit("w"),
+                ((((F.col("id") + 1) * (j + 1)) % 200_000) + shift).cast("string"),
+            ),
+        )
+        batch = spark.range(per_batch).select(
+            (F.col("id") + b * per_batch).alias("doc_id"),
+            F.concat_ws(" ", toks).alias("text"),
+        )
+        batch.count()  # warm
         t0 = time.perf_counter()
         merge_batch_into_vocab_store(spark, batch, store, b)
         per.append(time.perf_counter() - t0)
