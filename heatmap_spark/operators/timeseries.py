@@ -283,3 +283,69 @@ def ewma_segmented(spark: SparkSession, sf_dir: str, alpha: float = 0.5) -> Data
         F.col("n").cast("int").alias("n"),
         F.round(F.col("ab")["b"], 6).alias("ewma"),
     )
+
+
+def holt_by_type(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 3,
+) -> DataFrame:
+    """Holt linear-trend exponential smoothing (double exponential
+    smoothing, Holt 1957 — public method) per event_type, plus h-step
+    forecasts level + h·trend.
+
+    The coupled recurrence
+        l' = α·x + (1−α)·(l + b)
+        b' = β·(l' − l) + (1−β)·b
+    is an ORDERED FOLD over the (ts, event_id)-sorted series with a
+    struct(level, trend) accumulator, seeded (l₀, b₀) = (x₀, 0) —
+    exactly the left fold DuckDB's list_reduce computes over
+    [x, 0] pairs, so the whole two-variable sequential recurrence is
+    value-hash-checked cross-engine (the ewma pattern, one dimension
+    up).  The smoothing constants are written as exact double literals
+    on BOTH sides (0.5/0.5 and 0.3/0.7) so the arithmetic sequences
+    are bit-identical.
+
+    Scale note: one task materializes one key's series — the honest
+    spelling for an unpartitionable recurrence (see ewma_by_type); the
+    affine segmented-scan decomposition generalizes (the Holt step is
+    linear in (l, b): a 2×2 matrix-affine map, composable
+    associatively) if a single series ever outgrows a task.
+    """
+    from heatmap_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"].cast("double"),
+        ).alias("vals")
+    )
+    a, ia = F.lit(float(alpha)), F.lit(round(1.0 - alpha, 15))
+    bt, ib = F.lit(float(beta)), F.lit(round(1.0 - beta, 15))
+
+    def step(acc, x):
+        new_l = a * x + ia * (acc["l"] + acc["b"])
+        new_b = bt * (new_l - acc["l"]) + ib * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    st = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals")),
+        F.struct(
+            F.element_at(F.col("vals"), 1).alias("l"), F.lit(0.0).alias("b")
+        ),
+        step,
+    )
+    cols = [
+        F.col("event_type"),
+        F.size("vals").alias("n"),
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+    ]
+    for h in range(1, horizon + 1):
+        cols.append(
+            F.round(st["l"] + F.lit(float(h)) * st["b"], 6).alias(f"fc_{h}")
+        )
+    return series.select(*cols)

@@ -1733,6 +1733,28 @@ SELECT event_type,
   round(list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ewma
 FROM series""",
     ),
+    # Holt linear-trend smoothing: the two-variable sequential
+    # recurrence as an ordered fold, hash-checked via DuckDB
+    # list_reduce over [x, 0] pairs.
+    "q_holt_forecast": QuerySpec(
+        timeseries.holt_by_type,
+        """WITH series AS (
+  SELECT event_type, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY event_type),
+st AS (
+  SELECT event_type, len(vals) AS n,
+    list_reduce(list_transform(vals, x -> [x, 0.0]),
+      (s, x) -> [0.5 * x[1] + 0.5 * (s[1] + s[2]),
+                 0.3 * ((0.5 * x[1] + 0.5 * (s[1] + s[2])) - s[1])
+                   + 0.7 * s[2]]) AS h
+  FROM series)
+SELECT event_type, CAST(n AS INTEGER) AS n,
+  round(h[1], 6) AS level, round(h[2], 6) AS trend,
+  round(h[1] + 1.0 * h[2], 6) AS fc_1,
+  round(h[1] + 2.0 * h[2], 6) AS fc_2,
+  round(h[1] + 3.0 * h[2], 6) AS fc_3
+FROM st""",
+    ),
     "q_ewma_segmented": QuerySpec(
         timeseries.ewma_segmented,
         # mirrors the two-level segmented scan operation-for-operation:
@@ -3823,8 +3845,8 @@ FROM st""",
 # driver-green queries; round 4 ROTATES the window onto 46 more
 # never-driver-checked ORACLE-GATED queries (all locally sweep-green
 # via scripts/driver_sim.py), keeping the 4-query sentinel set from
-# the reference's core surface.  After this round 163 of 205 declared
-# queries carry a hard driver row; the remaining 42 (29 oracle-gated
+# the reference's core surface.  After this round 163 of 206 declared
+# queries carry a hard driver row; the remaining 43 (30 oracle-gated
 # + the 13 rows-only sketch/ANN/BPE pins, which raise in-registry on
 # regression regardless) fit in one final round-5 rotation.
 _PRIORITY = [

@@ -139,3 +139,33 @@ def test_ewma_segmented_matches_flat_fold(spark, sf_smoke):
         assert r.n == counts[et]
         # the query rounds to 6 decimals; assoc error itself is ~1e-12
         assert abs(r.ewma - flat[et]) < 1e-6
+
+
+def test_holt_matches_python_reference(spark, sf_smoke):
+    """The distributed Holt fold reproduces a direct Python recurrence
+    over the same ordered series, and forecasts extrapolate linearly."""
+    from heatmap_spark.operators.timeseries import holt_by_type
+    from heatmap_spark.sources.tables import load_table
+
+    got = {r["event_type"]: r for r in holt_by_type(spark, sf_smoke).collect()}
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    series = {}
+    for r in sorted(ev, key=lambda r: (r["event_type"], r["ts"], r["event_id"])):
+        series.setdefault(r["event_type"], []).append(float(r["value"]))
+    a, b = 0.5, 0.3
+    for et, vals in series.items():
+        level, trend = vals[0], 0.0
+        for x in vals[1:]:
+            new_l = a * x + (1 - a) * (level + trend)
+            trend = b * (new_l - level) + (1 - b) * trend
+            level = new_l
+        g = got[et]
+        assert g["n"] == len(vals)
+        assert abs(g["level"] - level) < 1e-6
+        assert abs(g["trend"] - trend) < 1e-6
+        for h in (1, 2, 3):
+            assert abs(g[f"fc_{h}"] - (level + h * trend)) < 1e-6
