@@ -349,3 +349,89 @@ def holt_by_type(
             F.round(st["l"] + F.lit(float(h)) * st["b"], 6).alias(f"fc_{h}")
         )
     return series.select(*cols)
+
+
+def holt_winters_by_type(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.2,
+    period: int = 7,
+    horizon: int = 3,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing, Winters
+    1960 — public method) per event_type: level + trend + a
+    ``period``-slot seasonal vector, folded over the (ts, event_id)-
+    ordered series with an array<double> accumulator
+    [l, b, s_0..s_{m-1}] — the top of the EWMA → Holt → Holt-Winters
+    recurrence ladder, still value-hash-checked cross-engine (DuckDB
+    folds the identical state list; indices are aligned 1-based
+    element_at vs 1-based list indexing, and the seasonal-slot update
+    uses the engines' indexed-lambda forms with the base difference
+    accounted for).
+
+    Convention (shared by both engines, pinned by the oracle):
+    l0 = x0, b0 = 0, s = zeros; step t >= 1 uses seasonal slot
+    t mod m;  l' = α(x − s_t) + (1−α)(l+b);  b' = β(l'−l) + (1−β)b;
+    s_t' = γ(x − l') + (1−γ)s_t.  Forecast h steps out:
+    l + h·b + s[(n−1+h) mod m].
+    """
+    from heatmap_spark.sources.tables import load_table
+
+    m = period
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"].cast("double"),
+        ).alias("vals")
+    )
+    a, ia = F.lit(float(alpha)), F.lit(round(1.0 - alpha, 15))
+    bt, ib = F.lit(float(beta)), F.lit(round(1.0 - beta, 15))
+    g, ig = F.lit(float(gamma)), F.lit(round(1.0 - gamma, 15))
+
+    # elements carry their own step index t (the slice is 0-based in
+    # Spark's transform, so t = i + 1)
+    elems = F.transform(
+        F.slice(F.col("vals"), 2, F.size("vals")),
+        lambda x, i: F.array(x, (i + F.lit(1)).cast("double")),
+    )
+    init = F.concat(
+        F.array(F.element_at(F.col("vals"), 1), F.lit(0.0)),
+        F.array_repeat(F.lit(0.0), m),
+    )
+
+    def step(acc, e):
+        x = F.element_at(e, 1)
+        t = F.element_at(e, 2)
+        idx = (t.cast("int") % F.lit(m))  # 0-based season slot
+        l, b = F.element_at(acc, 1), F.element_at(acc, 2)
+        si = F.element_at(acc, idx + F.lit(3))
+        new_l = a * (x - si) + ia * (l + b)
+        new_b = bt * (new_l - l) + ib * b
+        new_si = g * (x - new_l) + ig * si
+        season = F.transform(
+            F.slice(acc, 3, m),
+            lambda v, j: F.when(j == idx, new_si).otherwise(v),
+        )
+        return F.concat(F.array(new_l, new_b), season)
+
+    st = F.aggregate(elems, init, step)
+    n = F.size("vals")
+    level, trend = F.element_at(st, 1), F.element_at(st, 2)
+    cols = [
+        F.col("event_type"),
+        n.alias("n"),
+        F.round(level, 6).alias("level"),
+        F.round(trend, 6).alias("trend"),
+    ]
+    for h in range(1, horizon + 1):
+        slot = ((n - 1 + F.lit(h)) % F.lit(m)).cast("int")
+        cols.append(
+            F.round(
+                level + F.lit(float(h)) * trend + F.element_at(st, slot + F.lit(3)),
+                6,
+            ).alias(f"fc_{h}")
+        )
+    return series.select(*cols)

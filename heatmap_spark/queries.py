@@ -1755,6 +1755,37 @@ SELECT event_type, CAST(n AS INTEGER) AS n,
   round(h[1] + 3.0 * h[2], 6) AS fc_3
 FROM st""",
     ),
+    # Additive Holt-Winters: level + trend + 7-slot seasonal state as
+    # ONE list_reduce over [x, t] pairs (init state prepended as the
+    # seed element).  DuckDB's indexed lambdas are 1-based vs Spark's
+    # 0-based — aligned below.
+    "q_holt_winters": QuerySpec(
+        timeseries.holt_winters_by_type,
+        """WITH series AS (
+  SELECT event_type, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY event_type),
+st AS (
+  SELECT event_type, len(vals) AS n,
+    list_reduce(
+      list_prepend([vals[1], 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+                   list_transform(vals[2:], (x, i) -> [x, CAST(i AS DOUBLE)])),
+      (s, e) -> list_concat(
+        [0.5 * (e[1] - s[(CAST(e[2] AS INT) % 7) + 3]) + 0.5 * (s[1] + s[2]),
+         0.3 * ((0.5 * (e[1] - s[(CAST(e[2] AS INT) % 7) + 3])
+                 + 0.5 * (s[1] + s[2])) - s[1]) + 0.7 * s[2]],
+        list_transform(s[3:], (v, j) ->
+          CASE WHEN j - 1 = CAST(e[2] AS INT) % 7
+               THEN 0.2 * (e[1] - (0.5 * (e[1] - v) + 0.5 * (s[1] + s[2])))
+                    + 0.8 * v
+               ELSE v END))) AS hw
+  FROM series)
+SELECT event_type, CAST(n AS INTEGER) AS n,
+  round(hw[1], 6) AS level, round(hw[2], 6) AS trend,
+  round(hw[1] + 1.0 * hw[2] + hw[CAST((n - 1 + 1) % 7 AS INT) + 3], 6) AS fc_1,
+  round(hw[1] + 2.0 * hw[2] + hw[CAST((n - 1 + 2) % 7 AS INT) + 3], 6) AS fc_2,
+  round(hw[1] + 3.0 * hw[2] + hw[CAST((n - 1 + 3) % 7 AS INT) + 3], 6) AS fc_3
+FROM st""",
+    ),
     "q_ewma_segmented": QuerySpec(
         timeseries.ewma_segmented,
         # mirrors the two-level segmented scan operation-for-operation:
@@ -3845,8 +3876,8 @@ FROM st""",
 # driver-green queries; round 4 ROTATES the window onto 46 more
 # never-driver-checked ORACLE-GATED queries (all locally sweep-green
 # via scripts/driver_sim.py), keeping the 4-query sentinel set from
-# the reference's core surface.  After this round 163 of 206 declared
-# queries carry a hard driver row; the remaining 43 (30 oracle-gated
+# the reference's core surface.  After this round 163 of 207 declared
+# queries carry a hard driver row; the remaining 44 (31 oracle-gated
 # + the 13 rows-only sketch/ANN/BPE pins, which raise in-registry on
 # regression regardless) fit in one final round-5 rotation.
 _PRIORITY = [

@@ -169,3 +169,39 @@ def test_holt_matches_python_reference(spark, sf_smoke):
         assert abs(g["trend"] - trend) < 1e-6
         for h in (1, 2, 3):
             assert abs(g[f"fc_{h}"] - (level + h * trend)) < 1e-6
+
+
+def test_holt_winters_matches_python_reference(spark, sf_smoke):
+    """The 9-slot array fold reproduces a direct Python triple-smoothing
+    recurrence, seasonal forecasts included."""
+    from heatmap_spark.operators.timeseries import holt_winters_by_type
+    from heatmap_spark.sources.tables import load_table
+
+    got = {
+        r["event_type"]: r for r in holt_winters_by_type(spark, sf_smoke).collect()
+    }
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    series = {}
+    for r in sorted(ev, key=lambda r: (r["event_type"], r["ts"], r["event_id"])):
+        series.setdefault(r["event_type"], []).append(float(r["value"]))
+    a, b, g, m = 0.5, 0.3, 0.2, 7
+    for et, vals in series.items():
+        level, trend, season = vals[0], 0.0, [0.0] * m
+        for t in range(1, len(vals)):
+            x, si = vals[t], season[t % m]
+            new_l = a * (x - si) + (1 - a) * (level + trend)
+            trend = b * (new_l - level) + (1 - b) * trend
+            season[t % m] = g * (x - new_l) + (1 - g) * si
+            level = new_l
+        gt = got[et]
+        n = len(vals)
+        assert gt["n"] == n
+        assert abs(gt["level"] - level) < 1e-6
+        assert abs(gt["trend"] - trend) < 1e-6
+        for h in (1, 2, 3):
+            fc = level + h * trend + season[(n - 1 + h) % m]
+            assert abs(gt[f"fc_{h}"] - fc) < 1e-6
