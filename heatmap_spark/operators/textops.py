@@ -950,3 +950,45 @@ def bpe_token_counts(
     if compressed == 0:
         raise AssertionError("BPE merges compressed nothing")
     return out
+
+
+def token_budget_mix(
+    spark: SparkSession, sf_dir: str, budget_per_lang: int = 2000
+) -> DataFrame:
+    """Epoch construction with EXACT per-domain token budgets: within
+    each lang, documents are taken in a deterministic shuffled order
+    (md5 of the doc id — reproducible across runs and engines) until
+    the cumulative token count reaches the budget; the doc that would
+    cross it is excluded.  The rate-based :func:`mixing_sample` hits a
+    target in expectation; this hits it by construction — the mixer a
+    token-accounted pretraining epoch needs.
+
+    Scale shape: one window shuffle keyed by lang over the doc-SUMMARY
+    relation (doc_id, n_tokens) — the text column never enters the
+    sort; the cumulative sum is the per-domain sequential piece and is
+    inherently ordered, so a hot domain costs one sorted partition of
+    summaries, not of documents."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    ).cast("bigint")
+    summary = docs.select(
+        "doc_id",
+        "lang",
+        toks.alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w).cast("bigint")
+    return (
+        summary.select(
+            "doc_id", "lang", "n_tokens", cum.alias("cum_tokens")
+        )
+        .where(F.col("cum_tokens") <= F.lit(budget_per_lang))
+    )

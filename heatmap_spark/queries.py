@@ -1733,6 +1733,22 @@ SELECT event_type,
   round(list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ewma
 FROM series""",
     ),
+    # Exact per-domain token budgets (epoch construction): docs taken
+    # in md5-shuffled order per lang until the budget is reached.
+    "q_token_budget_mix": QuerySpec(
+        textops.token_budget_mix,
+        r"""WITH t AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+    md5(CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY rk, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM t)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 2000""",
+    ),
     # Holt linear-trend smoothing: the two-variable sequential
     # recurrence as an ordered fold, hash-checked via DuckDB
     # list_reduce over [x, 0] pairs.
@@ -3876,8 +3892,8 @@ FROM st""",
 # driver-green queries; round 4 ROTATES the window onto 46 more
 # never-driver-checked ORACLE-GATED queries (all locally sweep-green
 # via scripts/driver_sim.py), keeping the 4-query sentinel set from
-# the reference's core surface.  After this round 163 of 207 declared
-# queries carry a hard driver row; the remaining 44 (31 oracle-gated
+# the reference's core surface.  After this round 163 of 208 declared
+# queries carry a hard driver row; the remaining 45 (32 oracle-gated
 # + the 13 rows-only sketch/ANN/BPE pins, which raise in-registry on
 # regression regardless) fit in one final round-5 rotation.
 _PRIORITY = [

@@ -664,3 +664,53 @@ def test_curation_full_invariants(spark, sf_correct):
         assert d in clean and d not in dupes
     assert all(1 <= r.n_chunk_tokens <= 64 for r in rows)
     assert {r.split for r in rows} <= {"train", "val", "test"}
+
+
+def test_token_budget_mix_invariants(spark, sf_correct):
+    """Budgets are respected exactly: per-lang cumulative totals never
+    exceed the budget, adding the FIRST excluded doc would exceed it
+    (the cutoff is tight), and the selection is deterministic."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.textops import token_budget_mix
+
+    budget = 2000
+    out = token_budget_mix(spark, sf_correct, budget_per_lang=budget)
+    per = out.groupBy("lang").agg(
+        F.max("cum_tokens").alias("total"), F.count("*").alias("n")
+    )
+    assert per.where(F.col("total") > budget).count() == 0
+    assert per.count() > 0
+
+    # tight cutoff: rebuild the full ordering and check the first doc
+    # beyond the kept set would cross the budget
+    from heatmap_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_correct, "documents")
+    toks = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))).cast(
+        "bigint"
+    )
+    ordered = docs.select(
+        "doc_id", "lang", toks.alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    ).collect()
+    kept = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    by_lang = {}
+    for r in sorted(ordered, key=lambda r: (r["lang"], r["rk"], r["doc_id"])):
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        cum = 0
+        for r in rows:
+            cum += r["n_tokens"]
+            if cum <= budget:
+                assert (lang, r["doc_id"]) in kept
+            else:
+                assert (lang, r["doc_id"]) not in kept
+                break  # first crossing doc checked; rest excluded by order
+
+    # determinism: same inputs, same selection
+    again = {
+        (r["lang"], r["doc_id"])
+        for r in token_budget_mix(spark, sf_correct, budget_per_lang=budget).collect()
+    }
+    assert again == kept
