@@ -50,14 +50,26 @@ def _scratch_dir(prefix: str) -> str:
     """Per-invocation temp dir for queries that materialize a store on
     disk, removed at interpreter exit (the returned DataFrame reads the
     store lazily, so cleanup can't happen inside the query — atexit is
-    the earliest safe point).  Repeated driver/bench runs therefore
-    leave no orphaned /tmp trees behind."""
+    the earliest safe point).  A SIGKILLed process can't run atexit,
+    so creation also GCs STALE same-prefix siblings (>2 h old — far
+    beyond any query run) left by killed runs; repeated driver/bench
+    runs therefore leave no orphaned /tmp trees behind."""
     import atexit
+    import glob
+    import os
     import shutil
     import tempfile
+    import time
 
     d = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, d, True)
+    now = time.time()
+    for p in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        try:
+            if p != d and now - os.path.getmtime(p) > 2 * 3600:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     return d
 
 
