@@ -409,3 +409,23 @@ def test_entity_resolution_candidates_never_cartesian(spark, sf_smoke):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]
     assert not has_python_eval(pairs)
+
+
+def test_recurrence_and_budget_mix_plans(spark, sf_smoke):
+    """The forecasting folds are one groupBy exchange with the whole
+    recurrence inside JVM higher-order functions (no Python eval); the
+    token-budget mixer is one window exchange on lang."""
+    from heatmap_spark.operators.textops import token_budget_mix
+    from heatmap_spark.operators.timeseries import (
+        holt_by_type,
+        holt_winters_by_type,
+    )
+
+    for df in (holt_by_type(spark, sf_smoke), holt_winters_by_type(spark, sf_smoke)):
+        assert count_exchanges(df) == 1, plan_string(df, "simple")
+        assert not has_python_eval(df)
+
+    mix = token_budget_mix(spark, sf_smoke)
+    assert count_exchanges(mix) == 1, plan_string(mix, "simple")
+    assert not has_python_eval(mix)
+    assert "Window" in plan_string(mix, "simple")
