@@ -957,6 +957,52 @@ def probe_ann_store(spark, n: int) -> None:
     )
 
 
+def probe_holt(spark, n: int) -> None:
+    """Forecasting folds at n events (default 10M) over 100k keys:
+    each key's series (~n/100k elements) folds in one task — per-key
+    sequential is the honest shape for the recurrence; throughput
+    comes from key parallelism."""
+    ev = spark.range(n).select(
+        F.concat(F.lit("k"), (F.col("id") % 100_000).cast("string")).alias(
+            "event_type"
+        ),
+        F.timestamp_millis(F.lit(1700000000000) + F.col("id") * 100).alias("ts"),
+        F.col("id").alias("event_id"),
+        (F.pmod(F.hash(F.col("id")), F.lit(1000)).cast("double") / 10.0).alias(
+            "value"
+        ),
+    )
+    ev.count()  # warm
+    # same fold as timeseries.holt_by_type, applied to the synthetic
+    # relation (the operator itself is fixture-bound)
+    series = ev.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"].cast("double"),
+        ).alias("vals")
+    )
+    a, ia, bt, ib = F.lit(0.5), F.lit(0.5), F.lit(0.3), F.lit(0.7)
+
+    def step(acc, x):
+        new_l = a * x + ia * (acc["l"] + acc["b"])
+        new_b = bt * (new_l - acc["l"]) + ib * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    st = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals")),
+        F.struct(F.element_at(F.col("vals"), 1).alias("l"), F.lit(0.0).alias("b")),
+        step,
+    )
+    t0 = time.perf_counter()
+    rows = series.select("event_type", st["l"].alias("level")).count()
+    dt = time.perf_counter() - t0
+    print(
+        f"holt {n:,} events / {rows:,} keys: {dt:.1f}s = "
+        f"{n / dt / 1000:.0f}k events/s (one groupBy exchange, "
+        f"per-key JVM fold)"
+    )
+
+
 def probe_entity(spark, n: int) -> None:
     """Entity resolution at n base records (default 2M) + n/3 dirty
     variants: candidate generation must stay an equi-join bounded by
@@ -1176,7 +1222,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -1190,7 +1236,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve}[which](spark, n)
 
 
 if __name__ == "__main__":
