@@ -85,7 +85,38 @@ def main(argv: list[str] | None = None) -> int:
     res.add_argument("--sf-dir", required=True, help="testdata sf dir")
     res.add_argument("--output", required=True, help="output parquet path")
 
+    mix = sub.add_parser(
+        "mix",
+        help="epoch construction: exact per-language token budgets over "
+        "the documents table",
+    )
+    mix.add_argument("--sf-dir", required=True, help="testdata sf dir")
+    mix.add_argument("--output", required=True, help="output parquet path")
+    mix.add_argument(
+        "--budget", type=int, default=2000, help="token budget per language"
+    )
+
     args = p.parse_args(argv)
+
+    if args.cmd == "mix":
+        from pyspark.sql import functions as F
+
+        from heatmap_spark import get_spark
+        from heatmap_spark.operators.textops import token_budget_mix
+
+        spark = get_spark("heatmap-spark-cli")
+        out = token_budget_mix(spark, args.sf_dir, budget_per_lang=args.budget)
+        out.write.mode("overwrite").parquet(args.output)
+        saved = spark.read.parquet(args.output)
+        per = {
+            r["lang"]: (r["n"], r["total"])
+            for r in saved.groupBy("lang")
+            .agg(F.count("*").alias("n"), F.max("cum_tokens").alias("total"))
+            .collect()
+        }
+        for lang, (n, total) in sorted(per.items()):
+            print(f"{lang}: {n} docs, {total}/{args.budget} tokens")
+        return 0
 
     if args.cmd == "drift":
         from pyspark.sql import functions as F

@@ -255,3 +255,23 @@ def test_cli_drift_and_resolve_subcommands(spark, sf_smoke, tmp_path, capsys):
         saved.columns
     )
     assert saved.where("n_sources > 1").count() > 0
+
+
+def test_cli_mix_subcommand(spark, sf_smoke, tmp_path):
+    from heatmap_spark.__main__ import main
+
+    out_dir = str(tmp_path / "mix")
+    assert (
+        main(["mix", "--sf-dir", sf_smoke, "--output", out_dir, "--budget", "500"])
+        == 0
+    )
+    saved = spark.read.parquet(out_dir)
+    assert {"doc_id", "lang", "n_tokens", "cum_tokens"} == set(saved.columns)
+    from pyspark.sql import functions as F
+
+    assert (
+        saved.groupBy("lang").agg(F.max("cum_tokens").alias("t"))
+        .where(F.col("t") > 500)
+        .count()
+        == 0
+    )
