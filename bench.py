@@ -100,6 +100,28 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
+    # Self-adjudication diagnostics go on an EARLIER line: raw per-run
+    # samples + host load (a noisy reading is visible in the artifact —
+    # tight samples + low loadavg means the min IS the steady state)
+    # plus per-query shuffle/spill bytes (the 100 TB predictors).  The
+    # driver captures a bounded TAIL of stdout, so the fat object must
+    # not be the last line (r4's was, outgrew the window, and truncated
+    # into "parsed": null) — the compact headline line comes LAST and
+    # always parses.
+    print(
+        json.dumps(
+            {
+                "diagnostics": True,
+                "samples": raw_samples,
+                "loadavg_1m": {
+                    "before": round(load_before, 2),
+                    "after": round(os.getloadavg()[0], 2),
+                },
+                "stage_metrics_unit": "bytes_per_run",
+                "stage_metrics": stage_metrics,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -108,19 +130,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # self-adjudication: raw per-run samples + host load so
-                # a noisy reading (e.g. the driver benching under
-                # concurrent work) is visible in the artifact itself —
-                # if samples are tight and loadavg is low, the min IS
-                # the steady state; if loadavg >> cores-in-use or the
-                # samples spread wide, discount the reading.
-                "samples": raw_samples,
-                "loadavg_1m": {
-                    "before": round(load_before, 2),
-                    "after": round(os.getloadavg()[0], 2),
-                },
-                "stage_metrics_unit": "bytes_per_run",
-                "stage_metrics": stage_metrics,
             }
         )
     )

@@ -37,30 +37,54 @@ def pagerank_fixed_point(pairs: DataFrame, iters: int = 3) -> DataFrame:
     r0 = SCALE div N;  r' = (15·SCALE) div (100·N) + (85·Σ(r div deg)) div 100
     — every operation integer, so the result is independent of
     partitioning and summation order.
+
+    Cache lifetime: edges/deg are DISK_ONLY-persisted for reuse across
+    the ``iters`` join rounds, the final ranks (one small row per node)
+    are materialized eagerly via localCheckpoint, and the persisted
+    blocks are released before returning — repeated invocations do not
+    accumulate cached blocks for the app lifetime (same discipline as
+    passage dedup's window cache).
     """
+    from pyspark.storagelevel import StorageLevel
+
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d")).persist()
-    ncnt = deg.agg(F.count(F.lit(1)).alias("n"))  # 1 row, broadcast
+    deg = (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    try:
+        ncnt = deg.agg(F.count(F.lit(1)).alias("n"))  # 1 row, broadcast
 
-    ranks = deg.crossJoin(F.broadcast(ncnt)).select(
-        F.col("u").alias("node"), F.expr(f"{SCALE} div n").alias("r")
-    )
-    for _ in range(iters):
-        contribs = (
-            edges.join(ranks.withColumnRenamed("node", "u"), "u")
-            .join(deg, "u")
-            .groupBy(F.col("v").alias("node"))
-            .agg(F.sum(F.expr("r div d")).alias("contrib"))
+        ranks = deg.crossJoin(F.broadcast(ncnt)).select(
+            F.col("u").alias("node"), F.expr(f"{SCALE} div n").alias("r")
         )
-        ranks = contribs.crossJoin(F.broadcast(ncnt)).select(
-            "node",
-            F.expr(f"(15 * {SCALE}) div (100 * n) + (85 * contrib) div 100").alias("r"),
+        for _ in range(iters):
+            contribs = (
+                edges.join(ranks.withColumnRenamed("node", "u"), "u")
+                .join(deg, "u")
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.sum(F.expr("r div d")).alias("contrib"))
+            )
+            ranks = contribs.crossJoin(F.broadcast(ncnt)).select(
+                "node",
+                F.expr(
+                    f"(15 * {SCALE}) div (100 * n) + (85 * contrib) div 100"
+                ).alias("r"),
+            )
+        out = ranks.select(
+            F.col("node").alias("doc_id"), F.col("r").alias("rank_ppt")
         )
-    return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_ppt"))
+        # Materialize (all iterations run against the cached edges/deg
+        # here), then the finally releases the caches.
+        return out.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+        deg.unpersist()
 
 
 def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

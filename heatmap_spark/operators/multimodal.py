@@ -392,7 +392,14 @@ def media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle never sees the PNGs — it reconstructs the
     EXPECTED raster (text bytes + space padding) directly from the
     documents table, so the hash match proves the codec reproduced
-    every pixel through a real compressed bitstream."""
+    every pixel through a real compressed bitstream.
+
+    Fixture assumption (as in media_resize): documents.text is
+    pure-ASCII, so the oracle's character indexing (substr/ascii →
+    codepoints, strlen → byte length) equals the Spark side's raw
+    UTF-8 byte view.  Multibyte text would diverge — the codec itself
+    is byte-based and unaffected; only the oracle pairing relies on
+    ASCII."""
     return decode_png_features(png_media_table(spark, sf_dir))
 
 
@@ -454,7 +461,12 @@ def media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     int16 PCM samples in a real WAV container, decoded back through
     the RIFF parser; the emitted stats (and an md5 over the decoded
     sample values rendered as csv) are reconstructible by DuckDB from
-    the raw text, so the hash certifies every decoded sample."""
+    the raw text, so the hash certifies every decoded sample.
+
+    Fixture assumption (as in media_resize): documents.text is
+    pure-ASCII, so the oracle's codepoint indexing equals this side's
+    UTF-8 byte view; the WAV codec itself is byte-based and holds for
+    any payload — only the oracle pairing relies on ASCII."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     enc, dec = wav_encode, wav_decode  # closure-captured, by value
 

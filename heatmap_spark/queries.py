@@ -63,10 +63,32 @@ def _scratch_dir(prefix: str) -> str:
 
     d = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, d, True)
+
+    def _newest_mtime(root: str) -> float:
+        # Staleness = newest DIRECTORY mtime in the tree, not the
+        # top-level mtime: nested store writes (store/codes/batch=N)
+        # refresh their parent dir but not the root, so a root-mtime
+        # check could GC the scratch tree of a still-running >2 h
+        # query (e.g. a large-tier probe) out from under it.  Dir
+        # mtimes alone suffice (adding a file updates its dir) and
+        # keep the scan O(#dirs), not O(#files).
+        newest = 0.0
+        try:
+            newest = os.path.getmtime(root)
+            for base, dirs, _files in os.walk(root):
+                for sub in dirs:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(base, sub)))
+                    except OSError:
+                        pass
+        except OSError:
+            pass
+        return newest
+
     now = time.time()
     for p in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
         try:
-            if p != d and now - os.path.getmtime(p) > 2 * 3600:
+            if p != d and now - _newest_mtime(p) > 2 * 3600:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass
@@ -3679,7 +3701,7 @@ tok AS (SELECT batch,
 cnt AS (SELECT batch, token, CAST(count(*) AS BIGINT) AS c
         FROM tok GROUP BY 1, 2),
 grid AS (SELECT b.batch, t.token
-         FROM (SELECT DISTINCT batch FROM cnt) b
+         FROM (SELECT CAST(unnest(range(3)) AS INTEGER) AS batch) b
          CROSS JOIN (SELECT DISTINCT token FROM cnt) t),
 g2 AS (SELECT g.batch, g.token, COALESCE(c.c, 0) AS cb
        FROM grid g LEFT JOIN cnt c
@@ -3697,7 +3719,7 @@ agg AS (SELECT g3.batch,
   CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
   CAST(SUM(CASE WHEN cb > 0 AND cp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_types,
   CAST(SUM(CASE WHEN cp = 0 THEN cb ELSE 0 END) AS BIGINT) AS new_occ,
-  CAST(SUM(abs(cb * t.np - cp * t.nb)) AS BIGINT) AS l1_num
+  SUM(abs(CAST(cb AS HUGEINT) * t.np - CAST(cp AS HUGEINT) * t.nb)) AS l1_num
   FROM g3 JOIN tot2 t ON g3.batch = t.batch GROUP BY g3.batch)
 SELECT a.batch AS batch_id, t.nb AS n_tokens, a.n_types, a.n_new_types,
   CASE WHEN t.nb > 0 THEN round(CAST(a.new_occ AS DOUBLE) / t.nb, 6)

@@ -117,27 +117,6 @@ def write_kafka(df: DataFrame, bootstrap_servers: str, topic: str) -> None:
         _raise_if_missing(df.sparkSession, KAFKA_FORMAT, e)
 
 
-def write_delta(df: DataFrame, path: str, mode: str = "append") -> None:
-    """Delta Lake table sink (real MERGE INTO / time travel live here
-    in production; layout.merge_upsert is the plain-parquet fallback).
-    Gated: delta-spark is not in this container."""
-    try:
-        df.write.format("delta").mode(mode).save(path)
-    except Exception as e:
-        _raise_if_missing(df.sparkSession, "delta", e)
-
-
-def write_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
-    """Apache Iceberg table sink (writeTo API; catalog must be
-    configured via spark.sql.catalog.*).  Gated: the Iceberg runtime
-    jar is not in this container."""
-    try:
-        w = df.writeTo(table)
-        (w.append() if mode == "append" else w.createOrReplace())
-    except Exception as e:
-        _raise_if_missing(df.sparkSession, "iceberg", e)
-
-
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -51,6 +51,9 @@ from heatmap_spark.streaming.tile_store import _Fs, _join
 _LATEST = "_LATEST"
 
 
+_MODEL_READY = "_MODEL_READY"
+
+
 def _write_model(spark, store_path, coarse, cb, dim):
     rows = [(int(b), [float(x) for x in v]) for b, v in coarse.items()]
     spark.createDataFrame(rows, "bucket int, vec array<double>").write.mode(
@@ -62,6 +65,13 @@ def _write_model(spark, store_path, coarse, cb, dim):
     spark.createDataFrame(
         rows, "s int, c int, vec array<double>"
     ).write.mode("overwrite").parquet(_join(store_path, "model", "cb"))
+    # Commit marker LAST: model reuse is gated on this file, not on the
+    # parquet dirs existing — a crash between the two writes above
+    # leaves a partial model that replay must retrain over, preserving
+    # the replay-is-a-no-op contract the codes/records get via _LATEST.
+    _Fs(spark).write_text_atomic(
+        _join(store_path, "model", _MODEL_READY), "ready"
+    )
 
 
 def load_ann_model(spark: SparkSession, store_path: str):
@@ -114,7 +124,7 @@ def merge_batch_into_ann_store(
     if batch_id <= _read_last_batch(store_path):
         return False
     fs = _Fs(spark)
-    if not fs.exists(_join(store_path, "model", "cb")):
+    if not fs.exists(_join(store_path, "model", _MODEL_READY)):
         nv = batch_emb.select(
             "vec_id", _l2_normalize(F.col("vec")).alias("vec")
         )

@@ -20,9 +20,10 @@ oracle-checkable):
 * ``n_new_types`` / ``oov_rate``     — types never seen before, and the
   fraction of batch OCCURRENCES carrying them (one integer division).
 * ``l1_drift``                       — L1 distance between the batch's
-  and the prior corpus's token distributions, computed on the integer
-  cross products |c_b·N_prior − c_prior·N_batch| (order-independent
-  exact sums) with a single final division — 0.0 for the first batch.
+  and the prior corpus's token distributions, computed on the exact
+  cross products |c_b·N_prior − c_prior·N_batch| in decimal(38,0)
+  (order-independent, no int64 wrap at corpus² magnitudes) with a
+  single final division — 0.0 for the first batch.
 
 At 100 TB/day: the per-batch join is batch-vocab × accumulated-vocab
 (vocabulary-sized, sublinear in corpus under Zipf), never corpus-sized;
@@ -128,8 +129,19 @@ def _drift_row(
         F.sum(F.when(F.col("cp") == 0, F.col("cb")).otherwise(F.lit(0)))
         .cast("bigint")
         .alias("new_occ"),
-        F.sum(F.abs(F.col("cb") * F.lit(np_) - F.col("cp") * F.lit(nb)))
-        .cast("bigint")
+        # decimal(38,0), not bigint: the cross product c·N is token
+        # count × corpus occurrence total, which exceeds 2^63 well
+        # below this store's design scale (~1e9-token batches against a
+        # ~1e10-token history); Spark's non-ANSI bigint would wrap
+        # SILENTLY.  decimal(38,0) is exact to ~1e38 (≫ any corpus²)
+        # and the DuckDB oracle mirrors it with HUGEINT.
+        F.sum(
+            F.abs(
+                F.col("cb").cast("decimal(38,0)") * F.lit(np_)
+                - F.col("cp").cast("decimal(38,0)") * F.lit(nb)
+            )
+        )
+        .cast("decimal(38,0)")
         .alias("l1_num"),
     ).first()
     oov = round(int(agg["new_occ"]) / nb, 6) if nb else 0.0
