@@ -151,6 +151,70 @@ def q_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_locations(spark, sf_dir)
 
 
+def q_rowstore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's connector path, RUNNABLE: write the locations
+    table into the heatmap_rowstore format (Python DataSource API —
+    Arrow task files + atomic manifest commit, bucketed by user_id
+    like a Cassandra partition key, reference heatmap.py:137) and
+    read it back through the registered batch reader.  The oracle is
+    the locations derivation itself, so the hash certifies the full
+    write→commit→scan loop is lossless."""
+    from heatmap_spark.sources.rowstore import read_rowstore, write_rowstore
+
+    store = _scratch_dir("rowstore_q_") + "/locations"
+    write_rowstore(
+        load_locations(spark, sf_dir), store, bucket_key="user_id",
+        mode="overwrite",
+    )
+    return read_rowstore(spark, store)
+
+
+def q_rowstore_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed point read against the row store: equality predicate on
+    the bucket key.  With pushdown enabled the reader prunes to
+    crc32('u1')'s single bucket before any row moves (asserted
+    reader-level in tests/test_rowstore.py); with a plain session the
+    same plan reads all buckets and Spark filters — identical rows
+    either way, which is exactly the pushed-filters contract."""
+    from heatmap_spark.sources.rowstore import read_rowstore, write_rowstore
+
+    store = _scratch_dir("rowstore_q_") + "/locations"
+    write_rowstore(
+        load_locations(spark, sf_dir), store, bucket_key="user_id",
+        mode="overwrite",
+    )
+    return read_rowstore(spark, store).where(F.col("user_id") == "u1")
+
+
+def q_rowstore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store's commit log as a stream: two separate append commits
+    (even/odd event split), then one availableNow drain through the
+    SimpleDataSourceStreamReader (offsets = manifest versions).  The
+    union of both commits must equal the full locations relation —
+    same oracle as the batch roundtrip, exercised through the
+    streaming read path."""
+    from heatmap_spark.sources.rowstore import stream_rowstore, write_rowstore
+
+    loc = load_locations(spark, sf_dir)
+    scratch = _scratch_dir("rowstore_q_")
+    store, out = scratch + "/locations", scratch + "/out"
+    halves = [
+        loc.where(F.expr("mod(timestamp_ms, 2)") == i) for i in (0, 1)
+    ]
+    write_rowstore(halves[0], store, bucket_key="user_id", mode="overwrite")
+    write_rowstore(halves[1], store, mode="append")
+    q = (
+        stream_rowstore(spark, store)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", scratch + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 def q_heatmap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ing = pyr.ingest_locations(load_locations(spark, sf_dir))
     return ing.select(
@@ -1200,6 +1264,16 @@ FROM assigned a JOIN stats s USING (entity_id)"""
 REGISTRY: dict[str, QuerySpec] = {
     # ---- heatmap family (the reference's own capability surface) ----
     "q_locations": QuerySpec(q_locations, locations_sql("duckdb")),
+    # Python-DataSource row store (the runnable connector path):
+    # batch write→commit→scan roundtrip, keyed pruned read, and the
+    # manifest-version stream — all hash-gated against the same
+    # locations derivation the store was loaded from.
+    "q_rowstore_roundtrip": QuerySpec(q_rowstore_roundtrip, locations_sql("duckdb")),
+    "q_rowstore_pruned_read": QuerySpec(
+        q_rowstore_pruned_read,
+        f"WITH {_LOC_CTE} SELECT * FROM locations WHERE user_id = 'u1'",
+    ),
+    "q_rowstore_stream": QuerySpec(q_rowstore_stream, locations_sql("duckdb")),
     "q_heatmap_ingest": QuerySpec(
         q_heatmap_ingest,
         f"""WITH {_LOC_CTE},\n{_PTS_CTE}
@@ -4001,9 +4075,10 @@ FROM st""",
 # sentinels + ALL 45 queries never driver-checked through r4 (32
 # oracle-gated + 13 rows-only, all locally sweep-green via
 # scripts/driver_sim.py) + the round-5 q_streaming_bpe_drift landing.
-# After this round every one of the 209 declared queries carries a
-# hard driver row (cumulative 209/209); later rounds re-rotate onto
-# new landings plus sentinel refreshes.
+# After this round every query declared before round 5 carries a hard
+# driver row (cumulative 209 of 212); the three round-5 rowstore
+# landings (sweep-green locally) rotate in next round along with any
+# further additions.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
