@@ -1664,3 +1664,101 @@ def ivfpq_opq_recall(
         rows,
         "nprobe int, recall_opq double, recall_plain double, candidate_frac double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Diversity clustering: oracle-checkable k-means in integer fixed point
+# ---------------------------------------------------------------------------
+
+
+def _tdiv(s: int, n: int) -> int:
+    """Integer division truncating toward zero — the semantics BOTH
+    Spark's ``div`` and DuckDB's ``//`` use for integers (Python's
+    ``//`` floors, which differs on negative sums)."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def kmeans_embeddings(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Lloyd k-means over the embeddings table — the diversity-
+    clustering primitive a pretraining pipeline uses to stratify a
+    corpus before sampling (cluster then sample per cluster).
+
+    An iterative float k-means is NOT cross-engine reproducible
+    (centroid means reassociate differently per partitioning), so this
+    runs entirely in integer fixed point and is value-hash
+    oracle-checkable, iteration for iteration:
+
+    * coordinates quantize once: q = floor(x · 1e9) (floor of the same
+      double is exact everywhere);
+    * centroids are exact integer sums followed by one truncating
+      integer division (Spark ``div`` ≡ DuckDB ``//`` — both truncate
+      toward zero);
+    * distances are exact integer Σ(q − c)² in decimal(38,0) (a 64-dim
+      squared diff can exceed int64), argmin ties broken toward the
+      lowest cluster id;
+    * seed assignment is vec_id % k; a cluster that empties keeps its
+      previous centroid (mirrored by the oracle's COALESCE).
+
+    Scale shape: per iteration ONE posexplode + groupBy(cluster, pos)
+    shuffle of (k·dim) partial sums (map-side combined) and one
+    map-only reassignment against the k×dim centroid literal —
+    identical to the IVF codebook pattern; centroids (k·dim ints) are
+    the only driver-side data.  Output: (vec_id, cluster,
+    cluster_size).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "vec", lambda x: F.floor(x * F.lit(1000000000.0)).cast("long")
+        ).alias("qv"),
+    )
+    assign = q.select(
+        "vec_id", (F.col("vec_id") % k).cast("int").alias("cluster"), "qv"
+    )
+    cents: dict[int, list[int]] = {}
+    for _ in range(iters):
+        rows = (
+            assign.select("cluster", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cl: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in rows:
+            by_cl.setdefault(r["cluster"], {})[r["pos"]] = (int(r["s"]), int(r["n"]))
+        for c in range(k):
+            if c in by_cl:
+                d = by_cl[c]
+                cents[c] = [_tdiv(d[p][0], d[p][1]) for p in sorted(d)]
+            # else: empty cluster keeps its previous centroid
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        "qv",
+                        F.lit(cents[j]).cast("array<long>"),
+                        lambda a, b: (a - b).cast("decimal(38,0)") * (a - b),
+                    ),
+                    F.lit(0).cast("decimal(38,0)"),
+                    lambda acc, x: acc + x,
+                )
+                for j in range(k)
+            ]
+        )
+        assign = q.select(
+            "vec_id",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
+            "qv",
+        )
+    wc = W.partitionBy("cluster")
+    return assign.select(
+        "vec_id",
+        "cluster",
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("cluster_size"),
+    )

@@ -435,3 +435,102 @@ def holt_winters_by_type(
             ).alias(f"fc_{h}")
         )
     return series.select(*cols)
+
+
+def autocorrelation(
+    spark: SparkSession, sf_dir: str, max_lag: int = 6
+) -> DataFrame:
+    """Sample autocorrelation of the hourly event-count series per
+    event_type, lags 1..max_lag — the seasonality/burstiness detector
+    a telemetry or crawl-rate pipeline runs before choosing a
+    forecasting fold (reference has no time-series surface;
+    SURVEY.md §2.8 extension).
+
+    Definition (statistical ACF, global series mean)::
+
+        r_k = Σ_{t≤n−k} (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+
+    over the GAP-FILLED series (zeros on empty hours of the global
+    [min, max] hour grid — ACF over a series with silently missing
+    slots is wrong, which is why this composes with gap-fill).
+
+    Exactness: counts are integers, so multiplying through by n²
+    clears the rational mean x̄ = T/n entirely::
+
+        n²·num_k = n²·Σx_t·x_{t+k} − n·T·Σ(x_t + x_{t+k}) + (n−k)·T²
+        n²·den   = n²·Σx² − n·T²
+
+    Every term is an exact integer (decimal(38,0) against corpus-scale
+    overflow, as in the vocab store's L1), and r_k is ONE double
+    division — bit-identical in any partitioning and in DuckDB, so an
+    inherently sequential-looking statistic hash-checks cross-engine.
+
+    Scale shape: one groupBy (type, hour) to counts, one broadcast
+    spine join, one window shuffle per event_type (all max_lag lags
+    read from the same sorted partition pass), one final groupBy type.
+    The series length is |grid hours| — bounded by time span, not by
+    corpus size, so state per type is trivially small at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = agg.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    series = spine.join(F.broadcast(agg), ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("cnt", F.lit(0)).cast("decimal(38,0)").alias("x"),
+    )
+    w = W.partitionBy("event_type").orderBy("hour")
+    lag_cols = [F.lag("x", k).over(w).alias(f"lx{k}") for k in range(1, max_lag + 1)]
+    with_lags = series.select("event_type", "x", *lag_cols)
+
+    aggs = [
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("t"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("ss"),
+    ]
+    for k in range(1, max_lag + 1):
+        lx = F.col(f"lx{k}")
+        aggs.append(
+            F.sum(F.when(lx.isNotNull(), F.col("x") * lx).otherwise(F.lit(0)))
+            .cast("decimal(38,0)")
+            .alias(f"s{k}")
+        )
+        aggs.append(
+            F.sum(F.when(lx.isNotNull(), F.col("x") + lx).otherwise(F.lit(0)))
+            .cast("decimal(38,0)")
+            .alias(f"a{k}")
+        )
+    per_type = with_lags.groupBy("event_type").agg(*aggs)
+
+    stack_args = ", ".join(
+        f"{k}, s{k}, a{k}" for k in range(1, max_lag + 1)
+    )
+    unp = per_type.select(
+        "event_type",
+        "n",
+        "t",
+        "ss",
+        F.expr(f"stack({max_lag}, {stack_args}) AS (lag, sk, ak)"),
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("sk")
+        - F.col("n") * F.col("t") * F.col("ak")
+        + (F.col("n") - F.col("lag")) * F.col("t") * F.col("t")
+    )
+    den = F.col("n") * F.col("n") * F.col("ss") - F.col("n") * F.col("t") * F.col("t")
+    return unp.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        (F.col("n") - F.col("lag")).cast("bigint").alias("n_pairs"),
+        F.when(
+            den != F.lit(0),
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("acf"),
+    )

@@ -2088,6 +2088,61 @@ ORDER BY jaccard DESC, user_a, user_b LIMIT 20""",
         _KNN_EXACT_SQL,
         headline=True,
     ),
+    # Integer fixed-point Lloyd k-means (diversity clustering): the
+    # oracle replays both iterations CTE-for-CTE — quantize, exact
+    # integer centroids (// ≡ Spark div, both truncate toward zero),
+    # exact HUGEINT distances, argmin tie-broken toward the lowest
+    # cluster — so an ITERATIVE algorithm carries a full value hash.
+    "q_kmeans_embeddings": QuerySpec(
+        similarity.kmeans_embeddings,
+        """WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+a0 AS (SELECT vec_id, CAST(vec_id % 8 AS INTEGER) AS cluster, qv FROM q),
+s1 AS (
+  SELECT cluster, pos, SUM(x) AS s, COUNT(*) AS n
+  FROM (SELECT cluster, unnest(qv) AS x, generate_subscripts(qv, 1) AS pos
+        FROM a0)
+  GROUP BY 1, 2),
+c1 AS (SELECT cluster, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cv
+       FROM s1 GROUP BY 1),
+d1 AS (
+  SELECT q.vec_id, c.cluster, q.qv,
+    list_aggregate(list_transform(list_zip(q.qv, c.cv),
+      p -> CAST(p[1] - p[2] AS HUGEINT) * (p[1] - p[2])), 'sum') AS dist
+  FROM q CROSS JOIN c1 c),
+a1 AS (
+  SELECT vec_id, cluster, qv
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) AS rn
+        FROM d1)
+  WHERE rn = 1),
+s2 AS (
+  SELECT cluster, pos, SUM(x) AS s, COUNT(*) AS n
+  FROM (SELECT cluster, unnest(qv) AS x, generate_subscripts(qv, 1) AS pos
+        FROM a1)
+  GROUP BY 1, 2),
+c2n AS (SELECT cluster, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cv
+        FROM s2 GROUP BY 1),
+c2 AS (SELECT c1.cluster, COALESCE(c2n.cv, c1.cv) AS cv
+       FROM c1 LEFT JOIN c2n ON c1.cluster = c2n.cluster),
+d2 AS (
+  SELECT q.vec_id, c.cluster, q.qv,
+    list_aggregate(list_transform(list_zip(q.qv, c.cv),
+      p -> CAST(p[1] - p[2] AS HUGEINT) * (p[1] - p[2])), 'sum') AS dist
+  FROM q CROSS JOIN c2 c),
+a2 AS (
+  SELECT vec_id, cluster
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) AS rn
+        FROM d2)
+  WHERE rn = 1)
+SELECT vec_id, cluster,
+  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+FROM a2""",
+    ),
     "q_knn_cosine_ivf": QuerySpec(similarity.knn_cosine_ivf, None),
     # PQ-ADC compressed-domain search + exact re-rank; rows-only with
     # an in-registry recall pin (raises below 0.85) like q_knn_ivf_recall.
@@ -3072,6 +3127,54 @@ SELECT event_type, hour, coalesce(n, 0) AS n_events,
     PARTITION BY event_type ORDER BY hour
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ffill_avg_value
 FROM j""",
+    ),
+    # Exact-integer ACF over the gap-filled hourly count series: the
+    # n²-scaled form clears the rational mean, so an inherently
+    # sequential statistic is one exact integer ratio per (type, lag).
+    "q_autocorrelation": QuerySpec(
+        timeseries.autocorrelation,
+        """WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS HUGEINT) AS cnt
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT min(hour) AS mn, max(hour) AS mx FROM agg),
+spine AS (
+  SELECT t.event_type, gs.hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+              FROM bounds) gs),
+ser AS (
+  SELECT s.event_type, s.hour, COALESCE(a.cnt, CAST(0 AS HUGEINT)) AS x
+  FROM spine s LEFT JOIN agg a ON a.event_type = s.event_type AND a.hour = s.hour),
+lg AS (
+  SELECT event_type, x,
+""" + ",\n".join(
+            f"         lag(x, {k}) OVER w AS lx{k}" for k in range(1, 7)
+        ) + """
+  FROM ser WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+pt AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         SUM(x) AS t, SUM(x * x) AS ss,
+""" + ",\n".join(
+            f"         SUM(CASE WHEN lx{k} IS NOT NULL THEN x * lx{k} ELSE 0 END) AS s{k},\n"
+            f"         SUM(CASE WHEN lx{k} IS NOT NULL THEN x + lx{k} ELSE 0 END) AS a{k}"
+            for k in range(1, 7)
+        ) + """
+  FROM lg GROUP BY 1),
+unp AS (
+""" + "\n  UNION ALL\n".join(
+            f"  SELECT event_type, n, t, ss, CAST({k} AS HUGEINT) AS lag,"
+            f" s{k} AS sk, a{k} AS ak FROM pt"
+            for k in range(1, 7)
+        ) + """
+)
+SELECT event_type, CAST(lag AS INTEGER) AS lag,
+  CAST(n - lag AS BIGINT) AS n_pairs,
+  CASE WHEN n * n * ss - n * t * t <> 0 THEN
+    round(CAST(n * n * sk - n * t * ak + (n - lag) * t * t AS DOUBLE)
+          / CAST(n * n * ss - n * t * t AS DOUBLE), 6)
+  END AS acf
+FROM unp""",
     ),
     "q_rolling_revenue_7d": QuerySpec(
         timeseries.rolling_revenue_7d,
@@ -4076,9 +4179,9 @@ FROM st""",
 # oracle-gated + 13 rows-only, all locally sweep-green via
 # scripts/driver_sim.py) + the round-5 q_streaming_bpe_drift landing.
 # After this round every query declared before round 5 carries a hard
-# driver row (cumulative 209 of 212); the three round-5 rowstore
-# landings (sweep-green locally) rotate in next round along with any
-# further additions.
+# driver row (cumulative 209 of 214); the five round-5 landings
+# outside the window (rowstore trio, q_autocorrelation,
+# q_kmeans_embeddings — all sweep-green locally) rotate in next round.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
