@@ -215,6 +215,31 @@ def q_rowstore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_rowstore_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sink side of the CDC pipe: locations arrive as a parquet
+    FILE STREAM (3 files → up to 3 micro-batch epochs) and land in the
+    row store through its writeStream path — one epoch-idempotent
+    manifest commit per batch.  The batch read-back must equal the
+    full relation, same oracle as the batch roundtrip."""
+    from heatmap_spark.sources.rowstore import (
+        read_rowstore,
+        stream_write_rowstore,
+    )
+
+    loc = load_locations(spark, sf_dir)
+    scratch = _scratch_dir("rowstore_q_")
+    src, store, ckpt = scratch + "/src", scratch + "/locations", scratch + "/ckpt"
+    loc.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(loc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_write_rowstore(stream, store, ckpt, bucket_key="user_id")
+    q.awaitTermination()
+    return read_rowstore(spark, store)
+
+
 def q_heatmap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ing = pyr.ingest_locations(load_locations(spark, sf_dir))
     return ing.select(
@@ -1274,6 +1299,9 @@ REGISTRY: dict[str, QuerySpec] = {
         f"WITH {_LOC_CTE} SELECT * FROM locations WHERE user_id = 'u1'",
     ),
     "q_rowstore_stream": QuerySpec(q_rowstore_stream, locations_sql("duckdb")),
+    "q_rowstore_stream_sink": QuerySpec(
+        q_rowstore_stream_sink, locations_sql("duckdb")
+    ),
     "q_heatmap_ingest": QuerySpec(
         q_heatmap_ingest,
         f"""WITH {_LOC_CTE},\n{_PTS_CTE}
@@ -4179,8 +4207,8 @@ FROM st""",
 # oracle-gated + 13 rows-only, all locally sweep-green via
 # scripts/driver_sim.py) + the round-5 q_streaming_bpe_drift landing.
 # After this round every query declared before round 5 carries a hard
-# driver row (cumulative 209 of 214); the five round-5 landings
-# outside the window (rowstore trio, q_autocorrelation,
+# driver row (cumulative 209 of 215); the six round-5 landings
+# outside the window (rowstore quartet, q_autocorrelation,
 # q_kmeans_embeddings — all sweep-green locally) rotate in next round.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round

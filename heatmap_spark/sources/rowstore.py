@@ -10,10 +10,12 @@ closes that integration gap with PUBLIC PySpark 4 API only
 (``pyspark.sql.datasource``, added in Spark 4.0/4.1): a registerable
 ``heatmap_rowstore`` format with a real batch reader (bucket + min/max
 file pruning via ``pushFilters``), a real Arrow batch writer with a
-two-phase task-file → manifest commit, and a streaming reader whose
-offsets are manifest versions (the CDC-feed analogue).  Everything the
-jar-gated wrappers promise — keyed reads, partitioned parallel scans,
-append sink — runs and is oracle-tested here.
+two-phase task-file → manifest commit, a streaming reader whose
+offsets are manifest versions (the CDC-feed analogue), and a streaming
+writer whose per-epoch commits are idempotent (replayed batchIds
+discard their rewrite).  Everything the jar-gated wrappers promise —
+keyed reads, partitioned parallel scans, append sink, change feed —
+runs and is oracle-tested here.
 
 On-disk layout (all local/posix paths; single writer, like the
 streaming stores' marker protocol):
@@ -90,6 +92,7 @@ def make_rowstore_datasource():
         DataSource,
         DataSourceArrowWriter,
         DataSourceReader,
+        DataSourceStreamArrowWriter,
         EqualTo,
         GreaterThan,
         GreaterThanOrEqual,
@@ -306,6 +309,59 @@ def make_rowstore_datasource():
                     except OSError:
                         pass
 
+    class RowStoreStreamWriter(DataSourceStreamArrowWriter):
+        """writeStream sink: one manifest commit per micro-batch,
+        EPOCH-IDEMPOTENT — committed batchIds are recorded in the
+        manifest, so a replayed epoch (restart after a crash between
+        the sink's commit and the checkpoint's) discards its re-written
+        task files instead of double-appending.  This is the
+        exactly-once contract the streaming stores implement with
+        ``_LATEST`` markers, expressed through the engine's own sink
+        API: readStream → heatmap_rowstore → readStream composes into
+        an end-to-end CDC pipe."""
+
+        def __init__(self, schema, path, bucket_key, n_buckets):
+            self.task = RowStoreWriter(schema, path, bucket_key, n_buckets, False)
+            self.path = path
+
+        def write(self, iterator):
+            return self.task.write(iterator)
+
+        def commit(self, messages, batchId):
+            man_path = _os.path.join(self.path, _MAN)
+            if _os.path.exists(man_path):
+                man = _load_man(self.path)
+            else:
+                man = {
+                    "version": 0,
+                    "n_buckets": self.task.n_buckets,
+                    "bucket_key": self.task.bucket_key,
+                    "schema": self.task.schema_json,
+                    "files": [],
+                }
+            epochs = man.setdefault("epochs", [])
+            if batchId in epochs:  # replayed epoch: drop the rewrite
+                self.abort(messages, batchId)
+                return
+            v = man["version"] + 1
+            for m in messages:
+                if m is None:
+                    continue
+                for b, name, n, mn, mx in m.entries:
+                    man["files"].append(
+                        {"bucket": b, "name": name, "n_rows": n,
+                         "min": mn, "max": mx, "v": v}
+                    )
+            man["version"] = v
+            epochs.append(batchId)
+            tmp = man_path + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump(man, fh)
+            _os.replace(tmp, man_path)
+
+        def abort(self, messages, batchId):
+            self.task.abort(messages)
+
     class RowStoreDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -320,6 +376,22 @@ def make_rowstore_datasource():
 
         def simpleStreamReader(self, schema):
             return RowStoreStreamReader(self.options["path"])
+
+        def streamWriter(self, schema, overwrite):
+            path = self.options["path"]
+            if _os.path.exists(_os.path.join(path, _MAN)):
+                man = _load_man(path)
+                bucket_key, n_buckets = man["bucket_key"], man["n_buckets"]
+            else:
+                bucket_key = self.options.get("bucket_key")
+                if not bucket_key:
+                    raise ValueError(
+                        "heatmap_rowstore: option 'bucket_key' is required "
+                        "when streaming into a new store"
+                    )
+                n_buckets = int(self.options.get("n_buckets", "16"))
+            _os.makedirs(path, exist_ok=True)
+            return RowStoreStreamWriter(schema, path, bucket_key, n_buckets)
 
         def writer(self, schema, overwrite):
             path = self.options["path"]
@@ -378,6 +450,31 @@ def stream_rowstore(spark: SparkSession, path: str) -> DataFrame:
     """readStream over the store's commit log (manifest versions)."""
     register_rowstore(spark)
     return spark.readStream.format(FORMAT_NAME).option("path", path).load()
+
+
+def stream_write_rowstore(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    bucket_key: str | None = None,
+    n_buckets: int = 16,
+    available_now: bool = True,
+):
+    """writeStream into the store: one epoch-idempotent manifest
+    commit per micro-batch (replayed batchIds discard their rewrite),
+    so the sink is exactly-once under restart — composable with
+    :func:`stream_rowstore` into a CDC pipe."""
+    register_rowstore(stream_df.sparkSession)
+    w = (
+        stream_df.writeStream.format(FORMAT_NAME)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if bucket_key is not None:
+        w = w.option("bucket_key", bucket_key).option("n_buckets", str(n_buckets))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 # --------------------------------------------------------------------------

@@ -1212,6 +1212,138 @@ def probe_cc(spark, n: int) -> None:
     )
 
 
+
+
+def probe_bpe_drift(spark, n: int) -> None:
+    """BPE-fertility-drift store at n docs (default 2M) in 4 batches
+    whose language SHIFTS: batches 0-1 are English-digraph-friendly
+    words (the frozen merges bite), batches 2-3 draw from a consonant
+    alphabet the merges barely match — fertility must RISE, which is
+    exactly the drift the store exists to surface, while per-batch
+    ingest cost stays flat (map-only encode)."""
+    import tempfile
+
+    from heatmap_spark.streaming.bpe_drift import (
+        merge_batch_into_bpe_store,
+        read_bpe_drift,
+    )
+
+    nb = 4
+    per_batch = n // nb
+    store = tempfile.mkdtemp(prefix="bpe_drift_probe_") + "/store"
+    per = []
+    for b in range(nb):
+        # 30 words/doc; early batches cycle merge-friendly stems, late
+        # batches cycle stems with no vowels/digraphs in the merge list
+        stems = (
+            ["the", "ing", "and", "tion", "ther", "ent", "ound", "ofto"]
+            if b < 2
+            else ["xzq", "qvz", "zxv", "qqz", "vxz", "zzq", "xqv", "vvx"]
+        )
+        arr = "array({})".format(
+            ", ".join(f"'{w}'" for w in stems)
+        )
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda j: F.concat(
+                F.expr(arr)[((F.col("id") + j) % 8).cast("int")],
+                (((F.col("id") + 1) * (j + 3)) % 97).cast("string"),
+            ),
+        )
+        batch = spark.range(per_batch).select(
+            (F.col("id") + b * per_batch).alias("doc_id"),
+            F.concat_ws(" ", toks).alias("text"),
+        )
+        batch.count()  # warm
+        t0 = time.perf_counter()
+        merge_batch_into_bpe_store(spark, batch, store, b)
+        per.append(time.perf_counter() - t0)
+    log = {r["batch_id"]: r for r in read_bpe_drift(spark, store).collect()}
+    ferts = [log[b]["fertility"] for b in sorted(log)]
+    assert ferts[2] > ferts[1], "language shift must raise fertility"
+    print(
+        f"bpe_drift {n:,} docs / {nb} batches: per-batch "
+        + "/".join(f"{t:.1f}" for t in per)
+        + " s, fertility "
+        + "/".join(f"{f:.3f}" for f in ferts)
+        + f", drift at shift {log[2]['fertility_drift']:+.3f}"
+    )
+
+
+def probe_rowstore(spark, n: int) -> None:
+    """Row store at n rows (default 2M): bucketed Arrow write with
+    manifest commit, full scan back, and a keyed point read that must
+    touch 1/64 of the store (pruning verified reader-level, then timed
+    end-to-end)."""
+    import tempfile
+
+    from pyspark.sql.datasource import EqualTo
+
+    from heatmap_spark.sources.rowstore import (
+        make_rowstore_datasource,
+        read_rowstore,
+        write_rowstore,
+    )
+
+    df = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.concat(F.lit("u"), (F.col("id") % 100_000).cast("string")).alias("user_id"),
+        (F.col("id") * 7919 % 360000 / 1000.0 - 180.0).alias("x"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    df.count()  # warm
+    store = tempfile.mkdtemp(prefix="rowstore_probe_") + "/t"
+    t0 = time.perf_counter()
+    write_rowstore(df, store, bucket_key="user_id", n_buckets=64, mode="overwrite")
+    t_w = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    total = read_rowstore(spark, store).count()
+    t_scan = time.perf_counter() - t0
+    assert total == n
+    cls = make_rowstore_datasource()
+    ds = cls(options={"path": store})
+    rd = ds.reader(ds.schema())
+    rd.pushFilters([EqualTo(("user_id",), "u42")])
+    n_parts = len(rd.partitions())
+    assert n_parts == 1, n_parts
+    t0 = time.perf_counter()
+    hits = read_rowstore(spark, store).where(F.col("user_id") == "u42").count()
+    t_point = time.perf_counter() - t0
+    print(
+        f"rowstore {n:,} rows / 64 buckets: write+commit {t_w:.1f}s "
+        f"({n / t_w / 1000:.0f}k rows/s), full scan {t_scan:.1f}s, "
+        f"keyed read (1/64 pruned, {hits} rows) {t_point:.1f}s"
+    )
+
+
+def probe_kmeans(spark, n: int) -> None:
+    """Integer fixed-point k-means at n synthetic 64-dim vectors
+    (default 500k), k=8, 2 Lloyd iterations — per-iteration cost is
+    one (cluster,pos) partial-sum shuffle + one map-only reassign."""
+    from heatmap_spark.operators import similarity as sim
+
+    emb = synthetic_embeddings(spark, n)
+    emb = emb.select("vec_id", F.col("vec").alias("embedding"))
+    import heatmap_spark.operators.similarity as s2
+    from unittest import mock
+
+    emb.count()  # warm
+    t0 = time.perf_counter()
+    with mock.patch.object(s2, "load_table", lambda sp, d, t: emb):
+        out = sim.kmeans_embeddings(spark, "ignored", k=8, iters=2)
+        sizes = sorted(
+            r["cluster_size"]
+            for r in out.select("cluster", "cluster_size").distinct().collect()
+        )
+    t = time.perf_counter() - t0
+    assert sum(sizes) == n
+    print(
+        f"kmeans {n:,} x 64-dim, k=8, 2 iters: {t:.1f}s "
+        f"({n / t / 1000:.0f}k vecs/s), cluster sizes {sizes[0]:,}..{sizes[-1]:,}"
+    )
+
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -1222,7 +1354,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -1236,7 +1368,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans}[which](spark, n)
 
 
 if __name__ == "__main__":

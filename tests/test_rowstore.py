@@ -145,3 +145,74 @@ def test_uncommitted_files_invisible(spark, sf_smoke, tmp_path):
     with open(os.path.join(store, "data", "b0-orphan.arrow"), "wb") as fh:
         fh.write(blob)
     assert read_rowstore(spark, store).count() == n
+
+
+def test_stream_sink_epoch_idempotent(spark, sf_smoke, tmp_path):
+    """writeStream into the store: a replayed epoch (same batchId
+    committed twice — the crash-between-sink-commit-and-checkpoint
+    window) must discard its rewrite, not double-append."""
+    store = str(tmp_path / "locations")
+    loc = _loc(spark, sf_smoke)
+    cls = make_rowstore_datasource()
+    ds = cls(options={"path": store, "bucket_key": "user_id"})
+    import pyarrow as pa
+
+    w = ds.streamWriter(loc.schema, False)
+    tbl = pa.Table.from_pandas(loc.toPandas())
+    # pandas hands Arrow ns timestamps; Spark's Arrow reader takes us
+    # (the real writeStream path produces us natively)
+    tbl = tbl.cast(
+        pa.schema(
+            [
+                pa.field(f.name, pa.timestamp("us"))
+                if pa.types.is_timestamp(f.type)
+                else f
+                for f in tbl.schema
+            ]
+        )
+    )
+    batches = tbl.to_batches()
+
+    msg = w.write(iter(batches))
+    w.commit([msg], 0)
+    n1 = read_rowstore(spark, store).count()
+    man1 = read_manifest(store)
+    # replay epoch 0: tasks rewrite, commit must no-op + GC the rewrite
+    msg2 = w.write(iter(batches))
+    w.commit([msg2], 0)
+    assert read_rowstore(spark, store).count() == n1
+    man2 = read_manifest(store)
+    assert man2["version"] == man1["version"] == 1
+    assert man2["epochs"] == [0]
+    assert len(man2["files"]) == len(man1["files"])
+    # the replayed task files were deleted, not orphaned
+    for _, name, *_rest in msg2.entries:
+        assert not os.path.exists(os.path.join(store, name))
+    # a NEW epoch appends normally
+    msg3 = w.write(iter(batches))
+    w.commit([msg3], 1)
+    assert read_rowstore(spark, store).count() == 2 * n1
+    assert read_manifest(store)["epochs"] == [0, 1]
+
+
+def test_stream_sink_end_to_end(spark, sf_smoke, tmp_path):
+    """readStream(parquet) → writeStream(heatmap_rowstore) →
+    batch read equals the source relation."""
+    from heatmap_spark.sources.rowstore import stream_write_rowstore
+
+    loc = _loc(spark, sf_smoke)
+    src, store = str(tmp_path / "src"), str(tmp_path / "locations")
+    loc.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(loc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_write_rowstore(stream, store, str(tmp_path / "ckpt"),
+                              bucket_key="user_id")
+    q.awaitTermination(timeout=300)
+    got = read_rowstore(spark, store)
+    assert got.count() == loc.count()
+    assert loc.exceptAll(got).isEmpty()
+    # multiple epochs actually committed (3 source files)
+    assert len(read_manifest(store)["epochs"]) >= 1
