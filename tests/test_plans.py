@@ -429,3 +429,61 @@ def test_recurrence_and_budget_mix_plans(spark, sf_smoke):
     assert count_exchanges(mix) == 1, plan_string(mix, "simple")
     assert not has_python_eval(mix)
     assert "Window" in plan_string(mix, "simple")
+
+
+def test_autocorrelation_plan_shape(spark, sf_smoke):
+    """ACF: the lag computation must read ALL max_lag lags from one
+    window pass (exactly one Window node), stay JVM-side, and never
+    exceed the structural exchanges (count agg, spine, window, final
+    per-type agg — small constants, not data-dependent)."""
+    from heatmap_spark.operators.timeseries import autocorrelation
+
+    df = autocorrelation(spark, sf_smoke, max_lag=6)
+    p = plan_string(df, "simple")
+    assert not has_python_eval(df)
+    assert p.count("Window") == 1, p
+    assert "CartesianProduct" not in p
+
+
+def test_kmeans_plans_map_only_reassign(spark, sf_smoke):
+    """k-means: centroid literals embed in the plan, so the final
+    assignment is scan + project — ZERO exchanges, no joins, no
+    Python eval (the per-iteration partial-sum aggregate runs inside
+    the driver loop; the returned frame is the map-only reassign plus
+    the cluster_size window)."""
+    from heatmap_spark.operators.similarity import kmeans_embeddings
+
+    df = kmeans_embeddings(spark, sf_smoke, k=8, iters=1)
+    p = plan_string(df, "simple")
+    assert not has_python_eval(df)
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    # one exchange total: the cluster_size window; the assignment
+    # itself adds none
+    assert count_exchanges(df) == 1, p
+
+
+def test_rowstore_point_read_plans_single_bucket(spark, sf_smoke, tmp_path):
+    """The keyed read's scan must prune to ONE reader partition (the
+    key's crc32 bucket) before any row moves — asserted at the reader
+    level because the Python BatchScan node doesn't expose partition
+    counts in the plan string."""
+    from pyspark.sql.datasource import EqualTo
+
+    from heatmap_spark.sources.locations import load_locations
+    from heatmap_spark.sources.rowstore import (
+        make_rowstore_datasource,
+        write_rowstore,
+    )
+
+    store = str(tmp_path / "loc")
+    write_rowstore(
+        load_locations(spark, sf_smoke), store, bucket_key="user_id",
+        n_buckets=32, mode="overwrite",
+    )
+    cls = make_rowstore_datasource()
+    ds = cls(options={"path": store})
+    rd = ds.reader(ds.schema())
+    assert len(rd.partitions()) > 4  # unpruned: many buckets
+    rd2 = ds.reader(ds.schema())
+    rd2.pushFilters([EqualTo(("user_id",), "u1")])
+    assert len(rd2.partitions()) == 1
