@@ -534,3 +534,101 @@ def autocorrelation(
             F.round(num.cast("double") / den.cast("double"), 6),
         ).alias("acf"),
     )
+
+
+def forecast_backtest(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 5,
+    season: int = 7,
+) -> DataFrame:
+    """Holdout backtest of the Holt fold against the seasonal-naive
+    baseline — the model-selection step a forecasting pipeline runs
+    before trusting a method (Hyndman & Koehler 2006's MASE is the
+    standard scale-free score; public method).
+
+    Per event_type, the (ts, event_id)-ordered value series is split
+    at n − horizon; the last ``horizon`` observations are the test
+    window.  Reported per type:
+
+    * ``mae_holt``    — mean |x − (level + i·trend)| of the Holt
+      (α, β) fold trained on the train slice only;
+    * ``mae_snaive``  — mean |x − x[t − season]| (seasonal-naive);
+    * ``mase_holt``   — mae_holt scaled by the train slice's one-step
+      naive MAE (< 1 ⇒ beats naive in-sample drift);
+    * ``winner``      — holt | seasonal_naive on the UNROUNDED error
+      sums (ties to holt).
+
+    Exactness: every quantity is a sequential left fold or zip over
+    index-ordered arrays (the q_holt_forecast discipline), with
+    smoothing constants as exact double literals, so the whole
+    backtest value-hashes against the DuckDB twin.  Scale: one groupBy
+    exchange; one task holds one key's series (see holt_by_type for
+    the segmented-scan escape hatch).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"].cast("double"),
+        ).alias("vals")
+    )
+    h, m = horizon, season
+    n = F.size("vals")
+    n_train = n - F.lit(h)
+    train = F.slice("vals", 1, n_train)
+    test = F.slice("vals", n_train + 1, F.lit(h))
+
+    a, ia = F.lit(float(alpha)), F.lit(round(1.0 - alpha, 15))
+    bt, ib = F.lit(float(beta)), F.lit(round(1.0 - beta, 15))
+
+    def step(acc, x):
+        new_l = a * x + ia * (acc["l"] + acc["b"])
+        new_b = bt * (new_l - acc["l"]) + ib * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    init = F.struct(
+        F.element_at(train, 1).alias("l"), F.lit(0.0).alias("b")
+    )
+    st = F.aggregate(F.slice(train, 2, n_train - 1), init, step)
+    level, trend = st["l"], st["b"]
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    idx = F.sequence(F.lit(1), F.lit(h))
+    holt_errs = F.transform(
+        idx,
+        lambda i: F.abs(
+            F.element_at("vals", (n_train + i).cast("int"))
+            - (level + i.cast("double") * trend)
+        ),
+    )
+    snaive_errs = F.transform(
+        idx,
+        lambda i: F.abs(
+            F.element_at("vals", (n_train + i).cast("int"))
+            - F.element_at("vals", (n_train + i - F.lit(m)).cast("int"))
+        ),
+    )
+    insample_naive = F.zip_with(
+        F.slice(train, 2, n_train - 1),
+        F.slice(train, 1, n_train - 1),
+        lambda cur, prev: F.abs(cur - prev),
+    )
+    sum_holt = fold_sum(holt_errs)
+    sum_snaive = fold_sum(snaive_errs)
+    scale = fold_sum(insample_naive) / (n_train - 1).cast("double")
+    return series.where(n > F.lit(m + h)).select(
+        "event_type",
+        n.cast("int").alias("n"),
+        n_train.cast("int").alias("n_train"),
+        F.round(sum_holt / F.lit(float(h)), 6).alias("mae_holt"),
+        F.round(sum_snaive / F.lit(float(h)), 6).alias("mae_snaive"),
+        F.round(sum_holt / F.lit(float(h)) / scale, 6).alias("mase_holt"),
+        F.when(sum_holt <= sum_snaive, F.lit("holt"))
+        .otherwise(F.lit("seasonal_naive"))
+        .alias("winner"),
+    )

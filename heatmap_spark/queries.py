@@ -1932,6 +1932,49 @@ SELECT event_type, CAST(n AS INTEGER) AS n,
   round(h[1] + 3.0 * h[2], 6) AS fc_3
 FROM st""",
     ),
+    # Holdout backtest: Holt (trained on the train slice only) vs the
+    # seasonal-naive baseline, MASE-scaled — every sum a sequential
+    # fold over index-ordered lists, so the whole model-selection
+    # verdict value-hashes cross-engine.
+    "q_forecast_backtest": QuerySpec(
+        timeseries.forecast_backtest,
+        """WITH series AS (
+  SELECT event_type, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY event_type),
+base AS (
+  SELECT event_type, len(vals) AS n, len(vals) - 5 AS ntr, vals,
+         vals[1 : len(vals) - 5] AS train
+  FROM series WHERE len(vals) > 12),
+st AS (
+  SELECT *, list_reduce(list_transform(train, x -> [x, 0.0]),
+    (s, x) -> [0.5 * x[1] + 0.5 * (s[1] + s[2]),
+               0.3 * ((0.5 * x[1] + 0.5 * (s[1] + s[2])) - s[1])
+                 + 0.7 * s[2]]) AS hh
+  FROM base),
+er AS (
+  SELECT event_type, n, ntr,
+    list_transform(range(1, 6),
+      i -> abs(vals[CAST(ntr + i AS INT)]
+               - (hh[1] + CAST(i AS DOUBLE) * hh[2]))) AS he,
+    list_transform(range(1, 6),
+      i -> abs(vals[CAST(ntr + i AS INT)]
+               - vals[CAST(ntr + i - 7 AS INT)])) AS se,
+    list_transform(range(2, ntr + 1),
+      i -> abs(train[CAST(i AS INT)] - train[CAST(i - 1 AS INT)])) AS ie
+  FROM st),
+sm AS (
+  SELECT event_type, n, ntr,
+    list_reduce(he, (a, b) -> a + b) AS sh,
+    list_reduce(se, (a, b) -> a + b) AS ss,
+    list_reduce(ie, (a, b) -> a + b) / CAST(ntr - 1 AS DOUBLE) AS scale
+  FROM er)
+SELECT event_type, CAST(n AS INTEGER) AS n, CAST(ntr AS INTEGER) AS n_train,
+  round(sh / 5.0, 6) AS mae_holt,
+  round(ss / 5.0, 6) AS mae_snaive,
+  round(sh / 5.0 / scale, 6) AS mase_holt,
+  CASE WHEN sh <= ss THEN 'holt' ELSE 'seasonal_naive' END AS winner
+FROM sm""",
+    ),
     # Additive Holt-Winters: level + trend + 7-slot seasonal state as
     # ONE list_reduce over [x, t] pairs (init state prepended as the
     # seed element).  DuckDB's indexed lambdas are 1-based vs Spark's
@@ -4207,9 +4250,10 @@ FROM st""",
 # oracle-gated + 13 rows-only, all locally sweep-green via
 # scripts/driver_sim.py) + the round-5 q_streaming_bpe_drift landing.
 # After this round every query declared before round 5 carries a hard
-# driver row (cumulative 209 of 215); the six round-5 landings
+# driver row (cumulative 209 of 216); the seven round-5 landings
 # outside the window (rowstore quartet, q_autocorrelation,
-# q_kmeans_embeddings — all sweep-green locally) rotate in next round.
+# q_kmeans_embeddings, q_forecast_backtest — all sweep-green locally)
+# rotate in next round.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",

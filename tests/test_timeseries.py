@@ -205,3 +205,43 @@ def test_holt_winters_matches_python_reference(spark, sf_smoke):
         for h in (1, 2, 3):
             fc = level + h * trend + season[(n - 1 + h) % m]
             assert abs(gt[f"fc_{h}"] - fc) < 1e-6
+
+
+def test_forecast_backtest_metrics_consistent(spark, sf_smoke):
+    from heatmap_spark.operators.timeseries import forecast_backtest
+
+    out = forecast_backtest(spark, sf_smoke).localCheckpoint(eager=True)
+    rows = out.collect()
+    assert rows  # every fixture type has > 12 observations
+    for r in rows:
+        assert r["n_train"] == r["n"] - 5
+        assert r["mae_holt"] >= 0 and r["mae_snaive"] >= 0
+        assert r["mase_holt"] >= 0
+        want = "holt" if r["mae_holt"] <= r["mae_snaive"] else "seasonal_naive"
+        # winner is decided on unrounded sums; rounded maes can tie —
+        # only assert consistency when the rounded values differ
+        if r["mae_holt"] != r["mae_snaive"]:
+            assert r["winner"] == want
+
+
+def test_forecast_backtest_holt_wins_on_linear_trend(spark):
+    """A clean linear-trend series is Holt's home turf: extrapolation
+    must beat repeating week-old values."""
+    import datetime as dt
+    from unittest import mock
+
+    import heatmap_spark.operators.timeseries as ts
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(hours=i), 1, "lin", float(10 + 3 * i), "{}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    with mock.patch.object(ts, "load_table", lambda s, d, t: df):
+        r = ts.forecast_backtest(spark, "ignored").collect()[0]
+    assert r["winner"] == "holt"
+    assert r["mase_holt"] < 1.0  # beats in-sample naive drift too
