@@ -96,7 +96,130 @@ def main(argv: list[str] | None = None) -> int:
         "--budget", type=int, default=2000, help="token budget per language"
     )
 
+    tok = sub.add_parser(
+        "tokdrift",
+        help="BPE-fertility drift: ingest document batches through the "
+        "frozen merge list, printing per-batch fertility/drift",
+    )
+    tok.add_argument("--sf-dir", required=True, help="testdata sf dir")
+    tok.add_argument("--store", required=True, help="bpe-drift store path")
+    tok.add_argument(
+        "--batches", type=int, default=3, help="split documents into N ingest batches"
+    )
+
+    bt = sub.add_parser(
+        "backtest",
+        help="forecast backtest: Holt vs seasonal-naive on the last 5 "
+        "observations per event_type (MAE/MASE, winner verdict)",
+    )
+    bt.add_argument("--sf-dir", required=True, help="testdata sf dir")
+
+    cl = sub.add_parser(
+        "cluster",
+        help="integer fixed-point k-means over the embeddings table "
+        "(diversity clustering for corpus stratification)",
+    )
+    cl.add_argument("--sf-dir", required=True, help="testdata sf dir")
+    cl.add_argument("--output", required=True, help="output parquet path")
+    cl.add_argument("--k", type=int, default=8)
+    cl.add_argument("--iters", type=int, default=2)
+
+    rs = sub.add_parser(
+        "rowstore",
+        help="keyed row store (Python DataSource): load a table into a "
+        "bucketed store, then run a keyed point read against it",
+    )
+    rs.add_argument("--sf-dir", required=True, help="testdata sf dir")
+    rs.add_argument("--store", required=True, help="row store path")
+    rs.add_argument("--table", default="documents", help="fixture table to load")
+    rs.add_argument("--bucket-key", default="doc_id")
+    rs.add_argument("--n-buckets", type=int, default=16)
+    rs.add_argument("--get", help="optional: point-read this key after the write")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "tokdrift":
+        from pyspark.sql import functions as F
+
+        from heatmap_spark import get_spark
+        from heatmap_spark.sources.tables import load_table
+        from heatmap_spark.streaming.bpe_drift import (
+            merge_batch_into_bpe_store,
+            read_bpe_drift,
+        )
+
+        spark = get_spark("heatmap-spark-cli")
+        docs = load_table(spark, args.sf_dir, "documents").select("doc_id", "text")
+        mx = docs.agg(F.max("doc_id")).first()[0] + 1
+        n = args.batches
+        for b in range(n):
+            batch = docs.where(F.expr(f"CAST(doc_id * {n} DIV {mx} AS INT)") == b)
+            merge_batch_into_bpe_store(spark, batch, args.store, b)
+        for r in sorted(
+            read_bpe_drift(spark, args.store).collect(),
+            key=lambda r: r["batch_id"],
+        ):
+            print(
+                f"batch {r['batch_id']}: {r['n_words']} words -> "
+                f"{r['n_bpe_tokens']} bpe tokens, fertility={r['fertility']}, "
+                f"drift={r['fertility_drift']:+}, frag={r['n_frag_words']}"
+            )
+        return 0
+
+    if args.cmd == "backtest":
+        from heatmap_spark import get_spark
+        from heatmap_spark.operators.timeseries import forecast_backtest
+
+        spark = get_spark("heatmap-spark-cli")
+        for r in sorted(
+            forecast_backtest(spark, args.sf_dir).collect(),
+            key=lambda r: r["event_type"],
+        ):
+            print(
+                f"{r['event_type']}: holt mae={r['mae_holt']} "
+                f"(mase={r['mase_holt']}) vs snaive mae={r['mae_snaive']} "
+                f"-> {r['winner']}"
+            )
+        return 0
+
+    if args.cmd == "cluster":
+        from heatmap_spark import get_spark
+        from heatmap_spark.operators.similarity import kmeans_embeddings
+
+        spark = get_spark("heatmap-spark-cli")
+        out = kmeans_embeddings(spark, args.sf_dir, k=args.k, iters=args.iters)
+        out.write.mode("overwrite").parquet(args.output)
+        sizes = {
+            r["cluster"]: r["cluster_size"]
+            for r in spark.read.parquet(args.output)
+            .select("cluster", "cluster_size")
+            .distinct()
+            .collect()
+        }
+        for c, n in sorted(sizes.items()):
+            print(f"cluster {c}: {n} vectors")
+        return 0
+
+    if args.cmd == "rowstore":
+        from pyspark.sql import functions as F
+
+        from heatmap_spark import get_spark
+        from heatmap_spark.sources.rowstore import read_rowstore, write_rowstore
+        from heatmap_spark.sources.tables import load_table
+
+        spark = get_spark("heatmap-spark-cli")
+        df = load_table(spark, args.sf_dir, args.table)
+        write_rowstore(
+            df, args.store, bucket_key=args.bucket_key,
+            n_buckets=args.n_buckets, mode="overwrite",
+        )
+        back = read_rowstore(spark, args.store)
+        print(f"wrote {back.count()} rows / {args.n_buckets} buckets to {args.store}")
+        if args.get is not None:
+            key = F.col(args.bucket_key).cast("string")
+            hits = back.where(key == args.get).count()
+            print(f"key {args.get!r}: {hits} rows (scan pruned to 1 bucket)")
+        return 0
 
     if args.cmd == "mix":
         from pyspark.sql import functions as F

@@ -275,3 +275,33 @@ def test_cli_mix_subcommand(spark, sf_smoke, tmp_path):
         .count()
         == 0
     )
+
+
+def test_cli_round5_subcommands(spark, sf_smoke, tmp_path, capsys):
+    """tokdrift / backtest / cluster / rowstore CLI paths run
+    end-to-end against the smoke fixture."""
+    from heatmap_spark.__main__ import main
+    from heatmap_spark.streaming.bpe_drift import read_bpe_drift
+
+    store = str(tmp_path / "bpe")
+    assert main(["tokdrift", "--sf-dir", sf_smoke, "--store", store]) == 0
+    assert read_bpe_drift(spark, store).count() == 3
+    assert "fertility=" in capsys.readouterr().out
+
+    assert main(["backtest", "--sf-dir", sf_smoke]) == 0
+    assert "mase=" in capsys.readouterr().out
+
+    out_dir = str(tmp_path / "clusters")
+    assert main(["cluster", "--sf-dir", sf_smoke, "--output", out_dir]) == 0
+    saved = spark.read.parquet(out_dir)
+    assert {"vec_id", "cluster", "cluster_size"} == set(saved.columns)
+
+    rstore = str(tmp_path / "rowstore")
+    assert (
+        main(
+            ["rowstore", "--sf-dir", sf_smoke, "--store", rstore, "--get", "42"]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "pruned to 1 bucket" in out
