@@ -2581,6 +2581,27 @@ SELECT doc_id, width, height,
   md5(text || repeat(' ', CAST(width * height - L AS INTEGER))) AS pixel_md5
 FROM dims""",
     ),
+    # TRUECOLOR decode through the generalized codec (gray/RGB ×
+    # 8/16-bit): md5 over the decoded pixel buffer in row-major
+    # channel order == the padded byte string the oracle rebuilds.
+    "q_media_decode_rgb": QuerySpec(
+        multimodal.media_decode_rgb,
+        """WITH m AS (
+  SELECT doc_id, strlen(text) AS L, text,
+         CAST((strlen(text) % 32) + 1 AS INTEGER) AS width
+  FROM documents),
+dims AS (
+  SELECT doc_id, L, text, width,
+         CAST(greatest(1, CAST(ceil(L / CAST(3 * width AS DOUBLE)) AS BIGINT)) AS INTEGER) AS height
+  FROM m)
+SELECT doc_id, width, height,
+  CAST(3 AS INTEGER) AS channels, CAST(8 AS INTEGER) AS depth,
+  CAST(COALESCE(list_sum(list_transform(range(1, CAST(L AS INTEGER) + 1),
+         i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0)
+       + 32 * (3 * width * height - L) AS BIGINT) AS pixel_sum,
+  md5(text || repeat(' ', CAST(3 * width * height - L AS INTEGER))) AS pixel_md5
+FROM dims""",
+    ),
     # Real AUDIO decode: text bytes → int16 PCM in a real RIFF/WAV
     # container → parsed back; oracle reconstructs sample values from
     # ascii codes.
@@ -4250,10 +4271,10 @@ FROM st""",
 # oracle-gated + 13 rows-only, all locally sweep-green via
 # scripts/driver_sim.py) + the round-5 q_streaming_bpe_drift landing.
 # After this round every query declared before round 5 carries a hard
-# driver row (cumulative 209 of 216); the seven round-5 landings
+# driver row (cumulative 209 of 217); the eight round-5 landings
 # outside the window (rowstore quartet, q_autocorrelation,
-# q_kmeans_embeddings, q_forecast_backtest — all sweep-green locally)
-# rotate in next round.
+# q_kmeans_embeddings, q_forecast_backtest, q_media_decode_rgb — all
+# sweep-green locally) rotate in next round.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
