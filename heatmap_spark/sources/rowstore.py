@@ -493,3 +493,63 @@ def read_locations_rowstore(spark: SparkSession, store_path: str) -> DataFrame:
     back through the registered format — keyed scans prune to the
     user's bucket when a user_id predicate is pushed."""
     return read_rowstore(spark, store_path)
+
+
+def compact_rowstore(spark: SparkSession, path: str) -> int:
+    """Cassandra-style compaction: many per-(task, epoch) files per
+    bucket → one write's worth, fully THROUGH the engine (batch read →
+    overwrite write, so the rewrite is distributed and bucket-split by
+    the ordinary writer).  The manifest version stays monotonic
+    (overwrite resets to 1, then we restore old_version + 1) so batch
+    readers are unaffected; a CDC stream reader crossing a compaction
+    re-reads the compacted snapshot (at-least-once across compaction —
+    compact between stream drains, same caveat as the LSM stores'
+    fold).  Old data files become unreferenced; reclaim with
+    :func:`vacuum_rowstore`.  Returns the number of files compacted
+    away (before − after)."""
+    man = read_manifest(path)
+    if man is None:
+        return 0
+    before_files = {e["name"] for e in man["files"]}
+    old_version, old_epochs = man["version"], man.get("epochs", [])
+    df = read_rowstore(spark, path)
+    # one shuffle-free rewrite: the writer re-buckets rows per task, so
+    # coalescing first keeps files-per-bucket == 1 for modest stores
+    write_rowstore(
+        df.coalesce(max(1, man["n_buckets"] // 8)),
+        path,
+        bucket_key=man["bucket_key"],
+        n_buckets=man["n_buckets"],
+        mode="overwrite",
+    )
+    new = read_manifest(path)
+    new["version"] = old_version + 1
+    for e in new["files"]:
+        e["v"] = old_version + 1
+    if old_epochs:
+        new["epochs"] = old_epochs  # replay guard survives compaction
+    _write_manifest(path, new)
+    return max(0, len(before_files) - len(new["files"]))
+
+
+def vacuum_rowstore(path: str) -> int:
+    """Delete data files no manifest references (compaction leftovers,
+    crashed-task orphans, pre-overwrite files).  Pure GC: the manifest
+    is the source of truth, so unreferenced files are invisible to
+    every reader already.  Returns the number of files removed."""
+    man = read_manifest(path)
+    if man is None:
+        return 0
+    live = {os.path.normpath(e["name"]) for e in man["files"]}
+    data_dir = os.path.join(path, "data")
+    removed = 0
+    if os.path.isdir(data_dir):
+        for fn in os.listdir(data_dir):
+            rel = os.path.normpath(os.path.join("data", fn))
+            if rel not in live:
+                try:
+                    os.remove(os.path.join(data_dir, fn))
+                    removed += 1
+                except OSError:
+                    pass
+    return removed

@@ -216,3 +216,39 @@ def test_stream_sink_end_to_end(spark, sf_smoke, tmp_path):
     assert loc.exceptAll(got).isEmpty()
     # multiple epochs actually committed (3 source files)
     assert len(read_manifest(store)["epochs"]) >= 1
+
+
+def test_compact_and_vacuum(spark, sf_smoke, tmp_path):
+    """Three appends fragment the store; compaction rewrites it through
+    the engine (rows identical, fewer files, version monotonic, epoch
+    guard preserved) and vacuum reclaims the unreferenced files."""
+    from heatmap_spark.sources.rowstore import compact_rowstore, vacuum_rowstore
+
+    store = str(tmp_path / "locations")
+    loc = _loc(spark, sf_smoke)
+    thirds = [loc.where(F.expr("mod(timestamp_ms, 3)") == i) for i in range(3)]
+    write_rowstore(thirds[0], store, bucket_key="user_id", mode="overwrite")
+    write_rowstore(thirds[1], store, mode="append")
+    write_rowstore(thirds[2], store, mode="append")
+    man = read_manifest(store)
+    n_files_before = len(man["files"])
+    v_before = man["version"]
+    assert v_before == 3
+    n_rows = loc.count()
+
+    compacted = compact_rowstore(spark, store)
+    assert compacted > 0
+    man2 = read_manifest(store)
+    assert len(man2["files"]) < n_files_before
+    assert man2["version"] == v_before + 1
+    back = read_rowstore(spark, store)
+    assert back.count() == n_rows
+    assert loc.exceptAll(back).isEmpty()
+
+    # old files are now unreferenced on disk; vacuum removes them and
+    # reads are unaffected
+    removed = vacuum_rowstore(store)
+    assert removed >= compacted
+    assert read_rowstore(spark, store).count() == n_rows
+    # vacuum is idempotent
+    assert vacuum_rowstore(store) == 0
