@@ -1344,6 +1344,61 @@ def probe_kmeans(spark, n: int) -> None:
 
 
 
+
+
+def probe_acf(spark, n: int) -> None:
+    """Autocorrelation at n events (default 10M) over 50 event types /
+    90 days of hourly slots: the corpus-sized cost is ONE (type, hour)
+    count aggregate; the ACF itself runs on the bounded dense grid
+    (50 x 2160 rows), so wall-clock tracks input size, not lag count.
+    A planted 24h-periodic type must dominate the lag-24 ranking."""
+    from unittest import mock
+
+    import heatmap_spark.operators.timeseries as ts
+
+    hours = 90 * 24
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("t0"),
+        (F.col("id") % 50).cast("int").alias("tix"),
+    )
+    # type 0 is 24h-periodic: every day hit, events only in hours 0-5
+    # (derive from id DIV 50 — the dense per-type counter — so the
+    # prime multipliers stay coprime with the day/offset moduli);
+    # other types spread uniformly via a prime multiplier
+    j = F.floor(F.col("event_id") / F.lit(50)).cast("long")
+    # day from j mod 90, hour-offset from the SWEEP counter (j div 90)
+    # — decoupled moduli, so every day accumulates events across all
+    # six early hours instead of one (day, offset) pair per j
+    hour_of = F.when(
+        F.col("tix") == 0,
+        (j % (hours // 24)) * 24 + (F.floor(j / F.lit(hours // 24)) % 6),
+    ).otherwise((F.col("event_id") * 104729) % hours)
+    events = ev.select(
+        "event_id",
+        (F.col("t0") + F.make_interval(hours=hour_of.cast("int"))).alias("ts"),
+        F.lit(1).alias("user_id"),
+        F.concat(F.lit("t"), F.col("tix").cast("string")).alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    events.count()  # warm
+    t0 = time.perf_counter()
+    with mock.patch.object(ts, "load_table", lambda sp, d, t: events):
+        out = ts.autocorrelation(spark, "ignored", max_lag=24).collect()
+    t = time.perf_counter() - t0
+    by = {(r["event_type"], r["lag"]): r["acf"] for r in out}
+    p24 = by[("t0", 24)]
+    others = [by[(f"t{i}", 24)] for i in range(1, 50)]
+    assert p24 > 0.5 > max(others), (p24, max(others))
+    print(
+        f"acf {n:,} events / 50 types / 24 lags: {t:.1f}s "
+        f"({n / t / 1e6:.1f}M events/s); planted 24h period acf(24)="
+        f"{p24:.3f} vs max other {max(others):+.3f}"
+    )
+
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -1354,7 +1409,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -1368,7 +1423,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf}[which](spark, n)
 
 
 if __name__ == "__main__":
