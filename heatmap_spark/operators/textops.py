@@ -992,3 +992,53 @@ def token_budget_mix(
         )
         .where(F.col("cum_tokens") <= F.lit(budget_per_lang))
     )
+
+
+def curriculum_buckets(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 10
+) -> DataFrame:
+    """Curriculum assignment: each document's unigram-LM difficulty
+    (bits per token = −avg log2 prob, the CCNet-style signal
+    :func:`unigram_logprob` computes) binned into ``n_buckets``
+    equal-population tiers via NTILE — the easy→hard ordering a
+    curriculum-learning schedule samples from (Bengio et al. 2009;
+    public method).  Docs that tokenize to zero tokens have no
+    difficulty and are excluded (mirrored by the oracle's join).
+
+    Determinism: the decimal-summed per-token log probs make the
+    difficulty bit-identical on any partitioning, and the NTILE
+    ordering carries a doc_id tiebreak, so the full assignment
+    value-hashes cross-engine.
+
+    Scale shape: the corpus-sized work is unigram_logprob's (explode +
+    vocab groupBy + token join); the NTILE runs over the per-doc
+    SUMMARY relation (doc_id, difficulty) — the token_budget_mix
+    pattern, one global sorted pass of narrow summary rows, never of
+    documents."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_all_tokens()).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n_total"))
+    lp = F.round(F.log2(F.col("tf") / F.col("n_total")), 6).cast("decimal(18,6)")
+    per_doc = (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            (-(F.sum(lp).cast("double")) / F.count("*")).alias("bpt"),
+        )
+    )
+    w = W.orderBy("bpt", "doc_id")
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round("bpt", 6).alias("bits_per_token"),
+            F.ntile(n_buckets).over(w).cast("int").alias("difficulty_decile"),
+        )
+    )

@@ -3962,6 +3962,27 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM tok t JOIN vocab v USING (token) CROSS JOIN total tt
 GROUP BY t.doc_id""",
     ),
+    # Curriculum assignment: unigram-LM difficulty (bits/token) binned
+    # into equal-population NTILE deciles with a doc_id tiebreak — the
+    # easy→hard schedule a curriculum sampler draws from.
+    "q_curriculum_buckets": QuerySpec(
+        textops.curriculum_buckets,
+        """WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents),
+vocab AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
+total AS (SELECT sum(tf) AS n_total FROM vocab),
+per_doc AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    -(CAST(sum(CAST(round(log2(CAST(v.tf AS DOUBLE) / CAST(tt.n_total AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE))
+      / count(*) AS bpt
+  FROM tok t JOIN vocab v USING (token) CROSS JOIN total tt
+  GROUP BY t.doc_id)
+SELECT p.doc_id, d.lang, p.n_tokens,
+  round(p.bpt, 6) AS bits_per_token,
+  CAST(ntile(10) OVER (ORDER BY p.bpt, p.doc_id) AS INTEGER) AS difficulty_decile
+FROM per_doc p JOIN documents d USING (doc_id)""",
+    ),
     # Lee-et-al-style duplicated-passage fraction: 8-token windows whose
     # exact text recurs in >= 2 distinct documents.
     "q_duplicated_passages": QuerySpec(
@@ -4271,10 +4292,11 @@ FROM st""",
 # oracle-gated + 13 rows-only, all locally sweep-green via
 # scripts/driver_sim.py) + the round-5 q_streaming_bpe_drift landing.
 # After this round every query declared before round 5 carries a hard
-# driver row (cumulative 209 of 217); the eight round-5 landings
-# outside the window (rowstore quartet, q_autocorrelation,
-# q_kmeans_embeddings, q_forecast_backtest, q_media_decode_rgb — all
-# sweep-green locally) rotate in next round.
+# driver row (cumulative 209 of 218); the round-5 landings outside
+# the window (rowstore quartet, q_autocorrelation,
+# q_kmeans_embeddings, q_forecast_backtest, q_media_decode_rgb,
+# q_curriculum_buckets — all sweep-green locally) rotate in next
+# round.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",

@@ -134,3 +134,28 @@ def test_observe_metrics_single_pass(spark, sf_smoke):
     assert m["n_rows"] == li.count()
     assert m["null_qty"] == 0
     assert m["max_ship"] == li.agg(F.max("l_shipdate")).first()[0]
+
+
+def test_curriculum_buckets_partitions_evenly(spark, sf_smoke):
+    """NTILE populations differ by at most one; deciles order by
+    difficulty (max bits of decile d <= min bits of decile d+1 up to
+    the shared boundary value); every tokenizable doc is assigned."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.textops import curriculum_buckets
+
+    out = curriculum_buckets(spark, sf_smoke).localCheckpoint(eager=True)
+    sizes = {
+        r["difficulty_decile"]: r["n"]
+        for r in out.groupBy("difficulty_decile").agg(F.count("*").alias("n")).collect()
+    }
+    assert sorted(sizes) == list(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    rng = {
+        r["difficulty_decile"]: (r["lo"], r["hi"])
+        for r in out.groupBy("difficulty_decile")
+        .agg(F.min("bits_per_token").alias("lo"), F.max("bits_per_token").alias("hi"))
+        .collect()
+    }
+    for d in range(1, 10):
+        assert rng[d][1] <= rng[d + 1][0] + 1e-9
