@@ -31,9 +31,11 @@ streaming stores' marker protocol):
   crash ⇒ orphans, GC'd by the next overwrite) — same
   write-then-commit discipline as the streaming stores' ``_LATEST``.
 
-Scale shape: one reader partition per bucket (keyed scans prune to
-1/n_buckets of the store before any row moves), Arrow batches end to
-end (no per-row Python in either direction), and pushed filters are
+Scale shape: one reader partition per data FILE (the parquet split
+model — parallelism tracks file count even when one bucket is hot;
+keyed scans still prune to 1/n_buckets of the FILES before any row
+moves, and compaction shrinks point-read task counts), Arrow batches
+end to end (no per-row Python in either direction), and pushed filters are
 re-applied by Spark above the scan, so pruning is a pure optimization
 — results are identical whether or not
 ``spark.sql.python.filterPushdown.enabled`` is on (it is off in a
@@ -125,18 +127,26 @@ def make_rowstore_datasource():
                     yield r.get_batch(i)
 
     class RowStoreReader(DataSourceReader):
-        """Batch scan: one partition per bucket; pushFilters prunes
+        """Batch scan: one partition per data file; pushFilters prunes
         buckets (EqualTo/In on the bucket key) and files (min/max
         stats vs range predicates).  All filters are RETURNED as
         unhandled — pruning never drops a matching row, Spark
         re-applies exact predicates above the scan (the parquet
         pushed-filters contract)."""
 
-        def __init__(self, path):
+        def __init__(self, path, options=None):
             self.path = path
             self.man = _load_man(path)
             self.keep_buckets = set(range(self.man["n_buckets"]))
             self.key_bounds = []  # (op, value) prunes on file min/max
+            opts = options or {}
+            # Spark's defaults for the analogous file-source knobs
+            self.max_part_bytes = int(
+                opts.get("max_partition_bytes", str(128 * 1024 * 1024))
+            )
+            self.open_cost = int(
+                opts.get("open_cost_bytes", str(4 * 1024 * 1024))
+            )
 
         def pushFilters(self, filters):
             key = self.man["bucket_key"]
@@ -173,13 +183,42 @@ def make_rowstore_datasource():
             return True
 
         def partitions(self):
-            by_bucket = defaultdict(list)
-            for e in self.man["files"]:
-                if e["bucket"] in self.keep_buckets and self._file_survives(e):
-                    by_bucket[e["bucket"]].append(
-                        _os.path.join(self.path, e["name"])
-                    )
-            parts = [BucketPartition(tuple(v)) for _, v in sorted(by_bucket.items())]
+            # Spark's file-split model: surviving files BIN-PACK into
+            # byte-budgeted partitions (maxPartitionBytes) with an
+            # open-cost pad per file (openCostInBytes) — so a hot
+            # bucket with many task files still fans out across tasks,
+            # while thousands of tiny files don't become thousands of
+            # tiny tasks (the small-files trap: per-partition Python
+            # worker overhead dominated a 2M-row scan 6× before
+            # packing).  Pruning applies file-wise via bucket ids and
+            # min/max stats before packing; compaction shrinks file
+            # counts and therefore split counts.
+            survivors = sorted(
+                (
+                    e
+                    for e in self.man["files"]
+                    if e["bucket"] in self.keep_buckets
+                    and self._file_survives(e)
+                ),
+                key=lambda e: (e["bucket"], e["name"]),
+            )
+            parts, cur, cur_cost = [], [], 0
+            for e in survivors:
+                fn = _os.path.join(self.path, e["name"])
+                size = e.get("bytes")
+                if size is None:
+                    try:
+                        size = _os.path.getsize(fn)
+                    except OSError:
+                        size = 0
+                cost = size + self.open_cost
+                if cur and cur_cost + cost > self.max_part_bytes:
+                    parts.append(BucketPartition(tuple(cur)))
+                    cur, cur_cost = [], 0
+                cur.append(fn)
+                cur_cost += cost
+            if cur:
+                parts.append(BucketPartition(tuple(cur)))
             return parts or [BucketPartition(())]
 
         def read(self, partition):
@@ -269,7 +308,8 @@ def make_rowstore_datasource():
             for b, (name, f, w, n, mn, mx) in sinks.items():
                 w.close()
                 f.close()
-                entries.append((b, name, n, mn, mx))
+                size = _os.path.getsize(_os.path.join(self.path, name))
+                entries.append((b, name, n, mn, mx, size))
             return TaskFiles(tuple(entries))
 
         def commit(self, messages):
@@ -288,10 +328,10 @@ def make_rowstore_datasource():
             for m in messages:
                 if m is None:
                     continue
-                for b, name, n, mn, mx in m.entries:
+                for b, name, n, mn, mx, size in m.entries:
                     man["files"].append(
                         {"bucket": b, "name": name, "n_rows": n,
-                         "min": mn, "max": mx, "v": v}
+                         "min": mn, "max": mx, "v": v, "bytes": size}
                     )
             man["version"] = v
             tmp = man_path + ".tmp"
@@ -347,10 +387,10 @@ def make_rowstore_datasource():
             for m in messages:
                 if m is None:
                     continue
-                for b, name, n, mn, mx in m.entries:
+                for b, name, n, mn, mx, size in m.entries:
                     man["files"].append(
                         {"bucket": b, "name": name, "n_rows": n,
-                         "min": mn, "max": mx, "v": v}
+                         "min": mn, "max": mx, "v": v, "bytes": size}
                     )
             man["version"] = v
             epochs.append(batchId)
@@ -372,7 +412,7 @@ def make_rowstore_datasource():
             return StructType.fromJson(_json.loads(man["schema"]))
 
         def reader(self, schema):
-            return RowStoreReader(self.options["path"])
+            return RowStoreReader(self.options["path"], self.options)
 
         def simpleStreamReader(self, schema):
             return RowStoreStreamReader(self.options["path"])

@@ -1304,8 +1304,11 @@ def probe_rowstore(spark, n: int) -> None:
     ds = cls(options={"path": store})
     rd = ds.reader(ds.schema())
     rd.pushFilters([EqualTo(("user_id",), "u42")])
-    n_parts = len(rd.partitions())
-    assert n_parts == 1, n_parts
+    pruned_parts = rd.partitions()
+    all_parts = ds.reader(ds.schema()).partitions()
+    # per-file partitions: the prune keeps only the key's bucket's
+    # files — about 1/64 of the store's files
+    assert 0 < len(pruned_parts) <= len(all_parts) // 32
     t0 = time.perf_counter()
     hits = read_rowstore(spark, store).where(F.col("user_id") == "u42").count()
     t_point = time.perf_counter() - t0

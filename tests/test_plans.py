@@ -481,9 +481,17 @@ def test_rowstore_point_read_plans_single_bucket(spark, sf_smoke, tmp_path):
         n_buckets=32, mode="overwrite",
     )
     cls = make_rowstore_datasource()
-    ds = cls(options={"path": store})
+    ds = cls(options={"path": store, "max_partition_bytes": "1",
+                      "open_cost_bytes": "0"})  # per-file splits
     rd = ds.reader(ds.schema())
-    assert len(rd.partitions()) > 4  # unpruned: many buckets
+    n_all = len(rd.partitions())
+    assert n_all > 4  # unpruned: per-file partitions across buckets
     rd2 = ds.reader(ds.schema())
     rd2.pushFilters([EqualTo(("user_id",), "u1")])
-    assert len(rd2.partitions()) == 1
+    parts = rd2.partitions()
+    # only the key's crc32 bucket's files survive the prune
+    assert 0 < len(parts) < n_all
+    from heatmap_spark.sources.rowstore import _bucket_of
+
+    b = _bucket_of("u1", 32)
+    assert all(f"/b{b}-" in fn for p in parts for fn in p.files)

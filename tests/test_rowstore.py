@@ -65,7 +65,10 @@ def test_reader_level_bucket_pruning(spark, sf_smoke, tmp_path):
         n_buckets=16, mode="overwrite",
     )
     cls = make_rowstore_datasource()
-    ds = cls(options={"path": store})
+    # force per-file splits (no packing) so partition counts expose
+    # the pruning; default packing is covered by the probe/roundtrips
+    ds = cls(options={"path": store, "max_partition_bytes": "1",
+                      "open_cost_bytes": "0"})
     full = ds.reader(ds.schema())
     n_all = len(full.partitions())
     assert n_all > 1  # multiple buckets actually populated
@@ -73,10 +76,12 @@ def test_reader_level_bucket_pruning(spark, sf_smoke, tmp_path):
     unhandled = list(pruned.pushFilters([EqualTo(("user_id",), "u1")]))
     assert len(unhandled) == 1  # pruning only — Spark re-applies
     parts = pruned.partitions()
-    assert len(parts) == 1
-    # and the surviving bucket is crc32('u1') % 16
+    # per-FILE partitions: only the key's bucket survives, so the
+    # partition count equals that bucket's file count — strictly fewer
+    # than the unpruned scan's
+    assert 0 < len(parts) < n_all
     b = _bucket_of("u1", 16)
-    assert all(f"/b{b}-" in fn for fn in parts[0].files)
+    assert all(f"/b{b}-" in fn for p in parts for fn in p.files)
 
 
 def test_pruned_read_correct_rows(spark, sf_smoke, tmp_path):
