@@ -159,7 +159,7 @@ def make_rowstore_datasource():
                     self.keep_buckets &= {_bucket(f.value, n)}
                     self.key_bounds.append(("==", f.value))
                 elif isinstance(f, In):
-                    self.keep_buckets &= {_bucket(v, n) for v in f.values}
+                    self.keep_buckets &= {_bucket(v, n) for v in f.value}
                 elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     self.key_bounds.append((">", f.value))
                 elif isinstance(f, (LessThan, LessThanOrEqual)):

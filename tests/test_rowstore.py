@@ -257,3 +257,45 @@ def test_compact_and_vacuum(spark, sf_smoke, tmp_path):
     assert read_rowstore(spark, store).count() == n_rows
     # vacuum is idempotent
     assert vacuum_rowstore(store) == 0
+
+
+def test_reader_in_and_range_pruning(spark, sf_smoke, tmp_path):
+    """In-filters prune to the union of the keys' buckets; range
+    predicates prune files via the manifest's min/max stats (store
+    bucketed by doc_id, whose per-file stats are disjoint ranges after
+    a sorted write)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from heatmap_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    store = str(tmp_path / "docs")
+    # one file per bucket with tight doc_id ranges: sort + single task
+    write_rowstore(
+        docs.orderBy("doc_id").coalesce(1), store,
+        bucket_key="doc_id", n_buckets=8, mode="overwrite",
+    )
+    cls = make_rowstore_datasource()
+    ds = cls(options={"path": store, "max_partition_bytes": "1",
+                      "open_cost_bytes": "0"})
+    n_all = len(ds.reader(ds.schema()).partitions())
+
+    rd_in = ds.reader(ds.schema())
+    rd_in.pushFilters([In(("doc_id",), (1, 2, 3))])
+    keep = {_bucket_of(k, 8) for k in (1, 2, 3)}
+    parts = rd_in.partitions()
+    assert 0 < len(parts) <= len(keep) < n_all
+
+    # range pruning: every file whose max <= threshold is skipped
+    man = read_manifest(store)
+    hi = max(e["max"] for e in man["files"])
+    rd_gt = ds.reader(ds.schema())
+    rd_gt.pushFilters([GreaterThan(("doc_id",), hi)])  # nothing above max
+    assert all(not p.files for p in rd_gt.partitions())
+    # equality outside every [min,max] prunes all files too
+    rd_eq = ds.reader(ds.schema())
+    rd_eq.pushFilters([EqualTo(("doc_id",), hi + 10**6)])
+    assert all(not p.files for p in rd_eq.partitions())
+    # and correctness end-to-end (Spark re-applies the predicate)
+    got = read_rowstore(spark, store).where(F.col("doc_id").isin(1, 2, 3))
+    assert got.count() == 3
