@@ -1068,3 +1068,51 @@ def dedup_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("has_lsh_edge", F.lit(0)).alias("has_lsh_edge"),
         )
     )
+
+
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative selection per near-dup cluster —
+    the policy production dedup actually applies: don't keep an
+    arbitrary duplicate, keep the HIGHEST-QUALITY one (the C4/RefinedWeb
+    practice).  Composes three subsystems: MinHash-LSH candidates →
+    connected components → Gopher rule scores.
+
+    Per clustered document: its cluster, how many of the four Gopher
+    rules it passes, and the keep/drop action.  The representative is
+    the argmax by (rules passed DESC, n_tokens DESC, doc_id ASC) —
+    fully deterministic, so the whole policy value-hashes against the
+    recursive-CTE + rule-expression oracle.
+
+    Scale shape: CC is the usual O(log d) pointer-jumping over the
+    candidate graph (≪ corpus); the quality join touches only
+    clustered docs (semi-join pruned); one window per cluster picks
+    the representative.
+    """
+    from pyspark.sql.window import Window as W
+
+    from heatmap_spark.operators.textops import gopher_quality_df
+
+    cl = connected_components(minhash_lsh_candidates(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_quality_df(docs.join(cl.select("doc_id"), "doc_id", "left_semi"))
+    ok_count = (
+        F.col("ok_token_count").cast("int")
+        + F.col("ok_mean_word_len").cast("int")
+        + F.col("ok_alpha_frac").cast("int")
+        + F.col("ok_stopwords").cast("int")
+    )
+    j = cl.join(
+        g.select("doc_id", "n_tokens", ok_count.alias("rules_passed")), "doc_id"
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("rules_passed"), F.desc("n_tokens"), F.asc("doc_id")
+    )
+    rn = F.row_number().over(w)
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        F.col("rules_passed").cast("int").alias("rules_passed"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (rn == 1).alias("is_representative"),
+        F.when(rn == 1, F.lit("keep")).otherwise(F.lit("drop")).alias("action"),
+    )

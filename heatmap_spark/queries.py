@@ -2718,6 +2718,48 @@ reach(node, lab) AS (
   SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node)
 SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""",
     ),
+    # Quality-aware representative per near-dup cluster (the C4/
+    # RefinedWeb keep-the-best-duplicate policy): CC ∘ Gopher rules ∘
+    # deterministic argmax — the full keep/drop verdict hash-gated.
+    "q_cluster_representatives": QuerySpec(
+        dedup.cluster_representatives,
+        f"""WITH RECURSIVE {_SHINGLES_CTE},
+{_LSH_CAND_CTE},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION SELECT doc_b, doc_a FROM cand),
+reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node),
+cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+tk AS (
+  SELECT d.doc_id,
+    list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents d JOIN cl ON cl.doc_id = d.doc_id),
+q AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INTEGER) AS n_tokens,
+    CAST(len(toks) BETWEEN 50 AND 100000 AS INTEGER)
+    + CAST(round(list_sum(list_transform(toks, x -> length(x))) / len(toks), 6)
+           BETWEEN 3.0 AND 10.0 AS INTEGER)
+    + CAST(round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / len(toks), 6)
+           >= 0.8 AS INTEGER)
+    + CAST(len(list_distinct(list_filter(toks,
+        x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))))
+           >= 2 AS INTEGER) AS rules_passed
+  FROM tk),
+rk AS (
+  SELECT cl.doc_id, cl.cluster_id, q.rules_passed, q.n_tokens,
+    row_number() OVER (PARTITION BY cl.cluster_id
+                       ORDER BY q.rules_passed DESC, q.n_tokens DESC,
+                                cl.doc_id ASC) AS rn
+  FROM cl JOIN q USING (doc_id))
+SELECT doc_id, cluster_id, rules_passed, n_tokens,
+  rn = 1 AS is_representative,
+  CASE WHEN rn = 1 THEN 'keep' ELSE 'drop' END AS action
+FROM rk""",
+    ),
     # Entity resolution over STRUCTURED records (blocking + multi-
     # attribute similarity + CC over the dirty multi-source customer
     # fixture).  Spark generates candidates via lossless banded
@@ -4292,11 +4334,11 @@ FROM st""",
 # oracle-gated + 13 rows-only, all locally sweep-green via
 # scripts/driver_sim.py) + the round-5 q_streaming_bpe_drift landing.
 # After this round every query declared before round 5 carries a hard
-# driver row (cumulative 209 of 218); the round-5 landings outside
+# driver row (cumulative 209 of 219); the round-5 landings outside
 # the window (rowstore quartet, q_autocorrelation,
 # q_kmeans_embeddings, q_forecast_backtest, q_media_decode_rgb,
-# q_curriculum_buckets — all sweep-green locally) rotate in next
-# round.
+# q_curriculum_buckets, q_cluster_representatives — all sweep-green
+# locally) rotate in next round.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",

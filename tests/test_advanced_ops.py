@@ -159,3 +159,37 @@ def test_curriculum_buckets_partitions_evenly(spark, sf_smoke):
     }
     for d in range(1, 10):
         assert rng[d][1] <= rng[d + 1][0] + 1e-9
+
+
+def test_cluster_representatives_policy(spark, sf_smoke):
+    """Exactly one representative per cluster; the representative
+    dominates every dropped member on (rules_passed, n_tokens, doc_id)
+    lexicographic order; every clustered doc gets a verdict."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.dedup import cluster_representatives, dedup_clusters
+
+    out = cluster_representatives(spark, sf_smoke).localCheckpoint(eager=True)
+    reps = out.where("is_representative")
+    per = reps.groupBy("cluster_id").count().where("count != 1").count()
+    assert per == 0
+    assert out.count() == dedup_clusters(spark, sf_smoke).count()
+    assert out.where("is_representative != (action = 'keep')").count() == 0
+    joined = (
+        out.where(~F.col("is_representative"))
+        .alias("d")
+        .join(reps.alias("r"), "cluster_id")
+    )
+    bad = joined.where(
+        (F.col("d.rules_passed") > F.col("r.rules_passed"))
+        | (
+            (F.col("d.rules_passed") == F.col("r.rules_passed"))
+            & (F.col("d.n_tokens") > F.col("r.n_tokens"))
+        )
+        | (
+            (F.col("d.rules_passed") == F.col("r.rules_passed"))
+            & (F.col("d.n_tokens") == F.col("r.n_tokens"))
+            & (F.col("d.doc_id") < F.col("r.doc_id"))
+        )
+    ).count()
+    assert bad == 0
