@@ -332,6 +332,36 @@ def q_heatmap_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rowstore_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE dataflow through the connector path
+    (heatmap.py:131–158): locations are loaded from a keyed row store
+    (the `rhom.locations` analogue), the 16-level pyramid → result
+    sets → (id, heatmap JSON) table is built, APPENDED to a second
+    row store (the `rhom.heatmaps` append at heatmap.py:149–150), and
+    read back through the registered format.  The oracle is the
+    q_heatmap_table SQL verbatim — both rowstore hops must be
+    lossless for the hash to survive."""
+    from heatmap_spark.sources.rowstore import (
+        append_heatmaps_rowstore,
+        read_locations_rowstore,
+        read_rowstore,
+        write_rowstore,
+    )
+
+    scratch = _scratch_dir("rowstore_q_")
+    loc_store, hm_store = scratch + "/locations", scratch + "/heatmaps"
+    write_rowstore(
+        load_locations(spark, sf_dir), loc_store, bucket_key="user_id",
+        mode="overwrite",
+    )
+    loc = read_locations_rowstore(spark, loc_store)
+    table = pyr.heatmap_table(
+        pyr.resultsets(pyr.build_pyramid(loc, mode="explode"))
+    )
+    append_heatmaps_rowstore(table, hm_store)
+    return read_rowstore(spark, hm_store)
+
+
 def q_tile_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = load_locations(spark, sf_dir)
     t16 = loc.where(F.col("source") != "background").select(
@@ -1286,6 +1316,20 @@ SELECT a.rec_id, a.source, a.entity_id, s.n_members, s.n_sources
 FROM assigned a JOIN stats s USING (entity_id)"""
 
 
+# A4 (reference heatmap.py:128-129): shared by q_heatmap_table and the
+# end-to-end rowstore pipeline twin — the engine builds the JSON via
+# to_json over map_from_entries(array_sort(struct(row, col, visits))),
+# so entry order is pinned to NUMERIC detail (row, col); string_agg
+# with the same ORDER BY reproduces the byte-identical string.
+_HEATMAP_TABLE_SQL = f"""WITH {_LOC_CTE},\n{_PTS_CTE},\n{_EXPANDED_CTE},
+leveled AS ({_LEVELED_AGG})
+SELECT user_group || '|' || timespan || '|' ||
+         CAST(zoom - 5 AS VARCHAR) || '_' || CAST(CAST(floor(row/32.0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(floor(col/32.0) AS BIGINT) AS VARCHAR) AS id,
+       '{{' || string_agg(
+           '"' || CAST(zoom AS VARCHAR) || '_' || CAST(row AS VARCHAR) || '_' || CAST(col AS VARCHAR) || '":' || CAST(visits AS VARCHAR),
+           ',' ORDER BY row, col) || '}}' AS heatmap
+FROM leveled GROUP BY 1"""
+
 REGISTRY: dict[str, QuerySpec] = {
     # ---- heatmap family (the reference's own capability surface) ----
     "q_locations": QuerySpec(q_locations, locations_sql("duckdb")),
@@ -1361,20 +1405,14 @@ FROM leveled GROUP BY 1""",
     ),
     "q_heatmap_table": QuerySpec(
         q_heatmap_table,
-        # A4 (reference heatmap.py:128-129): the engine builds the JSON
-        # via to_json over map_from_entries(array_sort(struct(row, col,
-        # visits))), so entry order is pinned to NUMERIC detail
-        # (row, col) — string_agg with the same ORDER BY reproduces the
-        # byte-identical string (Spark/Jackson and DuckDB both print
-        # doubles shortest-round-trip).
-        f"""WITH {_LOC_CTE},\n{_PTS_CTE},\n{_EXPANDED_CTE},
-leveled AS ({_LEVELED_AGG})
-SELECT user_group || '|' || timespan || '|' ||
-         CAST(zoom - 5 AS VARCHAR) || '_' || CAST(CAST(floor(row/32.0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(floor(col/32.0) AS BIGINT) AS VARCHAR) AS id,
-       '{{' || string_agg(
-           '"' || CAST(zoom AS VARCHAR) || '_' || CAST(row AS VARCHAR) || '_' || CAST(col AS VARCHAR) || '":' || CAST(visits AS VARCHAR),
-           ',' ORDER BY row, col) || '}}' AS heatmap
-FROM leveled GROUP BY 1""",
+        _HEATMAP_TABLE_SQL,
+    ),
+    # The reference's full source→pyramid→sink dataflow through the
+    # Python-DataSource row store on BOTH ends — same oracle as
+    # q_heatmap_table, so the hash certifies both hops lossless.
+    "q_rowstore_reference_pipeline": QuerySpec(
+        q_rowstore_reference_pipeline,
+        _HEATMAP_TABLE_SQL,
     ),
     "q_tile_functions": QuerySpec(
         q_tile_functions,
@@ -4334,7 +4372,7 @@ FROM st""",
 # oracle-gated + 13 rows-only, all locally sweep-green via
 # scripts/driver_sim.py) + the round-5 q_streaming_bpe_drift landing.
 # After this round every query declared before round 5 carries a hard
-# driver row (cumulative 209 of 219); the round-5 landings outside
+# driver row (cumulative 209 of 220); the round-5 landings outside
 # the window (rowstore quartet, q_autocorrelation,
 # q_kmeans_embeddings, q_forecast_backtest, q_media_decode_rgb,
 # q_curriculum_buckets, q_cluster_representatives — all sweep-green
