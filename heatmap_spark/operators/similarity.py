@@ -1762,3 +1762,82 @@ def kmeans_embeddings(
         "cluster",
         F.count(F.lit(1)).over(wc).cast("bigint").alias("cluster_size"),
     )
+
+
+def hybrid_rrf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    depth: int = 100,
+    rrf_k: int = 60,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 sparse arm + dense cosine arm fused by
+    Reciprocal Rank Fusion — score(d) = Σ_arms 1/(rrf_k + rank_arm(d)),
+    the standard fusion for lexical+vector search (Cormack et al.,
+    SIGIR'09).  A document absent from an arm's top-``depth`` list
+    contributes 0 from that arm.
+
+    Determinism across engines: each arm's rank is an integer
+    row_number over a total order (rounded score DESC, doc_id ASC);
+    the RRF contributions are double divisions of exact integers in
+    FIXED arm order, rounded to 9 decimals.
+
+    Scale shape: each arm reduces to its top-``depth`` via
+    TakeOrderedAndProject (distributed per-partition heaps — the
+    corpus is never globally sorted); the unpartitioned row_number
+    windows and the full-outer fusion join run over ≤depth rows per
+    arm, so the single-partition stages are bounded by a constant
+    regardless of corpus size.  The dense arm broadcasts one query
+    vector; the sparse arm touches only the postings of the query
+    terms (see bm25_search).
+
+    Reference: none — SURVEY.md §2.8 extension (training-data
+    retrieval/curation: lexical+semantic candidate generation).
+    """
+    from heatmap_spark.operators.textops import bm25_search
+
+    sparse = bm25_search(spark, sf_dir, k=depth)
+    ws = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    sparse_r = sparse.select(
+        "doc_id", F.row_number().over(ws).cast("int").alias("rank_sparse")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("vec").alias("qvec"), norm_expr(F.col("vec")).alias("qn")
+    )
+    sim = F.round(
+        dot_expr(F.col("vec"), F.col("qvec"))
+        / (norm_expr(F.col("vec")) * F.col("qn")),
+        6,
+    )
+    dense_top = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != query_vec_id)
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(depth)
+    )
+    wd = W.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    dense_r = dense_top.select(
+        "doc_id", F.row_number().over(wd).cast("int").alias("rank_dense")
+    )
+
+    fused = sparse_r.join(dense_r, "doc_id", "full_outer")
+    arm = lambda rank_col: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col)), F.lit(0.0)
+    )
+    rrf = F.round(arm("rank_sparse") + arm("rank_dense"), 9)
+    return (
+        fused.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "rank_sparse",
+            "rank_dense",
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k)
+    )

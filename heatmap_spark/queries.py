@@ -4362,6 +4362,67 @@ SELECT doc_id,
   CAST(len(tk[st:st+63]) AS INTEGER) AS n_chunk_tokens
 FROM st""",
     ),
+    # Hybrid retrieval: BM25 + dense-cosine arms fused by Reciprocal
+    # Rank Fusion (1/(60+rank) per arm, 9-decimal round).  Each arm's
+    # rank is an integer row_number over (rounded score DESC, id ASC),
+    # so the fusion is exact across engines.
+    "q_hybrid_rrf": QuerySpec(
+        similarity.hybrid_rrf,
+        """WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+lens AS (SELECT doc_id, len(toks) AS doclen FROM toks),
+stats AS (SELECT count(*) AS n_docs, sum(doclen) AS total_len FROM lens),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms
+  WHERE term IN ('spark', 'join', 'table') GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+bscored AS (
+  SELECT doc_id, term,
+    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75
+          + 0.75 * doclen / (CAST(total_len AS DOUBLE) / n_docs)))) AS contrib
+  FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+per AS (
+  SELECT doc_id,
+    sum(CASE WHEN term = 'spark' THEN contrib END) AS s1,
+    sum(CASE WHEN term = 'join' THEN contrib END) AS s2,
+    sum(CASE WHEN term = 'table' THEN contrib END) AS s3
+  FROM bscored GROUP BY doc_id),
+sparse AS (
+  SELECT doc_id,
+    round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 6) AS bm25
+  FROM per ORDER BY bm25 DESC, doc_id LIMIT 100),
+sparse_r AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank_sparse
+  FROM sparse),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+qv AS (SELECT vec FROM emb WHERE vec_id = 0),
+dscored AS (
+  SELECT e.vec_id AS doc_id,
+    round(
+      list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * e.vec[i])) /
+      (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i]))) *
+       sqrt(list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * e.vec[i])))),
+      6) AS cosine
+  FROM emb e CROSS JOIN qv q WHERE e.vec_id <> 0),
+dense AS (
+  SELECT doc_id, cosine FROM dscored ORDER BY cosine DESC, doc_id LIMIT 100),
+dense_r AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INTEGER) AS rank_dense
+  FROM dense),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, s.rank_sparse, d.rank_dense
+  FROM sparse_r s FULL OUTER JOIN dense_r d ON s.doc_id = d.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, rank_sparse, rank_dense,
+  round(COALESCE(1.0 / (CAST(60 AS DOUBLE) + rank_sparse), 0.0)
+      + COALESCE(1.0 / (CAST(60 AS DOUBLE) + rank_dense), 0.0), 9) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""",
+    ),
 }
 
 

@@ -335,3 +335,26 @@ def test_ivfpq_opq_compose(spark, sf_correct):
     assert full["candidate_frac"] == 1.0
     assert full["recall_opq"] >= 0.75
     assert 0.0 <= full["recall_plain"] <= 1.0
+
+
+def test_hybrid_rrf_fusion_invariants(spark, sf_smoke):
+    """RRF fusion: every row's score equals 1/(60+rank) summed over the
+    arms it appears in; docs present in BOTH arms dominate docs of the
+    same ranks present in one; ranks are dense positive ints."""
+    from heatmap_spark.operators.similarity import hybrid_rrf
+
+    out = hybrid_rrf(spark, sf_smoke, k=20, depth=100).collect()
+    assert 0 < len(out) <= 20
+    for r in out:
+        assert r["rank_sparse"] is not None or r["rank_dense"] is not None
+        expect = 0.0
+        if r["rank_sparse"] is not None:
+            assert r["rank_sparse"] >= 1
+            expect += 1.0 / (60.0 + r["rank_sparse"])
+        if r["rank_dense"] is not None:
+            assert r["rank_dense"] >= 1
+            expect += 1.0 / (60.0 + r["rank_dense"])
+        assert abs(r["rrf"] - round(expect, 9)) < 1e-12
+    # output is sorted by (rrf DESC, doc_id ASC)
+    keys = [(-r["rrf"], r["doc_id"]) for r in out]
+    assert keys == sorted(keys)
