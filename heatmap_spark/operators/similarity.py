@@ -1841,3 +1841,78 @@ def hybrid_rrf(
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def sq8_codes(emb: DataFrame) -> DataFrame:
+    """Scalar-quantize unit-normalized vectors to int8: code_i =
+    clamp(floor(127 * x_i / ||x||), -127, 127).  Map-only (no shuffle,
+    no training pass — the scale is fixed by the unit normalization),
+    64 B/vec at dim=64 vs 256 B float32: the cheap rung of the
+    compression ladder below exact and above PQ/OPQ.  Every code is an
+    exact integer, so downstream integer dot products are bit-portable
+    across engines."""
+    norm = norm_expr(F.col("vec"))
+    code = F.transform(
+        F.col("vec"),
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x / norm * 127))
+        ).cast("long"),
+    )
+    return emb.select("vec_id", code.alias("code"))
+
+
+def knn_sq8(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k neighbors under symmetric SQ8: integer dot product of the
+    int8 codes (exact bigint arithmetic — max |score| = 127²·dim ≈ 1M,
+    so the ranking is deterministic and fully value-hashable, unlike
+    float ADC).  Each row also reports whether the neighbor is in the
+    exact-cosine top-k (the per-query overlap is SQ8's recall@k,
+    pinned in tests).
+
+    Scale shape: quantization is map-only; the n_queries codes are
+    broadcast; scoring is one codegen'd fold per (corpus row, query);
+    top-k via per-query row_number window — the corpus never shuffles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    codes = sq8_codes(emb)
+    queries = codes.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("qcode"), F.col("code"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            score.alias("score_sq8"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score_sq8"), F.asc("neighbor_id"))
+    top = scored.select(
+        "query_id",
+        "neighbor_id",
+        "score_sq8",
+        F.row_number().over(w).cast("int").alias("rank"),
+    ).where(F.col("rank") <= k)
+    exact = knn_cosine_df(emb, n_queries, k).select(
+        "query_id", "neighbor_id", F.lit(True).alias("in_exact_topk")
+    )
+    return top.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "neighbor_id",
+        "score_sq8",
+        "rank",
+        F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
+    )

@@ -4423,6 +4423,52 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, rank_sparse, rank_dense,
       + COALESCE(1.0 / (CAST(60 AS DOUBLE) + rank_dense), 0.0), 9) AS rrf
 FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""",
     ),
+    # SQ8 symmetric search: int8-quantized codes, exact bigint dot
+    # products (deterministic ranking, full value hash — unlike float
+    # ADC); each neighbor row is flagged against the exact-cosine
+    # top-k so the result carries its own recall evidence.
+    "q_knn_sq8": QuerySpec(
+        similarity.knn_sq8,
+        """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+codes AS (
+  SELECT vec_id,
+    list_transform(vec, x -> CAST(greatest(-127, least(127, floor(
+      x / sqrt(list_sum(list_transform(vec, y -> y * y))) * 127))) AS BIGINT)) AS code
+  FROM emb),
+q AS (SELECT vec_id AS query_id, code AS qcode FROM codes WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(list_zip(qcode, c.code),
+      p -> p[1] * p[2])) AS BIGINT) AS score_sq8
+  FROM codes c CROSS JOIN q WHERE c.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score_sq8,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score_sq8 DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored),
+sq8 AS (SELECT * FROM ranked WHERE rank <= 5),
+exact_scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+    round(
+      list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * e.vec[i])) /
+      (sqrt(list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * qvec[i]))) *
+       sqrt(list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * e.vec[i])))),
+      6) AS cosine
+  FROM emb e CROSS JOIN
+    (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 10) qq
+  WHERE e.vec_id <> query_id),
+exact AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM exact_scored)
+  WHERE rk <= 5)
+SELECT s.query_id, s.neighbor_id, s.score_sq8, s.rank,
+  (e.neighbor_id IS NOT NULL) AS in_exact_topk
+FROM sq8 s LEFT JOIN exact e
+  ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id""",
+    ),
 }
 
 

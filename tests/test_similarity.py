@@ -358,3 +358,24 @@ def test_hybrid_rrf_fusion_invariants(spark, sf_smoke):
     # output is sorted by (rrf DESC, doc_id ASC)
     keys = [(-r["rrf"], r["doc_id"]) for r in out]
     assert keys == sorted(keys)
+
+
+def test_knn_sq8_codes_and_recall(spark, sf_smoke):
+    """SQ8 codes are clamped int8-range ints of the unit-normalized
+    coords; symmetric integer search keeps recall@5 >= 0.8 vs exact
+    cosine (measured 0.96 at sf0.001 / 0.94 at sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.similarity import knn_sq8, sq8_codes
+    from heatmap_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    row = sq8_codes(emb).first()
+    assert all(-127 <= c <= 127 for c in row["code"])
+
+    out = knn_sq8(spark, sf_smoke).localCheckpoint(eager=True)
+    assert out.count() == 50  # 10 queries x top-5
+    recall = out.agg(F.avg(F.col("in_exact_topk").cast("double"))).first()[0]
+    assert recall >= 0.8
