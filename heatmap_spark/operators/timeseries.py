@@ -632,3 +632,96 @@ def forecast_backtest(
         .otherwise(F.lit("seasonal_naive"))
         .alias("winner"),
     )
+
+
+def cusum_changepoints(
+    spark: SparkSession,
+    sf_dir: str,
+    kappa: float = 0.5,
+    h: float = 3.0,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detection (Page 1954) per
+    event_type over the (ts, event_id)-ordered value series:
+
+        S⁺_t = max(0, S⁺_{t-1} + z_t − κ)
+        S⁻_t = max(0, S⁻_{t-1} − z_t − κ)     alarm when either > h,
+                                               then both reset to 0
+
+    with z_t the per-type z-score from exact decimal moments (the
+    zscore_outliers policy, so μ/σ are bit-identical on any
+    partitioning or engine).  The whole detector is an ordered fold
+    with a (S⁺, S⁻, n_alarms, first_alarm, idx) accumulator — the
+    Holt/EWMA pattern three dimensions up — so alarm counts AND the
+    first alarm position value-hash cross-engine.
+
+    Scale note: ONE aggregate computes the sorted series and the
+    moments together (no second pass, no join); one task materializes
+    one key's series — the honest spelling for an unpartitionable
+    recurrence (the max(0,·) clamp breaks the affine composition that
+    lets EWMA distribute; see ewma_segmented).
+
+    Reference: none — SURVEY.md §2.8 temporal extension (drift/quality
+    monitoring for data pipelines).
+    """
+    from heatmap_spark.sources.tables import load_table
+
+    return cusum_df(load_table(spark, sf_dir, "events"), kappa, h)
+
+
+def cusum_df(ev: DataFrame, kappa: float = 0.5, h: float = 3.0) -> DataFrame:
+    """DataFrame-core of :func:`cusum_changepoints` over any
+    (event_type, ts, event_id, value) relation (planted-shift tests
+    run it on synthetic series)."""
+    from heatmap_spark.functions.exact import dec
+
+    series = ev.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"].cast("double"),
+        ).alias("vals"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("s1"),
+        F.sum(dec("value") * dec("value")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    zs = F.transform(F.col("vals"), lambda v: (v - mean) / std)
+
+    kap, lim = F.lit(float(kappa)), F.lit(float(h))
+
+    def step(acc, z):
+        idx2 = acc["idx"] + F.lit(1)
+        sp1 = F.greatest(F.lit(0.0), acc["sp"] + z - kap)
+        sn1 = F.greatest(F.lit(0.0), acc["sn"] - z - kap)
+        alarm = (sp1 > lim) | (sn1 > lim)
+        return F.struct(
+            F.when(alarm, F.lit(0.0)).otherwise(sp1).alias("sp"),
+            F.when(alarm, F.lit(0.0)).otherwise(sn1).alias("sn"),
+            (acc["cnt"] + F.when(alarm, F.lit(1)).otherwise(F.lit(0))).alias("cnt"),
+            F.when(alarm & (acc["first"] < F.lit(0)), idx2)
+            .otherwise(acc["first"])
+            .alias("first"),
+            idx2.alias("idx"),
+        )
+
+    st = F.aggregate(
+        zs,
+        F.struct(
+            F.lit(0.0).alias("sp"),
+            F.lit(0.0).alias("sn"),
+            F.lit(0).cast("long").alias("cnt"),
+            F.lit(-1).cast("long").alias("first"),
+            F.lit(0).cast("long").alias("idx"),
+        ),
+        step,
+    )
+    return series.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(std, 6).alias("std"),
+        st["cnt"].cast("int").alias("n_alarms"),
+        st["first"].cast("int").alias("first_alarm"),
+        F.round(st["sp"], 6).alias("final_s_pos"),
+        F.round(st["sn"], 6).alias("final_s_neg"),
+    )

@@ -4506,6 +4506,50 @@ SELECT token, CAST(true_cnt AS BIGINT) AS true_cnt,
   CAST(cms_est - true_cnt AS BIGINT) AS overestimate
 FROM est""",
     ),
+    # Two-sided CUSUM changepoint detector as an ordered 5-component
+    # fold (the Holt pattern up a dimension): alarm counts and first
+    # alarm position value-hash cross-engine; z-scores come from the
+    # exact decimal moments (zscore policy).
+    "q_cusum_changepoints": QuerySpec(
+        timeseries.cusum_changepoints,
+        """WITH series AS (
+  SELECT event_type,
+    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals,
+    count(*) AS n,
+    CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type),
+m AS (
+  SELECT event_type, vals, n, s1 / n AS mean,
+    sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
+  FROM series),
+folded AS (
+  SELECT event_type, n, mean, std,
+    list_reduce(
+      [[0.0, 0.0, 0.0, -1.0, 0.0]] ||
+      list_transform(vals, x -> [(x - mean) / std, 0.0, 0.0, 0.0, 0.0]),
+      (s, x) -> [
+        CASE WHEN greatest(0.0, s[1] + x[1] - 0.5) > 3.0
+               OR greatest(0.0, s[2] - x[1] - 0.5) > 3.0
+             THEN 0.0 ELSE greatest(0.0, s[1] + x[1] - 0.5) END,
+        CASE WHEN greatest(0.0, s[1] + x[1] - 0.5) > 3.0
+               OR greatest(0.0, s[2] - x[1] - 0.5) > 3.0
+             THEN 0.0 ELSE greatest(0.0, s[2] - x[1] - 0.5) END,
+        s[3] + CASE WHEN greatest(0.0, s[1] + x[1] - 0.5) > 3.0
+                      OR greatest(0.0, s[2] - x[1] - 0.5) > 3.0
+                    THEN 1.0 ELSE 0.0 END,
+        CASE WHEN (greatest(0.0, s[1] + x[1] - 0.5) > 3.0
+                    OR greatest(0.0, s[2] - x[1] - 0.5) > 3.0)
+                  AND s[4] < 0.0
+             THEN s[5] + 1.0 ELSE s[4] END,
+        s[5] + 1.0]) AS st
+  FROM m)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  round(mean, 6) AS mean, round(std, 6) AS std,
+  CAST(st[3] AS INTEGER) AS n_alarms, CAST(st[4] AS INTEGER) AS first_alarm,
+  round(st[1], 6) AS final_s_pos, round(st[2], 6) AS final_s_neg
+FROM folded""",
+    ),
 }
 
 

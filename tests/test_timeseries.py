@@ -245,3 +245,43 @@ def test_forecast_backtest_holt_wins_on_linear_trend(spark):
         r = ts.forecast_backtest(spark, "ignored").collect()[0]
     assert r["winner"] == "holt"
     assert r["mase_holt"] < 1.0  # beats in-sample naive drift too
+
+
+def test_cusum_detects_planted_level_shift(spark):
+    """A flat series with a +8-unit level shift over its last 10
+    points must alarm shortly after the shift and never before (the
+    shift is kept short so it doesn't drag the global mean far from
+    the base regime); a pure flat series never alarms."""
+    import datetime
+
+    from heatmap_spark.operators.timeseries import cusum_df
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(100):
+        # mild alternation so std > 0; shift of +8 units at i >= 90
+        v = 10.0 + (0.5 if i % 2 else -0.5) + (8.0 if i >= 90 else 0.0)
+        rows.append(("shifted", base + datetime.timedelta(minutes=i), i, v))
+        rows.append(
+            ("flat", base + datetime.timedelta(minutes=i), i,
+             10.0 + (0.5 if i % 2 else -0.5))
+        )
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, event_id long, value double")
+    out = {r["event_type"]: r for r in cusum_df(ev).collect()}
+    assert out["flat"]["n_alarms"] == 0
+    assert out["flat"]["first_alarm"] == -1
+    assert out["shifted"]["n_alarms"] >= 1
+    assert 91 <= out["shifted"]["first_alarm"] <= 99
+
+
+def test_cusum_changepoints_fixture_invariants(spark, sf_smoke):
+    """Fold-state invariants on the fixture: final S's in [0, h],
+    first_alarm null-object is -1 iff n_alarms == 0."""
+    from heatmap_spark.operators.timeseries import cusum_changepoints
+
+    for r in cusum_changepoints(spark, sf_smoke).collect():
+        assert 0.0 <= r["final_s_pos"] <= 3.0
+        assert 0.0 <= r["final_s_neg"] <= 3.0
+        assert (r["n_alarms"] == 0) == (r["first_alarm"] == -1)
+        if r["n_alarms"] > 0:
+            assert 1 <= r["first_alarm"] <= r["n"]
