@@ -1116,3 +1116,77 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rn == 1).alias("is_representative"),
         F.when(rn == 1, F.lit("keep")).otherwise(F.lit("drop")).alias("action"),
     )
+
+
+def canonicalize_url(url: F.Column) -> F.Column:
+    """Crawl-style URL canonicalization, entirely JVM-side regex/string
+    ops (map-only, fuses into the scan): strip scheme, lowercase the
+    host, drop a leading www., drop default ports (:443/:80), drop the
+    fragment, strip tracking query params (utm_*, ref) and any
+    separator debris they leave, drop a trailing slash.  Patterns
+    avoid lookarounds so the SAME regexes run under Java regex (Spark)
+    and RE2 (DuckDB oracle)."""
+    u = F.regexp_replace(url, r"^https?://", "")
+    host = F.regexp_replace(u, r"/.*$", "")
+    rest = F.regexp_replace(u, r"^[^/]+", "")
+    host = F.regexp_replace(F.lower(host), r"^www\.", "")
+    host = F.regexp_replace(host, r":(443|80)$", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    rest = F.regexp_replace(rest, r"(utm_[a-z]+|ref)=[^&#]*&?", "")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.concat(host, rest)
+
+
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup: canonicalize each document's URL and
+    group identical canonical forms — the cheapest dedup rung, run
+    before any content hashing in a crawl pipeline (same page fetched
+    as http/https, with/without www, with tracking params, with a
+    fragment).
+
+    The fixture documents carry no URL, so a deterministic messy URL
+    is synthesized per doc (4 variant styles by doc_id % 4 over a
+    host/path grid with deliberate collisions); the OPERATOR under
+    test is :func:`canonicalize_url`, which sees only the URL string.
+
+    Output per doc: the canonical URL, the group's representative
+    (min doc_id), group size, and whether this doc is kept.  One
+    shuffle on the canonical key; at 100 TB this is the same
+    hash-partitioned group-by as exact dedup (dedup_exact), with the
+    canonicalizer fused into the scan.
+
+    Reference: none — SURVEY.md §2.8 dedup-family extension.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 4
+    host = F.concat(F.col("source"), F.lit(".Example.COM"))
+    path = F.concat(F.lit("/a/"), (F.col("doc_id") % 200).cast("string"))
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, path))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("https://www."), F.upper(host), F.lit(":443"), path, F.lit("/")
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(F.lit("http://"), host, path, F.lit("?utm_source=feed&ref=tw")),
+        )
+        .otherwise(F.concat(F.lit("https://"), host, path, F.lit("#section-2")))
+    )
+    with_url = docs.select("doc_id", url.alias("url")).select(
+        "doc_id", "url", canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("canonical_url")
+    return with_url.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        F.min("doc_id").over(w).cast("bigint").alias("rep_doc_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_group"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_kept"),
+    )

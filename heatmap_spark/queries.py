@@ -4550,6 +4550,44 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
   round(st[1], 6) AS final_s_pos, round(st[2], 6) AS final_s_neg
 FROM folded""",
     ),
+    # URL canonicalization dedup: same regex chain under Java regex
+    # (Spark) and RE2 (DuckDB) — no lookarounds; grouping on the
+    # canonical key mirrors dedup_exact.
+    "q_url_dedup": QuerySpec(
+        dedup.url_dedup,
+        """WITH raw AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://' || source || '.Example.COM/a/' || CAST(doc_id % 200 AS VARCHAR)
+      WHEN 1 THEN 'https://www.' || upper(source || '.Example.COM') || ':443/a/'
+                  || CAST(doc_id % 200 AS VARCHAR) || '/'
+      WHEN 2 THEN 'http://' || source || '.Example.COM/a/'
+                  || CAST(doc_id % 200 AS VARCHAR) || '?utm_source=feed&ref=tw'
+      ELSE 'https://' || source || '.Example.COM/a/'
+           || CAST(doc_id % 200 AS VARCHAR) || '#section-2'
+    END AS url
+  FROM documents),
+canon0 AS (
+  SELECT doc_id, url, regexp_replace(url, '^https?://', '') AS u FROM raw),
+canon1 AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(
+      lower(regexp_replace(u, '/.*$', '')), '^www\\.', ''),
+      ':(443|80)$', '') AS host,
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(u, '^[^/]+', ''), '#.*$', ''),
+      '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'), '[?&]+$', '') AS rest
+  FROM canon0),
+canon AS (
+  SELECT doc_id, url,
+    host || regexp_replace(rest, '/$', '') AS canonical_url
+  FROM canon1)
+SELECT doc_id, url, canonical_url,
+  CAST(min(doc_id) OVER (PARTITION BY canonical_url) AS BIGINT) AS rep_doc_id,
+  CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_group,
+  (doc_id = min(doc_id) OVER (PARTITION BY canonical_url)) AS is_kept
+FROM canon""",
+    ),
 }
 
 

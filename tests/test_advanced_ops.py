@@ -208,3 +208,38 @@ def test_cms_one_sided_error_and_mergeability(spark, sf_smoke):
     assert len(rows) == 20
     assert all(r["overestimate"] >= 0 for r in rows)
     assert all(r["cms_est"] == r["true_cnt"] + r["overestimate"] for r in rows)
+
+
+def test_url_canonicalization_collapses_variants(spark, sf_smoke):
+    """All four messy variants of the same (host, path) collapse to one
+    canonical form: canonical URLs have no scheme, no www., no default
+    port, no fragment, no tracking params, no trailing slash; groups
+    keep exactly one representative."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.dedup import canonicalize_url, url_dedup
+
+    messy = [
+        "https://a.Example.COM/a/7",
+        "https://www.A.EXAMPLE.COM:443/a/7/",
+        "http://a.example.com/a/7?utm_source=feed&ref=tw",
+        "https://a.example.com/a/7#section-2",
+    ]
+    df = spark.createDataFrame([(u,) for u in messy], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert set(got) == {"a.example.com/a/7"}
+
+    # a kept (non-tracking) param must survive while utm_/ref go
+    df2 = spark.createDataFrame(
+        [("https://b.example.com/p?utm_campaign=x&id=5&ref=tw",)], "url string"
+    )
+    assert df2.select(canonicalize_url(F.col("url"))).first()[0] == (
+        "b.example.com/p?id=5"
+    )
+
+    out = url_dedup(spark, sf_smoke).localCheckpoint(eager=True)
+    assert out.where(~F.col("canonical_url").rlike("^[a-z0-9.]+/")).count() == 0
+    per_group = out.groupBy("canonical_url").agg(
+        F.sum(F.col("is_kept").cast("int")).alias("kept")
+    )
+    assert per_group.where(F.col("kept") != 1).count() == 0
