@@ -240,6 +240,25 @@ def q_rowstore_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_rowstore(spark, store)
 
 
+def q_inverted_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the term-bucketed inverted index into scratch, then run
+    the point SERVING read for the fixed 3-term query — the scan opens
+    only the query terms' bucket directories (≤3 of 64; asserted in
+    tests/test_plans.py).  The oracle computes the same tf-idf top-20
+    straight from documents, so the hash certifies the store build +
+    routed read end-to-end."""
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.text_index import (
+        build_inverted_index,
+        search_index,
+    )
+
+    store = _scratch_dir("textindex_q_") + "/index"
+    docs = load_table(spark, sf_dir, "documents")
+    build_inverted_index(docs, store)
+    return search_index(spark, store, ["spark", "join", "table"], k=20)
+
+
 def q_heatmap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ing = pyr.ingest_locations(load_locations(spark, sf_dir))
     return ing.select(
@@ -4587,6 +4606,35 @@ SELECT doc_id, url, canonical_url,
   CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_group,
   (doc_id = min(doc_id) OVER (PARTITION BY canonical_url)) AS is_kept
 FROM canon""",
+    ),
+    # Inverted-index serving store: bucket-routed point read; oracle
+    # recomputes the tf-idf scores straight from documents.
+    "q_inverted_index_serving": QuerySpec(
+        q_inverted_index_serving,
+        """WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms
+  WHERE term IN ('spark', 'join', 'table') GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+contrib AS (
+  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / df) AS c
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+per AS (
+  SELECT doc_id,
+    sum(CASE WHEN term = 'spark' THEN c END) AS s1,
+    sum(CASE WHEN term = 'join' THEN c END) AS s2,
+    sum(CASE WHEN term = 'table' THEN c END) AS s3
+  FROM contrib GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 6) AS tfidf,
+  CAST((s1 IS NOT NULL)::INTEGER + (s2 IS NOT NULL)::INTEGER
+       + (s3 IS NOT NULL)::INTEGER AS INTEGER) AS n_terms
+FROM per ORDER BY tfidf DESC, doc_id LIMIT 20""",
     ),
 }
 
