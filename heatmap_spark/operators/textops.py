@@ -1042,3 +1042,65 @@ def curriculum_buckets(
             F.ntile(n_buckets).over(w).cast("int").alias("difficulty_decile"),
         )
     )
+
+
+def quality_classifier(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Linear text-classifier INFERENCE, fastText-style (Joulin et al.
+    2016): hash unigram+bigram features into ``n_buckets``, look up an
+    integer weight per bucket, sum — label = sign(score).  The weight
+    "model" is derived deterministically from the bucket id
+    (md5-keyed integers in [-1000, 1000]) so the whole forward pass is
+    EXACT bigint arithmetic and value-hashes cross-engine; swapping in
+    trained weights changes one expression, not the plan.
+
+    Scale shape: the hot path is map-only (tokenize → hash → weight,
+    all JVM expressions fused into the scan) followed by ONE doc_id
+    re-aggregation with map-side combine.  No weight table is shipped
+    anywhere — the "embedding lookup" is closed-form in the plan,
+    which is exactly what you want for a 4096-bucket hashed model; a
+    trained table would be a broadcast join against 4096 rows.
+
+    Output per doc: feature count, integer score, mean weight, label.
+
+    Reference: none — SURVEY.md §2.8 quality-filter family (the
+    model-based rung above the Gopher rule filters).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _all_tokens()
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    feats = docs.select(
+        "doc_id", F.explode(F.concat(toks, bigrams)).alias("feat")
+    )
+    h = F.conv(F.substring(F.md5(F.col("feat")), 1, 12), 16, 10).cast("bigint")
+    bucket = h % n_buckets
+    w = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w"), bucket.cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        % 2001
+        - 1000
+    )
+    scored = feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        F.sum(w).cast("bigint").alias("score"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "score",
+        F.round(F.col("score").cast("double") / F.col("n_feats"), 6).alias("mean_w"),
+        (F.col("score") > 0).alias("label"),
+    )

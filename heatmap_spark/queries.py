@@ -4636,6 +4636,33 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        + (s3 IS NOT NULL)::INTEGER AS INTEGER) AS n_terms
 FROM per ORDER BY tfidf DESC, doc_id LIMIT 20""",
     ),
+    # Hashed linear classifier inference: md5-keyed integer weights,
+    # exact bigint forward pass (fastText-style unigram+bigram bag).
+    "q_quality_classifier": QuerySpec(
+        textops.quality_classifier,
+        """WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+    unnest(tk || list_filter(
+      list_transform(list_zip(tk, tk[2:]),
+        p -> p[1] || '_' || p[2]),
+      x -> x IS NOT NULL)) AS feat
+  FROM toks),
+wsum AS (
+  SELECT doc_id, count(*) AS n_feats,
+    sum(CAST(('0x' || substr(md5('w' || CAST(
+          CAST(('0x' || substr(md5(feat), 1, 12)) AS BIGINT) % 4096
+        AS VARCHAR)), 1, 12)) AS BIGINT) % 2001 - 1000) AS score
+  FROM feats GROUP BY doc_id)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+  CAST(score AS BIGINT) AS score,
+  round(CAST(score AS DOUBLE) / n_feats, 6) AS mean_w,
+  (score > 0) AS label
+FROM wsum""",
+    ),
 }
 
 

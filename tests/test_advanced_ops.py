@@ -243,3 +243,36 @@ def test_url_canonicalization_collapses_variants(spark, sf_smoke):
         F.sum(F.col("is_kept").cast("int")).alias("kept")
     )
     assert per_group.where(F.col("kept") != 1).count() == 0
+
+
+def test_quality_classifier_forward_pass(spark, sf_smoke):
+    """Feature count = unigrams + bigrams = 2·n_tokens − 1 per doc
+    (for docs with ≥1 token); score is the exact sum of md5-keyed
+    weights (re-derived in pure Python for one doc); labels split."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.textops import quality_classifier
+    from heatmap_spark.sources.tables import load_table
+
+    out = quality_classifier(spark, sf_smoke).localCheckpoint(eager=True)
+    docs = load_table(spark, sf_smoke, "documents")
+    import re
+
+    row = docs.orderBy("doc_id").first()
+    toks = [t for t in re.split(r"[^a-z0-9]+", row["text"].lower()) if t]
+    feats = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+
+    def w(feat):
+        b = int(hashlib.md5(feat.encode()).hexdigest()[:12], 16) % 4096
+        return int(hashlib.md5(f"w{b}".encode()).hexdigest()[:12], 16) % 2001 - 1000
+
+    expect = sum(w(f) for f in feats)
+    got = out.where(F.col("doc_id") == row["doc_id"]).first()
+    assert got["n_feats"] == len(feats) == 2 * len(toks) - 1
+    assert got["score"] == expect
+    assert got["label"] == (expect > 0)
+    # pseudo-random weights → both classes appear
+    labels = {r["label"] for r in out.select("label").distinct().collect()}
+    assert labels == {True, False}
