@@ -1104,3 +1104,74 @@ def quality_classifier(
         F.round(F.col("score").cast("double") / F.col("n_feats"), 6).alias("mean_w"),
         (F.col("score") > 0).alias("label"),
     )
+
+
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interpolated bigram language-model score — the LM
+    rung above :func:`unigram_logprob`:
+
+        p(w2 | w1) = 0.8 · c(w1 w2)/c(w1 ·) + 0.2 · tf(w2)/N
+
+    avg_log2_prob = mean over bigram positions of log2 p, and
+    ppl = 2^(−avg) (perplexity).  Repetitive/boilerplate text scores
+    near 0 bits; cross-domain or shuffled text scores low — a sharper
+    cheap quality filter than the unigram version because it sees word
+    ORDER.
+
+    Determinism: all counts are exact integers; each position's log2
+    is rounded to 6 decimals and summed as DECIMAL (the unigram
+    policy), so the per-doc averages are bit-identical on any
+    partitioning and in the oracle.
+
+    Scale shape: one bigram explode; the model tables (bigram counts,
+    context counts, vocab) are map-side-combinable aggregates of that
+    same stream, then token-keyed equi-joins back onto it — the vocab
+    side is orders of magnitude smaller than the occurrence stream, so
+    AQE broadcasts where it fits.  No Python anywhere.
+
+    Reference: none — SURVEY.md §2.8 quality-filter family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _all_tokens()
+    bg_arr = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    occ = docs.select("doc_id", F.explode(bg_arr).alias("bg")).select(
+        "doc_id",
+        "bg",
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+    )
+    cb = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    cw = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    tok = docs.select(F.explode(toks).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    p = F.lit(0.8) * (F.col("cb") / F.col("cw")) + F.lit(0.2) * (
+        F.col("tf") / F.col("n_total")
+    )
+    lp = F.round(F.log2(p), 6).cast("decimal(18,6)")
+    return (
+        occ.join(cb, "bg")
+        .join(cw, "w1")
+        .join(vocab, occ["w2"] == vocab["token"])
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (F.sum(lp).cast("double") / F.count(F.lit(1))).alias("avg_log2_prob"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("avg_log2_prob", 6).alias("avg_log2_prob"),
+            F.round(F.pow(F.lit(2.0), -F.round(F.col("avg_log2_prob"), 6)), 6).alias(
+                "ppl"
+            ),
+        )
+    )

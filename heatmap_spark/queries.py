@@ -4663,6 +4663,44 @@ SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
   (score > 0) AS label
 FROM wsum""",
     ),
+    # Interpolated bigram LM: exact integer counts, per-position log2
+    # rounded then decimal-summed (the unigram policy) — word-order-
+    # aware perplexity as a quality signal.
+    "q_bigram_lm": QuerySpec(
+        textops.bigram_lm,
+        """WITH toksd AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents),
+occ0 AS (
+  SELECT doc_id,
+    unnest(list_filter(list_transform(list_zip(tk, tk[2:]),
+      p -> p[1] || ' ' || p[2]), x -> x IS NOT NULL)) AS bg
+  FROM toksd),
+occ AS (
+  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+    split_part(bg, ' ', 2) AS w2
+  FROM occ0),
+cb AS (SELECT bg, count(*) AS cb FROM occ GROUP BY 1),
+cw AS (SELECT w1, count(*) AS cw FROM occ GROUP BY 1),
+tok AS (SELECT unnest(tk) AS token FROM toksd),
+vocab AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
+total AS (SELECT count(*) AS n_total FROM tok),
+lps AS (
+  SELECT doc_id,
+    CAST(round(log2(0.8 * (cb.cb / cw.cw) + 0.2 * (tf / n_total)), 6)
+         AS DECIMAL(18,6)) AS lp
+  FROM occ JOIN cb USING (bg) JOIN cw USING (w1)
+  JOIN vocab ON vocab.token = occ.w2 CROSS JOIN total),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+    CAST(sum(lp) AS DOUBLE) / count(*) AS avg
+  FROM lps GROUP BY doc_id)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+  round(avg, 6) AS avg_log2_prob,
+  round(pow(CAST(2.0 AS DOUBLE), -round(avg, 6)), 6) AS ppl
+FROM agg""",
+    ),
 }
 
 

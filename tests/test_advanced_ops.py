@@ -276,3 +276,21 @@ def test_quality_classifier_forward_pass(spark, sf_smoke):
     # pseudo-random weights → both classes appear
     labels = {r["label"] for r in out.select("label").distinct().collect()}
     assert labels == {True, False}
+
+
+def test_bigram_lm_score_invariants(spark, sf_smoke):
+    """avg_log2_prob <= 0 and ppl = 2^-avg >= 1 everywhere; docs with
+    fewer than two tokens emit no row."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.textops import bigram_lm
+
+    out = bigram_lm(spark, sf_smoke).localCheckpoint(eager=True)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["avg_log2_prob"] <= 0.0
+        assert abs(r["ppl"] - round(2.0 ** (-r["avg_log2_prob"]), 6)) < 1e-6
+        assert r["ppl"] >= 1.0
+    # docs with < 2 tokens are absent by construction
+    assert out.where(F.col("n_bigrams") < 1).count() == 0
