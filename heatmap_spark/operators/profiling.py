@@ -575,6 +575,27 @@ def weighted_sample(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+def cms_cells(tok: DataFrame, depth: int = 4, width: int = 256) -> DataFrame:
+    """Build the CMS counter grid from a (token) occurrence stream:
+    (j, col, cnt) rows, ≤ depth·width of them regardless of input
+    size.  h_j = (h1 + j·h2) mod width off one md5 per occurrence
+    (Kirsch-Mitzenmacher).  The grid is MERGEABLE: cellwise sum of two
+    grids ≡ the grid of the concatenated streams — the property the
+    streaming store and any map-side partial aggregation rely on."""
+    h = F.md5(F.col("token"))
+    hashed = tok.select(
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(h, 13, 12), 16, 10).cast("bigint").alias("h2"),
+    )
+    rows_j = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
+    return (
+        hashed.select("h1", "h2", rows_j)
+        .select("j", ((F.col("h1") + F.col("j") * F.col("h2")) % width).alias("col"))
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
 def cms_heavy_hitters(
     spark: SparkSession,
     sf_dir: str,
@@ -604,19 +625,8 @@ def cms_heavy_hitters(
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(_all_tokens()).alias("token"))
-    h = F.md5(F.col("token"))
-    hashed = tok.select(
-        "token",
-        F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring(h, 13, 12), 16, 10).cast("bigint").alias("h2"),
-    )
     rows_j = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
-    cells = (
-        hashed.select("h1", "h2", rows_j)
-        .select("j", ((F.col("h1") + F.col("j") * F.col("h2")) % width).alias("col"))
-        .groupBy("j", "col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cells = cms_cells(tok, depth, width)
     true_cnt = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("true_cnt"))

@@ -588,6 +588,41 @@ def q_streaming_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_vocab_drift(spark, store)
 
 
+def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental count-min sketch maintenance: the documents table
+    arrives as 3 deterministic batches (doc_id thirds); each batch
+    writes its fixed-size cell-grid partial into the log-structured
+    sketch store, with an LSM compaction after batch 1 so the final
+    read spans (compacted base + 1 partial).  Estimates off the
+    accumulated grid equal the one-shot sketch of the whole corpus by
+    the mergeability identity, so this SHARES q_cms_heavy_hitters'
+    oracle — the value hash certifies incremental maintenance."""
+    from heatmap_spark.operators.textops import _all_tokens
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.cms import (
+        compact_cms_store,
+        estimate_heavy_hitters,
+        merge_batch_into_cms_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).first()[0] + 1
+    store = _scratch_dir("cms_store_q_") + "/store"
+    for b in range(3):
+        batch = docs.where(F.expr(f"CAST(doc_id * 3 DIV {mx} AS INT)") == b)
+        merge_batch_into_cms_store(spark, batch, store, b)
+        if b == 1:
+            compact_cms_store(spark, store)
+    tok = docs.select(F.explode(_all_tokens()).alias("token"))
+    candidates = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+        .limit(20)
+    )
+    return estimate_heavy_hitters(spark, store, candidates)
+
+
 def q_streaming_bpe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-health monitoring: the documents table arrives as 3
     deterministic batches (doc_id thirds); each batch is encoded
@@ -1348,6 +1383,38 @@ SELECT user_group || '|' || timespan || '|' ||
            '"' || CAST(zoom AS VARCHAR) || '_' || CAST(row AS VARCHAR) || '_' || CAST(col AS VARCHAR) || '":' || CAST(visits AS VARCHAR),
            ',' ORDER BY row, col) || '}}' AS heatmap
 FROM leveled GROUP BY 1"""
+
+_CMS_ORACLE = """WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents),
+tok AS (SELECT unnest(tk) AS token FROM toks),
+h AS (
+  SELECT token,
+    CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) AS h1,
+    CAST(('0x' || substr(md5(token), 13, 12)) AS BIGINT) AS h2
+  FROM tok),
+cells AS (
+  SELECT j, (h1 + j * h2) % 256 AS col, count(*) AS cnt
+  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+  GROUP BY 1, 2),
+true_cnt AS (
+  SELECT token, count(*) AS true_cnt FROM tok GROUP BY 1
+  ORDER BY true_cnt DESC, token LIMIT 20),
+cand AS (
+  SELECT token, true_cnt,
+    CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) AS h1,
+    CAST(('0x' || substr(md5(token), 13, 12)) AS BIGINT) AS h2
+  FROM true_cnt),
+est AS (
+  SELECT token, true_cnt, min(c.cnt) AS cms_est
+  FROM cand CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) jj
+  JOIN cells c ON c.j = jj.j AND c.col = (h1 + jj.j * h2) % 256
+  GROUP BY 1, 2)
+SELECT token, CAST(true_cnt AS BIGINT) AS true_cnt,
+  CAST(cms_est AS BIGINT) AS cms_est,
+  CAST(cms_est - true_cnt AS BIGINT) AS overestimate
+FROM est"""
+
 
 REGISTRY: dict[str, QuerySpec] = {
     # ---- heatmap family (the reference's own capability surface) ----
@@ -4494,36 +4561,14 @@ FROM sq8 s LEFT JOIN exact e
     # double-hashing idiom as the MinHash oracle.
     "q_cms_heavy_hitters": QuerySpec(
         profiling.cms_heavy_hitters,
-        """WITH toks AS (
-  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
-  FROM documents),
-tok AS (SELECT unnest(tk) AS token FROM toks),
-h AS (
-  SELECT token,
-    CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) AS h1,
-    CAST(('0x' || substr(md5(token), 13, 12)) AS BIGINT) AS h2
-  FROM tok),
-cells AS (
-  SELECT j, (h1 + j * h2) % 256 AS col, count(*) AS cnt
-  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
-  GROUP BY 1, 2),
-true_cnt AS (
-  SELECT token, count(*) AS true_cnt FROM tok GROUP BY 1
-  ORDER BY true_cnt DESC, token LIMIT 20),
-cand AS (
-  SELECT token, true_cnt,
-    CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) AS h1,
-    CAST(('0x' || substr(md5(token), 13, 12)) AS BIGINT) AS h2
-  FROM true_cnt),
-est AS (
-  SELECT token, true_cnt, min(c.cnt) AS cms_est
-  FROM cand CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) jj
-  JOIN cells c ON c.j = jj.j AND c.col = (h1 + jj.j * h2) % 256
-  GROUP BY 1, 2)
-SELECT token, CAST(true_cnt AS BIGINT) AS true_cnt,
-  CAST(cms_est AS BIGINT) AS cms_est,
-  CAST(cms_est - true_cnt AS BIGINT) AS overestimate
-FROM est""",
+        _CMS_ORACLE,
+    ),
+    # Streaming CMS store: 3 ingested batches + mid-stream compaction;
+    # mergeability makes the accumulated grid ≡ the one-shot sketch,
+    # so the ORACLE IS SHARED with q_cms_heavy_hitters.
+    "q_streaming_cms": QuerySpec(
+        q_streaming_cms,
+        _CMS_ORACLE,
     ),
     # Two-sided CUSUM changepoint detector as an ordered 5-component
     # fold (the Holt pattern up a dimension): alarm counts and first

@@ -1,0 +1,44 @@
+"""Streaming CMS store: mergeability, replay guard, compaction."""
+
+from pyspark.sql import functions as F
+
+from heatmap_spark.operators.profiling import cms_cells
+from heatmap_spark.operators.textops import _all_tokens
+from heatmap_spark.sources.tables import load_table
+from heatmap_spark.streaming.cms import (
+    accumulated_sketch,
+    compact_cms_store,
+    merge_batch_into_cms_store,
+)
+
+
+def _grid(df):
+    return {(r["j"], r["col"]): r["cnt"] for r in df.collect()}
+
+
+def test_cms_store_merge_replay_compact(spark, sf_smoke, tmp_path):
+    store = str(tmp_path / "cms")
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).first()[0] + 1
+    for b in range(3):
+        batch = docs.where(F.expr(f"CAST(doc_id * 3 DIV {mx} AS INT)") == b)
+        assert merge_batch_into_cms_store(spark, batch, store, b)
+
+    # mergeability: accumulated grid == one-shot grid of the full corpus
+    tok = docs.select(F.explode(_all_tokens()).alias("token"))
+    oneshot = _grid(cms_cells(tok))
+    assert _grid(accumulated_sketch(spark, store)) == oneshot
+
+    # replay of a committed batch is a no-op
+    assert not merge_batch_into_cms_store(
+        spark, docs.limit(5), store, 2
+    )
+    assert _grid(accumulated_sketch(spark, store)) == oneshot
+
+    # compaction folds partials, removes them, and preserves the grid
+    removed = compact_cms_store(spark, store)
+    assert removed == 3
+    assert _grid(accumulated_sketch(spark, store)) == oneshot
+    # second compaction with nothing new to fold is a no-op
+    assert compact_cms_store(spark, store) == 0
+    assert _grid(accumulated_sketch(spark, store)) == oneshot
