@@ -778,6 +778,22 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t12.select("row", "col", tl.z_value("row", "col", 12).alias("zkey"))
 
 
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert keys for the distinct zoom-12 tile set — the
+    locality-preserving layout twin of q_zorder_key (see
+    functions/tiles.hilbert_value)."""
+    loc = load_locations(spark, sf_dir)
+    t12 = (
+        loc.where(F.col("source") != "background")
+        .select(
+            tl.tile_row("latitude", 12).alias("row"),
+            tl.tile_col("longitude", 12).alias("col"),
+        )
+        .distinct()
+    )
+    return t12.select("row", "col", tl.hilbert_value("row", "col", 12).alias("hkey"))
+
+
 def q_heatmap_topk_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 densest tiles at zoom 12 ('all' group): pyramid + top-k."""
     df = pyr.build_pyramid(
@@ -1525,6 +1541,19 @@ t12 AS (
     CAST(floor((longitude + 180.0)/360.0 * 4096.0) AS BIGINT) AS col
   FROM locations WHERE source <> 'background')
 SELECT row, col, {tl.z_value_sql('row', 'col', 12)} AS zkey FROM t12""",
+    ),
+    # Hilbert key for the same tile set — the locality-preserving
+    # layout alternative to the Morton key; the fold replays
+    # bit-for-bit in DuckDB list_reduce.
+    "q_hilbert_key": QuerySpec(
+        q_hilbert_key,
+        f"""WITH {_LOC_CTE},
+t12 AS (
+  SELECT DISTINCT
+    CAST(floor((1 - ln(tan(latitude*pi()/180) + 1/cos(latitude*pi()/180))/pi())/2 * 4096.0) AS BIGINT) AS row,
+    CAST(floor((longitude + 180.0)/360.0 * 4096.0) AS BIGINT) AS col
+  FROM locations WHERE source <> 'background')
+SELECT row, col, {tl.hilbert_value_sql('row', 'col', 12)} AS hkey FROM t12""",
     ),
     # ---- relational surface ----
     "q_tpch_q1": QuerySpec(

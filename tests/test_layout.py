@@ -102,3 +102,50 @@ def test_compact_parquet_restores_clustering(spark, sf_correct, tmp_path):
     rr = cc = (3 * n // 8, 4 * n // 8)
     zed = row_group_skip_stats(d, row_range=rr, col_range=cc)
     assert zed["fraction"] < 0.6, zed
+
+
+def test_hilbert_key_matches_reference_and_is_continuous(spark):
+    """The fold-based Hilbert key equals the textbook xy2d on the full
+    8x8 grid, is bijective, and consecutive keys are ALWAYS adjacent
+    cells (Manhattan distance 1) — the locality property Morton order
+    lacks (its worst consecutive jump spans half the grid)."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.functions.tiles import hilbert_value, z_value
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rows = [(r, c) for r in range(8) for c in range(8)]
+    df = spark.createDataFrame(rows, "row long, col long")
+    out = df.select(
+        "row", "col",
+        hilbert_value("row", "col", 3).alias("h"),
+        z_value("row", "col", 3).alias("z"),
+    ).collect()
+    got = {(x["row"], x["col"]): x["h"] for x in out}
+    assert got == {(r, c): xy2d(8, c, r) for r, c in rows}
+    assert sorted(got.values()) == list(range(64))
+
+    cell_of = {h: rc for rc, h in got.items()}
+    hilbert_jumps = [
+        abs(cell_of[d][0] - cell_of[d + 1][0]) + abs(cell_of[d][1] - cell_of[d + 1][1])
+        for d in range(63)
+    ]
+    assert set(hilbert_jumps) == {1}
+    zcell = {x["z"]: (x["row"], x["col"]) for x in out}
+    morton_jumps = [
+        abs(zcell[d][0] - zcell[d + 1][0]) + abs(zcell[d][1] - zcell[d + 1][1])
+        for d in range(63)
+    ]
+    assert max(morton_jumps) > 1
