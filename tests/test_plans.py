@@ -495,3 +495,57 @@ def test_rowstore_point_read_plans_single_bucket(spark, sf_smoke, tmp_path):
 
     b = _bucket_of("u1", 32)
     assert all(f"/b{b}-" in fn for p in parts for fn in p.files)
+
+
+def test_round5b_landings_plan_shapes(spark, sf_smoke):
+    """Plan promises of the round-5 extension landings:
+    - quality_classifier / bigram_lm / cms / url_dedup / sq8: zero
+      Python eval anywhere (all-JVM expressions);
+    - quality_classifier: exactly one exchange (the doc_id re-agg) and
+      no joins — the weight 'model' is closed-form in the plan;
+    - knn_sq8 / hybrid_rrf: the corpus side never shuffles for
+      scoring — query codes arrive via broadcast, no SortMergeJoin on
+      the scoring path;
+    - cms_heavy_hitters: the candidate->cells lookup joins against a
+      broadcast grid;
+    - url_dedup: the canonicalizer fuses into the scan (single
+      exchange: the canonical-key window);
+    - cusum: one exchange (the per-type aggregate), fold inside JVM.
+    """
+    from heatmap_spark.operators.dedup import url_dedup
+    from heatmap_spark.operators.profiling import cms_heavy_hitters
+    from heatmap_spark.operators.similarity import hybrid_rrf, knn_sq8
+    from heatmap_spark.operators.textops import bigram_lm, quality_classifier
+    from heatmap_spark.operators.timeseries import cusum_changepoints
+
+    qc = quality_classifier(spark, sf_smoke)
+    p = plan_string(qc, "simple")
+    assert not has_python_eval(qc)
+    assert "Join" not in p, p
+    assert count_exchanges(qc) == 1, p
+
+    for df in (
+        bigram_lm(spark, sf_smoke),
+        cms_heavy_hitters(spark, sf_smoke),
+        url_dedup(spark, sf_smoke),
+        knn_sq8(spark, sf_smoke),
+        hybrid_rrf(spark, sf_smoke),
+        cusum_changepoints(spark, sf_smoke),
+    ):
+        assert not has_python_eval(df)
+
+    # the corpus-sized SCORING path must be a broadcast of the query
+    # side (never a shuffle of the corpus); the post-top-k audit/fusion
+    # joins run over k-bounded relations, so any SMJ there is fine
+    for df in (knn_sq8(spark, sf_smoke), hybrid_rrf(spark, sf_smoke)):
+        p = plan_string(df, "simple")
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+        assert "CartesianProduct" not in p, p
+
+    assert has_broadcast_join(cms_heavy_hitters(spark, sf_smoke))
+
+    ud = url_dedup(spark, sf_smoke)
+    assert count_exchanges(ud) == 1, plan_string(ud, "simple")
+
+    cu = cusum_changepoints(spark, sf_smoke)
+    assert count_exchanges(cu) == 1, plan_string(cu, "simple")
