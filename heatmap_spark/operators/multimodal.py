@@ -808,3 +808,69 @@ def media_decode_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(batches, schema=RGB_FEATURES_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, width int, height int, phash string, n_set int"
+
+
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprints over REAL decoded
+    PNGs — the standard near-duplicate-image primitive: decode the
+    compressed stream, block-average the raster onto an 8×8 grid,
+    threshold each cell against the global cell mean, emit the 64-bit
+    fingerprint (as a '0'/'1' string, row-major) — images differing by
+    resize/recompression keep small Hamming distance.
+
+    EXACT arithmetic end-to-end: pixel→cell assignment is
+    i = (8·r)//h, j = (8·c)//w (truncating division, identical in
+    numpy // and DuckDB //); cell means and the global threshold are
+    integer-truncated.  The DuckDB oracle reconstructs the raster
+    analytically from the text bytes (the media_decode contract, ASCII
+    fixture assumption), so the hash certifies decode + downsample +
+    threshold bit-for-bit.  Images smaller than 8×8 are skipped on
+    both sides.
+
+    Scale shape: Arrow-batched mapInPandas, map-only, no shuffle; the
+    Hamming-join over fingerprints (banding on hash prefixes, the
+    SimHash pattern) composes downstream.
+
+    Reference: none — SURVEY.md §2.8 multimodal extension.
+    """
+    media = png_media_table(spark, sf_dir)
+    dec = png_decode  # closure-captured, pickled by value
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, ws, hs, hashes, nset = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["png"]):
+                h, w, px = dec(bytes(payload))
+                if h < 8 or w < 8:
+                    continue
+                px = np.asarray(px, dtype=np.int64).reshape(h, w)
+                ri = (8 * np.arange(h)) // h
+                ci = (8 * np.arange(w)) // w
+                sums = np.zeros((8, 8), dtype=np.int64)
+                cnts = np.zeros((8, 8), dtype=np.int64)
+                np.add.at(sums, (np.repeat(ri, w), np.tile(ci, h)), px.ravel())
+                np.add.at(cnts, (np.repeat(ri, w), np.tile(ci, h)), 1)
+                means = sums // cnts
+                thr = means.sum() // 64
+                bits = (means > thr).ravel()
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                hashes.append("".join("1" if b else "0" for b in bits))
+                nset.append(int(bits.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "phash": pd.Series(hashes, dtype="object"),
+                    "n_set": pd.Series(nset, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PHASH_SCHEMA)

