@@ -186,6 +186,29 @@ def q_rowstore_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_rowstore(spark, store).where(F.col("user_id") == "u1")
 
 
+def q_rowstore_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the row store's manifest log: commit slice A
+    (version 1), append slice B (version 2), then read `VERSION AS OF
+    1` — the snapshot must be EXACTLY slice A, which the oracle
+    derives independently.  The manifest records the adding version
+    per file, so the as-of read is a pure metadata filter (no data
+    rewrite, the Delta/Iceberg semantics native to this store)."""
+    from heatmap_spark.sources.rowstore import (
+        read_rowstore,
+        rowstore_history,
+        write_rowstore,
+    )
+
+    store = _scratch_dir("rowstore_q_") + "/locations"
+    loc = load_locations(spark, sf_dir)
+    half = F.substring(F.md5("user_id"), 1, 1) <= "7"
+    write_rowstore(loc.where(half), store, bucket_key="user_id", mode="overwrite")
+    write_rowstore(loc.where(~half), store, bucket_key="user_id", mode="append")
+    hist = rowstore_history(store)
+    assert [h["version"] for h in hist] == [1, 2], hist
+    return read_rowstore(spark, store, as_of_version=1)
+
+
 def q_rowstore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The store's commit log as a stream: two separate append commits
     (even/odd event split), then one availableNow drain through the
@@ -1443,6 +1466,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "q_rowstore_pruned_read": QuerySpec(
         q_rowstore_pruned_read,
         f"WITH {_LOC_CTE} SELECT * FROM locations WHERE user_id = 'u1'",
+    ),
+    "q_rowstore_time_travel": QuerySpec(
+        q_rowstore_time_travel,
+        f"""WITH {_LOC_CTE}
+SELECT * FROM locations WHERE substr(md5(user_id), 1, 1) <= '7'""",
     ),
     "q_rowstore_stream": QuerySpec(q_rowstore_stream, locations_sql("duckdb")),
     "q_rowstore_stream_sink": QuerySpec(

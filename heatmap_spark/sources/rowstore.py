@@ -147,6 +147,11 @@ def make_rowstore_datasource():
             self.open_cost = int(
                 opts.get("open_cost_bytes", str(4 * 1024 * 1024))
             )
+            # time travel: snapshot as of a manifest version — the
+            # manifest is an append-only log of (file, adding version)
+            # entries, so an as-of read just drops newer files.
+            asof = opts.get("as_of_version")
+            self.as_of = None if asof is None else int(asof)
 
         def pushFilters(self, filters):
             key = self.man["bucket_key"]
@@ -199,6 +204,7 @@ def make_rowstore_datasource():
                     for e in self.man["files"]
                     if e["bucket"] in self.keep_buckets
                     and self._file_survives(e)
+                    and (self.as_of is None or e.get("v", 0) <= self.as_of)
                 ),
                 key=lambda e: (e["bucket"], e["name"]),
             )
@@ -481,9 +487,42 @@ def write_rowstore(
     w.save()
 
 
-def read_rowstore(spark: SparkSession, path: str) -> DataFrame:
+def read_rowstore(
+    spark: SparkSession, path: str, as_of_version: int | None = None
+) -> DataFrame:
+    """Read the store — optionally a TIME-TRAVEL snapshot ``as of`` a
+    manifest version (the Delta/Iceberg `VERSION AS OF` semantics,
+    native to this store's append-only manifest log: an as-of read
+    simply drops files added by newer commits; bucket/stats pruning
+    still applies on top)."""
     register_rowstore(spark)
-    return spark.read.format(FORMAT_NAME).option("path", path).load()
+    r = spark.read.format(FORMAT_NAME).option("path", path)
+    if as_of_version is not None:
+        r = r.option("as_of_version", str(as_of_version))
+    return r.load()
+
+
+def rowstore_history(path: str) -> list[dict]:
+    """The store's commit history, driver-side from the manifest log:
+    one row per version — files/rows/bytes added and cumulative rows
+    (the `DESCRIBE HISTORY` analogue)."""
+    man = read_manifest(path)
+    if man is None:
+        return []
+    per: dict[int, dict] = {}
+    for e in man["files"]:
+        v = e.get("v", 0)
+        d = per.setdefault(
+            v, {"version": v, "n_files_added": 0, "n_rows_added": 0, "bytes_added": 0}
+        )
+        d["n_files_added"] += 1
+        d["n_rows_added"] += e.get("n_rows", 0)
+        d["bytes_added"] += e.get("bytes", 0) or 0
+    out, cum = [], 0
+    for v in sorted(per):
+        cum += per[v]["n_rows_added"]
+        out.append({**per[v], "cum_rows": cum})
+    return out
 
 
 def stream_rowstore(spark: SparkSession, path: str) -> DataFrame:

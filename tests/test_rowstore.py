@@ -299,3 +299,46 @@ def test_reader_in_and_range_pruning(spark, sf_smoke, tmp_path):
     # and correctness end-to-end (Spark re-applies the predicate)
     got = read_rowstore(spark, store).where(F.col("doc_id").isin(1, 2, 3))
     assert got.count() == 3
+
+
+def test_time_travel_snapshots_and_history(spark, sf_smoke, tmp_path):
+    """as-of reads return exactly the rows committed by <= that
+    version; the history log tallies per-version adds; pruning still
+    composes with the as-of filter."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.sources.locations import load_locations
+    from heatmap_spark.sources.rowstore import (
+        read_rowstore,
+        rowstore_history,
+        write_rowstore,
+    )
+
+    store = str(tmp_path / "tt")
+    loc = load_locations(spark, sf_smoke)
+    half = F.substring(F.md5("user_id"), 1, 1) <= "7"
+    a, b = loc.where(half), loc.where(~half)
+    write_rowstore(a, store, bucket_key="user_id", mode="overwrite")
+    write_rowstore(b, store, bucket_key="user_id", mode="append")
+
+    na, nb = a.count(), b.count()
+    assert read_rowstore(spark, store, as_of_version=1).count() == na
+    assert read_rowstore(spark, store, as_of_version=2).count() == na + nb
+    assert read_rowstore(spark, store).count() == na + nb
+
+    hist = rowstore_history(store)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["n_rows_added"] == na
+    assert hist[1]["n_rows_added"] == nb
+    assert hist[-1]["cum_rows"] == na + nb
+
+    # snapshot content equality, not just counts
+    got = read_rowstore(spark, store, as_of_version=1)
+    assert got.exceptAll(a).count() == 0 and a.exceptAll(got).count() == 0
+
+    # keyed pruning composes with as-of
+    one = read_rowstore(spark, store, as_of_version=1).where(
+        F.col("user_id") == "u1"
+    )
+    direct = a.where(F.col("user_id") == "u1")
+    assert one.count() == direct.count()
