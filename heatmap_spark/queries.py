@@ -209,6 +209,29 @@ def q_rowstore_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_rowstore(spark, store, as_of_version=1)
 
 
+def q_rowstore_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO the row store: upsert doubled-weight rows for ~1/4
+    of the users (md5-selected), then read the merged table.  Only the
+    touched buckets rewrite; the commit's manifest swap soft-deletes
+    their prior files (add/remove log), so the oracle — the locations
+    derivation with the same CASE — hash-certifies Delta-style MERGE
+    end-to-end through the Python DataSource write path."""
+    from heatmap_spark.sources.rowstore import (
+        merge_upsert_rowstore,
+        read_rowstore,
+        write_rowstore,
+    )
+
+    store = _scratch_dir("rowstore_q_") + "/locations"
+    loc = load_locations(spark, sf_dir)
+    write_rowstore(loc, store, bucket_key="user_id", mode="overwrite")
+    updates = loc.where(F.substring(F.md5("user_id"), 1, 1) <= "3").withColumn(
+        "weight", F.col("weight") * 2
+    )
+    merge_upsert_rowstore(spark, updates, store)
+    return read_rowstore(spark, store)
+
+
 def q_rowstore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The store's commit log as a stream: two separate append commits
     (even/odd event split), then one availableNow drain through the
@@ -1471,6 +1494,13 @@ REGISTRY: dict[str, QuerySpec] = {
         q_rowstore_time_travel,
         f"""WITH {_LOC_CTE}
 SELECT * FROM locations WHERE substr(md5(user_id), 1, 1) <= '7'""",
+    ),
+    "q_rowstore_merge": QuerySpec(
+        q_rowstore_merge,
+        f"""WITH {_LOC_CTE}
+SELECT * REPLACE (CASE WHEN substr(md5(user_id), 1, 1) <= '3'
+                       THEN weight * 2 ELSE weight END AS weight)
+FROM locations""",
     ),
     "q_rowstore_stream": QuerySpec(q_rowstore_stream, locations_sql("duckdb")),
     "q_rowstore_stream_sink": QuerySpec(

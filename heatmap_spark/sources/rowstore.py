@@ -120,11 +120,30 @@ def make_rowstore_datasource():
     class BucketPartition(InputPartition):
         files: tuple  # absolute paths, one bucket's committed files
 
-    def _iter_ipc(files):
+    def _norm_batch(batch, canon):
+        """Normalize a batch to the store's canonical column ORDER with
+        all-nullable fields (types untouched).  Two writes of the same
+        Spark schema can reach Arrow with different column orders (a
+        join reorders) or nullability metadata; files in one store must
+        share ONE Arrow schema or a bin-packed read partition (and the
+        runner's single stream writer) breaks on the mix."""
+        if batch.schema.names == list(canon) and all(
+            f.nullable for f in batch.schema
+        ):
+            return batch
+        idx = [batch.schema.get_field_index(n) for n in canon]
+        arrays = [batch.column(i) for i in idx]
+        fields = [
+            _pa.field(n, a.type, nullable=True) for n, a in zip(canon, arrays)
+        ]
+        return _pa.RecordBatch.from_arrays(arrays, schema=_pa.schema(fields))
+
+    def _iter_ipc(files, canon=None):
         for fn in files:
             with _ipc.open_file(fn) as r:
                 for i in range(r.num_record_batches):
-                    yield r.get_batch(i)
+                    b = r.get_batch(i)
+                    yield b if canon is None else _norm_batch(b, canon)
 
     class RowStoreReader(DataSourceReader):
         """Batch scan: one partition per data file; pushFilters prunes
@@ -171,6 +190,14 @@ def make_rowstore_datasource():
                     self.key_bounds.append(("<", f.value))
             return filters  # Spark re-applies everything exactly
 
+        def _visible(self, e) -> bool:
+            # add/remove-log visibility: a file is live in snapshot S
+            # iff added_at <= S < removed_at (rm absent = live now)
+            v, rm = e.get("v", 0), e.get("rm")
+            if self.as_of is None:
+                return rm is None
+            return v <= self.as_of and (rm is None or rm > self.as_of)
+
         def _file_survives(self, entry) -> bool:
             lo, hi = entry.get("min"), entry.get("max")
             if lo is None or hi is None:
@@ -204,7 +231,7 @@ def make_rowstore_datasource():
                     for e in self.man["files"]
                     if e["bucket"] in self.keep_buckets
                     and self._file_survives(e)
-                    and (self.as_of is None or e.get("v", 0) <= self.as_of)
+                    and self._visible(e)
                 ),
                 key=lambda e: (e["bucket"], e["name"]),
             )
@@ -228,7 +255,11 @@ def make_rowstore_datasource():
             return parts or [BucketPartition(())]
 
         def read(self, partition):
-            yield from _iter_ipc(partition.files)
+            canon = [
+                f["name"]
+                for f in _json.loads(self.man["schema"])["fields"]
+            ]
+            yield from _iter_ipc(partition.files, canon)
 
     class RowStoreStreamReader(SimpleDataSourceStreamReader):
         """Micro-batch feed: offsets are manifest versions; a batch is
@@ -280,18 +311,35 @@ def make_rowstore_datasource():
         the manifest in ONE atomic swap (version += 1).  A failed job
         leaves orphan data files that no manifest references."""
 
-        def __init__(self, schema, path, bucket_key, n_buckets, overwrite):
+        def __init__(self, schema, path, bucket_key, n_buckets, overwrite,
+                     replace_buckets=None):
             self.path = path
             self.bucket_key = bucket_key
             self.n_buckets = n_buckets
             self.overwrite = overwrite
             self.schema_json = schema.json()
+            # canonical column order: appends normalize their batches
+            # to the STORE's order so every file shares one Arrow
+            # schema (a join/union upstream reorders columns)
+            man_path = _os.path.join(path, _MAN)
+            if not overwrite and _os.path.exists(man_path):
+                self.canon = [
+                    f["name"]
+                    for f in _json.loads(_load_man(path)["schema"])["fields"]
+                ]
+            else:
+                self.canon = [f.name for f in schema.fields]
+            # MERGE support: buckets whose pre-existing files this
+            # commit REPLACES (soft-deleted via an 'rm' version mark in
+            # the same atomic manifest swap — Delta's add/remove log)
+            self.replace_buckets = replace_buckets or set()
 
         def write(self, iterator):
             tid = _uuid.uuid4().hex[:12]
             _os.makedirs(_os.path.join(self.path, "data"), exist_ok=True)
             sinks = {}  # bucket -> [name, OSFile, ipc writer, n, mn, mx]
             for batch in iterator:
+                batch = _norm_batch(batch, self.canon)
                 keys = batch.column(self.bucket_key).to_pylist()
                 by_b = defaultdict(list)
                 for i, k in enumerate(keys):
@@ -339,6 +387,14 @@ def make_rowstore_datasource():
                         {"bucket": b, "name": name, "n_rows": n,
                          "min": mn, "max": mx, "v": v, "bytes": size}
                     )
+            if self.replace_buckets:
+                for e in man["files"]:
+                    if (
+                        e["bucket"] in self.replace_buckets
+                        and e.get("v", 0) < v
+                        and "rm" not in e
+                    ):
+                        e["rm"] = v
             man["version"] = v
             tmp = man_path + ".tmp"
             with open(tmp, "w") as fh:
@@ -454,7 +510,11 @@ def make_rowstore_datasource():
                 bucket_key = man["bucket_key"]
                 n_buckets = man["n_buckets"]
             _os.makedirs(path, exist_ok=True)
-            return RowStoreWriter(schema, path, bucket_key, n_buckets, overwrite)
+            rb = self.options.get("replace_buckets")
+            replace = {int(x) for x in rb.split(",")} if rb else None
+            return RowStoreWriter(
+                schema, path, bucket_key, n_buckets, overwrite, replace
+            )
 
     return RowStoreDataSource
 
@@ -485,6 +545,54 @@ def write_rowstore(
     if bucket_key is not None:
         w = w.option("bucket_key", bucket_key).option("n_buckets", str(n_buckets))
     w.save()
+
+
+def merge_upsert_rowstore(
+    spark: SparkSession, updates: DataFrame, path: str
+) -> None:
+    """MERGE INTO the store by its bucket key (Delta-style upsert with
+    delete-matching-insert semantics for non-unique keys): every row
+    of a key present in ``updates`` is replaced by that key's update
+    rows; unmatched keys insert.
+
+    Mechanics — the bucket-rewrite pattern every log-structured table
+    format uses: only the buckets TOUCHED by the update are rewritten
+    (current live rows of those buckets, minus updated keys, plus the
+    updates), committed through the normal two-phase write whose
+    manifest swap ALSO soft-deletes the buckets' prior files (an
+    ``rm`` version mark — Delta's add/remove log).  One atomic swap ⇒
+    a crash leaves either the old snapshot or the new one, never a
+    double-count; time travel to pre-merge versions still sees the
+    replaced files.
+
+    Scale shape: untouched buckets move zero bytes; the rewrite is
+    one distributed anti-join + union over the touched buckets'
+    rows.  The driver collects only the touched BUCKET IDS
+    (≤ n_buckets integers), never keys."""
+    man = read_manifest(path)
+    if man is None:
+        raise ValueError(f"no rowstore at {path}")
+    key, n = man["bucket_key"], man["n_buckets"]
+    from pyspark.sql import functions as F
+
+    bucket_expr = F.crc32(F.col(key).cast("string").cast("binary")) % n
+    touched = sorted(
+        r[0] for r in updates.select(bucket_expr.alias("b")).distinct().collect()
+    )
+    current = read_rowstore(spark, path).where(bucket_expr.isin(*touched))
+    keep = current.join(updates.select(key).distinct(), key, "left_anti")
+    # no repartition needed: the writer normalizes every batch to the
+    # store's canonical Arrow schema (a join/union reorders columns
+    # and flips nullability metadata between the arms)
+    merged = keep.unionByName(updates)
+    register_rowstore(spark)
+    (
+        merged.write.format(FORMAT_NAME)
+        .option("path", path)
+        .option("replace_buckets", ",".join(str(b) for b in touched))
+        .mode("append")
+        .save()
+    )
 
 
 def read_rowstore(

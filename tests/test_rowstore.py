@@ -342,3 +342,57 @@ def test_time_travel_snapshots_and_history(spark, sf_smoke, tmp_path):
     )
     direct = a.where(F.col("user_id") == "u1")
     assert one.count() == direct.count()
+
+
+def test_merge_upsert_bucket_rewrite(spark, sf_smoke, tmp_path):
+    """MERGE semantics: updated keys' rows are replaced, unmatched
+    keys survive, brand-new keys insert; untouched buckets keep their
+    ORIGINAL files (no rewrite); time travel to the pre-merge version
+    still sees the old values."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.sources.locations import load_locations
+    from heatmap_spark.sources.rowstore import (
+        merge_upsert_rowstore,
+        read_manifest,
+        read_rowstore,
+        write_rowstore,
+    )
+
+    store = str(tmp_path / "m")
+    loc = load_locations(spark, sf_smoke)
+    write_rowstore(loc, store, bucket_key="user_id", mode="overwrite")
+    files_before = {e["name"]: e for e in read_manifest(store)["files"]}
+
+    sel = F.substring(F.md5("user_id"), 1, 1) <= "3"
+    updates = loc.where(sel).withColumn("weight", F.col("weight") * 2)
+    # plus a brand-new key (insert arm)
+    new_row = loc.limit(1).withColumn("user_id", F.lit("brand_new_user"))
+    merge_upsert_rowstore(spark, updates.unionByName(new_row), store)
+
+    after = read_rowstore(spark, store)
+    assert after.count() == loc.count() + 1
+    assert after.where(F.col("user_id") == "brand_new_user").count() == 1
+    want = loc.withColumn(
+        "weight", F.when(sel, F.col("weight") * 2).otherwise(F.col("weight"))
+    )
+    got_sum = after.where(F.col("user_id") != "brand_new_user").agg(
+        F.sum("weight")
+    ).first()[0]
+    assert abs(got_sum - want.agg(F.sum("weight")).first()[0]) < 1e-9
+
+    man = read_manifest(store)
+    live = [e for e in man["files"] if "rm" not in e]
+    removed = [e for e in man["files"] if "rm" in e]
+    assert removed, "merge must soft-delete replaced files"
+    touched_buckets = {e["bucket"] for e in removed}
+    # untouched buckets keep their original file entries live
+    for name, e in files_before.items():
+        if e["bucket"] not in touched_buckets:
+            assert any(l["name"] == name for l in live)
+    # time travel: pre-merge snapshot has the original weights
+    v1 = read_rowstore(spark, store, as_of_version=1)
+    assert v1.count() == loc.count()
+    assert abs(
+        v1.agg(F.sum("weight")).first()[0] - loc.agg(F.sum("weight")).first()[0]
+    ) < 1e-9
