@@ -171,6 +171,12 @@ def make_rowstore_datasource():
             # entries, so an as-of read just drops newer files.
             asof = opts.get("as_of_version")
             self.as_of = None if asof is None else int(asof)
+            # explicit bucket routing (e.g. MERGE reads only touched
+            # buckets): prunes files before any row moves, composing
+            # with pushFilters pruning
+            bl = opts.get("buckets")
+            if bl:
+                self.keep_buckets &= {int(x) for x in bl.split(",")}
 
         def pushFilters(self, filters):
             key = self.man["bucket_key"]
@@ -579,7 +585,12 @@ def merge_upsert_rowstore(
     touched = sorted(
         r[0] for r in updates.select(bucket_expr.alias("b")).distinct().collect()
     )
-    current = read_rowstore(spark, path).where(bucket_expr.isin(*touched))
+    # route the read to the touched buckets at FILE level (the
+    # buckets option prunes before any row moves); the residual
+    # bucket_expr filter is belt-and-braces row-level equivalence
+    current = read_rowstore(spark, path, buckets=touched).where(
+        bucket_expr.isin(*touched)
+    )
     keep = current.join(updates.select(key).distinct(), key, "left_anti")
     # no repartition needed: the writer normalizes every batch to the
     # store's canonical Arrow schema (a join/union reorders columns
@@ -596,7 +607,10 @@ def merge_upsert_rowstore(
 
 
 def read_rowstore(
-    spark: SparkSession, path: str, as_of_version: int | None = None
+    spark: SparkSession,
+    path: str,
+    as_of_version: int | None = None,
+    buckets: list[int] | None = None,
 ) -> DataFrame:
     """Read the store — optionally a TIME-TRAVEL snapshot ``as of`` a
     manifest version (the Delta/Iceberg `VERSION AS OF` semantics,
@@ -607,6 +621,8 @@ def read_rowstore(
     r = spark.read.format(FORMAT_NAME).option("path", path)
     if as_of_version is not None:
         r = r.option("as_of_version", str(as_of_version))
+    if buckets is not None:
+        r = r.option("buckets", ",".join(str(b) for b in buckets))
     return r.load()
 
 
@@ -719,14 +735,29 @@ def compact_rowstore(spark: SparkSession, path: str) -> int:
     return max(0, len(before_files) - len(new["files"]))
 
 
-def vacuum_rowstore(path: str) -> int:
+def vacuum_rowstore(path: str, keep_versions: int | None = None) -> int:
     """Delete data files no manifest references (compaction leftovers,
     crashed-task orphans, pre-overwrite files).  Pure GC: the manifest
     is the source of truth, so unreferenced files are invisible to
-    every reader already.  Returns the number of files removed."""
+    every reader already.  Returns the number of files removed.
+
+    With ``keep_versions`` set, ALSO expires files soft-deleted by
+    MERGE (``rm`` marks) at least that many manifest versions ago:
+    their entries leave the manifest in one atomic swap FIRST (so no
+    snapshot within the retention window references them), then the
+    bytes are deleted — Delta VACUUM semantics; time travel further
+    back than the window is the documented trade."""
     man = read_manifest(path)
     if man is None:
         return 0
+    if keep_versions is not None:
+        horizon = man["version"] - keep_versions
+        keep_entries = [
+            e for e in man["files"] if "rm" not in e or e["rm"] > horizon
+        ]
+        if len(keep_entries) < len(man["files"]):
+            man["files"] = keep_entries
+            _write_manifest(path, man)
     live = {os.path.normpath(e["name"]) for e in man["files"]}
     data_dir = os.path.join(path, "data")
     removed = 0

@@ -396,3 +396,58 @@ def test_merge_upsert_bucket_rewrite(spark, sf_smoke, tmp_path):
     assert abs(
         v1.agg(F.sum("weight")).first()[0] - loc.agg(F.sum("weight")).first()[0]
     ) < 1e-9
+
+
+def test_vacuum_rowstore_drops_replaced_and_orphans(spark, sf_smoke, tmp_path):
+    """Vacuum removes rm'd files past the retention window and orphan
+    task files, never live ones; the current snapshot is unchanged;
+    explicit bucket routing prunes the merge read at file level."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.sources.locations import load_locations
+    from heatmap_spark.sources.rowstore import (
+        merge_upsert_rowstore,
+        read_manifest,
+        read_rowstore,
+        vacuum_rowstore,
+        write_rowstore,
+    )
+
+    store = str(tmp_path / "v")
+    loc = load_locations(spark, sf_smoke)
+    write_rowstore(loc, store, bucket_key="user_id", mode="overwrite")
+    updates = loc.where(F.substring(F.md5("user_id"), 1, 1) <= "3").withColumn(
+        "weight", F.col("weight") * 2
+    )
+    merge_upsert_rowstore(spark, updates, store)
+    before = read_rowstore(spark, store)
+    n_before = before.count()
+    want_sum = before.agg(F.sum("weight")).first()[0]
+
+    # plant an orphan (crashed write)
+    orphan = os.path.join(store, "data", "b0-deadbeef.arrow")
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+
+    removed = vacuum_rowstore(store, keep_versions=1)
+    assert removed >= 1
+    assert not os.path.exists(orphan)
+    man = read_manifest(store)
+    assert all("rm" not in e or e["rm"] > man["version"] - 1 for e in man["files"])
+    for e in man["files"]:
+        assert os.path.exists(os.path.join(store, e["name"]))
+
+    after = read_rowstore(spark, store)
+    assert after.count() == n_before
+    assert abs(after.agg(F.sum("weight")).first()[0] - want_sum) < 1e-9
+
+    # bucket routing returns exactly the touched buckets' rows
+    n = man["n_buckets"]
+    be = F.crc32(F.col("user_id").cast("string").cast("binary")) % n
+    some = sorted(
+        r[0] for r in after.select(be.alias("b")).distinct().limit(3).collect()
+    )
+    routed = read_rowstore(spark, store, buckets=some)
+    assert routed.count() == after.where(be.isin(*some)).count()
