@@ -1523,6 +1523,59 @@ def probe_cusum(spark, n: int) -> None:
 
 
 
+def probe_merge(spark, n: int) -> None:
+    """MERGE INTO the rowstore at scale: n-row store, ~6% of keys
+    updated; only touched buckets rewrite (untouched buckets' files
+    byte-identical), and time travel to the pre-merge snapshot still
+    answers."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.sources.rowstore import (
+        merge_upsert_rowstore,
+        read_manifest,
+        read_rowstore,
+        write_rowstore,
+    )
+
+    store = tempfile.mkdtemp(prefix="rowstore_merge_probe_") + "/t"
+    df = spark.range(n).select(
+        F.concat(F.lit("k"), (F.col("id") % 200_000).cast("string")).alias("key"),
+        F.col("id").alias("val"),
+        (F.col("id") % 1000).cast("double").alias("w"),
+    )
+    t0 = time.perf_counter()
+    write_rowstore(df, store, bucket_key="key", n_buckets=64, mode="overwrite")
+    tw = time.perf_counter() - t0
+    files_v1 = {e["name"] for e in read_manifest(store)["files"]}
+
+    # tenant-style concentrated update: all keys of 3 of 64 buckets
+    bexpr = F.crc32(F.col("key").cast("string").cast("binary")) % 64
+    upd = df.where(bexpr.isin(0, 1, 2)).withColumn("w", F.col("w") + 0.5)
+    n_upd_keys = upd.select("key").distinct().count()
+    t0 = time.perf_counter()
+    merge_upsert_rowstore(spark, upd, store)
+    tm = time.perf_counter() - t0
+
+    man = read_manifest(store)
+    touched = {e["bucket"] for e in man["files"] if "rm" in e}
+    untouched_live = [
+        e for e in man["files"]
+        if e["bucket"] not in touched and "rm" not in e
+    ]
+    assert {e["name"] for e in untouched_live} <= files_v1  # no rewrite
+    total = read_rowstore(spark, store).count()
+    v1 = read_rowstore(spark, store, as_of_version=1).count()
+    assert total == n and v1 == n
+    print(
+        f"merge {n:,} rows, {n_upd_keys:,} keys updated across "
+        f"{len(touched)}/64 buckets: initial write {tw:.1f}s, merge {tm:.1f}s; "
+        f"untouched buckets byte-identical; pre-merge snapshot intact"
+    )
+
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -1533,7 +1586,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -1547,7 +1600,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge}[which](spark, n)
 
 
 if __name__ == "__main__":
