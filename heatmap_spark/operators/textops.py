@@ -1175,3 +1175,54 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def temperature_mix(
+    spark: SparkSession,
+    sf_dir: str,
+    temperature: float = 0.7,
+    total_budget: int = 10000,
+) -> DataFrame:
+    """Temperature-scaled domain mixture weights — the standard
+    pretraining reweighting (multilingual BERT / XLM-R exponential
+    smoothing, T≈0.7): sampling share of domain d ∝ n_d^T, which
+    up-weights small domains relative to proportional sampling while
+    keeping large ones dominant.  Emits per lang: exact token count,
+    natural share, temperature share, and the integer token budget
+    floor(share · total_budget).
+
+    Determinism: token counts are exact integers; the power/normalize
+    arithmetic runs in double with one final floor, every intermediate
+    written identically in the oracle; shares round to 6.
+
+    Scale shape: ONE map-side-combinable aggregate over the doc
+    summary; the power/normalize step runs on the per-domain result
+    (a handful of rows).  Composes with token_budget_mix, which turns
+    each budget into an exact document selection.
+
+    Reference: none — SURVEY.md §2.8 mixing family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    ).cast("bigint")
+    per = docs.select("lang", toks.alias("n")).groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_tokens")
+    )
+    from pyspark.sql.window import Window as W
+
+    t = F.lit(float(temperature))
+    w = F.pow(F.col("n_tokens").cast("double"), t)
+    # unpartitioned windows over the PER-DOMAIN relation (a handful of
+    # rows) — bounded regardless of corpus size
+    tot_n = F.sum("n_tokens").over(W.partitionBy())
+    tot_w = F.sum(w).over(W.partitionBy())
+    return per.select(
+        "lang",
+        "n_tokens",
+        F.round(F.col("n_tokens") / tot_n, 6).alias("natural_share"),
+        F.round(w / tot_w, 6).alias("temp_share"),
+        F.floor(w / tot_w * F.lit(float(total_budget)))
+        .cast("bigint")
+        .alias("token_budget"),
+    )

@@ -725,3 +725,47 @@ def cusum_df(ev: DataFrame, kappa: float = 0.5, h: float = 3.0) -> DataFrame:
         F.round(st["sp"], 6).alias("final_s_pos"),
         F.round(st["sn"], 6).alias("final_s_neg"),
     )
+
+
+def embargo_split(
+    spark: SparkSession,
+    sf_dir: str,
+    train_frac: float = 0.7,
+    embargo_s: int = 3600,
+) -> DataFrame:
+    """Purged temporal train/test split with an embargo gap (the
+    leakage control from financial ML, López de Prado's purged CV,
+    applied the way time-ordered eval sets are cut for model training
+    data): everything at or before the train-fraction time cutoff is
+    ``train``; events inside the following ``embargo_s`` seconds are
+    ``embargo`` — EXCLUDED from both sets, so temporally-correlated
+    neighbors of late train rows can't leak into test; the rest is
+    ``test``.
+
+    The cutoff is the exact continuous quantile of the event-time
+    distribution (Spark `percentile` ≡ DuckDB `quantile_cont`, the
+    q_percentiles parity), computed on integer epoch-micros — one
+    aggregate, broadcast back; the labeling is a map-only comparison.
+    No global sort anywhere.
+
+    Reference: none — SURVEY.md §2.8 split family (hash split,
+    leakage-safe near-dup split; this is the temporal member).
+    """
+    from heatmap_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", F.unix_micros("ts").alias("ts_us")
+    )
+    cut = ev.agg(
+        F.expr(f"percentile(ts_us, CAST({train_frac} AS DOUBLE))").alias("cutoff")
+    )
+    out = ev.crossJoin(F.broadcast(cut))
+    split = (
+        F.when(F.col("ts_us") <= F.col("cutoff"), F.lit("train"))
+        .when(
+            F.col("ts_us") <= F.col("cutoff") + F.lit(float(embargo_s) * 1e6),
+            F.lit("embargo"),
+        )
+        .otherwise(F.lit("test"))
+    )
+    return out.select("event_id", "ts", split.alias("split"))

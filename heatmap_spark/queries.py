@@ -4872,6 +4872,40 @@ SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
   round(pow(CAST(2.0 AS DOUBLE), -round(avg, 6)), 6) AS ppl
 FROM agg""",
     ),
+    # Temperature-scaled mixture weights (share ∝ n^0.7): exact counts,
+    # identical double power/normalize, one final floor.
+    "q_temperature_mix": QuerySpec(
+        textops.temperature_mix,
+        r"""WITH per AS (
+  SELECT lang,
+    CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+      x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+tot AS (
+  SELECT sum(n_tokens) AS tot_n,
+    sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS tot_w
+  FROM per)
+SELECT lang, n_tokens,
+  round(n_tokens / tot_n, 6) AS natural_share,
+  round(pow(CAST(n_tokens AS DOUBLE), 0.7) / tot_w, 6) AS temp_share,
+  CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.7) / tot_w * CAST(10000 AS DOUBLE))
+       AS BIGINT) AS token_budget
+FROM per CROSS JOIN tot""",
+    ),
+    # Purged temporal split with an embargo gap (leakage control):
+    # exact continuous quantile cutoff (percentile ≡ quantile_cont on
+    # integer epoch-micros), map-only labeling.
+    "q_embargo_split": QuerySpec(
+        timeseries.embargo_split,
+        """WITH ev AS (
+  SELECT event_id, ts, epoch_us(ts) AS ts_us FROM events),
+cut AS (SELECT quantile_cont(ts_us, 0.7) AS cutoff FROM ev)
+SELECT event_id, ts,
+  CASE WHEN ts_us <= cutoff THEN 'train'
+       WHEN ts_us <= cutoff + 3600.0 * 1e6 THEN 'embargo'
+       ELSE 'test' END AS split
+FROM ev CROSS JOIN cut""",
+    ),
 }
 
 

@@ -285,3 +285,36 @@ def test_cusum_changepoints_fixture_invariants(spark, sf_smoke):
         assert (r["n_alarms"] == 0) == (r["first_alarm"] == -1)
         if r["n_alarms"] > 0:
             assert 1 <= r["first_alarm"] <= r["n"]
+
+
+def test_embargo_split_properties(spark, sf_smoke):
+    """Train fraction ≈ 0.7; the embargo band is temporally BETWEEN
+    train and test (max train ts <= min embargo ts <= min test ts) and
+    spans at most embargo_s; no event is unlabeled."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.timeseries import embargo_split
+
+    out = embargo_split(spark, sf_smoke).localCheckpoint(eager=True)
+    n = out.count()
+    counts = {r["split"]: r["cnt"] for r in
+              out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert abs(counts["train"] / n - 0.7) < 0.02
+    assert counts.get("test", 0) > 0
+    b = {s: out.where(F.col("split") == s) for s in counts}
+    mx_train = b["train"].agg(F.max("ts")).first()[0]
+    mn_test = b["test"].agg(F.min("ts")).first()[0]
+    from heatmap_spark.sources.tables import load_table
+
+    ev = load_table(out.sparkSession, sf_smoke, "events")
+    cutoff = ev.agg(
+        F.expr("percentile(unix_micros(ts), CAST(0.7 AS DOUBLE))")
+    ).first()[0]
+    if "embargo" in b and counts.get("embargo"):
+        mn_e = b["embargo"].agg(F.min(F.unix_micros("ts"))).first()[0]
+        mx_e = b["embargo"].agg(F.max(F.unix_micros("ts"))).first()[0]
+        assert mn_e > cutoff and mx_e <= cutoff + 3600 * 1_000_000
+    mn_test_us = b["test"].agg(F.min(F.unix_micros("ts"))).first()[0]
+    assert mn_test_us > cutoff + 3600 * 1_000_000
+    assert mx_train is not None and mn_test is not None
+    assert sum(counts.values()) == n
