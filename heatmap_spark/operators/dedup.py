@@ -1190,3 +1190,59 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_group"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_kept"),
     )
+
+
+def negative_sampling(
+    spark: SparkSession, sf_dir: str, k: int = 4
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each document draws ``k`` pseudo-random partners from a fixed
+    affine ring over the id space — neg(d, i) = (d·7919 + i·104729)
+    mod N — then flags draws that are INVALID negatives: the document
+    itself, or an LSH near-duplicate of it (a false negative that
+    would poison a contrastive loss).  Flagging (not resampling) keeps
+    the op one pass and fully deterministic; callers over-draw k and
+    keep the valid ones.
+
+    Scale shape: the draws are map-only arithmetic (k rows per doc,
+    no RNG state); the near-dup exclusion is one equi-join against the
+    bucketed LSH candidate pairs (both orientations) — never an
+    all-pairs similarity.  Assumes a dense [0, N) id space (the
+    fixtures'); for sparse ids, ring over zipWithIndex ranks instead.
+
+    Reference: none — SURVEY.md §2.8 extension (contrastive /
+    embedding-training data prep).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one scalar — the ring modulus
+    draws = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])).alias("neg_rank"),
+    ).select(
+        "doc_id",
+        "neg_rank",
+        ((F.col("doc_id") * 7919 + F.col("neg_rank") * 104729) % n_docs).alias(
+            "neg_id"
+        ),
+    )
+    cand = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    both = cand.unionByName(
+        cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nd"))
+    flagged = draws.join(
+        both.withColumnRenamed("nd", "neg_id").withColumn(
+            "is_near_dup", F.lit(True)
+        ),
+        ["doc_id", "neg_id"],
+        "left",
+    )
+    is_self = F.col("neg_id") == F.col("doc_id")
+    is_nd = F.coalesce("is_near_dup", F.lit(False))
+    return flagged.select(
+        "doc_id",
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+        "neg_id",
+        is_self.alias("is_self"),
+        is_nd.alias("is_near_dup"),
+        (~is_self & ~is_nd).alias("kept"),
+    )

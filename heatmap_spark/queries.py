@@ -4906,6 +4906,31 @@ SELECT event_id, ts,
        ELSE 'test' END AS split
 FROM ev CROSS JOIN cut""",
     ),
+    # Deterministic contrastive negative sampling: affine-ring draws,
+    # near-dup draws flagged via the LSH candidate pairs (false
+    # negatives a contrastive loss must not see).
+    "q_negative_sampling": QuerySpec(
+        dedup.negative_sampling,
+        f"""WITH {_SHINGLES_CTE},
+{_LSH_CAND_CTE},
+nd AS (
+  SELECT doc_a AS doc_id, doc_b AS nd FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand),
+n AS (SELECT count(*) AS n_docs FROM documents),
+draws AS (
+  SELECT doc_id, i AS neg_rank,
+    (doc_id * 7919 + i * 104729) % n_docs AS neg_id
+  FROM documents CROSS JOIN n
+  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i))
+SELECT d.doc_id, CAST(d.neg_rank AS INTEGER) AS neg_rank, d.neg_id,
+  (d.neg_id = d.doc_id) AS is_self,
+  (x.nd IS NOT NULL) AS is_near_dup,
+  (d.neg_id <> d.doc_id AND x.nd IS NULL) AS kept
+FROM draws d
+LEFT JOIN (SELECT DISTINCT doc_id, nd FROM nd) x
+  ON x.doc_id = d.doc_id AND x.nd = d.neg_id""",
+    ),
 }
 
 

@@ -294,3 +294,33 @@ def test_bigram_lm_score_invariants(spark, sf_smoke):
         assert r["ppl"] >= 1.0
     # docs with < 2 tokens are absent by construction
     assert out.where(F.col("n_bigrams") < 1).count() == 0
+
+
+def test_negative_sampling_validity(spark, sf_smoke):
+    """Every doc draws exactly k negatives; kept <=> neither self nor
+    near-dup; no kept negative appears in the LSH candidate pairs of
+    its anchor."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        negative_sampling,
+    )
+    from heatmap_spark.sources.tables import load_table
+
+    out = negative_sampling(spark, sf_smoke).localCheckpoint(eager=True)
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert out.count() == 4 * n_docs
+    assert out.groupBy("doc_id").count().where(F.col("count") != 4).count() == 0
+    bad = out.where(
+        F.col("kept") != (~F.col("is_self") & ~F.col("is_near_dup"))
+    )
+    assert bad.count() == 0
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(spark, sf_smoke).collect()
+    }
+    for r in out.where(F.col("kept")).collect():
+        a, b = sorted((r["doc_id"], r["neg_id"]))
+        assert (a, b) not in pairs
+        assert 0 <= r["neg_id"] < n_docs
