@@ -874,3 +874,71 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def media_near_dup(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 7
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs via banded perceptual hashes — the
+    SimHash banding trick applied to the aHash fingerprints: split the
+    64-bit hash into 8 bands of 8 bits; a pair within Hamming
+    distance 7 has FEWER mismatched bits than bands, so by pigeonhole
+    at least one band matches exactly — banding is lossless for the
+    verify threshold (the SimHash guarantee: threshold < band count);
+    candidates verify by exact Hamming distance ≤ ``max_hamming``.
+
+    Scale shape: banding turns all-pairs image comparison into 8
+    equi-join buckets (one shuffle on the band value), exactly like
+    the text SimHash path (operators/dedup.simhash) — no cross join
+    anywhere; verification touches candidate pairs only.
+
+    Reference: none — SURVEY.md §2.8 multimodal family (the image twin
+    of near-dup text detection).
+    """
+    ph = media_phash(spark, sf_dir).select("doc_id", "phash")
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(8)])
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        "phash",
+        "band",
+        F.concat(
+            F.col("band").cast("string"),
+            F.lit(":"),
+            F.substring("phash", F.col("band") * 8 + 1, 8),
+        ).alias("band_key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "band_key",
+    )
+    cand = (
+        a.join(b, "band_key")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    pos = F.sequence(F.lit(1), F.lit(64))
+    hamming = F.size(
+        F.filter(
+            pos,
+            lambda i: F.substring(F.col("ph_a"), i, 1)
+            != F.substring(F.col("ph_b"), i, 1),
+        )
+    )
+    return (
+        cand.select(
+            "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1446,6 +1446,37 @@ SELECT user_group || '|' || timespan || '|' ||
            ',' ORDER BY row, col) || '}}' AS heatmap
 FROM leveled GROUP BY 1"""
 
+_PHASH_CTES = """m AS (
+  SELECT doc_id, strlen(text) AS L, text,
+         CAST((strlen(text) % 64) + 1 AS INTEGER) AS w
+  FROM documents),
+dims AS (
+  SELECT doc_id, L, text, w,
+         CAST(greatest(1, CAST(ceil(L / CAST(w AS DOUBLE)) AS BIGINT)) AS INTEGER) AS h
+  FROM m),
+big AS (SELECT * FROM dims WHERE h >= 8 AND w >= 8),
+pix AS (
+  SELECT doc_id, unnest(range(0, CAST(h AS BIGINT) * w)) AS k
+  FROM big),
+pv AS (
+  SELECT b.doc_id, b.w, b.h,
+    (8 * (k // b.w)) // b.h AS i, (8 * (k % b.w)) // b.w AS j,
+    CASE WHEN k < b.L THEN ascii(substr(b.text, CAST(k + 1 AS INTEGER), 1))
+         ELSE 32 END AS v
+  FROM pix p JOIN big b ON p.doc_id = b.doc_id),
+cells AS (
+  SELECT doc_id, w, h, i, j, sum(v) AS s, count(*) AS cnt
+  FROM pv GROUP BY 1, 2, 3, 4, 5),
+cm AS (SELECT doc_id, w, h, i, j, s // cnt AS mean FROM cells),
+thr AS (SELECT doc_id, sum(mean) // 64 AS thr FROM cm GROUP BY 1),
+bits AS (
+  SELECT cm.doc_id, w, h,
+    string_agg(CASE WHEN mean > thr THEN '1' ELSE '0' END, ''
+               ORDER BY i, j) AS phash,
+    CAST(sum(CASE WHEN mean > thr THEN 1 ELSE 0 END) AS INTEGER) AS n_set
+  FROM cm JOIN thr ON cm.doc_id = thr.doc_id GROUP BY 1, 2, 3)"""
+
+
 _CMS_ORACLE = """WITH toks AS (
   SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
   FROM documents),
@@ -4774,35 +4805,7 @@ FROM per ORDER BY tfidf DESC, doc_id LIMIT 20""",
     # threshold, so every fingerprint bit is value-hash certified.
     "q_media_phash": QuerySpec(
         multimodal.media_phash,
-        """WITH m AS (
-  SELECT doc_id, strlen(text) AS L, text,
-         CAST((strlen(text) % 64) + 1 AS INTEGER) AS w
-  FROM documents),
-dims AS (
-  SELECT doc_id, L, text, w,
-         CAST(greatest(1, CAST(ceil(L / CAST(w AS DOUBLE)) AS BIGINT)) AS INTEGER) AS h
-  FROM m),
-big AS (SELECT * FROM dims WHERE h >= 8 AND w >= 8),
-pix AS (
-  SELECT doc_id, unnest(range(0, CAST(h AS BIGINT) * w)) AS k
-  FROM big),
-pv AS (
-  SELECT b.doc_id, b.w, b.h,
-    (8 * (k // b.w)) // b.h AS i, (8 * (k % b.w)) // b.w AS j,
-    CASE WHEN k < b.L THEN ascii(substr(b.text, CAST(k + 1 AS INTEGER), 1))
-         ELSE 32 END AS v
-  FROM pix p JOIN big b ON p.doc_id = b.doc_id),
-cells AS (
-  SELECT doc_id, w, h, i, j, sum(v) AS s, count(*) AS cnt
-  FROM pv GROUP BY 1, 2, 3, 4, 5),
-cm AS (SELECT doc_id, w, h, i, j, s // cnt AS mean FROM cells),
-thr AS (SELECT doc_id, sum(mean) // 64 AS thr FROM cm GROUP BY 1),
-bits AS (
-  SELECT cm.doc_id, w, h,
-    string_agg(CASE WHEN mean > thr THEN '1' ELSE '0' END, ''
-               ORDER BY i, j) AS phash,
-    CAST(sum(CASE WHEN mean > thr THEN 1 ELSE 0 END) AS INTEGER) AS n_set
-  FROM cm JOIN thr ON cm.doc_id = thr.doc_id GROUP BY 1, 2, 3)
+        f"""WITH {_PHASH_CTES}
 SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
   phash, n_set
 FROM bits""",
@@ -4930,6 +4933,31 @@ SELECT d.doc_id, CAST(d.neg_rank AS INTEGER) AS neg_rank, d.neg_id,
 FROM draws d
 LEFT JOIN (SELECT DISTINCT doc_id, nd FROM nd) x
   ON x.doc_id = d.doc_id AND x.nd = d.neg_id""",
+    ),
+    # Image near-dup pairs: banded aHash fingerprints (8x8-bit bands;
+    # pigeonhole makes banding lossless for Hamming<=7) + exact
+    # Hamming verify — the SimHash pattern on the multimodal column.
+    "q_media_near_dup": QuerySpec(
+        multimodal.media_near_dup,
+        f"""WITH {_PHASH_CTES},
+ph AS (SELECT doc_id, phash FROM bits),
+bands AS (
+  SELECT doc_id, phash,
+    CAST(band AS VARCHAR) || ':' || substr(phash, band * 8 + 1, 8) AS band_key
+  FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band)),
+cand2 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.phash AS ph_a, b.phash AS ph_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+  CAST(len(list_filter(range(1, 65),
+    i -> substr(ph_a, CAST(i AS INTEGER), 1)
+         <> substr(ph_b, CAST(i AS INTEGER), 1))) AS INTEGER) AS hamming
+FROM cand2
+WHERE len(list_filter(range(1, 65),
+    i -> substr(ph_a, CAST(i AS INTEGER), 1)
+         <> substr(ph_b, CAST(i AS INTEGER), 1))) <= 7""",
     ),
 }
 

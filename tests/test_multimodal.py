@@ -210,3 +210,29 @@ def test_media_phash_robust_to_noise_and_discriminative(spark, sf_smoke):
     # decode round-trip feeds the same raster the hash saw
     hh, ww, px = png_decode(png_encode(base))
     assert (np.asarray(px).reshape(hh, ww) == base).all()
+
+
+def test_media_near_dup_banding_guarantee(spark, sf_smoke):
+    """Banding (8 bands of 8 bits) is LOSSLESS for Hamming <= 7
+    (pigeonhole: fewer mismatched bits than bands): brute-force all
+    pairs of fingerprints and check every qualifying pair is found;
+    every reported pair's Hamming is correct; no CartesianProduct in
+    the plan."""
+    from itertools import combinations
+
+    from heatmap_spark.operators.multimodal import media_near_dup, media_phash
+    from heatmap_spark.plans import plan_string
+
+    out = media_near_dup(spark, sf_smoke)
+    assert "CartesianProduct" not in plan_string(out, "simple")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+
+    hashes = {
+        r["doc_id"]: r["phash"] for r in media_phash(spark, sf_smoke).collect()
+    }
+    want = {}
+    for a, b in combinations(sorted(hashes), 2):
+        d = sum(x != y for x, y in zip(hashes[a], hashes[b]))
+        if d <= 7:
+            want[(a, b)] = d
+    assert got == want
