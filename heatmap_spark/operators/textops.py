@@ -1226,3 +1226,116 @@ def temperature_mix(
         .cast("bigint")
         .alias("token_budget"),
     )
+
+
+def span_corruption(
+    spark: SparkSession,
+    sf_dir: str,
+    block: int = 3,
+    mask_pct: int = 15,
+) -> DataFrame:
+    """T5-style span-corruption pairs (Raffel et al. 2020): split each
+    document's token stream into fixed ``block``-token spans, mask a
+    deterministic ~``mask_pct``% of spans (md5 of (doc_id, span) —
+    reproducible across runs, engines, partitionings), and emit the
+    encoder input (masked spans collapsed to ``<extra_id_K>``
+    sentinels, K in span order) plus the decoder target (each sentinel
+    followed by the span it replaced).  Fixed-size spans instead of
+    T5's sampled span lengths keeps the op exact and engine-portable;
+    adjacent masked spans keep their own sentinels (documented
+    simplification).
+
+    Scale shape: explode to (doc, span) rows, ONE window per doc_id
+    for the running sentinel index, re-assemble with ordered
+    collect_list — linear, one shuffle on doc_id; strings never leave
+    the JVM.
+
+    Reference: none — SURVEY.md §2.8 extension (self-supervised
+    objective construction over the documents table).
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _all_tokens()
+    nblk = F.ceil(F.size(toks) / F.lit(block)).cast("int")
+    spans = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                # greatest guards zero-token docs (sequence(0, -1)
+                # would DESCEND); the empty span filters out below
+                F.sequence(F.lit(0), F.greatest(nblk - 1, F.lit(0))),
+                lambda b: F.concat_ws(
+                    " ", F.slice(toks, b * block + 1, block)
+                ),
+            )
+        ).alias("span_idx", "span_text"),
+    ).where(F.col("span_text") != "")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("_"),
+                    F.col("span_idx").cast("string"),
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    masked = (h % 100) < mask_pct
+    w = W.partitionBy("doc_id").orderBy("span_idx")
+    flagged = spans.select(
+        "doc_id",
+        "n_tokens",
+        "span_idx",
+        "span_text",
+        masked.alias("is_masked"),
+        (F.sum(masked.cast("int")).over(w) - 1).alias("k"),
+    )
+    piece_in = F.when(
+        F.col("is_masked"),
+        F.concat(F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">")),
+    ).otherwise(F.col("span_text"))
+    piece_tgt = F.when(
+        F.col("is_masked"),
+        F.concat(
+            F.lit("<extra_id_"),
+            F.col("k").cast("string"),
+            F.lit("> "),
+            F.col("span_text"),
+        ),
+    )
+    return (
+        flagged.select(
+            "doc_id", "n_tokens", "span_idx",
+            piece_in.alias("pi"),
+            piece_tgt.alias("pt"),
+            F.col("is_masked").cast("int").alias("m"),
+        )
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.sum("m").cast("int").alias("n_masked_spans"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_idx", "pi"))),
+                    lambda s: s["pi"],
+                ),
+            ).alias("inputs"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("span_idx", "pt"))),
+                        lambda s: s["pt"],
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+            ).alias("targets"),
+        )
+    )

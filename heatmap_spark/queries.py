@@ -4959,6 +4959,43 @@ WHERE len(list_filter(range(1, 65),
     i -> substr(ph_a, CAST(i AS INTEGER), 1)
          <> substr(ph_b, CAST(i AS INTEGER), 1))) <= 7""",
     ),
+    # T5-style span corruption: fixed 3-token spans, md5-deterministic
+    # 15% masking, sentinel indices from a per-doc running count.
+    "q_span_corruption": QuerySpec(
+        textops.span_corruption,
+        """WITH toksd AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents),
+spans0 AS (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens,
+    unnest(range(0, greatest(CAST(ceil(len(tk) / 3.0) AS BIGINT), 1))) AS b
+  FROM toksd),
+spans AS (
+  SELECT doc_id, n_tokens, b AS span_idx,
+    array_to_string(tk[CAST(b * 3 + 1 AS INT) : CAST(b * 3 + 3 AS INT)], ' ')
+      AS span_text
+  FROM spans0),
+flagged AS (
+  SELECT doc_id, n_tokens, span_idx, span_text,
+    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_'
+        || CAST(span_idx AS VARCHAR)), 1, 6)) AS BIGINT) % 100) < 15 AS is_masked
+  FROM spans WHERE span_text <> ''),
+idx AS (
+  SELECT *, sum(CASE WHEN is_masked THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY span_idx
+            ROWS UNBOUNDED PRECEDING) - 1 AS k
+  FROM flagged)
+SELECT doc_id, n_tokens,
+  CAST(sum(CASE WHEN is_masked THEN 1 ELSE 0 END) AS INTEGER) AS n_masked_spans,
+  string_agg(CASE WHEN is_masked
+                  THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+                  ELSE span_text END, ' ' ORDER BY span_idx) AS inputs,
+  COALESCE(string_agg(CASE WHEN is_masked
+      THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || span_text END,
+      ' ' ORDER BY span_idx), '') AS targets
+FROM idx GROUP BY doc_id, n_tokens""",
+    ),
 }
 
 

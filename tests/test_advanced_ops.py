@@ -324,3 +324,39 @@ def test_negative_sampling_validity(spark, sf_smoke):
         a, b = sorted((r["doc_id"], r["neg_id"]))
         assert (a, b) not in pairs
         assert 0 <= r["neg_id"] < n_docs
+
+
+def test_span_corruption_reconstructs(spark, sf_smoke):
+    """Round-trip: substituting each target span back into its input
+    sentinel reproduces the original token stream; sentinel indices
+    are dense 0..n_masked-1; mask rate is near 15%."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.textops import span_corruption
+    from heatmap_spark.sources.tables import load_table
+
+    out = span_corruption(spark, sf_smoke).localCheckpoint(eager=True)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_smoke, "documents").collect()
+    }
+    total_spans = masked_spans = 0
+    for r in out.collect():
+        toks = [t for t in re.split(r"[^a-z0-9]+", docs[r["doc_id"]].lower()) if t]
+        # parse targets into {k: span}
+        tgt = {}
+        for m in re.finditer(
+            r"<extra_id_(\d+)>((?: (?!<extra_id_)[a-z0-9]+)*)", r["targets"]
+        ):
+            tgt[int(m.group(1))] = m.group(2).strip()
+        assert sorted(tgt) == list(range(r["n_masked_spans"]))
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: tgt[int(m.group(1))], r["inputs"]
+        )
+        rebuilt_toks = [t for t in rebuilt.split(" ") if t]
+        assert rebuilt_toks == toks, r["doc_id"]
+        total_spans += -(-len(toks) // 3)
+        masked_spans += r["n_masked_spans"]
+    assert 0.10 < masked_spans / total_spans < 0.20
