@@ -1339,3 +1339,63 @@ def span_corruption(
             ).alias("targets"),
         )
     )
+
+
+def preference_pairs(
+    spark: SparkSession, sf_dir: str, n_groups: int = 50
+) -> DataFrame:
+    """Preference-pair construction (DPO/RLHF reward-data prep): within
+    each group (deterministic doc_id % ``n_groups`` here — the stand-in
+    for a shared prompt), pick the highest-scoring document as
+    ``chosen`` and the lowest as ``rejected`` under the hashed linear
+    classifier's EXACT integer score (quality_classifier), with doc_id
+    tiebreaks; emit the pair and its integer margin.  Groups smaller
+    than 2 emit nothing; a group whose max == min (zero margin) is
+    kept with margin 0 (callers filter by margin threshold).
+
+    Scale shape: the scoring pass is the classifier's (map-only + one
+    re-agg); pair selection is two window functions over ONE group
+    shuffle of the doc-SUMMARY relation.
+
+    Reference: none — SURVEY.md §2.8 extension (alignment-data prep).
+    """
+    from pyspark.sql.window import Window as W
+
+    scored = quality_classifier(spark, sf_dir).select(
+        "doc_id", "score", (F.col("doc_id") % n_groups).alias("group_id")
+    )
+    w_hi = W.partitionBy("group_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    w_lo = W.partitionBy("group_id").orderBy(F.asc("score"), F.asc("doc_id"))
+    ranked = scored.select(
+        "group_id",
+        "doc_id",
+        "score",
+        F.row_number().over(w_hi).alias("r_hi"),
+        F.row_number().over(w_lo).alias("r_lo"),
+        F.count(F.lit(1)).over(W.partitionBy("group_id")).alias("n_in_group"),
+    )
+    hi = ranked.where(F.col("r_hi") == 1).select(
+        "group_id",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score").alias("chosen_score"),
+        "n_in_group",
+    )
+    lo = ranked.where(F.col("r_lo") == 1).select(
+        "group_id",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        hi.join(lo, "group_id")
+        .where(F.col("n_in_group") >= 2)
+        .select(
+            F.col("group_id").cast("bigint").alias("group_id"),
+            "chosen_doc",
+            "rejected_doc",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score"))
+            .cast("bigint")
+            .alias("margin"),
+        )
+    )

@@ -305,6 +305,24 @@ def q_inverted_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_index(spark, store, ["spark", "join", "table"], k=20)
 
 
+def q_heatmap_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pyramid RETRACTION: remove a user slice from an existing pyramid
+    by unioning the slice with negated weights and re-aggregating —
+    the additive-algebra path an incremental store uses for deletes /
+    GDPR erasure (no rebuild: the delta is slice-sized, and at 100 TB
+    the re-aggregate touches only the slice's tiles when composed with
+    merge_delta_into_store).  Tiles whose count reaches zero drop out.
+    The oracle builds the pyramid of the REMAINING slice directly, so
+    the hash proves retraction ≡ rebuild-without-slice (weights are
+    unit counts — integer sums in double, cancellation exact)."""
+    loc = load_locations(spark, sf_dir)
+    gone = F.substring(F.md5("user_id"), 1, 1) <= "3"
+    retract = loc.where(gone).withColumn("weight", -F.col("weight"))
+    merged = loc.unionByName(retract)
+    pyr_df = pyr.build_pyramid(merged, mode="explode")
+    return pyr_df.where(F.col("visits") != 0)
+
+
 def q_heatmap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ing = pyr.ingest_locations(load_locations(spark, sf_dir))
     return ing.select(
@@ -1545,6 +1563,17 @@ SELECT '21_' || CAST(row21 AS VARCHAR) || '_' || CAST(col21 AS VARCHAR) AS tile_
 FROM pts""",
     ),
     "q_heatmap_pyramid": QuerySpec(q_heatmap_pyramid, _PYRAMID_SQL, headline=True),
+    # Retraction ≡ rebuild-without-slice: negated-weight union, zero
+    # tiles dropped; oracle = pyramid of the remaining users only.
+    "q_heatmap_retraction": QuerySpec(
+        q_heatmap_retraction,
+        f"""WITH {_LOC_CTE},
+{_PTS_CTE.replace("WHERE source <> 'background')",
+                  "WHERE source <> 'background'"
+                  " AND substr(md5(user_id), 1, 1) > '3')")},
+{_EXPANDED_CTE}
+{_LEVELED_AGG}""",
+    ),
     "q_heatmap_incremental": QuerySpec(q_heatmap_incremental, _PYRAMID_SQL),
     "q_heatmap_pyramid_cascade": QuerySpec(
         q_heatmap_pyramid_cascade, _PYRAMID_SQL, headline=True
@@ -4995,6 +5024,41 @@ SELECT doc_id, n_tokens,
       THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || span_text END,
       ' ' ORDER BY span_idx), '') AS targets
 FROM idx GROUP BY doc_id, n_tokens""",
+    ),
+    # DPO-style preference pairs: per doc_id%50 group, best/worst doc
+    # under the exact integer classifier score, with margin.
+    "q_preference_pairs": QuerySpec(
+        textops.preference_pairs,
+        """WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+    unnest(tk || list_filter(
+      list_transform(list_zip(tk, tk[2:]),
+        p -> p[1] || '_' || p[2]),
+      x -> x IS NOT NULL)) AS feat
+  FROM toks),
+wsum AS (
+  SELECT doc_id,
+    CAST(sum(CAST(('0x' || substr(md5('w' || CAST(
+          CAST(('0x' || substr(md5(feat), 1, 12)) AS BIGINT) % 4096
+        AS VARCHAR)), 1, 12)) AS BIGINT) % 2001 - 1000) AS BIGINT) AS score
+  FROM feats GROUP BY doc_id),
+g AS (SELECT doc_id, score, doc_id % 50 AS group_id FROM wsum),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY group_id ORDER BY score DESC, doc_id) AS r_hi,
+    row_number() OVER (PARTITION BY group_id ORDER BY score ASC, doc_id) AS r_lo,
+    count(*) OVER (PARTITION BY group_id) AS n_in_group
+  FROM g)
+SELECT CAST(h.group_id AS BIGINT) AS group_id,
+  h.doc_id AS chosen_doc, l.doc_id AS rejected_doc,
+  h.score AS chosen_score, l.score AS rejected_score,
+  CAST(h.score - l.score AS BIGINT) AS margin
+FROM (SELECT * FROM ranked WHERE r_hi = 1 AND n_in_group >= 2) h
+JOIN (SELECT * FROM ranked WHERE r_lo = 1) l USING (group_id)""",
     ),
 }
 

@@ -360,3 +360,28 @@ def test_span_corruption_reconstructs(spark, sf_smoke):
         total_spans += -(-len(toks) // 3)
         masked_spans += r["n_masked_spans"]
     assert 0.10 < masked_spans / total_spans < 0.20
+
+
+def test_preference_pairs_dominance(spark, sf_smoke):
+    """Each group's chosen score is the group max, rejected the min,
+    margin = difference >= 0; one pair per group with >= 2 docs."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.textops import preference_pairs, quality_classifier
+
+    pairs = {r["group_id"]: r for r in preference_pairs(spark, sf_smoke).collect()}
+    scored = quality_classifier(spark, sf_smoke).select(
+        (F.col("doc_id") % 50).alias("g"), "doc_id", "score"
+    ).collect()
+    by_g = {}
+    for r in scored:
+        by_g.setdefault(r["g"], []).append((r["score"], r["doc_id"]))
+    for g, members in by_g.items():
+        if len(members) < 2:
+            assert g not in pairs
+            continue
+        hi = max(members, key=lambda t: (t[0], -t[1]))
+        lo = min(members, key=lambda t: (t[0], t[1]))
+        p = pairs[g]
+        assert p["chosen_score"] == hi[0] and p["rejected_score"] == lo[0]
+        assert p["margin"] == hi[0] - lo[0] >= 0

@@ -239,3 +239,20 @@ def test_dense_regions_grid_dbscan_semantics(spark, sf_correct):
         by_region.setdefault(r.region_id, []).append(r.cell_id)
     for rid, members in by_region.items():
         assert rid == min(members)
+
+
+def test_retraction_equals_rebuild(spark, sf_smoke):
+    """Retraction algebra: pyramid(all ∪ -slice) with zero tiles
+    dropped equals pyramid(remaining) exactly, row for row."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators import pyramid as P
+    from heatmap_spark.queries import q_heatmap_retraction
+    from heatmap_spark.sources.locations import load_locations
+
+    got = q_heatmap_retraction(spark, sf_smoke)
+    loc = load_locations(spark, sf_smoke)
+    remaining = loc.where(F.substring(F.md5("user_id"), 1, 1) > "3")
+    want = P.build_pyramid(remaining, mode="explode")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
