@@ -186,3 +186,70 @@ def link_prediction_common_neighbors(
         "doc_b",
         "common_neighbors",
     )
+
+
+def hash_walks(
+    spark: SparkSession, sf_dir: str, n_steps: int = 3
+) -> DataFrame:
+    """Deterministic ``n_steps``-step walks over the near-dup graph —
+    the DeepWalk/node2vec corpus-generation primitive made exact: at
+    step k a walker at node u moves to the neighbor v minimizing
+    md5(u_k_v), a reproducible stand-in for the RNG choice (same
+    paths on any engine, run, or partitioning — which also makes the
+    walk corpus oracle-checkable).  Walkers start at every node; a
+    node with no outgoing edge ends its walk early.
+
+    Scale shape: the next-hop table (argmin per (node, step) — ONE
+    row_number window over edges × steps) is computed once, then each
+    step is an equi-join of the frontier against it; n_steps joins
+    total, never an all-pairs product.  Walk storage is O(nodes ·
+    steps).
+
+    Reference: none — SURVEY.md §2.8 graph family (walk corpus for
+    embedding training).
+    """
+    from pyspark.sql.window import Window as W
+
+    cand = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    adj = cand.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in range(1, n_steps + 1)])).alias("k")
+    pri = F.md5(
+        F.concat_ws(
+            "_",
+            F.col("u").cast("string"),
+            F.col("k").cast("string"),
+            F.col("v").cast("string"),
+        )
+    )
+    w = W.partitionBy("u", "k").orderBy(pri)
+    nexthop = (
+        adj.select("u", "v", ks)
+        .select("u", "k", "v", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("u", "k", "v")
+    )
+    starts = adj.select(F.col("u").alias("node")).distinct()
+    frontier = starts.select(
+        F.col("node").alias("start_id"), F.lit(0).alias("step"), "node"
+    )
+    paths = [frontier]
+    cur = frontier
+    for k in range(1, n_steps + 1):
+        nh = nexthop.where(F.col("k") == k).select(
+            F.col("u").alias("node"), F.col("v").alias("nxt")
+        )
+        cur = (
+            cur.join(nh, "node")
+            .select("start_id", F.lit(k).alias("step"), F.col("nxt").alias("node"))
+        )
+        paths.append(cur)
+    out = paths[0]
+    for p in paths[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "start_id", F.col("step").cast("int").alias("step"), F.col("node").alias("node_id")
+    )

@@ -5060,6 +5060,35 @@ SELECT CAST(h.group_id AS BIGINT) AS group_id,
 FROM (SELECT * FROM ranked WHERE r_hi = 1 AND n_in_group >= 2) h
 JOIN (SELECT * FROM ranked WHERE r_lo = 1) l USING (group_id)""",
     ),
+    # Deterministic walk corpus over the near-dup graph: md5-argmin
+    # next hops, n_steps equi-joins against the precomputed hop table.
+    "q_hash_walks": QuerySpec(
+        graph.hash_walks,
+        f"""WITH {_SHINGLES_CTE},
+{_LSH_CAND_CTE},
+adj AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand),
+nh AS (
+  SELECT u, k, v FROM (
+    SELECT u, k, v, row_number() OVER (PARTITION BY u, k
+      ORDER BY md5(CAST(u AS VARCHAR) || '_' || CAST(k AS VARCHAR)
+                   || '_' || CAST(v AS VARCHAR))) AS rn
+    FROM adj CROSS JOIN (SELECT unnest([1, 2, 3]) AS k))
+  WHERE rn = 1),
+starts AS (SELECT DISTINCT u AS node FROM adj),
+s0 AS (SELECT node AS start_id, 0 AS step, node FROM starts),
+s1 AS (SELECT start_id, 1 AS step, nh.v AS node FROM s0
+       JOIN nh ON nh.u = s0.node AND nh.k = 1),
+s2 AS (SELECT start_id, 2 AS step, nh.v AS node FROM s1
+       JOIN nh ON nh.u = s1.node AND nh.k = 2),
+s3 AS (SELECT start_id, 3 AS step, nh.v AS node FROM s2
+       JOIN nh ON nh.u = s2.node AND nh.k = 3)
+SELECT start_id, CAST(step AS INTEGER) AS step, node AS node_id FROM s0
+UNION ALL SELECT start_id, CAST(step AS INTEGER), node FROM s1
+UNION ALL SELECT start_id, CAST(step AS INTEGER), node FROM s2
+UNION ALL SELECT start_id, CAST(step AS INTEGER), node FROM s3""",
+    ),
 }
 
 

@@ -385,3 +385,44 @@ def test_preference_pairs_dominance(spark, sf_smoke):
         p = pairs[g]
         assert p["chosen_score"] == hi[0] and p["rejected_score"] == lo[0]
         assert p["margin"] == hi[0] - lo[0] >= 0
+
+
+def test_hash_walks_follow_edges_deterministically(spark, sf_smoke):
+    """Every consecutive step is a real edge; the next hop is the
+    md5-argmin neighbor; walks only end early at nodes with no edge
+    (never mid-graph); rerunning yields identical paths."""
+    import hashlib
+
+    from heatmap_spark.operators.dedup import minhash_lsh_candidates
+    from heatmap_spark.operators.graph import hash_walks
+
+    cand = minhash_lsh_candidates(spark, sf_smoke).collect()
+    adj = {}
+    for r in cand:
+        adj.setdefault(r["doc_a"], set()).add(r["doc_b"])
+        adj.setdefault(r["doc_b"], set()).add(r["doc_a"])
+
+    rows = hash_walks(spark, sf_smoke).collect()
+    paths = {}
+    for r in rows:
+        paths.setdefault(r["start_id"], {})[r["step"]] = r["node_id"]
+    assert set(paths) == set(adj)
+    for start, steps in paths.items():
+        assert steps[0] == start
+        for k in range(1, 4):
+            if k not in steps:
+                # ended early: previous node must be edgeless
+                assert steps[k - 1] not in adj or not adj[steps[k - 1]]
+                break
+            prev = steps[k - 1]
+            assert steps[k] in adj[prev]
+            want = min(
+                adj[prev],
+                key=lambda v: hashlib.md5(
+                    f"{prev}_{k}_{v}".encode()
+                ).hexdigest(),
+            )
+            assert steps[k] == want
+
+    again = {(r["start_id"], r["step"], r["node_id"]) for r in hash_walks(spark, sf_smoke).collect()}
+    assert again == {(r["start_id"], r["step"], r["node_id"]) for r in rows}
