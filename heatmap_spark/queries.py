@@ -5099,15 +5099,19 @@ UNION ALL SELECT start_id, CAST(step AS INTEGER), node FROM s3""",
 # oracle-gated + 13 rows-only, all locally sweep-green via
 # scripts/driver_sim.py) + the round-5 q_streaming_bpe_drift landing.
 # After this round every query declared before round 5 carries a hard
-# driver row (cumulative 209 of 231); the round-5 landings outside
+# driver row (cumulative 209 of 241); the round-5 landings outside
 # the window (rowstore quartet, q_autocorrelation,
 # q_kmeans_embeddings, q_forecast_backtest, q_media_decode_rgb,
 # q_curriculum_buckets, q_cluster_representatives, plus the eleven
 # late-round-5 extensions q_hybrid_rrf / q_knn_sq8 /
 # q_cms_heavy_hitters / q_streaming_cms / q_cusum_changepoints /
 # q_url_dedup / q_inverted_index_serving / q_quality_classifier /
-# q_bigram_lm / q_hilbert_key / q_media_phash — all sweep-green
-# locally at landing time) rotate in next round.
+# q_bigram_lm / q_hilbert_key / q_media_phash, then
+# q_rowstore_time_travel / q_rowstore_merge / q_temperature_mix /
+# q_embargo_split / q_negative_sampling / q_media_near_dup /
+# q_span_corruption / q_preference_pairs / q_hash_walks /
+# q_heatmap_retraction — all sweep-green locally at landing time)
+# rotate in next round.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
