@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from heatmap_spark.functions.tiles import z_value
+from heatmap_spark.functions.tiles import hilbert_value, z_value
 
 _ZCOL = "__zorder__"
 
@@ -41,6 +41,31 @@ def cluster_by_zorder(
     skipping works off the ORIGINAL row/col min/max footer stats.
     """
     keyed = df.withColumn(_ZCOL, z_value(row, col, bits))
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        keyed.repartitionByRange(parts, _ZCOL)
+        .sortWithinPartitions(_ZCOL)
+        .drop(_ZCOL)
+    )
+
+
+def cluster_by_hilbert(
+    df: DataFrame,
+    row: str = "row",
+    col: str = "col",
+    bits: int = 21,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Hilbert-curve twin of :func:`cluster_by_zorder`: same
+    range-partition + sort-within layout, keyed by the Hilbert value
+    (functions/tiles.hilbert_value).  The Hilbert curve never makes
+    Morton's long diagonal jumps, so a bbox decomposes into fewer,
+    longer key runs — typically equal-or-fewer overlapping row groups
+    for the same data (compared, not assumed, in
+    tests/test_layout.py).  The key is dropped before write: skipping
+    works off the original row/col footer stats either way.
+    """
+    keyed = df.withColumn(_ZCOL, hilbert_value(row, col, bits))
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (
         keyed.repartitionByRange(parts, _ZCOL)
