@@ -1916,3 +1916,73 @@ def knn_sq8(
         "rank",
         F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
     )
+
+
+def bitext_margin_mining(
+    spark: SparkSession,
+    sf_dir: str,
+    src_label: int = 0,
+    tgt_label: int = 1,
+    k: int = 4,
+    threshold: float = 1.2,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix criterion): for each source vector, score its
+    cosine against every target-side vector, and accept the best
+    target when the RATIO margin best / mean(top-k) clears the
+    threshold — the absolute-cosine filter's hubness-robust
+    replacement.  The embeddings table's label column stands in for
+    the two language sides.
+
+    Forward direction only (the production criterion intersects
+    forward and backward passes — one more run with the labels
+    swapped).  Emits EVERY source with its best target, margin, and
+    the accept verdict, so the whole decision surface is value-hashed.
+
+    Scale shape: identical to knn_cosine — the smaller side broadcasts,
+    the corpus side streams through the codegen'd cosine fold, top-k
+    via per-source window.  At 100 TB the candidate generation swaps
+    to the IVF/IVFPQ ladder; the margin arithmetic is unchanged.
+
+    Reference: none — SURVEY.md §2.8 extension (multilingual corpus
+    mining).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    src = emb.where(F.col("label") == src_label).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("vec").alias("svec"),
+        norm_expr(F.col("vec")).alias("sn"),
+    )
+    tgt = emb.where(F.col("label") == tgt_label).select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("vec").alias("tvec"),
+        norm_expr(F.col("vec")).alias("tn"),
+    )
+    cos = F.round(
+        dot_expr(F.col("svec"), F.col("tvec")) / (F.col("sn") * F.col("tn")), 6
+    )
+    scored = tgt.crossJoin(F.broadcast(src)).select(
+        "src_id", "tgt_id", cos.alias("cosine")
+    )
+    w = W.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("tgt_id"))
+    topk = scored.select(
+        "src_id", "tgt_id", "cosine", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= k)
+    agg = topk.groupBy("src_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("tgt_id"))).alias("best_tgt"),
+        F.max(F.when(F.col("rn") == 1, F.col("cosine"))).alias("best_cos"),
+        F.sum("cosine").alias("sum_topk"),
+        F.count(F.lit(1)).cast("int").alias("k_found"),
+    )
+    margin = F.round(
+        F.col("best_cos") / (F.col("sum_topk") / F.col("k_found")), 6
+    )
+    return agg.select(
+        "src_id",
+        "best_tgt",
+        "best_cos",
+        margin.alias("margin"),
+        (margin > threshold).alias("accepted"),
+    )

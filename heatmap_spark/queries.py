@@ -5112,6 +5112,41 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
     AS n_clamped_hi
 FROM j GROUP BY event_type""",
     ),
+    # Margin-based bitext mining: ratio margin best/mean(top-k) over
+    # label-0 x label-1 cosines; whole decision surface hashed.
+    "q_bitext_mining": QuerySpec(
+        similarity.bitext_margin_mining,
+        """WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+src AS (SELECT vec_id AS src_id, vec AS svec FROM emb WHERE label = 0),
+tgt AS (SELECT vec_id AS tgt_id, vec AS tvec FROM emb WHERE label = 1),
+scored AS (
+  SELECT src_id, tgt_id,
+    round(
+      list_sum(list_transform(range(1, len(svec) + 1), i -> svec[i] * tvec[i])) /
+      (sqrt(list_sum(list_transform(range(1, len(svec) + 1), i -> svec[i] * svec[i]))) *
+       sqrt(list_sum(list_transform(range(1, len(tvec) + 1), i -> tvec[i] * tvec[i])))),
+      6) AS cosine
+  FROM src CROSS JOIN tgt),
+topk AS (
+  SELECT * FROM (
+    SELECT src_id, tgt_id, cosine,
+      row_number() OVER (PARTITION BY src_id
+        ORDER BY cosine DESC, tgt_id) AS rn
+    FROM scored)
+  WHERE rn <= 4),
+agg AS (
+  SELECT src_id,
+    max(CASE WHEN rn = 1 THEN tgt_id END) AS best_tgt,
+    max(CASE WHEN rn = 1 THEN cosine END) AS best_cos,
+    sum(cosine) AS sum_topk,
+    CAST(count(*) AS INTEGER) AS k_found
+  FROM topk GROUP BY src_id)
+SELECT src_id, best_tgt, best_cos,
+  round(best_cos / (sum_topk / k_found), 6) AS margin,
+  (round(best_cos / (sum_topk / k_found), 6) > 1.2) AS accepted
+FROM agg""",
+    ),
 }
 
 

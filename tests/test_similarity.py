@@ -379,3 +379,24 @@ def test_knn_sq8_codes_and_recall(spark, sf_smoke):
     assert out.count() == 50  # 10 queries x top-5
     recall = out.agg(F.avg(F.col("in_exact_topk").cast("double"))).first()[0]
     assert recall >= 0.8
+
+
+def test_bitext_margin_mining_decision_surface(spark, sf_smoke):
+    """One row per source; best_tgt is the argmax-cosine target; the
+    margin >= 1 by construction (best >= mean of top-k); the 1.2
+    threshold splits the verdicts at both fixture tiers."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.similarity import bitext_margin_mining
+    from heatmap_spark.sources.tables import load_table
+
+    out = bitext_margin_mining(spark, sf_smoke).localCheckpoint(eager=True)
+    n_src = (
+        load_table(spark, sf_smoke, "embeddings").where(F.col("label") == 0).count()
+    )
+    assert out.count() == n_src
+    rows = out.collect()
+    assert all(r["margin"] >= 1.0 for r in rows)
+    verdicts = {r["accepted"] for r in rows}
+    assert verdicts == {True, False}
+    assert all((r["margin"] > 1.2) == r["accepted"] for r in rows)
