@@ -701,3 +701,76 @@ def winsorized_stats(
             "n_clamped_lo", "n_clamped_hi",
         )
     )
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus DATACARD (the summary block a dataset release
+    ships): document/token/char totals, language count and Shannon
+    entropy of the language mix (bits — the diversity number), and the
+    exact-duplicate rate (md5 of the token-normalized text, the
+    dedup_exact signal).
+
+    Exactness: counts are integers; each language's −p·log2 p term is
+    rounded to 6 decimals and summed as DECIMAL (order-independent,
+    the unigram-LM policy), so even the entropy value hashes.
+
+    Scale shape: one pass for the per-doc summary, two map-side-
+    combinable aggregates (per-lang, per-fingerprint) and a final
+    single-row combine — no sorts, no windows over the corpus.
+    """
+    from heatmap_spark.operators.dedup import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    all_toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars"),
+        F.size(all_toks).cast("bigint").alias("n_tokens"),
+        # tokens_expr() is already the DISTINCT token set
+        F.md5(F.concat_ws(" ", F.array_sort(tokens_expr()))).alias("fp"),
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    lang = base.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    n_docs_w = F.sum("c").over(W.partitionBy())
+    p = F.col("c") / n_docs_w
+    ent_term = F.round(-p * F.log2(p), 6).cast("decimal(18,6)")
+    lang_sum = lang.select(ent_term.alias("t"), F.lit(1).alias("one")).groupBy(
+        "one"
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("n_langs"),
+        F.sum("t").cast("double").alias("lang_entropy_bits"),
+    )
+    dups = (
+        base.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_exact_dup_docs")
+        )
+    )
+    return (
+        totals.crossJoin(F.broadcast(lang_sum.drop("one")))
+        .crossJoin(F.broadcast(dups))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            F.round(F.col("total_tokens").cast("double") / F.col("n_docs"), 6).alias(
+                "avg_tokens"
+            ),
+            "n_langs",
+            F.round("lang_entropy_bits", 6).alias("lang_entropy_bits"),
+            "n_exact_dup_docs",
+            F.round(
+                F.col("n_exact_dup_docs").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+    )

@@ -5147,6 +5147,42 @@ SELECT src_id, best_tgt, best_cos,
   (round(best_cos / (sum_topk / k_found), 6) > 1.2) AS accepted
 FROM agg""",
     ),
+    # One-row corpus datacard: totals, language entropy (rounded-term
+    # decimal sum), exact-dup rate — all value-hashed.
+    "q_corpus_datacard": QuerySpec(
+        profiling.corpus_datacard,
+        """WITH base AS (
+  SELECT doc_id, lang, n_chars,
+    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      x -> x <> '')) AS BIGINT) AS n_tokens,
+    md5(COALESCE(array_to_string(list_sort(list_distinct(
+      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x <> ''))), ' '), '')) AS fp
+  FROM documents),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM base),
+lang AS (SELECT lang, count(*) AS c FROM base GROUP BY 1),
+langsum AS (
+  SELECT CAST(count(*) AS INTEGER) AS n_langs,
+    CAST(sum(CAST(round(
+      -(c / CAST((SELECT sum(c) FROM lang) AS DOUBLE))
+        * log2(c / CAST((SELECT sum(c) FROM lang) AS DOUBLE)), 6)
+      AS DECIMAL(18,6))) AS DOUBLE) AS ent
+  FROM lang),
+dups AS (
+  SELECT CAST(COALESCE(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+    AS n_exact_dup_docs
+  FROM (SELECT fp, count(*) AS c FROM base GROUP BY 1))
+SELECT n_docs, total_tokens, total_chars,
+  round(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens,
+  n_langs, round(ent, 6) AS lang_entropy_bits,
+  n_exact_dup_docs,
+  round(CAST(n_exact_dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate
+FROM totals CROSS JOIN langsum CROSS JOIN dups""",
+    ),
 }
 
 

@@ -728,3 +728,24 @@ def test_winsorized_mean_is_bounded_and_robust(spark, sf_smoke):
         assert r["p_lo"] <= r["wmean"] <= r["p_hi"]
         assert 0 <= r["n_clamped_lo"] <= 0.08 * r["n"]
         assert 0 <= r["n_clamped_hi"] <= 0.08 * r["n"]
+
+
+def test_corpus_datacard_invariants(spark, sf_smoke):
+    """Entropy in [0, log2(n_langs)]; totals equal direct counts;
+    dup_rate in [0,1] and counts DOCS in dup groups (not groups)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.profiling import corpus_datacard
+    from heatmap_spark.sources.tables import load_table
+
+    r = corpus_datacard(spark, sf_smoke).first()
+    docs = load_table(spark, sf_smoke, "documents")
+    assert r["n_docs"] == docs.count()
+    assert r["total_chars"] == docs.agg(F.sum("n_chars")).first()[0]
+    assert r["n_langs"] == docs.select("lang").distinct().count()
+    assert 0.0 <= r["lang_entropy_bits"] <= math.log2(r["n_langs"]) + 1e-6
+    assert 0.0 <= r["dup_rate"] <= 1.0
+    assert r["n_exact_dup_docs"] != 1  # can never be exactly one doc
+    assert abs(r["avg_tokens"] - r["total_tokens"] / r["n_docs"]) < 1e-6
