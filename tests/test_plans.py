@@ -549,3 +549,40 @@ def test_round5b_landings_plan_shapes(spark, sf_smoke):
 
     cu = cusum_changepoints(spark, sf_smoke)
     assert count_exchanges(cu) == 1, plan_string(cu, "simple")
+
+
+def test_round5c_landings_plan_shapes(spark, sf_smoke):
+    """Plan promises of the second extension batch:
+    - bitext mining scores via broadcast (corpus side never shuffles);
+    - winsorized stats: quantile table broadcasts back onto the
+      stream (two aggregates, no sort of the corpus);
+    - span corruption: ONE window pass (the sentinel index);
+    - pyramid retraction: the union re-aggregate keeps the explode
+      pyramid's single-exchange shape (union is narrow);
+    - all of them: zero Python eval."""
+    from heatmap_spark.operators.profiling import winsorized_stats
+    from heatmap_spark.operators.similarity import bitext_margin_mining
+    from heatmap_spark.operators.textops import preference_pairs, span_corruption
+    from heatmap_spark.queries import q_heatmap_retraction
+
+    bt = bitext_margin_mining(spark, sf_smoke)
+    p = plan_string(bt, "simple")
+    assert not has_python_eval(bt)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+    ws = winsorized_stats(spark, sf_smoke)
+    assert not has_python_eval(ws)
+    assert has_broadcast_join(ws), plan_string(ws, "simple")
+
+    sc = span_corruption(spark, sf_smoke)
+    ps = plan_string(sc, "simple")
+    assert not has_python_eval(sc)
+    assert ps.count("Window") == 1, ps
+
+    rt = q_heatmap_retraction(spark, sf_smoke)
+    assert not has_python_eval(rt)
+    assert count_exchanges(rt) == 1, plan_string(rt, "simple")
+
+    pp = preference_pairs(spark, sf_smoke)
+    assert not has_python_eval(pp)
