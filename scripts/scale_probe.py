@@ -1576,6 +1576,73 @@ def probe_merge(spark, n: int) -> None:
 
 
 
+def probe_bigram(spark, n: int) -> None:
+    """Interpolated bigram LM over n docs (60 tokens → 59 bigrams
+    each): model tables are aggregates of the occurrence stream; the
+    corpus joins back token-keyed."""
+    from pyspark.sql import functions as F
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    bg = F.filter(
+        F.zip_with(toks, F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    t0 = time.perf_counter()
+    occ = docs.select("doc_id", F.explode(bg).alias("bgr")).select(
+        "doc_id", "bgr", F.substring_index("bgr", " ", 1).alias("w1")
+    )
+    cb = occ.groupBy("bgr").agg(F.count(F.lit(1)).alias("cb"))
+    cw = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    out = (
+        occ.join(cb, "bgr").join(cw, "w1")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nb"),
+             F.sum(F.log2(F.col("cb") / F.col("cw"))).alias("s"))
+    )
+    out.write.format("noop").mode("overwrite").save()
+    t = time.perf_counter() - t0
+    print(f"bigram-lm {n:,} docs ({59*n:,} bigram positions): {t:.1f}s "
+          f"({59*n/t/1e6:.1f}M positions/s)")
+
+
+def probe_span(spark, n: int) -> None:
+    """Span corruption over n docs: explode→window→reassemble;
+    verifies mask rate lands near 15%."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    nblk = F.ceil(F.size(toks) / F.lit(3)).cast("int")
+    t0 = time.perf_counter()
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.greatest(nblk - 1, F.lit(0))),
+            lambda b: F.concat_ws(" ", F.slice(toks, b * 3 + 1, 3)),
+        )).alias("si", "st"),
+    ).where(F.col("st") != "")
+    h = F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+        F.lit("_"), F.col("si").cast("string"))), 1, 6), 16, 10).cast("bigint")
+    m = (h % 100) < 15
+    w = W.partitionBy("doc_id").orderBy("si")
+    out = spans.select("doc_id", "si", "st", m.alias("m"),
+                       (F.sum(m.cast("int")).over(w) - 1).alias("k"))
+    agg = out.groupBy("doc_id").agg(F.sum(F.col("m").cast("int")).alias("nm"),
+                                    F.count(F.lit(1)).alias("ns"))
+    tot = agg.agg(F.sum("nm"), F.sum("ns")).first()
+    t = time.perf_counter() - t0
+    rate = tot[0] / tot[1]
+    assert 0.12 < rate < 0.18, rate
+    print(f"span-corruption {n:,} docs ({tot[1]:,} spans): {t:.1f}s "
+          f"({tot[1]/t/1e6:.1f}M spans/s), mask rate {rate:.3f}")
+
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -1586,7 +1653,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -1600,7 +1667,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span}[which](spark, n)
 
 
 if __name__ == "__main__":
