@@ -1399,3 +1399,44 @@ def preference_pairs(
             .alias("margin"),
         )
     )
+
+
+def unigram_sampling_table(
+    spark: SparkSession, sf_dir: str, power: float = 0.75, scale: int = 1000
+) -> DataFrame:
+    """Smoothed unigram sampling table (word2vec's count^0.75 negative
+    -sampling distribution): per token, an INTEGER weight
+    floor(count^0.75 · scale) and the half-open cumulative range
+    [range_lo, range_hi) an alias-free sampler probes with a uniform
+    integer draw in [0, max(range_hi)) — the artifact embedding
+    trainers precompute from corpus statistics.
+
+    Determinism: counts exact; weight = ONE double pow + floor per
+    token (no cross-token float normalization — a Σ over thousands of
+    doubles is summation-order-dependent across engines and could flip
+    floor boundaries); ranges are integer window sums in (token)
+    order, so the whole table value-hashes.
+
+    Scale shape: one vocab aggregate (map-side combinable), one window
+    over the VOCAB relation (sublinear in corpus under Zipf), ordered
+    by token for determinism.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_all_tokens()).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    wgt = F.pow(F.col("cnt").cast("double"), F.lit(float(power)))
+    weighted = vocab.select(
+        "token",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.floor(wgt * F.lit(float(scale))).cast("bigint").alias("weight"),
+    )
+    w = W.orderBy("token").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return weighted.select(
+        "token",
+        "cnt",
+        "weight",
+        (F.sum("weight").over(w) - F.col("weight")).cast("bigint").alias("range_lo"),
+        F.sum("weight").over(w).cast("bigint").alias("range_hi"),
+    )

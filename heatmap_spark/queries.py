@@ -5264,6 +5264,27 @@ SELECT doc_id, lang, n_tokens, lang_budget, cum_tokens
 FROM cum JOIN budgets USING (lang)
 WHERE cum_tokens <= lang_budget""",
     ),
+    # word2vec count^0.75 sampling table: per-token pow+floor (no
+    # cross-token float sum), integer cumulative ranges.
+    "q_unigram_sampling_table": QuerySpec(
+        textops.unigram_sampling_table,
+        """WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+    x -> x <> '')) AS token
+  FROM documents),
+vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+weighted AS (
+  SELECT token, CAST(cnt AS BIGINT) AS cnt,
+    CAST(floor(pow(CAST(cnt AS DOUBLE), 0.75) * CAST(1000 AS DOUBLE))
+         AS BIGINT) AS weight
+  FROM vocab)
+SELECT token, cnt, weight,
+  CAST(sum(weight) OVER (ORDER BY token ROWS UNBOUNDED PRECEDING)
+       - weight AS BIGINT) AS range_lo,
+  CAST(sum(weight) OVER (ORDER BY token ROWS UNBOUNDED PRECEDING)
+       AS BIGINT) AS range_hi
+FROM weighted""",
+    ),
 }
 
 

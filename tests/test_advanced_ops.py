@@ -458,3 +458,25 @@ def test_curation_v2_stage_semantics(spark, sf_smoke):
     )
     for r in per_lang:
         assert r["used"] <= r["b"]
+
+
+def test_unigram_sampling_table_ranges(spark, sf_smoke):
+    """Ranges are contiguous half-open intervals in token order with
+    widths equal to the weights; weights follow count^0.75 ordering
+    (monotone in count)."""
+    from heatmap_spark.operators.textops import unigram_sampling_table
+
+    rows = sorted(
+        unigram_sampling_table(spark, sf_smoke).collect(),
+        key=lambda r: r["token"],
+    )
+    assert rows
+    pos = 0
+    for r in rows:
+        assert r["range_lo"] == pos
+        assert r["range_hi"] - r["range_lo"] == r["weight"]
+        assert r["weight"] == int(r["cnt"] ** 0.75 * 1000)
+        pos = r["range_hi"]
+    by_cnt = sorted(rows, key=lambda r: r["cnt"])
+    for a, b in zip(by_cnt, by_cnt[1:]):
+        assert a["weight"] <= b["weight"]
