@@ -136,7 +136,86 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--n-buckets", type=int, default=16)
     rs.add_argument("--get", help="optional: point-read this key after the write")
 
+    ix = sub.add_parser(
+        "index",
+        help="build the term-bucketed inverted index, then serve a "
+        "routed point query against it",
+    )
+    ix.add_argument("--sf-dir", required=True, help="testdata sf dir")
+    ix.add_argument("--store", required=True, help="index store path")
+    ix.add_argument("--query", default="spark,join,table", help="comma list of terms")
+    ix.add_argument("--k", type=int, default=10)
+
+    mg = sub.add_parser(
+        "merge",
+        help="MERGE INTO a row store (bucket rewrite + soft-delete log), "
+        "then print the commit history",
+    )
+    mg.add_argument("--sf-dir", required=True, help="testdata sf dir")
+    mg.add_argument("--store", required=True, help="row store path")
+
+    dc = sub.add_parser(
+        "datacard", help="print the one-row corpus datacard for a fixture dir"
+    )
+    dc.add_argument("--sf-dir", required=True, help="testdata sf dir")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "index":
+        from heatmap_spark import get_spark
+        from heatmap_spark.sources.tables import load_table
+        from heatmap_spark.streaming.text_index import (
+            build_inverted_index,
+            search_index,
+            term_bucket,
+        )
+
+        spark = get_spark("heatmap-spark-cli")
+        docs = load_table(spark, args.sf_dir, "documents")
+        build_inverted_index(docs, args.store)
+        terms = [t for t in args.query.split(",") if t]
+        print(f"routed buckets: {sorted({term_bucket(t) for t in terms})} of 64")
+        for r in search_index(spark, args.store, terms, k=args.k).collect():
+            print(f"doc {r['doc_id']}: tfidf={r['tfidf']} ({r['n_terms']} terms)")
+        return 0
+
+    if args.cmd == "merge":
+        from pyspark.sql import functions as F
+
+        from heatmap_spark import get_spark
+        from heatmap_spark.sources.locations import load_locations
+        from heatmap_spark.sources.rowstore import (
+            merge_upsert_rowstore,
+            read_rowstore,
+            rowstore_history,
+            write_rowstore,
+        )
+
+        spark = get_spark("heatmap-spark-cli")
+        loc = load_locations(spark, args.sf_dir)
+        write_rowstore(loc, args.store, bucket_key="user_id", mode="overwrite")
+        updates = loc.where(F.substring(F.md5("user_id"), 1, 1) <= "3").withColumn(
+            "weight", F.col("weight") * 2
+        )
+        merge_upsert_rowstore(spark, updates, args.store)
+        for h in rowstore_history(args.store):
+            print(
+                f"v{h['version']}: +{h['n_files_added']} files, "
+                f"+{h['n_rows_added']} rows (cum {h['cum_rows']})"
+            )
+        print(f"current rows: {read_rowstore(spark, args.store).count()}; "
+              f"as-of v1: {read_rowstore(spark, args.store, as_of_version=1).count()}")
+        return 0
+
+    if args.cmd == "datacard":
+        from heatmap_spark import get_spark
+        from heatmap_spark.operators.profiling import corpus_datacard
+
+        spark = get_spark("heatmap-spark-cli")
+        r = corpus_datacard(spark, args.sf_dir).first()
+        for k in r.asDict():
+            print(f"{k}: {r[k]}")
+        return 0
 
     if args.cmd == "tokdrift":
         from pyspark.sql import functions as F

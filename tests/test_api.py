@@ -305,3 +305,26 @@ def test_cli_round5_subcommands(spark, sf_smoke, tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "pruned to 1 bucket" in out
+
+
+def test_cli_index_merge_datacard_subcommands(spark, sf_smoke, tmp_path, capsys):
+    """The index, merge, and datacard CLI subcommands run end-to-end:
+    routed serving buckets print, the merge history shows the bucket
+    rewrite with the pre-merge snapshot intact, and the datacard
+    emits every summary field."""
+    from heatmap_spark.__main__ import main
+
+    store = str(tmp_path / "ix")
+    assert main(["index", "--sf-dir", sf_smoke, "--store", store]) == 0
+    out = capsys.readouterr().out
+    assert "routed buckets:" in out and "tfidf=" in out
+
+    mstore = str(tmp_path / "mg")
+    assert main(["merge", "--sf-dir", sf_smoke, "--store", mstore]) == 0
+    out = capsys.readouterr().out
+    assert "v1:" in out and "v2:" in out and "as-of v1:" in out
+
+    assert main(["datacard", "--sf-dir", sf_smoke]) == 0
+    out = capsys.readouterr().out
+    for field in ("n_docs", "lang_entropy_bits", "dup_rate"):
+        assert field in out
