@@ -285,6 +285,36 @@ class CorpusBuilder:
             self.spark, self._df.drop("text").join(cleaned, "doc_id")
         )
 
+    def classifier_filter(self, n_buckets: int = 4096) -> "CorpusBuilder":
+        """Keep documents the hashed linear classifier scores positive
+        (textops.quality_classifier_df — exact integer forward pass;
+        the model-based rung above quality_filter's rules)."""
+        from pyspark.sql import functions as F
+
+        from heatmap_spark.operators.textops import quality_classifier_df
+
+        keep = (
+            quality_classifier_df(self._df, n_buckets)
+            .where(F.col("label"))
+            .select("doc_id")
+        )
+        return CorpusBuilder(
+            self.spark, self._df.join(keep, "doc_id", "left_semi")
+        )
+
+    def span_corruption(
+        self, block: int = 3, mask_pct: int = 15
+    ) -> "CorpusBuilder":
+        """Self-supervised objective stage: the corpus becomes
+        (doc_id, n_tokens, n_masked_spans, inputs, targets) — T5-style
+        span-corruption pairs (textops.span_corruption_df).
+        Terminal-ish, like chunk()."""
+        from heatmap_spark.operators.textops import span_corruption_df
+
+        return CorpusBuilder(
+            self.spark, span_corruption_df(self._df, block, mask_pct)
+        )
+
     def chunk(self, w: int = 64, stride: int = 48) -> "CorpusBuilder":
         """RAG chunking stage: the corpus becomes (doc_id, chunk_idx,
         chunk_text, n_chunk_tokens) — overlapping w-token windows at

@@ -1069,7 +1069,14 @@ def quality_classifier(
     Reference: none — SURVEY.md §2.8 quality-filter family (the
     model-based rung above the Gopher rule filters).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return quality_classifier_df(
+        load_table(spark, sf_dir, "documents"), n_buckets
+    )
+
+
+def quality_classifier_df(docs: DataFrame, n_buckets: int = 4096) -> DataFrame:
+    """DataFrame-core of :func:`quality_classifier` over any
+    (doc_id, text) relation (the fluent Corpus stage uses it)."""
     toks = _all_tokens()
     bigrams = F.filter(
         F.zip_with(
@@ -1253,9 +1260,18 @@ def span_corruption(
     Reference: none — SURVEY.md §2.8 extension (self-supervised
     objective construction over the documents table).
     """
+    return span_corruption_df(
+        load_table(spark, sf_dir, "documents"), block, mask_pct
+    )
+
+
+def span_corruption_df(
+    docs: DataFrame, block: int = 3, mask_pct: int = 15
+) -> DataFrame:
+    """DataFrame-core of :func:`span_corruption` over any
+    (doc_id, text) relation."""
     from pyspark.sql.window import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = _all_tokens()
     nblk = F.ceil(F.size(toks) / F.lit(block)).cast("int")
     spans = docs.select(

@@ -328,3 +328,31 @@ def test_cli_index_merge_datacard_subcommands(spark, sf_smoke, tmp_path, capsys)
     out = capsys.readouterr().out
     for field in ("n_docs", "lang_entropy_bits", "dup_rate"):
         assert field in out
+
+
+def test_fluent_classifier_and_span_stages(spark, sf_smoke):
+    """Corpus.classifier_filter keeps exactly the positive-label docs;
+    .span_corruption transforms the corpus into training pairs."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.api import Corpus
+    from heatmap_spark.operators.textops import quality_classifier
+
+    kept = Corpus(spark).from_sf_dir(sf_smoke).classifier_filter().df()
+    want = {
+        r["doc_id"]
+        for r in quality_classifier(spark, sf_smoke).where(F.col("label")).collect()
+    }
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == want
+
+    pairs = (
+        Corpus(spark)
+        .from_sf_dir(sf_smoke)
+        .classifier_filter()
+        .span_corruption()
+        .df()
+    )
+    assert set(pairs.columns) == {
+        "doc_id", "n_tokens", "n_masked_spans", "inputs", "targets"
+    }
+    assert pairs.count() == len(want)
