@@ -156,7 +156,7 @@ def make_rowstore_datasource():
         def __init__(self, path, options=None):
             self.path = path
             self.man = _load_man(path)
-            self.keep_buckets = set(range(self.man["n_buckets"]))
+            self._base_buckets = set(range(self.man["n_buckets"]))
             self.key_bounds = []  # (op, value) prunes on file min/max
             opts = options or {}
             # Spark's defaults for the analogous file-source knobs
@@ -176,9 +176,20 @@ def make_rowstore_datasource():
             # with pushFilters pruning
             bl = opts.get("buckets")
             if bl:
-                self.keep_buckets &= {int(x) for x in bl.split(",")}
+                self._base_buckets &= {int(x) for x in bl.split(",")}
+            self.keep_buckets = set(self._base_buckets)
 
         def pushFilters(self, filters):
+            # Reset to the option-restricted base EVERY call: Spark
+            # re-plans onto the SAME reader instance, and accumulated
+            # prunes from a previous plan must not leak into this one
+            # (they only ever shrink).  NOTE the engine-level caveat in
+            # read_rowstore's docstring: if a later plan has no
+            # filters at all, pyspark may reuse the first plan's frozen
+            # scan without calling pushFilters/partitions again — use
+            # a fresh read per differently-filtered action.
+            self.keep_buckets = set(self._base_buckets)
+            self.key_bounds = []
             key = self.man["bucket_key"]
             n = self.man["n_buckets"]
             for f in filters:
@@ -616,7 +627,16 @@ def read_rowstore(
     manifest version (the Delta/Iceberg `VERSION AS OF` semantics,
     native to this store's append-only manifest log: an as-of read
     simply drops files added by newer commits; bucket/stats pruning
-    still applies on top)."""
+    still applies on top).
+
+    USAGE NOTE (pyspark Python-DataSource engine behavior): the FIRST
+    action on the returned DataFrame freezes its planned scan —
+    including any keyed pruning pushed by that action's filters — and
+    later actions on the SAME DataFrame reuse it.  Run each
+    differently-filtered query against a fresh ``read_rowstore`` call
+    (cheap: planning only re-reads the manifest).  Every internal
+    caller follows this rule; tests/test_rowstore.py pins the
+    fresh-read behavior."""
     register_rowstore(spark)
     r = spark.read.format(FORMAT_NAME).option("path", path)
     if as_of_version is not None:
@@ -733,6 +753,41 @@ def compact_rowstore(spark: SparkSession, path: str) -> int:
         new["epochs"] = old_epochs  # replay guard survives compaction
     _write_manifest(path, new)
     return max(0, len(before_files) - len(new["files"]))
+
+
+def delete_from_rowstore(
+    spark: SparkSession, keys: DataFrame, path: str
+) -> None:
+    """DELETE by key (GDPR-erasure shape): rewrite the touched buckets
+    WITHOUT the given keys' rows — the merge machinery with an empty
+    insert arm.  Same single-manifest-swap crash safety and
+    time-travel semantics as :func:`merge_upsert_rowstore`; the bytes
+    leave disk when :func:`vacuum_rowstore` expires the retention
+    window (until then pre-delete snapshots still answer, which is the
+    auditable-erasure pattern: logical delete now, physical on
+    vacuum)."""
+    man = read_manifest(path)
+    if man is None:
+        raise ValueError(f"no rowstore at {path}")
+    key, n = man["bucket_key"], man["n_buckets"]
+    from pyspark.sql import functions as F
+
+    bucket_expr = F.crc32(F.col(key).cast("string").cast("binary")) % n
+    touched = sorted(
+        r[0] for r in keys.select(bucket_expr.alias("b")).distinct().collect()
+    )
+    current = read_rowstore(spark, path, buckets=touched).where(
+        bucket_expr.isin(*touched)
+    )
+    keep = current.join(keys.select(key).distinct(), key, "left_anti")
+    register_rowstore(spark)
+    (
+        keep.write.format(FORMAT_NAME)
+        .option("path", path)
+        .option("replace_buckets", ",".join(str(b) for b in touched))
+        .mode("append")
+        .save()
+    )
 
 
 def vacuum_rowstore(path: str, keep_versions: int | None = None) -> int:

@@ -451,3 +451,69 @@ def test_vacuum_rowstore_drops_replaced_and_orphans(spark, sf_smoke, tmp_path):
     )
     routed = read_rowstore(spark, store, buckets=some)
     assert routed.count() == after.where(be.isin(*some)).count()
+
+
+def test_delete_from_rowstore_erasure(spark, sf_smoke, tmp_path):
+    """Deleted keys vanish from the current snapshot (all their rows),
+    everything else survives byte-for-byte, the pre-delete snapshot
+    still answers (auditable erasure), and vacuum then makes the
+    physical bytes leave."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.sources.locations import load_locations
+    from heatmap_spark.sources.rowstore import (
+        delete_from_rowstore,
+        read_manifest,
+        read_rowstore,
+        vacuum_rowstore,
+        write_rowstore,
+    )
+
+    store = str(tmp_path / "d")
+    loc = load_locations(spark, sf_smoke)
+    write_rowstore(loc, store, bucket_key="user_id", mode="overwrite")
+    victims = loc.select("user_id").distinct().orderBy("user_id").limit(3)
+    vic = {r["user_id"] for r in victims.collect()}
+
+    delete_from_rowstore(spark, victims, store)
+    # fresh read per action (see read_rowstore's USAGE NOTE: a
+    # filtered action freezes its pruned scan on that DataFrame)
+    assert (
+        read_rowstore(spark, store).where(F.col("user_id").isin(*vic)).count()
+        == 0
+    )
+    after_n = read_rowstore(spark, store).count()
+    assert after_n == loc.where(~F.col("user_id").isin(*vic)).count()
+    # pre-delete snapshot is intact until vacuum
+    v1 = read_rowstore(spark, store, as_of_version=1)
+    assert v1.where(F.col("user_id").isin(*vic)).count() > 0
+
+    removed_files = [e["name"] for e in read_manifest(store)["files"] if "rm" in e]
+    assert removed_files
+    assert vacuum_rowstore(store, keep_versions=0) >= len(removed_files)
+    for name in removed_files:
+        assert not os.path.exists(os.path.join(store, name))
+    # current snapshot unaffected by the vacuum
+    assert read_rowstore(spark, store).count() == after_n
+
+
+def test_push_filter_state_never_leaks_across_fresh_reads(spark, sf_smoke, tmp_path):
+    """The reader resets pruning state per pushFilters call, and fresh
+    read_rowstore calls are fully independent: filtered → unfiltered →
+    differently-filtered all return their own correct results."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.sources.locations import load_locations
+    from heatmap_spark.sources.rowstore import read_rowstore, write_rowstore
+
+    store = str(tmp_path / "leak")
+    loc = load_locations(spark, sf_smoke)
+    write_rowstore(loc, store, bucket_key="user_id", mode="overwrite")
+
+    n_u1 = loc.where(F.col("user_id") == "u1").count()
+    n_u2 = loc.where(F.col("user_id") == "u2").count()
+    assert read_rowstore(spark, store).where(F.col("user_id") == "u1").count() == n_u1
+    assert read_rowstore(spark, store).count() == loc.count()
+    assert read_rowstore(spark, store).where(F.col("user_id") == "u2").count() == n_u2
