@@ -232,6 +232,29 @@ def q_rowstore_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_rowstore(spark, store)
 
 
+def q_rowstore_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed DELETE (GDPR-erasure shape): drop every row of the
+    md5-selected victim users via the bucket-rewrite path, then read
+    the current snapshot.  The oracle derives the remaining rows
+    directly, so the hash certifies logical erasure end-to-end (the
+    pre-delete snapshot stays readable until vacuum — the auditable
+    pattern, covered in tests)."""
+    from heatmap_spark.sources.rowstore import (
+        delete_from_rowstore,
+        read_rowstore,
+        write_rowstore,
+    )
+
+    store = _scratch_dir("rowstore_q_") + "/locations"
+    loc = load_locations(spark, sf_dir)
+    write_rowstore(loc, store, bucket_key="user_id", mode="overwrite")
+    victims = loc.where(F.substring(F.md5("user_id"), 1, 1) <= "1").select(
+        "user_id"
+    ).distinct()
+    delete_from_rowstore(spark, victims, store)
+    return read_rowstore(spark, store)
+
+
 def q_rowstore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The store's commit log as a stream: two separate append commits
     (even/odd event split), then one availableNow drain through the
@@ -1550,6 +1573,11 @@ SELECT * FROM locations WHERE substr(md5(user_id), 1, 1) <= '7'""",
 SELECT * REPLACE (CASE WHEN substr(md5(user_id), 1, 1) <= '3'
                        THEN weight * 2 ELSE weight END AS weight)
 FROM locations""",
+    ),
+    "q_rowstore_delete": QuerySpec(
+        q_rowstore_delete,
+        f"""WITH {_LOC_CTE}
+SELECT * FROM locations WHERE substr(md5(user_id), 1, 1) > '1'""",
     ),
     "q_rowstore_stream": QuerySpec(q_rowstore_stream, locations_sql("duckdb")),
     "q_rowstore_stream_sink": QuerySpec(
@@ -5295,7 +5323,7 @@ FROM weighted""",
 # oracle-gated + 13 rows-only, all locally sweep-green via
 # scripts/driver_sim.py) + the round-5 q_streaming_bpe_drift landing.
 # After this round every query declared before round 5 carries a hard
-# driver row (cumulative 209 of 246); the round-5 landings outside
+# driver row (cumulative 209 of 247); the round-5 landings outside
 # the window (rowstore quartet, q_autocorrelation,
 # q_kmeans_embeddings, q_forecast_backtest, q_media_decode_rgb,
 # q_curriculum_buckets, q_cluster_representatives, plus the eleven
@@ -5307,8 +5335,9 @@ FROM weighted""",
 # q_embargo_split / q_negative_sampling / q_media_near_dup /
 # q_span_corruption / q_preference_pairs / q_hash_walks /
 # q_heatmap_retraction / q_winsorized_stats / q_bitext_mining /
-# q_corpus_datacard / q_curation_v2 / q_unigram_sampling_table — all
-# sweep-green locally at landing time) rotate in next round.
+# q_corpus_datacard / q_curation_v2 / q_unigram_sampling_table /
+# q_rowstore_delete — all sweep-green locally at landing time) rotate
+# in next round.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
