@@ -536,6 +536,33 @@ def q_streaming_tile_store_partitioned(spark: SparkSession, sf_dir: str) -> Data
     return read_partitioned_store(spark, store)
 
 
+def q_streaming_tile_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style retraction through the PARTITIONED serving store:
+    batch 0 merges the full pyramid; batch 1 merges the victim slice's
+    pyramid with NEGATED visits under drop_zeros — cancelled tiles
+    leave the store (a fully-cancelled bucket commits an empty
+    version).  The final serving read must equal the pyramid of the
+    REMAINING users — the q_heatmap_retraction algebra flowing through
+    the store's per-bucket exactly-once commit protocol."""
+    from heatmap_spark.streaming.tile_store import (
+        merge_delta_into_partitioned_store,
+        read_partitioned_store,
+    )
+
+    loc = load_locations(spark, sf_dir)
+    store = _scratch_dir("tile_store_retract_q_") + "/store"
+    full = pyr.build_pyramid(loc, mode="explode")
+    merge_delta_into_partitioned_store(spark, full, store, batch_id=0)
+    victims = loc.where(F.substring(F.md5("user_id"), 1, 1) <= "3")
+    retract = pyr.build_pyramid(victims, mode="explode").withColumn(
+        "visits", -F.col("visits")
+    )
+    merge_delta_into_partitioned_store(
+        spark, retract, store, batch_id=1, drop_zeros=True
+    )
+    return read_partitioned_store(spark, store)
+
+
 _DUP_PASSAGES_SQL = """WITH tl AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
   FROM documents),
@@ -1591,6 +1618,18 @@ SELECT '21_' || CAST(row21 AS VARCHAR) || '_' || CAST(col21 AS VARCHAR) AS tile_
 FROM pts""",
     ),
     "q_heatmap_pyramid": QuerySpec(q_heatmap_pyramid, _PYRAMID_SQL, headline=True),
+    # Retraction through the PARTITIONED serving store: negated-visit
+    # delta + drop_zeros; oracle = pyramid of the remaining users
+    # (shared CTE shape with q_heatmap_retraction).
+    "q_streaming_tile_retraction": QuerySpec(
+        q_streaming_tile_retraction,
+        f"""WITH {_LOC_CTE},
+{_PTS_CTE.replace("WHERE source <> 'background')",
+                  "WHERE source <> 'background'"
+                  " AND substr(md5(user_id), 1, 1) > '3')")},
+{_EXPANDED_CTE}
+{_LEVELED_AGG}""",
+    ),
     # Retraction ≡ rebuild-without-slice: negated-weight union, zero
     # tiles dropped; oracle = pyramid of the remaining users only.
     "q_heatmap_retraction": QuerySpec(

@@ -377,6 +377,7 @@ def merge_delta_into_partitioned_store(
     store_path: str,
     batch_id: int = 0,
     bucket_zoom: int = BUCKET_ZOOM,
+    drop_zeros: bool = False,
 ) -> int:
     """Merge one delta pyramid, rewriting ONLY the spatial buckets it
     touches.  Returns the number of buckets committed (0 = replay
@@ -417,6 +418,13 @@ def merge_delta_into_partitioned_store(
     d_pending = d.where(F.col("bucket").isin(pending)).drop("bucket")
     base = read_partitioned_store(spark, store_path, buckets=pending)
     merged = d_pending if base is None else pyramid_merge(base, d_pending)
+    if drop_zeros:
+        # RETRACTION support: a delta carrying negated visits cancels
+        # tiles to exactly zero (unit integer weights — exact in
+        # double); dropping them makes deletion ≡ rebuild-without-
+        # slice, the q_heatmap_retraction algebra flowing through the
+        # serving store.
+        merged = merged.where(F.col("visits") != 0)
     staged = merged.withColumn("bucket", spatial_bucket(bucket_zoom))
     staging = _join(store_path, f"_staging_{batch_id}")
     (
@@ -430,12 +438,28 @@ def merge_delta_into_partitioned_store(
     for k in pending:
         src = _join(staging, f"bucket={k}")
         if not fs.is_dir(src):
-            # Unreachable with this delta algebra (visits are sums of
-            # positive weights, so a touched bucket's merge is never
-            # empty) — if the staged dir is gone, something external
-            # removed it (e.g. a concurrent vacuum).  FAIL the batch so
-            # the stream restarts and replays it; silently skipping
-            # would commit the checkpoint with the delta never merged.
+            if drop_zeros:
+                # a fully-cancelled bucket: every tile retracted to
+                # zero, so the staged dir legitimately has no rows —
+                # commit an EMPTY (schema-bearing) version so readers
+                # see zero tiles for this bucket
+                ver, _ = _read_bucket_marker(store_path, k)
+                dst = _join(store_path, f"bucket={k}", f"v={ver + 1}")
+                if fs.is_dir(dst):
+                    fs.delete(dst)
+                merged.limit(0).write.mode("overwrite").parquet(dst)
+                fs.write_text_atomic(
+                    _bucket_marker_path(store_path, k), f"{ver + 1}:{batch_id}"
+                )
+                committed += 1
+                continue
+            # Unreachable with the additive delta algebra (visits are
+            # sums of positive weights, so a touched bucket's merge is
+            # never empty) — if the staged dir is gone, something
+            # external removed it (e.g. a concurrent vacuum).  FAIL the
+            # batch so the stream restarts and replays it; silently
+            # skipping would commit the checkpoint with the delta never
+            # merged.
             raise RuntimeError(
                 f"staged bucket dir vanished before commit: {src}"
             )

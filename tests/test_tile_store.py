@@ -273,3 +273,53 @@ def test_point_resultset_read_matches_batch(spark, sf_smoke, tmp_path):
         read_resultset(spark, store, "no-such-group", "alltime", "7_1_1").count()
         == 0
     )
+
+
+def test_partitioned_store_retraction_and_full_cancellation(spark, sf_smoke, tmp_path):
+    """Retraction deltas (negated visits, drop_zeros) make the store
+    equal rebuild-without-slice; retracting EVERYTHING commits empty
+    (schema-bearing) bucket versions and the read returns zero tiles;
+    replaying the retraction batch is a no-op."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators import pyramid as P
+    from heatmap_spark.sources.locations import load_locations
+    from heatmap_spark.streaming.tile_store import (
+        merge_delta_into_partitioned_store,
+        read_partitioned_store,
+    )
+
+    loc = load_locations(spark, sf_smoke)
+    store = str(tmp_path / "s")
+    full = P.build_pyramid(loc, mode="explode", min_zoom=8, max_zoom=10)
+    merge_delta_into_partitioned_store(spark, full, store, batch_id=0)
+
+    sel = F.substring(F.md5("user_id"), 1, 1) <= "3"
+    retract = P.build_pyramid(
+        loc.where(sel), mode="explode", min_zoom=8, max_zoom=10
+    ).withColumn("visits", -F.col("visits"))
+    n = merge_delta_into_partitioned_store(
+        spark, retract, store, batch_id=1, drop_zeros=True
+    )
+    assert n > 0
+    got = read_partitioned_store(spark, store)
+    want = P.build_pyramid(loc.where(~sel), mode="explode", min_zoom=8, max_zoom=10)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # replay is a no-op
+    assert (
+        merge_delta_into_partitioned_store(
+            spark, retract, store, batch_id=1, drop_zeros=True
+        )
+        == 0
+    )
+
+    # total cancellation: retract everything that remains
+    retract_all = read_partitioned_store(spark, store).withColumn(
+        "visits", -F.col("visits")
+    )
+    merge_delta_into_partitioned_store(
+        spark, retract_all, store, batch_id=2, drop_zeros=True
+    )
+    final = read_partitioned_store(spark, store)
+    assert final is not None and final.count() == 0
