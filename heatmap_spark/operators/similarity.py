@@ -1986,3 +1986,83 @@ def bitext_margin_mining(
         margin.alias("margin"),
         (margin > threshold).alias("accepted"),
     )
+
+
+def knn_sq8_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = 20,
+) -> DataFrame:
+    """Two-stage serving search: SQ8 integer scoring shortlists
+    ``shortlist`` candidates per query (cheap compressed-domain pass),
+    then EXACT cosine re-ranks the shortlist to the final top-``k`` —
+    the standard quantized-index + rerank pattern (what production ANN
+    serving does with stored SQ8/PQ codes + original vectors for the
+    shortlist only).  Both stages are deterministic, so the final
+    ranking value-hashes; each row also reports whether exact
+    brute-force search agrees (the realized two-stage recall, ~1.0 at
+    this shortlist depth — pinned in tests).
+
+    Scale shape: stage 1 is knn_sq8's broadcast integer fold; stage 2
+    touches shortlist·n_queries vectors only (an equi-join back to the
+    corpus by id — the 'fetch originals for the shortlist' step).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    codes = sq8_codes(emb)
+    queries = codes.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
+    )
+    iscore = F.aggregate(
+        F.zip_with(F.col("qcode"), F.col("code"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), iscore.alias("s"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    short = scored.select(
+        "query_id", "neighbor_id", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= shortlist)
+
+    nvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        norm_expr(F.col("vec")).alias("nn"),
+    )
+    qvec = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        norm_expr(F.col("vec")).alias("qn"),
+    )
+    cos = F.round(
+        dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6
+    )
+    rer = (
+        short.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    top = rer.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.row_number().over(w2).cast("int").alias("rank"),
+    ).where(F.col("rank") <= k)
+    exact = knn_cosine_df(emb, n_queries, k).select(
+        "query_id", "neighbor_id", F.lit(True).alias("in_exact_topk")
+    )
+    return top.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "rank",
+        F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
+    )

@@ -4769,6 +4769,67 @@ SELECT s.query_id, s.neighbor_id, s.score_sq8, s.rank,
 FROM sq8 s LEFT JOIN exact e
   ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id""",
     ),
+    # Two-stage serving search: SQ8 integer shortlist (20) + exact
+    # cosine rerank to top-5; both stages deterministic, final ranking
+    # fully value-hashed with per-row exact-agreement flags.
+    "q_knn_sq8_rerank": QuerySpec(
+        similarity.knn_sq8_rerank,
+        """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+codes AS (
+  SELECT vec_id,
+    list_transform(vec, x -> CAST(greatest(-127, least(127, floor(
+      x / sqrt(list_sum(list_transform(vec, y -> y * y))) * 127))) AS BIGINT)) AS code
+  FROM emb),
+q AS (SELECT vec_id AS query_id, code AS qcode FROM codes WHERE vec_id < 10),
+iscored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(list_zip(qcode, c.code),
+      p -> p[1] * p[2])) AS BIGINT) AS s
+  FROM codes c CROSS JOIN q WHERE c.vec_id <> query_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+    FROM iscored)
+  WHERE rn <= 20),
+rer AS (
+  SELECT sh.query_id, sh.neighbor_id,
+    round(
+      list_sum(list_transform(range(1, len(qv.vec) + 1), i -> qv.vec[i] * nv.vec[i])) /
+      (sqrt(list_sum(list_transform(range(1, len(qv.vec) + 1), i -> qv.vec[i] * qv.vec[i]))) *
+       sqrt(list_sum(list_transform(range(1, len(nv.vec) + 1), i -> nv.vec[i] * nv.vec[i])))),
+      6) AS cosine
+  FROM short sh
+  JOIN emb nv ON nv.vec_id = sh.neighbor_id
+  JOIN emb qv ON qv.vec_id = sh.query_id),
+final AS (
+  SELECT query_id, neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM rer),
+topk AS (SELECT * FROM final WHERE rank <= 5),
+exact_scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+    round(
+      list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * e.vec[i])) /
+      (sqrt(list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * qvec[i]))) *
+       sqrt(list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * e.vec[i])))),
+      6) AS cosine
+  FROM emb e CROSS JOIN
+    (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 10) qq
+  WHERE e.vec_id <> query_id),
+exact AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM exact_scored)
+  WHERE rk <= 5)
+SELECT t.query_id, t.neighbor_id, t.cosine, t.rank,
+  (e.neighbor_id IS NOT NULL) AS in_exact_topk
+FROM topk t LEFT JOIN exact e
+  ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id""",
+    ),
     # Count-min sketch frequency estimates audited against exact
     # counts for the true top-20 tokens (est >= true by construction;
     # overestimate is the realized CMS error).  Same 48-bit md5

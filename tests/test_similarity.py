@@ -400,3 +400,17 @@ def test_bitext_margin_mining_decision_surface(spark, sf_smoke):
     verdicts = {r["accepted"] for r in rows}
     assert verdicts == {True, False}
     assert all((r["margin"] > 1.2) == r["accepted"] for r in rows)
+
+
+def test_knn_sq8_rerank_recovers_exact_topk(spark, sf_smoke):
+    """Two-stage SQ8-shortlist + exact-rerank recovers the exact top-5
+    perfectly at shortlist depth 20 (recall 1.0 at both fixture
+    tiers, pinned >= 0.95) — the rerank stage's job."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.similarity import knn_sq8_rerank
+
+    out = knn_sq8_rerank(spark, sf_smoke).localCheckpoint(eager=True)
+    assert out.count() == 50
+    recall = out.agg(F.avg(F.col("in_exact_topk").cast("double"))).first()[0]
+    assert recall >= 0.95
