@@ -5423,7 +5423,7 @@ FROM weighted""",
 # oracle-gated + 13 rows-only, all locally sweep-green via
 # scripts/driver_sim.py) + the round-5 q_streaming_bpe_drift landing.
 # After this round every query declared before round 5 carries a hard
-# driver row (cumulative 209 of 248); the round-5 landings outside
+# driver row (cumulative 209 of 249); the round-5 landings outside
 # the window (rowstore quartet, q_autocorrelation,
 # q_kmeans_embeddings, q_forecast_backtest, q_media_decode_rgb,
 # q_curriculum_buckets, q_cluster_representatives, plus the eleven
@@ -5436,8 +5436,9 @@ FROM weighted""",
 # q_span_corruption / q_preference_pairs / q_hash_walks /
 # q_heatmap_retraction / q_winsorized_stats / q_bitext_mining /
 # q_corpus_datacard / q_curation_v2 / q_unigram_sampling_table /
-# q_rowstore_delete / q_streaming_tile_retraction — all sweep-green
-# locally at landing time) rotate in next round.
+# q_rowstore_delete / q_streaming_tile_retraction /
+# q_knn_sq8_rerank — all sweep-green locally at landing time) rotate
+# in next round.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
