@@ -346,6 +346,29 @@ def q_heatmap_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pyr_df.where(F.col("visits") != 0)
 
 
+def q_streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance (the recrawl path): the
+    documents table arrives as 3 deterministic batches; each batch
+    appends its bucket-partitioned postings partial under the shared
+    marker protocol.  The routed serving read accumulates partials —
+    by mergeability (disjoint docs, tf/df/n_docs re-aggregate) the
+    result is IDENTICAL to the one-shot index, so this SHARES
+    q_inverted_index_serving's oracle."""
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.text_index import (
+        merge_batch_into_index,
+        search_incremental_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).first()[0] + 1
+    store = _scratch_dir("textindex_inc_q_") + "/index"
+    for b in range(3):
+        batch = docs.where(F.expr(f"CAST(doc_id * 3 DIV {mx} AS INT)") == b)
+        merge_batch_into_index(spark, batch, store, b)
+    return search_incremental_index(spark, store, ["spark", "join", "table"], k=20)
+
+
 def q_heatmap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ing = pyr.ingest_locations(load_locations(spark, sf_dir))
     return ing.select(
@@ -1543,6 +1566,32 @@ bits AS (
                ORDER BY i, j) AS phash,
     CAST(sum(CASE WHEN mean > thr THEN 1 ELSE 0 END) AS INTEGER) AS n_set
   FROM cm JOIN thr ON cm.doc_id = thr.doc_id GROUP BY 1, 2, 3)"""
+
+
+_TFIDF_SERVE_ORACLE = """WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms
+  WHERE term IN ('spark', 'join', 'table') GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+contrib AS (
+  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / df) AS c
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+per AS (
+  SELECT doc_id,
+    sum(CASE WHEN term = 'spark' THEN c END) AS s1,
+    sum(CASE WHEN term = 'join' THEN c END) AS s2,
+    sum(CASE WHEN term = 'table' THEN c END) AS s3
+  FROM contrib GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 6) AS tfidf,
+  CAST((s1 IS NOT NULL)::INTEGER + (s2 IS NOT NULL)::INTEGER
+       + (s3 IS NOT NULL)::INTEGER AS INTEGER) AS n_terms
+FROM per ORDER BY tfidf DESC, doc_id LIMIT 20"""
 
 
 _CMS_ORACLE = """WITH toks AS (
@@ -4931,30 +4980,13 @@ FROM canon""",
     # recomputes the tf-idf scores straight from documents.
     "q_inverted_index_serving": QuerySpec(
         q_inverted_index_serving,
-        """WITH toks AS (
-  SELECT doc_id,
-    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-  FROM documents),
-terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
-tf AS (
-  SELECT doc_id, term, count(*) AS tf FROM terms
-  WHERE term IN ('spark', 'join', 'table') GROUP BY 1, 2),
-dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-nd AS (SELECT count(*) AS n_docs FROM documents),
-contrib AS (
-  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / df) AS c
-  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
-per AS (
-  SELECT doc_id,
-    sum(CASE WHEN term = 'spark' THEN c END) AS s1,
-    sum(CASE WHEN term = 'join' THEN c END) AS s2,
-    sum(CASE WHEN term = 'table' THEN c END) AS s3
-  FROM contrib GROUP BY doc_id)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-  round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 6) AS tfidf,
-  CAST((s1 IS NOT NULL)::INTEGER + (s2 IS NOT NULL)::INTEGER
-       + (s3 IS NOT NULL)::INTEGER AS INTEGER) AS n_terms
-FROM per ORDER BY tfidf DESC, doc_id LIMIT 20""",
+        _TFIDF_SERVE_ORACLE,
+    ),
+    # Incremental index: 3 ingested batches, accumulated serving read;
+    # mergeability ⇒ the ORACLE IS SHARED with the one-shot build.
+    "q_streaming_index": QuerySpec(
+        q_streaming_index,
+        _TFIDF_SERVE_ORACLE,
     ),
     # Perceptual image hashing (aHash) over REAL decoded PNGs — the
     # oracle rebuilds the raster analytically (media_decode contract,
@@ -5423,7 +5455,7 @@ FROM weighted""",
 # oracle-gated + 13 rows-only, all locally sweep-green via
 # scripts/driver_sim.py) + the round-5 q_streaming_bpe_drift landing.
 # After this round every query declared before round 5 carries a hard
-# driver row (cumulative 209 of 249); the round-5 landings outside
+# driver row (cumulative 209 of 250); the round-5 landings outside
 # the window (rowstore quartet, q_autocorrelation,
 # q_kmeans_embeddings, q_forecast_backtest, q_media_decode_rgb,
 # q_curriculum_buckets, q_cluster_representatives, plus the eleven
@@ -5437,8 +5469,8 @@ FROM weighted""",
 # q_heatmap_retraction / q_winsorized_stats / q_bitext_mining /
 # q_corpus_datacard / q_curation_v2 / q_unigram_sampling_table /
 # q_rowstore_delete / q_streaming_tile_retraction /
-# q_knn_sq8_rerank — all sweep-green locally at landing time) rotate
-# in next round.
+# q_knn_sq8_rerank / q_streaming_index — all sweep-green locally at
+# landing time) rotate in next round.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",

@@ -77,3 +77,33 @@ def test_serving_read_opens_only_routed_buckets(spark, sf_smoke, tmp_path):
         assert r["tfidf_direct"] is not None
         assert abs(r["tfidf"] - r["tfidf_direct"]) < 1e-9
         assert 1 <= r["n_terms"] <= 3
+
+
+def test_incremental_index_equals_oneshot_and_replays(spark, sf_smoke, tmp_path):
+    """The accumulated incremental index serves IDENTICAL results to a
+    one-shot build over the same corpus (mergeability); replaying a
+    committed batch is a no-op."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.text_index import (
+        build_inverted_index,
+        merge_batch_into_index,
+        search_incremental_index,
+        search_index,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).first()[0] + 1
+    inc = str(tmp_path / "inc")
+    for b in range(3):
+        batch = docs.where(F.expr(f"CAST(doc_id * 3 DIV {mx} AS INT)") == b)
+        assert merge_batch_into_index(spark, batch, inc, b)
+    assert not merge_batch_into_index(spark, docs.limit(5), inc, 2)
+
+    one = str(tmp_path / "one")
+    build_inverted_index(docs, one)
+    qterms = ["spark", "join", "table"]
+    a = [tuple(r) for r in search_incremental_index(spark, inc, qterms).collect()]
+    b = [tuple(r) for r in search_index(spark, one, qterms).collect()]
+    assert a == b and a
