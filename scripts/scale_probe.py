@@ -1643,6 +1643,44 @@ def probe_span(spark, n: int) -> None:
 
 
 
+def probe_textindex_inc(spark, n: int) -> None:
+    """Incremental index: ingest 4 batches of n/4 docs; the routed
+    serving read must stay ~flat while the index quadruples (it opens
+    ≤ terms × batches bucket dirs, never the corpus)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.streaming.text_index import (
+        merge_batch_into_index,
+        search_incremental_index,
+    )
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    store = tempfile.mkdtemp(prefix="textindex_inc_probe_") + "/index"
+    per = n // 4
+    serve_times = []
+    for b in range(4):
+        batch = docs.where(
+            (F.col("doc_id") >= b * per) & (F.col("doc_id") < (b + 1) * per)
+        )
+        t0 = time.perf_counter()
+        merge_batch_into_index(spark, batch, store, b)
+        ti = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        hits = search_incremental_index(spark, store, ["w1", "w2", "w3"], k=10).count()
+        ts = time.perf_counter() - t0
+        serve_times.append(ts)
+        print(f"batch {b}: ingest {ti:.1f}s, serve {ts:.2f}s ({hits} hits)")
+    assert serve_times[-1] < 4 * serve_times[0] + 1.0, serve_times
+    print(
+        f"textindex-inc {n:,} docs / 4 batches: serve times {['%.2f' % t for t in serve_times]}"
+        " — flat while the index grew 4x"
+    )
+
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -1653,7 +1691,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -1667,7 +1705,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc}[which](spark, n)
 
 
 if __name__ == "__main__":
