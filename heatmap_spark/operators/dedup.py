@@ -1121,18 +1121,34 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def canonicalize_url(url: F.Column) -> F.Column:
     """Crawl-style URL canonicalization, entirely JVM-side regex/string
     ops (map-only, fuses into the scan): strip scheme, lowercase the
-    host, drop a leading www., drop default ports (:443/:80), drop the
+    host, drop a leading www., drop the scheme's DEFAULT port only
+    (:443 for https, :80 for http — a non-default port like
+    http://x:443 is a different origin and is kept), drop the
     fragment, strip tracking query params (utm_*, ref) and any
     separator debris they leave, drop a trailing slash.  Patterns
     avoid lookarounds so the SAME regexes run under Java regex (Spark)
-    and RE2 (DuckDB oracle)."""
+    and RE2 (DuckDB oracle).
+
+    The tracking-param strip is ANCHORED to a ``[?&]`` separator so
+    param names merely ending in the tracked words survive (pref=,
+    href=, xref=); the separator is kept via backreference and one
+    pass consumes every other param of a consecutive tracking run, so
+    4 passes handle runs of up to 15 — beyond anything a real crawl
+    carries."""
     u = F.regexp_replace(url, r"^https?://", "")
     host = F.regexp_replace(u, r"/.*$", "")
     rest = F.regexp_replace(u, r"^[^/]+", "")
     host = F.regexp_replace(F.lower(host), r"^www\.", "")
-    host = F.regexp_replace(host, r":(443|80)$", "")
+    host = (
+        F.when(url.rlike(r"^https://"), F.regexp_replace(host, r":443$", ""))
+        .when(url.rlike(r"^http://"), F.regexp_replace(host, r":80$", ""))
+        .otherwise(host)
+    )
     rest = F.regexp_replace(rest, r"#.*$", "")
-    rest = F.regexp_replace(rest, r"(utm_[a-z]+|ref)=[^&#]*&?", "")
+    for _ in range(4):
+        rest = F.regexp_replace(
+            rest, r"([?&])(utm_[a-z]+|ref)=[^&#]*&?", r"$1"
+        )
     rest = F.regexp_replace(rest, r"[?&]+$", "")
     rest = F.regexp_replace(rest, r"/$", "")
     return F.concat(host, rest)
@@ -1204,27 +1220,57 @@ def negative_sampling(
     the op one pass and fully deterministic; callers over-draw k and
     keep the valid ones.
 
+    The ring runs over dense RANKS (row_number over doc_id order,
+    0-based), not raw ids, so it is total and uniform for ANY id
+    space — sparse, offset, or hashed ids included; the draw maps
+    back rank→doc_id with one equi-join on the same narrow relation.
+    For the fixtures' already-dense 0-based ids rank ≡ doc_id, so the
+    output (and the DuckDB oracle, which rings over ids directly) is
+    unchanged.
+
     Scale shape: the draws are map-only arithmetic (k rows per doc,
-    no RNG state); the near-dup exclusion is one equi-join against the
-    bucketed LSH candidate pairs (both orientations) — never an
-    all-pairs similarity.  Assumes a dense [0, N) id space (the
-    fixtures'); for sparse ids, ring over zipWithIndex ranks instead.
+    no RNG state) plus the rank→id equi-join on doc-id summaries; the
+    rank assignment is one global sorted pass of NARROW (doc_id) rows
+    — the curriculum_buckets/NTILE pattern, never of documents.  The
+    near-dup exclusion is one equi-join against the bucketed LSH
+    candidate pairs (both orientations) — never an all-pairs
+    similarity.
 
     Reference: none — SURVEY.md §2.8 extension (contrastive /
     embedding-training data prep).
     """
+    from pyspark.sql.window import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # one scalar — the ring modulus
-    draws = docs.select(
+    if n_docs == 0:
+        # no modulus, no partners: the empty epoch, typed like the full one
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, neg_rank int, neg_id bigint, "
+            "is_self boolean, is_near_dup boolean, kept boolean",
+        )
+    ranked = docs.select(
         "doc_id",
+        (F.row_number().over(W.orderBy("doc_id")) - 1).cast("bigint").alias("rnk"),
+    )
+    draws = ranked.select(
+        "doc_id",
+        "rnk",
         F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])).alias("neg_rank"),
     ).select(
         "doc_id",
         "neg_rank",
-        ((F.col("doc_id") * 7919 + F.col("neg_rank") * 104729) % n_docs).alias(
-            "neg_id"
+        ((F.col("rnk") * 7919 + F.col("neg_rank") * 104729) % n_docs).alias(
+            "neg_pos"
         ),
     )
+    draws = draws.join(
+        ranked.select(
+            F.col("rnk").alias("neg_pos"), F.col("doc_id").alias("neg_id")
+        ),
+        "neg_pos",
+    ).drop("neg_pos")
     cand = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
     both = cand.unionByName(
         cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

@@ -144,8 +144,9 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts"
     )
 
-    # nested closure: pickles by value, so the driver can import this
-    # module from any cwd (see .claude/skills/verify gotchas)
+    # nested closure: cloudpickle serializes it BY VALUE (a
+    # module-level def pickles by reference and breaks when the driver
+    # imports this module from a different working directory)
     def merge(purch: pd.DataFrame, sign: pd.DataFrame) -> pd.DataFrame:
         if purch.empty:
             return pd.DataFrame(

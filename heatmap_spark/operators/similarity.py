@@ -1721,7 +1721,18 @@ def kmeans_embeddings(
     assign = q.select(
         "vec_id", (F.col("vec_id") % k).cast("int").alias("cluster"), "qv"
     )
-    cents: dict[int, list[int]] = {}
+    # Pre-seed every centroid with the first min(k, n) vectors in
+    # vec_id order (cycled when k > n): a cluster whose vec_id % k
+    # residue class is UNPOPULATED at the first assignment (sparse
+    # ids, or k > n) would otherwise hit a KeyError when the distance
+    # expression reads cents[j].  Non-empty clusters overwrite their
+    # seed before first use, so results are unchanged whenever every
+    # cluster starts populated (dense fixture ids — the oracle's
+    # COALESCE keeps-previous form needs no mirror).
+    seeds = [list(r["qv"]) for r in q.orderBy("vec_id").limit(k).collect()]
+    if not seeds:
+        raise ValueError("kmeans_embeddings: embeddings table is empty")
+    cents: dict[int, list[int]] = {c: seeds[c % len(seeds)] for c in range(k)}
     for _ in range(iters):
         rows = (
             assign.select("cluster", F.posexplode("qv").alias("pos", "x"))

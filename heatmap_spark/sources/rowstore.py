@@ -291,6 +291,22 @@ def make_rowstore_datasource():
 
         def _files_between(self, start_v, end_v):
             man = _load_man(self.path)
+            # The CDC view replays files by ADD version, which is only
+            # a faithful change log while the store is append-only: a
+            # MERGE/DELETE rewrites whole buckets (soft-deleting the
+            # priors via 'rm' marks), so replaying adds across such a
+            # commit would emit the pre-merge rows AND the rewritten
+            # files that contain them again.  Fail loudly instead of
+            # silently double-counting.
+            marked = sum(1 for e in man["files"] if "rm" in e)
+            if marked:
+                raise ValueError(
+                    "rowstore CDC stream requires an append-only store: "
+                    f"manifest at {self.path!r} carries 'rm' marks on "
+                    f"{marked} file(s) (MERGE/DELETE happened) — replaying "
+                    "adds would double-count rewritten rows; read a "
+                    "snapshot (read_rowstore) instead"
+                )
             return [
                 _os.path.join(self.path, e["name"])
                 for e in man["files"]

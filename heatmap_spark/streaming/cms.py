@@ -141,7 +141,15 @@ def estimate_heavy_hitters(
     depth: int = 4, width: int = 256,
 ) -> DataFrame:
     """Frequency estimates for a (token, true_cnt) candidate relation
-    off the ACCUMULATED sketch: est = min_j cell[j][h_j(token)]."""
+    off the ACCUMULATED sketch: est = min_j cell[j][h_j(token)].
+
+    The cell lookup is a LEFT join with a 0 fallback: the store only
+    materializes cells at least one ingested token hashed into, so a
+    candidate the corpus never saw lands on unmaterialized cells — its
+    CMS estimate is 0 (the sketch's answer for a never-incremented
+    counter), not a silently dropped row.  An inner join here would
+    also drop a seen token whose OTHER rows all collide, inflating
+    min_j over the surviving subset."""
     cells = accumulated_sketch(spark, store_path)
     ch = F.md5(F.col("token"))
     rows_j = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
@@ -156,9 +164,10 @@ def estimate_heavy_hitters(
             F.broadcast(cells),
             (cells["j"] == cand["j"])
             & (cells["col"] == (cand["h1"] + cand["j"] * cand["h2"]) % width),
+            "left",
         )
         .groupBy("token", "true_cnt")
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
     )
     return est.select(
         "token",
