@@ -480,3 +480,70 @@ def test_unigram_sampling_table_ranges(spark, sf_smoke):
     by_cnt = sorted(rows, key=lambda r: r["cnt"])
     for a, b in zip(by_cnt, by_cnt[1:]):
         assert a["weight"] <= b["weight"]
+
+
+def test_url_canonicalization_anchored_and_scheme_aware(spark):
+    """The tracking-param strip is anchored to a [?&] separator (param
+    names merely ending in 'ref'/'utm_*' survive) and port stripping is
+    scheme-aware (a NON-default port is a different origin and stays)."""
+    from heatmap_spark.operators.dedup import canonicalize_url
+
+    cases = {
+        # suffix-colliding param names must survive
+        "https://a.example.com/p?href=1&pref=2&xref=3":
+            "a.example.com/p?href=1&pref=2&xref=3",
+        # a long consecutive tracking run strips fully (4 passes)
+        "https://a.example.com/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4&utm_e=5&ref=x":
+            "a.example.com/p",
+        # kept params keep working separators around stripped ones
+        "https://a.example.com/p?a=1&utm_b=2&c=3&ref=4":
+            "a.example.com/p?a=1&c=3",
+        # non-default ports are different origins — kept
+        "http://a.example.com:443/p": "a.example.com:443/p",
+        "https://a.example.com:80/p": "a.example.com:80/p",
+        # default ports go
+        "https://a.example.com:443/p": "a.example.com/p",
+        "http://a.example.com:80/p": "a.example.com/p",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.select(
+            "url", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_negative_sampling_sparse_id_space(spark, sf_smoke, tmp_path):
+    """The ring runs over dense ranks, so a SPARSE doc_id space still
+    draws k valid partners per doc — every neg_id is an existing doc."""
+    from heatmap_spark.operators.dedup import negative_sampling
+
+    docs = (
+        load_table(spark, sf_smoke, "documents")
+        .where(F.col("doc_id") < 30)
+        .withColumn("doc_id", F.col("doc_id") * 7 + 3)  # sparse, offset
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = negative_sampling(spark, str(tmp_path)).localCheckpoint(eager=True)
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    rows = out.collect()
+    assert len(rows) == 4 * len(ids)
+    assert {r["neg_id"] for r in rows} <= ids
+    assert all(r["kept"] == ((not r["is_self"]) and (not r["is_near_dup"])) for r in rows)
+
+
+def test_approx_quantiles_scalar_columns(spark, sf_smoke):
+    """Driver-canonicalizer contract: the quantile query emits SCALAR
+    double columns (never array cells) and the sketch's monotonicity
+    invariant holds per group."""
+    from heatmap_spark.operators.relational import approx_quantiles_value
+
+    out = approx_quantiles_value(spark, sf_smoke)
+    assert out.columns == ["event_type", "p50", "p90", "p99"]
+    assert [f.dataType.simpleString() for f in out.schema.fields[1:]] == [
+        "double", "double", "double"
+    ]
+    for r in out.collect():
+        assert r["p50"] <= r["p90"] <= r["p99"]

@@ -42,3 +42,25 @@ def test_cms_store_merge_replay_compact(spark, sf_smoke, tmp_path):
     # second compaction with nothing new to fold is a no-op
     assert compact_cms_store(spark, store) == 0
     assert _grid(accumulated_sketch(spark, store)) == oneshot
+
+
+def test_estimate_unseen_candidate_is_zero_not_dropped(spark, sf_smoke, tmp_path):
+    """A candidate token the corpus never saw hits unmaterialized cells:
+    its estimate must be 0 (min over depth with missing cells = 0), not
+    a dropped row or an inflated min over the surviving subset."""
+    from heatmap_spark.streaming.cms import estimate_heavy_hitters
+
+    store = str(tmp_path / "cms")
+    docs = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 5)  # tiny corpus → sparse cell grid
+    )
+    assert merge_batch_into_cms_store(spark, docs, store, 0)
+    cand = spark.createDataFrame(
+        [("qqqzzzxyzzyunseen", 0)], "token string, true_cnt long"
+    )
+    rows = estimate_heavy_hitters(spark, store, cand).collect()
+    assert len(rows) == 1  # the row SURVIVES the lookup
+    assert rows[0]["cms_est"] >= 0
+    assert rows[0]["overestimate"] == rows[0]["cms_est"]

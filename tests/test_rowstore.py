@@ -517,3 +517,32 @@ def test_push_filter_state_never_leaks_across_fresh_reads(spark, sf_smoke, tmp_p
     assert read_rowstore(spark, store).where(F.col("user_id") == "u1").count() == n_u1
     assert read_rowstore(spark, store).count() == loc.count()
     assert read_rowstore(spark, store).where(F.col("user_id") == "u2").count() == n_u2
+
+
+def test_stream_fails_loudly_after_merge(spark, sf_smoke, tmp_path):
+    """The CDC stream is an append-only contract: once a MERGE soft-
+    deletes files ('rm' marks), a version-range replay would double-
+    count rewritten rows — the reader must refuse, not silently emit."""
+    import pytest
+
+    from heatmap_spark.sources.rowstore import merge_upsert_rowstore
+
+    store = str(tmp_path / "m")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    loc = _loc(spark, sf_smoke)
+    write_rowstore(loc, store, bucket_key="user_id", mode="overwrite")
+    updates = loc.where(F.substring(F.md5("user_id"), 1, 1) <= "3").withColumn(
+        "weight", F.col("weight") * 2
+    )
+    merge_upsert_rowstore(spark, updates, store)
+
+    q = (
+        stream_rowstore(spark, store)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="append-only"):
+        q.awaitTermination(timeout=300)

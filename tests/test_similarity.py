@@ -414,3 +414,27 @@ def test_knn_sq8_rerank_recovers_exact_topk(spark, sf_smoke):
     assert out.count() == 50
     recall = out.agg(F.avg(F.col("in_exact_topk").cast("double"))).first()[0]
     assert recall >= 0.95
+
+
+def test_kmeans_empty_initial_cluster_preseeded(spark, sf_smoke, tmp_path):
+    """A residue class of vec_id % k that is UNPOPULATED at the first
+    assignment (here: all-even vec_ids with k=2) must not crash the
+    distance expression — the empty cluster falls back to its
+    deterministic pre-seed and the run completes with every vector
+    assigned."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.similarity import kmeans_embeddings
+    from heatmap_spark.sources.tables import load_table
+
+    emb = (
+        load_table(spark, sf_smoke, "embeddings")
+        .where(F.col("vec_id") < 10)
+        .withColumn("vec_id", F.col("vec_id") * 2)  # only even residues
+    )
+    emb.write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = kmeans_embeddings(spark, str(tmp_path), k=2, iters=2)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert {r["cluster"] for r in rows} <= {0, 1}
+    assert all(r["cluster_size"] >= 1 for r in rows)
