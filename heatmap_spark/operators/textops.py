@@ -963,11 +963,23 @@ def token_budget_mix(
     target in expectation; this hits it by construction — the mixer a
     token-accounted pretraining epoch needs.
 
-    Scale shape: one window shuffle keyed by lang over the doc-SUMMARY
-    relation (doc_id, n_tokens) — the text column never enters the
-    sort; the cumulative sum is the per-domain sequential piece and is
-    inherently ordered, so a hot domain costs one sorted partition of
-    summaries, not of documents."""
+    Scale shape — SEGMENTED SCAN (the ewma_segmented pattern applied
+    to a prefix sum): a per-lang window alone would sort one hot
+    domain's entire doc-summary stream through a single partition.
+    Instead the shuffled order key (md5 hex) is split on its first two
+    hex chars into 256 segments whose lexicographic order IS the scan
+    order (the segment id is a prefix of the sort key), so:
+
+    1. within-segment cumsum — windows over (lang, seg), 256-way
+       parallel per domain, summaries only (the text column never
+       enters a sort);
+    2. per-segment totals — one small groupBy (|langs|·256 rows);
+    3. segment offsets — a prefix sum over that TINY relation;
+    4. broadcast the offsets back and add.
+
+    Exact integer arithmetic throughout, so the result is
+    value-hash-identical to the flat per-lang window (the DuckDB
+    oracle keeps the flat spelling — it is the semantic twin)."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -979,16 +991,35 @@ def token_budget_mix(
         "lang",
         toks.alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("rk"),
-    )
-    w = (
-        W.partitionBy("lang")
+    ).withColumn("seg", F.substring("rk", 1, 2))
+    w_seg = (
+        W.partitionBy("lang", "seg")
         .orderBy("rk", "doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum = F.sum("n_tokens").over(w).cast("bigint")
+    within = summary.withColumn(
+        "seg_cum", F.sum("n_tokens").over(w_seg).cast("bigint")
+    )
+    totals = within.groupBy("lang", "seg").agg(
+        F.sum("n_tokens").cast("bigint").alias("seg_total")
+    )
+    w_off = (
+        W.partitionBy("lang")
+        .orderBy("seg")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = totals.select(
+        "lang",
+        "seg",
+        (F.sum("seg_total").over(w_off) - F.col("seg_total")).alias("seg_off"),
+    )
     return (
-        summary.select(
-            "doc_id", "lang", "n_tokens", cum.alias("cum_tokens")
+        within.join(F.broadcast(offsets), ["lang", "seg"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.col("seg_off") + F.col("seg_cum")).cast("bigint").alias("cum_tokens"),
         )
         .where(F.col("cum_tokens") <= F.lit(budget_per_lang))
     )

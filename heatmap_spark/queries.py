@@ -5525,11 +5525,13 @@ _PRIORITY = [
     "q_media_phash",
     "q_media_near_dup",
     "q_media_decode_rgb",
-    # slack re-pins (already driver-green in earlier rounds)
+    # slack re-pins: q_token_budget_mix re-enters because its cumsum
+    # moved to the segmented-scan form this round (fresh driver row
+    # for changed code beats re-pinning an unchanged query)
     "q_media_decode",
     "q_curation_full",
     "q_bm25_search",
-    "q_heatmap_ingest",
+    "q_token_budget_mix",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

@@ -716,6 +716,40 @@ def test_token_budget_mix_invariants(spark, sf_correct):
     assert again == kept
 
 
+def test_token_budget_mix_segmented_equals_flat(spark, sf_correct):
+    """The segmented scan is value-identical to the flat per-lang
+    window it decomposes (exact integers — every row, every column):
+    the spelling the DuckDB oracle keeps."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.textops import token_budget_mix
+    from heatmap_spark.sources.tables import load_table
+
+    budget = 2000
+    out = token_budget_mix(spark, sf_correct, budget_per_lang=budget)
+
+    docs = load_table(spark, sf_correct, "documents")
+    toks = F.size(
+        F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    ).cast("bigint")
+    summary = docs.select(
+        "doc_id", "lang", toks.alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flat = summary.select(
+        "doc_id", "lang", "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    ).where(F.col("cum_tokens") <= budget)
+
+    assert out.exceptAll(flat).isEmpty() and flat.exceptAll(out).isEmpty()
+
+
 def test_winsorized_mean_is_bounded_and_robust(spark, sf_smoke):
     """p_lo <= wmean <= p_hi; clamp counts are ~5% tails; the
     winsorized mean moves less than the raw mean when a huge outlier

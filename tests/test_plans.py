@@ -414,7 +414,11 @@ def test_entity_resolution_candidates_never_cartesian(spark, sf_smoke):
 def test_recurrence_and_budget_mix_plans(spark, sf_smoke):
     """The forecasting folds are one groupBy exchange with the whole
     recurrence inside JVM higher-order functions (no Python eval); the
-    token-budget mixer is one window exchange on lang."""
+    token-budget mixer is a SEGMENTED scan: the corpus-sized window
+    must partition by (lang, seg) — never by lang alone, which would
+    serialize a hot domain through one partition — with the per-lang
+    prefix composition confined to the tiny segment-totals relation
+    and broadcast back."""
     from heatmap_spark.operators.textops import token_budget_mix
     from heatmap_spark.operators.timeseries import (
         holt_by_type,
@@ -426,9 +430,19 @@ def test_recurrence_and_budget_mix_plans(spark, sf_smoke):
         assert not has_python_eval(df)
 
     mix = token_budget_mix(spark, sf_smoke)
-    assert count_exchanges(mix) == 1, plan_string(mix, "simple")
+    plan = mix._jdf.queryExecution().executedPlan().toString()
     assert not has_python_eval(mix)
-    assert "Window" in plan_string(mix, "simple")
+    # every Window over the doc-summary stream carries the segment key
+    big_windows = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition(lang" in ln and "rk" in ln
+    ]
+    assert big_windows and all("seg" in ln for ln in big_windows), plan[:2000]
+    # the offsets come back as a broadcast, not a shuffled join
+    assert "BroadcastExchange" in plan, plan[:2000]
+    # bounded structure: (lang,seg) window + totals agg + tiny lang
+    # window + broadcast — no data-dependent exchange growth
+    assert count_exchanges(mix) <= 4, plan_string(mix, "simple")
 
 
 def test_autocorrelation_plan_shape(spark, sf_smoke):
