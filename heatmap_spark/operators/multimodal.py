@@ -572,16 +572,21 @@ def media_resize(
 
 
 def _png_codec_ex():
-    """General (encode, decode) for non-interlaced PNG covering color
-    type 0 (grayscale) and 2 (RGB truecolor) at bit depths 8 and 16 —
-    the round-4 codec generalized from its gray-8 special case (byte-
-    level filters with a bpp-stride 'left', RFC 2083 §6).  Nested for
-    by-value pickling like every codec here.
+    """General (encode, decode) for PNG covering color type 0
+    (grayscale) and 2 (RGB truecolor) at bit depths 8 and 16, color
+    type 3 (palette, depth 8) with a PLTE chunk, and BOTH interlace
+    methods (0 = sequential, 1 = Adam7) — byte-level filters with a
+    bpp-stride 'left' per RFC 2083 §6, seven independently-filtered
+    reduced images per §8.5.  Nested for by-value pickling like every
+    codec here.
 
-    encode(pixels): (h, w) → gray, (h, w, 3) → RGB; uint8 → depth 8,
-    uint16 → depth 16 (big-endian samples per the spec).
-    decode(data) → (height, width, channels, depth, ndarray) with the
-    array shaped (h, w) or (h, w, 3) in the matching dtype.
+    encode(pixels, palette=None, interlace=0): (h, w) → gray, (h, w,
+    3) → RGB; uint8 → depth 8, uint16 → depth 16 (big-endian samples
+    per the spec).  With ``palette`` (an (n≤256, 3) uint8 array),
+    ``pixels`` is an (h, w) uint8 INDEX raster → color type 3.
+    decode(data) → (height, width, channels, depth, ndarray); palette
+    images come back EXPANDED to an (h, w, 3) uint8 raster (channels
+    3) — the form every downstream feature/phash/resize kernel wants.
     """
     import struct
     import zlib as _z
@@ -589,6 +594,11 @@ def _png_codec_ex():
     import numpy as np
 
     SIG = b"\x89PNG\r\n\x1a\n"
+    # Adam7 pass grid: (x0, y0, dx, dy) per RFC 2083 §8.5
+    ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         return (
@@ -613,26 +623,13 @@ def _png_codec_ex():
     def _shift(row, bpp):
         return np.concatenate((np.zeros(bpp, dtype=np.int64), row[:-bpp]))
 
-    def encode(pixels) -> bytes:
-        px = np.asarray(pixels)
-        if px.dtype == np.uint8:
-            depth = 8
-        elif px.dtype == np.uint16:
-            depth = 16
-        else:
-            raise ValueError("pixels must be uint8 (depth 8) or uint16 (16)")
-        if px.ndim == 2:
-            color, ch = 0, 1
-        elif px.ndim == 3 and px.shape[2] == 3:
-            color, ch = 2, 3
-        else:
-            raise ValueError("shape must be (h, w) gray or (h, w, 3) RGB")
-        h, w = px.shape[0], px.shape[1]
-        bpp = ch * depth // 8
-        rows = _row_bytes(px, depth)
+    def _filter_block(rows, bpp):
+        # One independently-filtered scanline block (the whole image,
+        # or one Adam7 pass): prior starts at zero, filter type cycles
+        # r % 5 to exercise all five.
         raw = bytearray()
         prior = np.zeros(rows.shape[1], dtype=np.int64)
-        for r in range(h):
+        for r in range(rows.shape[0]):
             cur = rows[r]
             ft = r % 5
             left = _shift(cur, bpp)
@@ -655,58 +652,15 @@ def _png_codec_ex():
             raw.append(ft)
             raw.extend(filt.astype(np.uint8).tobytes())
             prior = cur
-        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
-        return (
-            SIG
-            + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", _z.compress(bytes(raw)))
-            + chunk(b"IEND", b"")
-        )
+        return raw
 
-    def decode(data: bytes):
-        if data[:8] != SIG:
-            raise ValueError("not a PNG: bad signature")
-        pos, w = 8, None
-        idat = bytearray()
-        while pos < len(data):
-            if pos + 8 > len(data):
-                raise ValueError("truncated chunk header")
-            (ln,) = struct.unpack(">I", data[pos : pos + 4])
-            tag = data[pos + 4 : pos + 8]
-            if pos + 12 + ln > len(data):
-                raise ValueError(f"truncated {tag!r} chunk")
-            payload = data[pos + 8 : pos + 8 + ln]
-            (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
-            if _z.crc32(tag + payload) & 0xFFFFFFFF != crc:
-                raise ValueError(f"bad CRC in {tag!r} chunk")
-            if tag == b"IHDR":
-                w, h, depth, color, comp, filt, ilace = struct.unpack(
-                    ">IIBBBBB", payload
-                )
-                if comp or filt or ilace:
-                    raise ValueError("only non-interlaced baseline PNG")
-                if depth not in (8, 16) or color not in (0, 2):
-                    raise ValueError(
-                        "only gray/RGB at depth 8/16 (got "
-                        f"depth={depth}, color={color})"
-                    )
-            elif tag == b"IDAT":
-                idat.extend(payload)
-            elif tag == b"IEND":
-                break
-            pos += 12 + ln
-        if w is None:
-            raise ValueError("missing IHDR")
-        ch = 1 if color == 0 else 3
-        bpp = ch * depth // 8
-        rb = w * bpp
-        raw = np.frombuffer(_z.decompress(bytes(idat)), dtype=np.uint8)
-        if len(raw) != h * (rb + 1):
-            raise ValueError("scanline payload length mismatch")
-        rows = raw.reshape(h, rb + 1)
-        out = np.zeros((h, rb), dtype=np.int64)
+    def _unfilter_block(rows, bpp):
+        # Inverse of _filter_block: (n, rb+1) uint8 → (n, rb) int64.
+        n, rbp = rows.shape
+        rb = rbp - 1
+        out = np.zeros((n, rb), dtype=np.int64)
         prior = np.zeros(rb, dtype=np.int64)
-        for r in range(h):
+        for r in range(n):
             ft, filt = int(rows[r, 0]), rows[r, 1:].astype(np.int64)
             if ft == 0:
                 cur = filt
@@ -737,11 +691,139 @@ def _png_codec_ex():
                     cur[i] = (filt[i] + pred) % 256
             out[r] = cur
             prior = cur
-        if depth == 8:
-            px = out.astype(np.uint8)
+        return out
+
+    def encode(pixels, palette=None, interlace: int = 0) -> bytes:
+        px = np.asarray(pixels)
+        plte = None
+        if palette is not None:
+            plte = np.asarray(palette)
+            if (
+                plte.dtype != np.uint8
+                or plte.ndim != 2
+                or plte.shape[1] != 3
+                or not 1 <= plte.shape[0] <= 256
+            ):
+                raise ValueError("palette must be (n<=256, 3) uint8")
+            if px.dtype != np.uint8 or px.ndim != 2:
+                raise ValueError("palette pixels must be (h, w) uint8 indices")
+            if px.size and int(px.max()) >= plte.shape[0]:
+                raise ValueError("palette index out of range")
+            depth, color, ch = 8, 3, 1
+        elif px.dtype == np.uint8:
+            depth = 8
+        elif px.dtype == np.uint16:
+            depth = 16
         else:
-            px = (out[:, 0::2] * 256 + out[:, 1::2]).astype(np.uint16)
+            raise ValueError("pixels must be uint8 (depth 8) or uint16 (16)")
+        if plte is None:
+            if px.ndim == 2:
+                color, ch = 0, 1
+            elif px.ndim == 3 and px.shape[2] == 3:
+                color, ch = 2, 3
+            else:
+                raise ValueError("shape must be (h, w) gray or (h, w, 3) RGB")
+        if interlace not in (0, 1):
+            raise ValueError("interlace must be 0 (none) or 1 (Adam7)")
+        h, w = px.shape[0], px.shape[1]
+        bpp = ch * depth // 8
+        raw = bytearray()
+        if interlace == 0:
+            raw = _filter_block(_row_bytes(px, depth), bpp)
+        else:
+            for x0, y0, dx, dy in ADAM7:
+                sub = px[y0::dy, x0::dx]
+                if sub.shape[0] == 0 or sub.shape[1] == 0:
+                    continue  # empty pass emits nothing (§8.5)
+                raw.extend(_filter_block(_row_bytes(sub, depth), bpp))
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        out = SIG + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte.tobytes())
+        return out + chunk(b"IDAT", _z.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+    def decode(data: bytes):
+        if data[:8] != SIG:
+            raise ValueError("not a PNG: bad signature")
+        pos, w = 8, None
+        idat, plte = bytearray(), None
+        while pos < len(data):
+            if pos + 8 > len(data):
+                raise ValueError("truncated chunk header")
+            (ln,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            if pos + 12 + ln > len(data):
+                raise ValueError(f"truncated {tag!r} chunk")
+            payload = data[pos + 8 : pos + 8 + ln]
+            (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+            if _z.crc32(tag + payload) & 0xFFFFFFFF != crc:
+                raise ValueError(f"bad CRC in {tag!r} chunk")
+            if tag == b"IHDR":
+                w, h, depth, color, comp, filt, ilace = struct.unpack(
+                    ">IIBBBBB", payload
+                )
+                if comp or filt:
+                    raise ValueError("bad compression/filter method")
+                if ilace not in (0, 1):
+                    raise ValueError("interlace must be 0 or Adam7")
+                if color == 3:
+                    if depth != 8:
+                        raise ValueError("palette PNG supported at depth 8 only")
+                elif depth not in (8, 16) or color not in (0, 2):
+                    raise ValueError(
+                        "only gray/RGB at depth 8/16 or palette-8 (got "
+                        f"depth={depth}, color={color})"
+                    )
+            elif tag == b"PLTE":
+                if ln % 3 or ln == 0 or ln > 768:
+                    raise ValueError("bad PLTE length")
+                plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+            elif tag == b"IDAT":
+                idat.extend(payload)
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln
+        if w is None:
+            raise ValueError("missing IHDR")
+        if not idat:
+            raise ValueError("missing IDAT")
+        ch = 1 if color in (0, 3) else 3
+        bpp = ch * depth // 8
+        raw = np.frombuffer(_z.decompress(bytes(idat)), dtype=np.uint8)
+        if ilace == 0:
+            rb = w * bpp
+            if len(raw) != h * (rb + 1):
+                raise ValueError("scanline payload length mismatch")
+            samples = _unfilter_block(raw.reshape(h, rb + 1), bpp)
+        else:
+            full = np.zeros((h, w, bpp), dtype=np.int64)
+            at = 0
+            for x0, y0, dx, dy in ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                prb = pw * bpp
+                block = raw[at : at + ph * (prb + 1)]
+                if block.size != ph * (prb + 1):
+                    raise ValueError("truncated Adam7 pass")
+                at += ph * (prb + 1)
+                rec = _unfilter_block(block.reshape(ph, prb + 1), bpp)
+                full[y0::dy, x0::dx] = rec.reshape(ph, pw, bpp)
+            if at != len(raw):
+                raise ValueError("scanline payload length mismatch")
+            samples = full.reshape(h, w * bpp)
+        if depth == 8:
+            px = samples.astype(np.uint8)
+        else:
+            px = (samples[:, 0::2] * 256 + samples[:, 1::2]).astype(np.uint16)
         px = px.reshape((h, w) if ch == 1 else (h, w, ch))
+        if color == 3:
+            if plte is None:
+                raise ValueError("palette image missing PLTE")
+            if px.size and int(px.max()) >= plte.shape[0]:
+                raise ValueError("palette index out of range")
+            px, ch = plte[px], 3
         return h, w, ch, depth, px
 
     return encode, decode
@@ -795,6 +877,71 @@ def media_decode_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ds.append(depth)
                 sums.append(int(out.sum(dtype="int64")))
                 md5s.append(hashlib.md5(out.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": ws,
+                    "height": hs,
+                    "channels": chs,
+                    "depth": ds,
+                    "pixel_sum": sums,
+                    "pixel_md5": md5s,
+                }
+            )
+
+    return docs.mapInPandas(batches, schema=RGB_FEATURES_SCHEMA)
+
+
+def media_decode_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PALETTE + ADAM7 decode round trip through the generalized
+    codec: each document's utf-8 bytes (mod 64) become the index
+    raster of a palette image ((L%24)+1 pixels wide, zero-padded) over
+    a fixed analytic 64-entry palette (i → (5i, 11i, 17i) mod 256),
+    encoded INTERLACED (Adam7) with a PLTE chunk and decoded back to
+    the expanded RGB raster in one Arrow-batched kernel.  The md5 is
+    over the comma-joined decimal pixel values in row-major channel
+    order (the q_media_wav idiom — byte-exact across engines without
+    binary strings), so the DuckDB oracle certifies every decoded
+    channel value through the full interlace + palette path without
+    ever seeing a PNG.
+
+    Fixture assumption (as in media_decode/media_decode_rgb): ASCII
+    text, so oracle codepoint indexing equals this side's byte view;
+    the codec itself is byte-based and holds for any payload."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    enc, dec = png_encode_ex, png_decode_ex  # closures, pickled by value
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        i64 = np.arange(64, dtype=np.int64)
+        plte = np.stack(
+            [(i64 * 5) % 256, (i64 * 11) % 256, (i64 * 17) % 256], axis=1
+        ).astype(np.uint8)
+        for pdf in it:
+            ws, hs, chs, ds, sums, md5s = [], [], [], [], [], []
+            for text in pdf["text"]:
+                buf = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                L = len(buf)
+                w = (L % 24) + 1
+                h = max(1, -(-L // w))
+                idx = np.zeros(h * w, dtype=np.uint8)
+                idx[:L] = buf % 64
+                hh, ww, ch, depth, out = dec(
+                    enc(idx.reshape(h, w), palette=plte, interlace=1)
+                )
+                ws.append(ww)
+                hs.append(hh)
+                chs.append(ch)
+                ds.append(depth)
+                sums.append(int(out.sum(dtype="int64")))
+                md5s.append(
+                    hashlib.md5(
+                        ",".join(map(str, out.reshape(-1).tolist())).encode()
+                    ).hexdigest()
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -2989,6 +2989,34 @@ SELECT doc_id, width, height,
   md5(text || repeat(' ', CAST(3 * width * height - L AS INTEGER))) AS pixel_md5
 FROM dims""",
     ),
+    # Palette + Adam7 decode: text bytes (mod 64) → index raster →
+    # interlaced PLTE PNG → expanded RGB; oracle replays the analytic
+    # palette expansion value-for-value (q_media_wav md5 idiom).
+    "q_media_adam7_palette": QuerySpec(
+        multimodal.media_decode_adam7,
+        """WITH m AS (SELECT doc_id, strlen(text) AS L, text FROM documents),
+dims AS (
+  SELECT doc_id, L, text,
+    CAST((L % 24) + 1 AS INTEGER) AS width,
+    CAST(greatest(1, CAST(ceil(L / CAST((L % 24) + 1 AS DOUBLE)) AS BIGINT))
+         AS INTEGER) AS height
+  FROM m),
+px AS (
+  SELECT doc_id, width, height,
+    flatten(list_transform(
+      range(1, width * height + 1),
+      i -> CASE WHEN i <= CAST(L AS INTEGER)
+                THEN [ascii(substr(text, CAST(i AS INTEGER), 1)) % 64 * 5 % 256,
+                      ascii(substr(text, CAST(i AS INTEGER), 1)) % 64 * 11 % 256,
+                      ascii(substr(text, CAST(i AS INTEGER), 1)) % 64 * 17 % 256]
+                ELSE [0, 0, 0] END)) AS vals
+  FROM dims)
+SELECT doc_id, width, height,
+  CAST(3 AS INTEGER) AS channels, CAST(8 AS INTEGER) AS depth,
+  CAST(list_sum(vals) AS BIGINT) AS pixel_sum,
+  md5(array_to_string(vals, ',')) AS pixel_md5
+FROM px""",
+    ),
     # Real AUDIO decode: text bytes → int16 PCM in a real RIFF/WAV
     # container → parsed back; oracle reconstructs sample values from
     # ascii codes.
@@ -5525,10 +5553,11 @@ _PRIORITY = [
     "q_media_phash",
     "q_media_near_dup",
     "q_media_decode_rgb",
+    # the round-7 landing: palette + Adam7 PNG through the Spark path
+    "q_media_adam7_palette",
     # slack re-pins: q_token_budget_mix re-enters because its cumsum
     # moved to the segmented-scan form this round (fresh driver row
     # for changed code beats re-pinning an unchanged query)
-    "q_media_decode",
     "q_curation_full",
     "q_bm25_search",
     "q_token_budget_mix",

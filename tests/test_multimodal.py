@@ -236,3 +236,36 @@ def test_media_near_dup_banding_guarantee(spark, sf_smoke):
         if d <= 7:
             want[(a, b)] = d
     assert got == want
+
+
+def test_adam7_palette_query_matches_python_reference(spark, sf_smoke):
+    """The interlaced-palette Spark operator reproduces, for every
+    document, the expanded RGB raster an independent Python palette
+    expansion produces (no PNG involved on the reference side)."""
+    import hashlib
+
+    import numpy as np
+
+    from heatmap_spark.operators.multimodal import media_decode_adam7
+    from heatmap_spark.sources.tables import load_table
+
+    got = {
+        r["doc_id"]: r for r in media_decode_adam7(spark, sf_smoke).collect()
+    }
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    i64 = np.arange(64, dtype=np.int64)
+    plte = np.stack([(i64 * 5) % 256, (i64 * 11) % 256, (i64 * 17) % 256], axis=1)
+    for r in docs:
+        buf = np.frombuffer(r["text"].encode("utf-8"), dtype=np.uint8)
+        L = len(buf)
+        w = (L % 24) + 1
+        h = max(1, -(-L // w))
+        idx = np.zeros(h * w, dtype=np.int64)
+        idx[:L] = buf % 64
+        vals = plte[idx].reshape(-1)
+        g = got[r["doc_id"]]
+        assert (g["width"], g["height"], g["channels"], g["depth"]) == (w, h, 3, 8)
+        assert g["pixel_sum"] == int(vals.sum())
+        expect_md5 = hashlib.md5(",".join(map(str, vals.tolist())).encode()).hexdigest()
+        assert g["pixel_md5"] == expect_md5
