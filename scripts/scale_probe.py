@@ -1681,6 +1681,73 @@ def probe_textindex_inc(spark, n: int) -> None:
 
 
 
+def probe_mixer(spark, n: int) -> None:
+    """token_budget_mix's segmented scan vs the flat per-lang window
+    under HOT-DOMAIN skew: 90% of n doc summaries land in one lang, so
+    the flat spelling sorts ~0.9n rows through a single partition while
+    the segmented spelling spreads them over 256 (lang, seg) groups.
+    Asserts the two selections are identical before timing claims."""
+    from pyspark.sql import Window as W
+
+    summary = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("en"))
+        .otherwise(F.concat(F.lit("l"), (F.col("id") % 7).cast("string")))
+        .alias("lang"),
+        (F.col("id") % 300 + 1).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("id").cast("string")).alias("rk"),
+    )
+    summary.count()  # warm
+    budget = n * 10  # deep cutoff: most of the stream participates
+
+    w_flat = (
+        W.partitionBy("lang")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flat = summary.select(
+        "doc_id", F.sum("n_tokens").over(w_flat).cast("bigint").alias("cum")
+    ).where(F.col("cum") <= budget)
+
+    seg = summary.withColumn("seg", F.substring("rk", 1, 2))
+    w_seg = (
+        W.partitionBy("lang", "seg")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = seg.withColumn("seg_cum", F.sum("n_tokens").over(w_seg).cast("bigint"))
+    totals = within.groupBy("lang", "seg").agg(
+        F.sum("n_tokens").cast("bigint").alias("seg_total")
+    )
+    w_off = (
+        W.partitionBy("lang").orderBy("seg")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = totals.select(
+        "lang", "seg",
+        (F.sum("seg_total").over(w_off) - F.col("seg_total")).alias("seg_off"),
+    )
+    segd = (
+        within.join(F.broadcast(offsets), ["lang", "seg"])
+        .select("doc_id", (F.col("seg_off") + F.col("seg_cum")).alias("cum"))
+        .where(F.col("cum") <= budget)
+    )
+
+    t0 = time.perf_counter()
+    n_seg = segd.count()
+    dt_seg = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_flat = flat.count()
+    dt_flat = time.perf_counter() - t0
+    assert n_seg == n_flat, (n_seg, n_flat)
+    assert segd.exceptAll(flat).isEmpty()
+    print(
+        f"mixer {n:,} summaries (90% one lang), kept {n_seg:,}: "
+        f"flat per-lang window {dt_flat:.1f}s vs segmented scan "
+        f"{dt_seg:.1f}s = {dt_flat / dt_seg:.1f}x"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -1691,7 +1758,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -1705,7 +1772,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer}[which](spark, n)
 
 
 if __name__ == "__main__":

@@ -78,22 +78,16 @@ def test_rows_only_runs(spark, sf_smoke, name, spec):
 
 def test_priority_window_is_first_50():
     """The grading driver hash-checks REGISTRY positions 0-49: the
-    curated _PRIORITY list must be exactly that prefix.  Rounds 3-4
-    kept the window all-oracle; the round-5 FINAL rotation deliberately
-    spends 13 slots on the only rows-only queries that never had a
-    driver row (each raises in-registry on quality regression, so the
-    driver row is still a live gate) — any OTHER rows-only entry in
-    the window is a wasted hash slot and fails here."""
+    curated _PRIORITY list must be exactly that prefix.  The round-5
+    rotation spent its rows-only slots on the 13 sketch/ANN pins; the
+    round-7 closing rotation covers the 41 remaining never-checked
+    queries (all oracle-gated) and re-enters exactly ONE rows-only
+    entry — q_approx_quantiles, whose scalar-column fix needs a clean
+    driver row after two red rounds.  Any OTHER rows-only entry in the
+    window is a wasted hash slot and fails here."""
     from heatmap_spark.queries import _PRIORITY, REGISTRY
 
     keys = list(REGISTRY)
     assert keys[:50] == _PRIORITY
     rows_only = {k for k in keys[:50] if REGISTRY[k].oracle is None}
-    assert rows_only == {
-        "q_approx_quantiles", "q_kll_quantiles", "q_hll_sketches",
-        "q_bpe_merges", "q_bpe_token_counts",
-        "q_knn_pq_recall", "q_knn_opq_recall", "q_knn_ivfpq_recall",
-        "q_knn_ivfpq_opq_recall",
-        "q_ml_brp_neighbors", "q_ml_minhash_lsh",
-        "q_media_features", "q_streaming_ann_index",
-    }
+    assert rows_only == {"q_approx_quantiles"}
