@@ -66,10 +66,11 @@ def _try_real_codec():
 
 
 def decode_real(payload: bytes):
-    """Best-effort real decode by content sniffing: PNG and WAV decode
-    through the native stdlib codecs below (no external library);
-    other container formats (JPEG/MP3/MP4/...) still require
-    PIL/librosa/ffmpeg and raise until one is installed."""
+    """Best-effort real decode by content sniffing: PNG, baseline
+    JPEG, and WAV decode through the native stdlib codecs below (no
+    external library); other container formats (MP3/MP4/WEBP/...)
+    still require PIL/librosa/ffmpeg and raise until one is
+    installed."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         h, w, ch, depth, px = png_decode_ex(payload)
         return {
@@ -80,12 +81,22 @@ def decode_real(payload: bytes):
             "depth": depth,
             "pixels": px,
         }
+    if payload[:2] == b"\xff\xd8":
+        h, w, ch, px = jpeg_decode(payload)
+        return {
+            "kind": "image",
+            "height": h,
+            "width": w,
+            "channels": ch,
+            "depth": 8,
+            "pixels": px,
+        }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, pcm = wav_decode(payload)
         return {"kind": "audio", "sample_rate": rate, "samples": pcm}
     if not _try_real_codec():  # pragma: no cover - PIL absent here
         raise NotImplementedError(
-            "payload is neither PNG nor WAV, and external codecs "
+            "payload is neither PNG, JPEG, nor WAV, and external codecs "
             "(PIL/librosa/ffmpeg) are not installed; use "
             "decode_stub_features for the deterministic fake path"
         )
@@ -321,6 +332,420 @@ def _png_codec():
 # module-level handles for direct use and tests; safe to capture inside
 # mapInPandas kernels because they are closures (pickled by value)
 png_encode, png_decode = _png_codec()
+
+
+def _jpeg_codec():
+    """Baseline JPEG (ITU-T T.81 / ISO 10918-1) (encode, decode) in
+    stdlib + numpy — the last container format the engine gated on
+    external libraries.  Scope: 8-bit baseline sequential DCT (SOF0),
+    grayscale or YCbCr 4:4:4 (all sampling factors 1), one interleaved
+    scan, no restart markers; progressive (SOF2), subsampled, and
+    arithmetic-coded streams raise cleanly.  Nested for by-value
+    pickling like every codec here.
+
+    encode(pixels, quant=None): (h, w) uint8 gray or (h, w, 3) uint8
+    RGB.  Default quantization is ALL-ONES (maximum fidelity — the
+    only loss is DCT coefficient rounding and, for RGB, the YCbCr
+    round trip); pass an (8, 8) integer array for real compression.
+    Huffman tables are built PER IMAGE from the actual symbol sets
+    (uniform-length canonical codes, emitted in DHT) — T.81 mandates
+    the decoder read tables from the stream, so Annex K's typical
+    tables are an option, not a requirement.
+    decode(data) → (height, width, channels, ndarray) with the array
+    shaped (h, w) or (h, w, 3) uint8.
+
+    JFIF color transform (round-half-up, clipped): Y = .299R + .587G
+    + .114B; Cb/Cr centered at 128; inverse per the JFIF spec.
+    """
+    import struct
+    import zlib as _z  # noqa: F401  (parity with sibling codecs)
+
+    import numpy as np
+
+    # ---- shared tables -------------------------------------------------
+    def _zigzag():
+        # anti-diagonal traversal: even diagonals run bottom-left →
+        # top-right, odd ones the reverse (T.81 Figure A.6)
+        order = []
+        for s in range(15):
+            cells = [(x, s - x) for x in range(max(0, s - 7), min(s, 7) + 1)]
+            order.extend(cells if s % 2 else cells[::-1])
+        return np.array([x * 8 + y for x, y in order], dtype=np.int64)
+
+    ZZ = _zigzag()          # block index (row*8+col) per zigzag position
+    UNZZ = np.argsort(ZZ)   # zigzag position per block index
+
+    _c = np.cos(
+        (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16
+    )
+    DCT = _c * np.where(np.arange(8)[:, None] == 0, np.sqrt(1 / 8), 0.5)
+
+    def _cat(v: int) -> int:
+        return int(abs(v)).bit_length()
+
+    # ---- bit IO --------------------------------------------------------
+    class _BitWriter:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def write(self, val: int, nbits: int):
+            for i in range(nbits - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((val >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)  # byte stuffing
+                    self.acc, self.n = 0, 0
+
+        def flush(self):
+            while self.n:
+                self.write(1, 1)  # pad with 1s per spec
+            return bytes(self.out)
+
+    class _BitReader:
+        def __init__(self, data: bytes):
+            self.data = data
+            self.pos = 0
+            self.acc = 0
+            self.n = 0
+
+        def bit(self) -> int:
+            if self.n == 0:
+                if self.pos >= len(self.data):
+                    raise ValueError("entropy-coded segment truncated")
+                b = self.data[self.pos]
+                self.pos += 1
+                if b == 0xFF:
+                    if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                        raise ValueError("unexpected marker inside scan")
+                    self.pos += 1  # skip stuffed zero
+                self.acc, self.n = b, 8
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def bits(self, k: int) -> int:
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | self.bit()
+            return v
+
+    # ---- encoder -------------------------------------------------------
+    def _blocks(plane, q):
+        # plane: (h8, w8) float64 already level-shifted; yields zigzag
+        # int coefficient arrays block by block, row-major
+        h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+        for by in range(h8):
+            for bx in range(w8):
+                b = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                f = DCT @ b @ DCT.T
+                # q arrives in ZIGZAG order (as serialized in DQT)
+                yield np.round(f.reshape(-1)[ZZ] / q).astype(np.int64)
+
+    def _symbols_of_block(zz, pred):
+        # → (dc_symbol, dc_val, [(ac_symbol, ac_val), ...], new_pred)
+        diff = int(zz[0]) - pred
+        acs = []
+        run = 0
+        last = 0
+        for k in range(63, 0, -1):
+            if zz[k]:
+                last = k
+                break
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                acs.append((0xF0, 0))  # ZRL
+                run -= 16
+            acs.append(((run << 4) | _cat(v), v))
+            run = 0
+        if last < 63:
+            acs.append((0x00, 0))  # EOB
+        return _cat(diff), diff, acs, int(zz[0])
+
+    def _amplitude(v: int, s: int) -> int:
+        return v if v >= 0 else v + (1 << s) - 1
+
+    def _uniform_table(symbols):
+        # canonical table: every symbol at one length L with n < 2^L
+        # (the all-ones code stays unused, T.81 C.2 convention)
+        vals = sorted(symbols)
+        L = max(2, (len(vals)).bit_length())
+        if len(vals) >= (1 << L):
+            L += 1
+        bits = [0] * 17
+        bits[L] = len(vals)
+        codes = {v: (L, i) for i, v in enumerate(vals)}
+        return bits, vals, codes
+
+    def _dht(tc, th, bits, vals):
+        payload = bytes([tc << 4 | th]) + bytes(bits[1:]) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+    def encode(pixels, quant=None) -> bytes:
+        px = np.asarray(pixels)
+        if px.dtype != np.uint8 or px.ndim not in (2, 3):
+            raise ValueError("pixels must be (h, w) or (h, w, 3) uint8")
+        if px.ndim == 3 and px.shape[2] != 3:
+            raise ValueError("color pixels must have 3 channels")
+        h, w = px.shape[0], px.shape[1]
+        if h == 0 or w == 0:
+            raise ValueError("empty image")
+        q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(
+            quant, dtype=np.int64
+        )
+        if q.shape != (8, 8) or q.min() < 1 or q.max() > 255:
+            raise ValueError("quant must be (8, 8) in [1, 255]")
+        qz = q.reshape(-1)[ZZ]
+        if px.ndim == 2:
+            planes = [px.astype(np.float64)]
+        else:
+            r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+            planes = [
+                np.clip(np.floor(p + 0.5), 0, 255) for p in (y, cb, cr)
+            ]
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = []
+        for p in planes:
+            pp = np.empty((ph, pw))
+            pp[:h, :w] = p
+            pp[h:, :w] = p[-1:, :]          # edge-replicate pad
+            pp[:, w:] = pp[:, w - 1 : w]
+            padded.append(pp - 128.0)
+        # pass 1: collect blocks + symbol statistics per table class
+        comp_blocks = [list(_blocks(p, qz)) for p in padded]
+        n_comp = len(padded)
+        dc_syms = [set(), set()]
+        ac_syms = [set(), set()]
+        for ci in range(n_comp):
+            tb = 0 if ci == 0 else 1
+            pred = 0
+            for zz in comp_blocks[ci]:
+                s, _diff, acs, pred = _symbols_of_block(zz, pred)
+                dc_syms[tb].add(s)
+                ac_syms[tb].update(sym for sym, _ in acs)
+        tables = []
+        for tb in range(2 if n_comp == 3 else 1):
+            dbits, dvals, dcodes = _uniform_table(dc_syms[tb] or {0})
+            abits, avals, acodes = _uniform_table(ac_syms[tb] or {0})
+            tables.append((dbits, dvals, dcodes, abits, avals, acodes))
+        # pass 2: entropy-code the interleaved MCUs (4:4:4 → one block
+        # per component per MCU, in component order)
+        bw = _BitWriter()
+        preds = [0] * n_comp
+        for bi in range(len(comp_blocks[0])):
+            for ci in range(n_comp):
+                tb = 0 if ci == 0 else 1
+                _, _, dcodes, _, _, acodes = tables[tb]
+                zz = comp_blocks[ci][bi]
+                s, diff, acs, preds[ci] = _symbols_of_block(zz, preds[ci])
+                ln, code = dcodes[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(_amplitude(diff, s), s)
+                for sym, v in acs:
+                    ln, code = acodes[sym]
+                    bw.write(code, ln)
+                    sz = sym & 0x0F
+                    if sz:
+                        bw.write(_amplitude(v, sz), sz)
+        scan = bw.flush()
+        # ---- container -------------------------------------------------
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+            int(v) for v in qz
+        )
+        sof = struct.pack(">BHHB", 8, h, w, n_comp)
+        for ci in range(n_comp):
+            sof += bytes([ci + 1, 0x11, 0])  # sampling 1x1, quant table 0
+        out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        for tb, (dbits, dvals, _, abits, avals, _) in enumerate(tables):
+            out += _dht(0, tb, dbits, dvals)
+            out += _dht(1, tb, abits, avals)
+        sos = bytes([n_comp])
+        for ci in range(n_comp):
+            tb = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, tb << 4 | tb])
+        sos += b"\x00\x3f\x00"  # Ss, Se, AhAl
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += scan + b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # ---- decoder -------------------------------------------------------
+    def _huff_map(bits, vals):
+        code, vi, table = 0, 0, {}
+        for ln in range(1, 17):
+            for _ in range(bits[ln]):
+                table[(ln, code)] = vals[vi]
+                code += 1
+                vi += 1
+            code <<= 1
+        return table
+
+    def _read_huff(br, table):
+        ln, code = 0, 0
+        while ln < 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("invalid Huffman code in scan")
+
+    def _extend(v, s):
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def decode(data: bytes):
+        if data[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG: bad SOI")
+        pos = 2
+        qt = {}
+        dc_tabs, ac_tabs = {}, {}
+        frame = None
+        while pos < len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("marker expected")
+            m = data[pos + 1]
+            pos += 2
+            if m == 0xD9:  # EOI
+                raise ValueError("no scan before EOI")
+            if m in (0x01,) or 0xD0 <= m <= 0xD7:
+                continue  # standalone markers
+            if pos + 2 > len(data):
+                raise ValueError("truncated segment")
+            (ln,) = struct.unpack(">H", data[pos : pos + 2])
+            seg = data[pos + 2 : pos + ln]
+            if len(seg) != ln - 2:
+                raise ValueError("truncated segment")
+            pos += ln
+            if m == 0xDB:  # DQT
+                at = 0
+                while at < len(seg):
+                    pq, tq = seg[at] >> 4, seg[at] & 0x0F
+                    if pq:
+                        raise ValueError("16-bit quant tables unsupported")
+                    tbl = np.frombuffer(
+                        seg[at + 1 : at + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    if tbl.size != 64:
+                        raise ValueError("short DQT")
+                    qt[tq] = tbl
+                    at += 65
+            elif m == 0xC4:  # DHT
+                at = 0
+                while at < len(seg):
+                    tc, th = seg[at] >> 4, seg[at] & 0x0F
+                    bits = [0] + list(seg[at + 1 : at + 17])
+                    n = sum(bits)
+                    vals = list(seg[at + 17 : at + 17 + n])
+                    (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_map(bits, vals)
+                    at += 17 + n
+            elif m == 0xC0:  # SOF0 baseline
+                prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
+                if prec != 8:
+                    raise ValueError("only 8-bit precision")
+                comps = []
+                for ci in range(nf):
+                    cid, hv, tq = seg[6 + ci * 3 : 9 + ci * 3]
+                    if hv != 0x11:
+                        raise ValueError("subsampling unsupported (4:4:4 only)")
+                    comps.append((cid, tq))
+                if nf not in (1, 3):
+                    raise ValueError("1 or 3 components only")
+                frame = (h, w, comps)
+            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                       0xCD, 0xCE, 0xCF):
+                raise ValueError("only baseline sequential (SOF0) supported")
+            elif m == 0xDD:
+                raise ValueError("restart intervals unsupported")
+            elif m == 0xDA:  # SOS — entropy data follows
+                if frame is None:
+                    raise ValueError("SOS before SOF0")
+                ns = seg[0]
+                sel = [(seg[1 + i * 2], seg[2 + i * 2]) for i in range(ns)]
+                h, w, comps = frame
+                if ns != len(comps):
+                    raise ValueError("non-interleaved scans unsupported")
+                # entropy-coded bytes run to the next non-stuffed marker
+                end = pos
+                while end < len(data) - 1:
+                    if data[end] == 0xFF and data[end + 1] not in (0x00,):
+                        break
+                    end += 1
+                br = _BitReader(data[pos:end])
+                ph, pw = -(-h // 8), -(-w // 8)
+                planes = [
+                    np.zeros((ph * 8, pw * 8), dtype=np.float64)
+                    for _ in comps
+                ]
+                preds = [0] * len(comps)
+                for by in range(ph):
+                    for bx in range(pw):
+                        for ci, (cid, tq) in enumerate(comps):
+                            _, tsel = sel[ci]
+                            dct_t = dc_tabs.get(tsel >> 4)
+                            ac_t = ac_tabs.get(tsel & 0x0F)
+                            if dct_t is None or ac_t is None:
+                                raise ValueError("scan references missing DHT")
+                            if tq not in qt:
+                                raise ValueError("missing DQT")
+                            zz = np.zeros(64, dtype=np.int64)
+                            s = _read_huff(br, dct_t)
+                            diff = _extend(br.bits(s), s) if s else 0
+                            preds[ci] += diff
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                sym = _read_huff(br, ac_t)
+                                if sym == 0x00:
+                                    break  # EOB
+                                run, sz = sym >> 4, sym & 0x0F
+                                if sz == 0:
+                                    if run != 15:
+                                        raise ValueError("bad AC symbol")
+                                    k += 16  # ZRL
+                                    continue
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC run overflows block")
+                                zz[k] = _extend(br.bits(sz), sz)
+                                k += 1
+                            f = np.zeros(64, dtype=np.float64)
+                            f[ZZ] = zz * qt[tq]
+                            blk = DCT.T @ f.reshape(8, 8) @ DCT + 128.0
+                            planes[ci][
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = blk
+                out = [p[:h, :w] for p in planes]
+                if len(out) == 1:
+                    px = np.clip(np.floor(out[0] + 0.5), 0, 255).astype(np.uint8)
+                    return h, w, 1, px
+                y, cb, cr = out
+                r = y + 1.402 * (cr - 128.0)
+                g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+                b = y + 1.772 * (cb - 128.0)
+                px = np.stack(
+                    [
+                        np.clip(np.floor(c + 0.5), 0, 255).astype(np.uint8)
+                        for c in (r, g, b)
+                    ],
+                    axis=2,
+                )
+                return h, w, 3, px
+        raise ValueError("no SOS scan found")
+
+    return encode, decode
+
+
+jpeg_encode, jpeg_decode = _jpeg_codec()
 
 
 PNG_MEDIA_SCHEMA = "doc_id long, n_bytes int, png binary"

@@ -242,3 +242,130 @@ def test_png_adam7_layout_matches_spec_hand_assembly():
     hh, ww, ch, depth, out = png_decode_ex(blob)
     assert (hh, ww, ch, depth) == (h, w, 1, 8)
     assert np.array_equal(out, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    rgb=st.booleans(),
+)
+def test_jpeg_roundtrip_near_lossless_at_unit_quant(h, w, seed, rgb):
+    """With all-ones quantization the only loss is DCT-coefficient
+    rounding (plus the YCbCr round trip for color): gray must land
+    within ±1 of the original on EVERY pixel, RGB within ±3 (three
+    compounding roundings: YCbCr forward, coefficient, inverse) — for
+    arbitrary noise images and non-multiple-of-8 shapes."""
+    from heatmap_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    px = rng.integers(0, 256, size=shape, dtype=np.int64).astype(np.uint8)
+    hh, ww, ch, out = jpeg_decode(jpeg_encode(px))
+    assert (hh, ww, ch) == (h, w, 3 if rgb else 1)
+    got = out if rgb else out.reshape(h, w)
+    diff = np.abs(got.astype(np.int64) - px.astype(np.int64)).max()
+    assert diff <= (3 if rgb else 1), diff
+
+
+def test_jpeg_decode_matches_hand_assembled_spec_stream():
+    """One-sided oracle for the DECODER: a minimal baseline JPEG is
+    assembled BY HAND from T.81 (known Huffman tables, known
+    coefficients), so a decoder bug cannot hide behind a matching
+    encoder.  Block 1: DC-only (diff category 4, amplitude 8) → every
+    pixel 128 + 8·(1/8) = 129.  Block 2 adds AC(0,1) = zigzag k=1
+    coefficient 3 → expected raster computed here from the closed-form
+    IDCT, independently of the codec's matrices."""
+    import struct
+
+    from heatmap_spark.operators.multimodal import jpeg_decode
+
+    def chunkhdr(marker, payload):
+        return marker + struct.pack(">H", len(payload) + 2) + payload
+
+    # DHT: DC table 0 = {0: '00', 4: '01'}; AC table 0 = {EOB(0x00):
+    # '00', 0x01: '01'} — two-bit uniform canonical codes
+    dht_dc = chunkhdr(b"\xff\xc4", bytes([0x00]) + bytes(
+        [0, 2] + [0] * 14) + bytes([0, 4]))
+    dht_ac = chunkhdr(b"\xff\xc4", bytes([0x10]) + bytes(
+        [0, 2] + [0] * 14) + bytes([0x00, 0x02]))
+    dqt = chunkhdr(b"\xff\xdb", b"\x00" + bytes([1] * 64))
+    sof = chunkhdr(b"\xff\xc0", struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    sos = chunkhdr(b"\xff\xda", bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+
+    # scan bits — block 1: DC sym 4 ('01') + amplitude 8 ('1000'),
+    # EOB ('00'); block 2: DC sym 0 ('00') [diff 0], AC sym 0x02
+    # ('01', run 0 / size 2) + amplitude 3 ('11'), EOB ('00')
+    bits = "01" + "1000" + "00" + "00" + "01" + "11" + "00"
+    bits += "1" * (-len(bits) % 8)  # pad with 1s
+    scan = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+    blob = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+    h, w, ch, out = jpeg_decode(blob)
+    assert (h, w, ch) == (8, 16, 1)
+
+    # independent IDCT: f(x, y) = sum_u,v a(u)a(v) F(u,v) cos((2x+1)uπ/16)cos((2y+1)vπ/16)
+    def idct_block(F):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        au = np.sqrt(1 / 8) if u == 0 else 0.5
+                        av = np.sqrt(1 / 8) if v == 0 else 0.5
+                        s += (
+                            au * av * F[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                out[x, y] = s
+        return out
+
+    F1 = np.zeros((8, 8)); F1[0, 0] = 8
+    F2 = np.zeros((8, 8)); F2[0, 0] = 8; F2[0, 1] = 3  # zigzag k=1 is (row 0, col 1)
+    exp1 = np.clip(np.floor(idct_block(F1) + 128.0 + 0.5), 0, 255)
+    exp2 = np.clip(np.floor(idct_block(F2) + 128.0 + 0.5), 0, 255)
+    got = out.reshape(8, 16)
+    assert np.array_equal(got[:, :8], exp1.astype(np.uint8))
+    assert np.array_equal(got[:, 8:], exp2.astype(np.uint8))
+    assert got[0, 0] == 129  # the DC-only block is flat 129
+
+
+def test_jpeg_rejects_unsupported_and_corrupt():
+    import pytest
+
+    from heatmap_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = jpeg_encode(px)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"not a jpeg")
+    with pytest.raises(ValueError):
+        jpeg_decode(blob[: len(blob) // 2] )
+    # progressive (SOF2) refused, not mis-decoded
+    prog = bytearray(blob)
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(bytes(prog))
+    # subsampled streams refused
+    sub = bytearray(blob)
+    sof_at = sub.index(b"\xff\xc0")
+    sub[sof_at + 11] = 0x22  # H=2, V=2 for component 1
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_decode(bytes(sub))
+    # quant table constraints
+    with pytest.raises(ValueError, match="quant"):
+        jpeg_encode(px, quant=np.zeros((8, 8), dtype=np.int64))
+
+
+def test_decode_real_sniffs_jpeg():
+    from heatmap_spark.operators.multimodal import decode_real, jpeg_encode
+
+    px = (np.arange(192, dtype=np.int64) % 256).astype(np.uint8).reshape(8, 8, 3)
+    img = decode_real(jpeg_encode(px))
+    assert img["kind"] == "image"
+    assert (img["height"], img["width"], img["channels"], img["depth"]) == (8, 8, 3, 8)
+    assert np.abs(img["pixels"].astype(np.int64) - px.astype(np.int64)).max() <= 2
