@@ -496,6 +496,8 @@ def _jpeg_codec():
         h, w = px.shape[0], px.shape[1]
         if h == 0 or w == 0:
             raise ValueError("empty image")
+        if h > 65535 or w > 65535:
+            raise ValueError("SOF0 dimensions are 16-bit (max 65535)")
         q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(
             quant, dtype=np.int64
         )
@@ -614,6 +616,9 @@ def _jpeg_codec():
             if data[pos] != 0xFF:
                 raise ValueError("marker expected")
             m = data[pos + 1]
+            if m == 0xFF:  # fill byte (B.1.1.2) — resync on next byte
+                pos += 1
+                continue
             pos += 2
             if m == 0xD9:  # EOI
                 raise ValueError("no scan before EOI")

@@ -369,3 +369,22 @@ def test_decode_real_sniffs_jpeg():
     assert img["kind"] == "image"
     assert (img["height"], img["width"], img["channels"], img["depth"]) == (8, 8, 3, 8)
     assert np.abs(img["pixels"].astype(np.int64) - px.astype(np.int64)).max() <= 2
+
+
+def test_jpeg_fill_bytes_and_dimension_guard():
+    """Legal 0xFF fill bytes before a marker (T.81 B.1.1.2) must not
+    derail segment parsing; SOF0's 16-bit dimension fields are guarded
+    at encode time."""
+    import pytest
+
+    from heatmap_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = jpeg_encode(px)
+    i = blob.index(b"\xff\xc0")
+    filled = blob[:i] + b"\xff\xff\xff" + blob[i:]
+    h, w, ch, out = jpeg_decode(filled)
+    assert (h, w, ch) == (8, 8, 1)
+    assert np.abs(out.reshape(8, 8).astype(np.int64) - px.astype(np.int64)).max() <= 1
+    with pytest.raises(ValueError, match="16-bit"):
+        jpeg_encode(np.zeros((70000, 2), dtype=np.uint8))
