@@ -56,15 +56,6 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _try_real_codec():
-    try:  # pragma: no cover - codec libs absent in this container
-        import PIL.Image  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 def decode_real(payload: bytes):
     """Best-effort real decode by content sniffing: PNG, baseline
     JPEG, and WAV decode through the native stdlib codecs below (no
@@ -94,12 +85,12 @@ def decode_real(payload: bytes):
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, pcm = wav_decode(payload)
         return {"kind": "audio", "sample_rate": rate, "samples": pcm}
-    if not _try_real_codec():  # pragma: no cover - PIL absent here
-        raise NotImplementedError(
-            "payload is neither PNG, JPEG, nor WAV, and external codecs "
-            "(PIL/librosa/ffmpeg) are not installed; use "
-            "decode_stub_features for the deterministic fake path"
-        )
+    raise NotImplementedError(
+        "payload is neither PNG, JPEG, nor WAV; other container "
+        "formats need external codecs (PIL/librosa/ffmpeg) this "
+        "module deliberately does not wrap — use "
+        "decode_stub_features for the deterministic fake path"
+    )
 
 
 def decode_stub_features(media: DataFrame) -> DataFrame:
@@ -615,6 +606,8 @@ def _jpeg_codec():
         while pos < len(data):
             if data[pos] != 0xFF:
                 raise ValueError("marker expected")
+            if pos + 1 >= len(data):
+                raise ValueError("truncated marker")
             m = data[pos + 1]
             if m == 0xFF:  # fill byte (B.1.1.2) — resync on next byte
                 pos += 1
@@ -649,12 +642,20 @@ def _jpeg_codec():
                 while at < len(seg):
                     tc, th = seg[at] >> 4, seg[at] & 0x0F
                     bits = [0] + list(seg[at + 1 : at + 17])
+                    if len(bits) != 17:
+                        raise ValueError("truncated DHT")
                     n = sum(bits)
                     vals = list(seg[at + 17 : at + 17 + n])
+                    if len(vals) != n:
+                        raise ValueError("DHT declares more codes than it carries")
                     (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_map(bits, vals)
                     at += 17 + n
             elif m == 0xC0:  # SOF0 baseline
+                if len(seg) < 6:
+                    raise ValueError("truncated SOF0")
                 prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
+                if len(seg) < 6 + nf * 3:
+                    raise ValueError("truncated SOF0 components")
                 if prec != 8:
                     raise ValueError("only 8-bit precision")
                 comps = []
@@ -674,11 +675,21 @@ def _jpeg_codec():
             elif m == 0xDA:  # SOS — entropy data follows
                 if frame is None:
                     raise ValueError("SOS before SOF0")
+                if not seg:
+                    raise ValueError("truncated SOS")
                 ns = seg[0]
-                sel = [(seg[1 + i * 2], seg[2 + i * 2]) for i in range(ns)]
+                if len(seg) < 1 + ns * 2 + 3:
+                    raise ValueError("truncated SOS")
+                # T.81 matches scan components to frame components BY
+                # ID, not position — build the id → table-selector map
+                sel_by_id = {
+                    seg[1 + i * 2]: seg[2 + i * 2] for i in range(ns)
+                }
                 h, w, comps = frame
                 if ns != len(comps):
                     raise ValueError("non-interleaved scans unsupported")
+                if set(sel_by_id) != {cid for cid, _ in comps}:
+                    raise ValueError("SOS component ids do not match SOF0")
                 # entropy-coded bytes run to the next non-stuffed marker
                 end = pos
                 while end < len(data) - 1:
@@ -695,7 +706,7 @@ def _jpeg_codec():
                 for by in range(ph):
                     for bx in range(pw):
                         for ci, (cid, tq) in enumerate(comps):
-                            _, tsel = sel[ci]
+                            tsel = sel_by_id[cid]
                             dct_t = dc_tabs.get(tsel >> 4)
                             ac_t = ac_tabs.get(tsel & 0x0F)
                             if dct_t is None or ac_t is None:

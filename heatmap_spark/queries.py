@@ -5398,16 +5398,28 @@ FROM totals CROSS JOIN langsum CROSS JOIN dups""",
     END AS url
   FROM documents),
 canon0 AS (
-  SELECT doc_id, regexp_replace(url, '^https?://', '') AS u FROM raw),
-canon AS (
+  SELECT doc_id, url, regexp_replace(url, '^https?://', '') AS u FROM raw),
+canon1 AS (
   SELECT doc_id,
-    regexp_replace(regexp_replace(
-      lower(regexp_replace(u, '/.*$', '')), '^www\\.', ''), ':(443|80)$', '')
-    || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         regexp_replace(u, '^[^/]+', ''), '#.*$', ''),
-         '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'), '[?&]+$', ''), '/$', '')
-      AS canonical_url
-  FROM canon0),
+    CASE WHEN url LIKE 'https://%' THEN regexp_replace(h0, ':443$', '')
+         WHEN url LIKE 'http://%' THEN regexp_replace(h0, ':80$', '')
+         ELSE h0 END AS host,
+    regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        r0,
+        '([?&])(utm_[a-z]+|ref)=[^&#]*&?', '\\1', 'g'),
+        '([?&])(utm_[a-z]+|ref)=[^&#]*&?', '\\1', 'g'),
+        '([?&])(utm_[a-z]+|ref)=[^&#]*&?', '\\1', 'g'),
+        '([?&])(utm_[a-z]+|ref)=[^&#]*&?', '\\1', 'g'),
+      '[?&]+$', '') AS rest
+  FROM (
+    SELECT doc_id, url,
+      regexp_replace(lower(regexp_replace(u, '/.*$', '')), '^www\\.', '') AS h0,
+      regexp_replace(regexp_replace(u, '^[^/]+', ''), '#.*$', '') AS r0
+    FROM canon0)),
+canon AS (
+  SELECT doc_id, host || regexp_replace(rest, '/$', '') AS canonical_url
+  FROM canon1),
 urlkeep AS (
   SELECT doc_id FROM (
     SELECT doc_id, min(doc_id) OVER (PARTITION BY canonical_url) AS rep
@@ -5496,8 +5508,9 @@ FROM weighted""",
 # scripts/driver_sim.py at landing and re-confirmed by the r5/r6
 # judges' independent sims) + q_approx_quantiles re-entering with its
 # scalar-column fix (array<double> output crashed the driver
-# canonicalizer in r5/r6) + 4 slack re-pins.  After this round every
-# one of the 250 declared queries carries a hard driver row.
+# canonicalizer in r5/r6) + the new q_media_adam7_palette landing + 3
+# slack re-pins.  After this round every one of the 251 declared
+# queries carries a hard driver row.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",

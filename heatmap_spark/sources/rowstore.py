@@ -299,13 +299,18 @@ def make_rowstore_datasource():
             # files that contain them again.  Fail loudly instead of
             # silently double-counting.
             marked = sum(1 for e in man["files"] if "rm" in e)
-            if marked:
+            if marked or man.get("rewrites_expired"):
+                why = (
+                    f"carries 'rm' marks on {marked} file(s)"
+                    if marked
+                    else "had its 'rm' marks expired by vacuum_rowstore"
+                )
                 raise ValueError(
                     "rowstore CDC stream requires an append-only store: "
-                    f"manifest at {self.path!r} carries 'rm' marks on "
-                    f"{marked} file(s) (MERGE/DELETE happened) — replaying "
-                    "adds would double-count rewritten rows; read a "
-                    "snapshot (read_rowstore) instead"
+                    f"manifest at {self.path!r} {why} (MERGE/DELETE "
+                    "happened) — replaying adds would double-count "
+                    "rewritten rows; read a snapshot (read_rowstore) "
+                    "instead"
                 )
             return [
                 _os.path.join(self.path, e["name"])
@@ -828,6 +833,11 @@ def vacuum_rowstore(path: str, keep_versions: int | None = None) -> int:
         ]
         if len(keep_entries) < len(man["files"]):
             man["files"] = keep_entries
+            # the expired 'rm' marks are what the CDC stream reader's
+            # append-only guard looks for — leave a durable tombstone
+            # so vacuuming can never silently re-arm a replay that
+            # would double-count the rewritten rows
+            man["rewrites_expired"] = True
             _write_manifest(path, man)
     live = {os.path.normpath(e["name"]) for e in man["files"]}
     data_dir = os.path.join(path, "data")

@@ -388,3 +388,57 @@ def test_jpeg_fill_bytes_and_dimension_guard():
     assert np.abs(out.reshape(8, 8).astype(np.int64) - px.astype(np.int64)).max() <= 1
     with pytest.raises(ValueError, match="16-bit"):
         jpeg_encode(np.zeros((70000, 2), dtype=np.uint8))
+
+
+def test_jpeg_truncation_raises_valueerror_not_indexerror():
+    """Every truncation shape must surface as the documented ValueError
+    (callers catch it to refuse cleanly), never a raw IndexError."""
+    import pytest
+
+    from heatmap_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = jpeg_encode(px)
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8\xff")  # lone 0xFF tail
+    # DHT declaring more codes than it carries
+    i = blob.index(b"\xff\xc4")
+    import struct
+    (ln,) = struct.unpack(">H", blob[i + 2 : i + 4])
+    clipped = bytearray(blob)
+    # keep header, raise a length-1 count without supplying the value
+    clipped[i + 5] = clipped[i + 5] + 1 if clipped[i + 5] < 255 else 255
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(clipped))
+    # every prefix truncation of the whole stream refuses cleanly
+    for cut in range(2, len(blob), 7):
+        try:
+            jpeg_decode(blob[:cut])
+        except ValueError:
+            pass  # the required failure mode
+
+
+def test_jpeg_sos_component_ids_matched_not_positional():
+    """A scan listing component ids that do not match SOF0 must refuse
+    (T.81 binds selectors by id; silently assuming positional order
+    would garble channels)."""
+    import pytest
+
+    from heatmap_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    px = (np.arange(192, dtype=np.int64) % 256).astype(np.uint8).reshape(8, 8, 3)
+    blob = bytearray(jpeg_encode(px))
+    i = blob.index(b"\xff\xda")
+    # component ids in SOS are at i+5, i+7, i+9 (ns at i+4)
+    blob[i + 5] = 9  # id 9 never appears in SOF0
+    with pytest.raises(ValueError, match="component ids"):
+        jpeg_decode(bytes(blob))
+
+
+def test_decode_real_raises_on_unknown_payload():
+    import pytest
+
+    from heatmap_spark.operators.multimodal import decode_real
+
+    with pytest.raises(NotImplementedError, match="neither"):
+        decode_real(b"\x00\x01\x02 definitely not a container")

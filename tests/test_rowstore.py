@@ -546,3 +546,37 @@ def test_stream_fails_loudly_after_merge(spark, sf_smoke, tmp_path):
     )
     with pytest.raises(Exception, match="append-only"):
         q.awaitTermination(timeout=300)
+
+
+def test_vacuum_cannot_rearm_cdc_stream(spark, sf_smoke, tmp_path):
+    """vacuum_rowstore(keep_versions=...) deletes the 'rm' manifest
+    entries the CDC guard inspects — the manifest must keep a durable
+    tombstone so the stream still refuses after the marks are gone."""
+    import pytest
+
+    from heatmap_spark.sources.rowstore import (
+        merge_upsert_rowstore,
+        vacuum_rowstore,
+    )
+
+    store = str(tmp_path / "m")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    loc = _loc(spark, sf_smoke)
+    write_rowstore(loc, store, bucket_key="user_id", mode="overwrite")
+    updates = loc.where(F.substring(F.md5("user_id"), 1, 1) <= "3").withColumn(
+        "weight", F.col("weight") * 2
+    )
+    merge_upsert_rowstore(spark, updates, store)
+    vacuum_rowstore(store, keep_versions=0)
+    assert not any("rm" in e for e in read_manifest(store)["files"])
+
+    q = (
+        stream_rowstore(spark, store)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="append-only"):
+        q.awaitTermination(timeout=300)
