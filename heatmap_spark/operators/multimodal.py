@@ -330,8 +330,9 @@ def _jpeg_codec():
     stdlib + numpy — the last container format the engine gated on
     external libraries.  Scope: 8-bit baseline sequential DCT (SOF0),
     grayscale or YCbCr 4:4:4 (all sampling factors 1), one interleaved
-    scan, no restart markers; progressive (SOF2), subsampled, and
-    arithmetic-coded streams raise cleanly.  Nested for by-value
+    scan, restart intervals (DRI + RST0-7, predictor reset and byte
+    re-alignment at each boundary); progressive (SOF2), subsampled,
+    and arithmetic-coded streams raise cleanly.  Nested for by-value
     pickling like every codec here.
 
     encode(pixels, quant=None): (h, w) uint8 gray or (h, w, 3) uint8
@@ -391,9 +392,17 @@ def _jpeg_codec():
                         self.out.append(0x00)  # byte stuffing
                     self.acc, self.n = 0, 0
 
-        def flush(self):
+        def align(self):
             while self.n:
                 self.write(1, 1)  # pad with 1s per spec
+
+        def marker(self, m: int):
+            # restart markers are raw (never byte-stuffed), byte-aligned
+            self.align()
+            self.out += bytes([0xFF, m])
+
+        def flush(self):
+            self.align()
             return bytes(self.out)
 
     class _BitReader:
@@ -422,6 +431,17 @@ def _jpeg_codec():
             for _ in range(k):
                 v = (v << 1) | self.bit()
             return v
+
+        def restart(self):
+            # byte-align (drop pad bits), then consume one RSTn marker
+            self.n = 0
+            if (
+                self.pos + 1 >= len(self.data)
+                or self.data[self.pos] != 0xFF
+                or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                raise ValueError("expected restart marker")
+            self.pos += 2
 
     # ---- encoder -------------------------------------------------------
     def _blocks(plane, q):
@@ -478,10 +498,12 @@ def _jpeg_codec():
         payload = bytes([tc << 4 | th]) + bytes(bits[1:]) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
-    def encode(pixels, quant=None) -> bytes:
+    def encode(pixels, quant=None, restart_interval: int = 0) -> bytes:
         px = np.asarray(pixels)
         if px.dtype != np.uint8 or px.ndim not in (2, 3):
             raise ValueError("pixels must be (h, w) or (h, w, 3) uint8")
+        if not 0 <= restart_interval <= 65535:
+            raise ValueError("restart_interval is 16-bit")
         if px.ndim == 3 and px.shape[2] != 3:
             raise ValueError("color pixels must have 3 channels")
         h, w = px.shape[0], px.shape[1]
@@ -521,7 +543,9 @@ def _jpeg_codec():
         for ci in range(n_comp):
             tb = 0 if ci == 0 else 1
             pred = 0
-            for zz in comp_blocks[ci]:
+            for bi, zz in enumerate(comp_blocks[ci]):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    pred = 0  # mirror the pass-2 restart predictor reset
                 s, _diff, acs, pred = _symbols_of_block(zz, pred)
                 dc_syms[tb].add(s)
                 ac_syms[tb].update(sym for sym, _ in acs)
@@ -535,6 +559,9 @@ def _jpeg_codec():
         bw = _BitWriter()
         preds = [0] * n_comp
         for bi in range(len(comp_blocks[0])):
+            if restart_interval and bi and bi % restart_interval == 0:
+                bw.marker(0xD0 + (bi // restart_interval - 1) % 8)
+                preds = [0] * n_comp
             for ci in range(n_comp):
                 tb = 0 if ci == 0 else 1
                 _, _, dcodes, _, _, acodes = tables[tb]
@@ -561,6 +588,8 @@ def _jpeg_codec():
         for ci in range(n_comp):
             sof += bytes([ci + 1, 0x11, 0])  # sampling 1x1, quant table 0
         out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        if restart_interval:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
         for tb, (dbits, dvals, _, abits, avals, _) in enumerate(tables):
             out += _dht(0, tb, dbits, dvals)
             out += _dht(1, tb, abits, avals)
@@ -602,6 +631,7 @@ def _jpeg_codec():
         pos = 2
         qt = {}
         dc_tabs, ac_tabs = {}, {}
+        restart_ri = 0
         frame = None
         while pos < len(data):
             if data[pos] != 0xFF:
@@ -670,8 +700,10 @@ def _jpeg_codec():
             elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                        0xCD, 0xCE, 0xCF):
                 raise ValueError("only baseline sequential (SOF0) supported")
-            elif m == 0xDD:
-                raise ValueError("restart intervals unsupported")
+            elif m == 0xDD:  # DRI
+                if len(seg) < 2:
+                    raise ValueError("truncated DRI")
+                (restart_ri,) = struct.unpack(">H", seg[:2])
             elif m == 0xDA:  # SOS — entropy data follows
                 if frame is None:
                     raise ValueError("SOS before SOF0")
@@ -690,10 +722,15 @@ def _jpeg_codec():
                     raise ValueError("non-interleaved scans unsupported")
                 if set(sel_by_id) != {cid for cid, _ in comps}:
                     raise ValueError("SOS component ids do not match SOF0")
-                # entropy-coded bytes run to the next non-stuffed marker
+                # entropy-coded bytes run to the next non-stuffed,
+                # non-restart marker (RST0-7 live INSIDE the scan)
                 end = pos
                 while end < len(data) - 1:
-                    if data[end] == 0xFF and data[end + 1] not in (0x00,):
+                    if (
+                        data[end] == 0xFF
+                        and data[end + 1] != 0x00
+                        and not 0xD0 <= data[end + 1] <= 0xD7
+                    ):
                         break
                     end += 1
                 br = _BitReader(data[pos:end])
@@ -705,6 +742,10 @@ def _jpeg_codec():
                 preds = [0] * len(comps)
                 for by in range(ph):
                     for bx in range(pw):
+                        mcu = by * pw + bx
+                        if restart_ri and mcu and mcu % restart_ri == 0:
+                            br.restart()  # byte-align + consume RSTn
+                            preds = [0] * len(comps)
                         for ci, (cid, tq) in enumerate(comps):
                             tsel = sel_by_id[cid]
                             dct_t = dc_tabs.get(tsel >> 4)

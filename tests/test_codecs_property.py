@@ -442,3 +442,38 @@ def test_decode_real_raises_on_unknown_payload():
 
     with pytest.raises(NotImplementedError, match="neither"):
         decode_real(b"\x00\x01\x02 definitely not a container")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=3),
+    w=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    rgb=st.booleans(),
+    ri=st.integers(min_value=1, max_value=4),
+)
+def test_jpeg_restart_intervals_roundtrip(h, w, seed, rgb, ri):
+    """DRI/RSTn round trip: predictors reset and the bitstream
+    re-aligns at every restart boundary, for arbitrary MCU grids and
+    intervals (including ri=1 — a restart before every MCU after the
+    first); a stripped RST marker is detected, never mis-decoded."""
+    from heatmap_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    shape = (h * 8, w * 8, 3) if rgb else (h * 8, w * 8)
+    px = rng.integers(0, 256, size=shape, dtype=np.int64).astype(np.uint8)
+    blob = jpeg_encode(px, restart_interval=ri)
+    n_mcu = h * w
+    expect_rst = (n_mcu - 1) // ri
+    n_rst = sum(blob.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+    assert n_rst == expect_rst, (n_rst, expect_rst)
+    hh, ww, ch, out = jpeg_decode(blob)
+    got = out if rgb else out.reshape(px.shape)
+    diff = np.abs(got.astype(np.int64) - px.astype(np.int64)).max()
+    assert diff <= (3 if rgb else 1), diff
+    if expect_rst:
+        i = blob.index(b"\xff" + bytes([0xD0]))
+        import pytest
+
+        with pytest.raises(ValueError):
+            jpeg_decode(blob[:i] + blob[i + 2 :])
