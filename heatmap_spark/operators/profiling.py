@@ -774,3 +774,92 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+def annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa, 1960 — public method)
+    over binary document labels: the label-quality gate preference /
+    RLHF data runs before training on human judgments.  One row per
+    annotator pair with the observed agreement p_o, chance agreement
+    p_e, and kappa.
+
+    The three synthetic annotators are deterministic md5 derivations:
+    annotator 0 is the base signal (md5 parity of doc_id); annotators
+    1 and 2 flip the base label on ~10% / ~20% of docs (md5-keyed),
+    so expected kappa degrades with noise — the structure the metric
+    exists to expose.  Swapping in real labels changes one select.
+
+    Determinism: every count is an exact integer; kappa reduces to a
+    SINGLE division of exact bigints —
+        kappa = (n·agree − X) / (n² − X),
+        X = n_a1·n_b1 + n_a0·n_b0
+    (multiply (p_o − p_e)/(1 − p_e) through by n²), so the only float
+    op is one IEEE division, bit-identical cross-engine, then round(9).
+
+    Scale shape: one map-only label derivation fused into the scan,
+    ONE aggregate row for the whole corpus (all pairwise sums in a
+    single reduce with map-side combine), constant-sized thereafter.
+
+    Reference: none — SURVEY.md §2.8 extension (preference-data
+    quality evaluation).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def h(col: Column) -> Column:
+        return F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("bigint")
+
+    did = F.col("doc_id").cast("string")
+    base = (h(did) % 2).cast("int")
+    flips = [
+        F.lit(0),
+        (h(F.concat(F.lit("ann1:"), did)) % 100 < 10).cast("int"),
+        (h(F.concat(F.lit("ann2:"), did)) % 100 < 20).cast("int"),
+    ]
+    labeled = docs.select(
+        *[
+            ((base + flips[i]) % 2).alias(f"l{i}")
+            for i in range(3)
+        ]
+    )
+    agg = labeled.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"l{i}").alias(f"s{i}") for i in range(3)],
+        *[
+            F.sum((F.col(f"l{a}") == F.col(f"l{b}")).cast("long")).alias(
+                f"agree{a}{b}"
+            )
+            for a, b in ((0, 1), (0, 2), (1, 2))
+        ],
+    )
+
+    def pair_row(a: int, b: int) -> DataFrame:
+        # exact integer arithmetic in decimal(38,0) — n² would overflow
+        # bigint beyond ~3e9 docs — then ONE double division per metric
+        def d(c: Column) -> Column:
+            return c.cast("decimal(38,0)")
+
+        n = F.col("n")
+        sa, sb = F.col(f"s{a}"), F.col(f"s{b}")
+        agree = F.col(f"agree{a}{b}")
+        x = d(sa) * d(sb) + d(n - sa) * d(n - sb)
+        n2 = d(n) * d(n)
+        kap_den = n2 - x
+        return agg.select(
+            F.lit(f"ann{a}-ann{b}").alias("pair"),
+            n.cast("bigint").alias("n"),
+            agree.cast("bigint").alias("n_agree"),
+            F.round(agree.cast("double") / n.cast("double"), 9).alias("p_o"),
+            F.round(x.cast("double") / n2.cast("double"), 9).alias("p_e"),
+            F.round(
+                F.when(kap_den == d(F.lit(0)), F.lit(0.0)).otherwise(
+                    (d(n) * d(agree) - x).cast("double")
+                    / kap_den.cast("double")
+                ),
+                9,
+            ).alias("kappa"),
+        )
+
+    out = pair_row(0, 1)
+    for a, b in ((0, 2), (1, 2)):
+        out = out.unionByName(pair_row(a, b))
+    return out

@@ -4327,6 +4327,42 @@ SELECT CAST(k AS INTEGER) AS k,
         ELSE 0.0 END, 9) AS ndcg_at_k
 FROM g CROSS JOIN nrel""",
     ),
+    # Cohen's kappa over md5-derived annotator labels: every count is
+    # exact (HUGEINT / decimal(38,0)); each metric is ONE double
+    # division of exact integers — kappa = (n·agree − X)/(n² − X).
+    "q_annotator_agreement": QuerySpec(
+        profiling.annotator_agreement,
+        """WITH lab AS (
+  SELECT
+    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+         % 2 AS INTEGER) AS base,
+    CAST(CAST(('0x' || substr(md5('ann1:' || CAST(doc_id AS VARCHAR)), 1, 6))
+         AS BIGINT) % 100 < 10 AS INTEGER) AS f1,
+    CAST(CAST(('0x' || substr(md5('ann2:' || CAST(doc_id AS VARCHAR)), 1, 6))
+         AS BIGINT) % 100 < 20 AS INTEGER) AS f2
+  FROM documents),
+l AS (SELECT base AS l0, (base + f1) % 2 AS l1, (base + f2) % 2 AS l2 FROM lab),
+a AS (
+  SELECT count(*) AS n,
+    sum(l0) AS s0, sum(l1) AS s1, sum(l2) AS s2,
+    sum(CASE WHEN l0 = l1 THEN 1 ELSE 0 END) AS agree01,
+    sum(CASE WHEN l0 = l2 THEN 1 ELSE 0 END) AS agree02,
+    sum(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) AS agree12
+  FROM l),
+p AS (
+  SELECT 'ann0-ann1' AS pair, n, agree01 AS agree, s0 AS sa, s1 AS sb FROM a
+  UNION ALL SELECT 'ann0-ann2', n, agree02, s0, s2 FROM a
+  UNION ALL SELECT 'ann1-ann2', n, agree12, s1, s2 FROM a)
+SELECT pair, CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p_o,
+  round(CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE)
+        / CAST(n * n AS DOUBLE), 9) AS p_e,
+  round(CASE WHEN n * n = sa * sb + (n - sa) * (n - sb) THEN 0.0
+        ELSE CAST(n * agree - (sa * sb + (n - sa) * (n - sb)) AS DOUBLE)
+             / CAST(n * n - (sa * sb + (n - sa) * (n - sb)) AS DOUBLE)
+        END, 9) AS kappa
+FROM p""",
+    ),
     # triangle census of the near-dup graph (dedup cluster-quality signal)
     "q_triangle_count": QuerySpec(
         graph.triangle_count,

@@ -809,3 +809,38 @@ def test_retrieval_metrics_invariants(spark, sf_correct):
             pass  # prefix may still have gaps; only the converse is safe
         if r["ndcg_at_k"] == 1.0:
             assert r["hits"] == min(k, r["n_relevant"])
+
+
+def test_annotator_agreement_kappa_degrades_with_noise(spark, sf_correct):
+    """Kappa structure: annotator 1 is a 10%-noise copy of annotator 0
+    and annotator 2 a 20%-noise copy, so kappa(0,1) > kappa(0,2); all
+    kappas land in [-1, 1] and p_o is consistent with the exact counts;
+    a Python replay of the md5 label derivation matches the aggregates."""
+    import hashlib
+
+    from heatmap_spark.operators.profiling import annotator_agreement
+    from heatmap_spark.sources.tables import load_table
+
+    rows = {r["pair"]: r for r in annotator_agreement(spark, sf_correct).collect()}
+    assert set(rows) == {"ann0-ann1", "ann0-ann2", "ann1-ann2"}
+    for r in rows.values():
+        assert -1.0 <= r["kappa"] <= 1.0
+        assert abs(r["p_o"] - round(r["n_agree"] / r["n"], 9)) < 1e-12
+    assert rows["ann0-ann1"]["kappa"] > rows["ann0-ann2"]["kappa"]
+
+    def h6(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_correct, "documents").select("doc_id").collect()
+    ]
+    labels = []
+    for d in ids:
+        base = h6(str(d)) % 2
+        l1 = (base + (h6(f"ann1:{d}") % 100 < 10)) % 2
+        l2 = (base + (h6(f"ann2:{d}") % 100 < 20)) % 2
+        labels.append((base, l1, l2))
+    agree01 = sum(1 for b, l1, _ in labels if b == l1)
+    assert rows["ann0-ann1"]["n_agree"] == agree01
+    assert rows["ann0-ann1"]["n"] == len(labels)
