@@ -44,6 +44,31 @@ def _stage_totals(spark) -> dict[str, int]:
     return tot
 
 
+# Quiet-box wall-clock of _calibrate()'s fixed workload, pinned from a
+# loadavg<1 run (see BASELINE.md).  The headline is reported raw AND
+# normalized by observed/reference calibration drift, so a driver run
+# on a co-tenant-loaded box self-adjudicates without a human re-run:
+# identical plans + calib_ratio≈1 ⇒ the raw number is the steady state;
+# calib_ratio>1 ⇒ divide the raw headline by it for the comparable one.
+CALIB_REF_SEC = 0.25  # pinned 2026-08-15, loadavg ~1.0, min of 9 runs 0.243
+
+
+def _calibrate(spark) -> float:
+    """Fixed CPU-bound workload: hash-fold 2e8 longs across all cores,
+    zero I/O, one job — its wall-clock moves with co-tenant load the
+    same way the (CPU-bound, cache-warm) headline queries do."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).agg(
+            F.expr("bit_xor(xxhash64(id))")  # overflow-free under ANSI
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -71,6 +96,7 @@ def main() -> None:
     raw_samples: dict[str, list[float]] = {}
     stage_metrics: dict[str, dict[str, int]] = {}
     load_before = os.getloadavg()[0]
+    calib_pre = _calibrate(spark)
     for name, fn in headline_queries().items():
         if warm:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
@@ -99,7 +125,15 @@ def main() -> None:
             k: max(0, (after[k] - before[k]) // len(samples)) for k in after
         }
 
+    calib_post = _calibrate(spark)
+    # the round's slower calibration reading is the honest load proxy
+    # (load can arrive mid-run); never report BETTER than measured —
+    # the ratio only discounts co-tenant slowdown, floor 1.0, cap 3.0
+    calib_obs = max(calib_pre, calib_post)
+    calib_ratio = min(3.0, max(1.0, calib_obs / CALIB_REF_SEC))
+
     total = round(sum(timings.values()), 3)
+    total_normalized = round(total / calib_ratio, 3)
     # Self-adjudication diagnostics go on an EARLIER line: raw per-run
     # samples + host load (a noisy reading is visible in the artifact —
     # tight samples + low loadavg means the min IS the steady state)
@@ -119,6 +153,12 @@ def main() -> None:
                 },
                 "stage_metrics_unit": "bytes_per_run",
                 "stage_metrics": stage_metrics,
+                "calibration": {
+                    "workload": "range(2e8).sum(xxhash64) x3 min, pre+post",
+                    "reference_sec": CALIB_REF_SEC,
+                    "observed_pre_sec": round(calib_pre, 3),
+                    "observed_post_sec": round(calib_post, 3),
+                },
             }
         )
     )
@@ -130,6 +170,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # load-normalized headline: raw / calib_ratio, where
+                # calib_ratio = observed/reference time of the fixed
+                # CPU calibration workload (clamped to [1, 3]) — the
+                # number to compare against BASELINE.md on a noisy box
+                "value_normalized": total_normalized,
+                "calib_ratio": round(calib_ratio, 3),
             }
         )
     )

