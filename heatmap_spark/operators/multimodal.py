@@ -326,23 +326,45 @@ png_encode, png_decode = _png_codec()
 
 
 def _jpeg_codec():
-    """Baseline JPEG (ITU-T T.81 / ISO 10918-1) (encode, decode) in
-    stdlib + numpy — the last container format the engine gated on
-    external libraries.  Scope: 8-bit baseline sequential DCT (SOF0),
-    grayscale or YCbCr 4:4:4 (all sampling factors 1), one interleaved
-    scan, restart intervals (DRI + RST0-7, predictor reset and byte
-    re-alignment at each boundary); progressive (SOF2), subsampled,
-    and arithmetic-coded streams raise cleanly.  Nested for by-value
-    pickling like every codec here.
+    """JPEG (ITU-T T.81 / ISO 10918-1) (encode, decode) in stdlib +
+    numpy — the last container format the engine gated on external
+    libraries.  Nested for by-value pickling like every codec here.
 
-    encode(pixels, quant=None): (h, w) uint8 gray or (h, w, 3) uint8
-    RGB.  Default quantization is ALL-ONES (maximum fidelity — the
-    only loss is DCT coefficient rounding and, for RGB, the YCbCr
-    round trip); pass an (8, 8) integer array for real compression.
-    Huffman tables are built PER IMAGE from the actual symbol sets
-    (uniform-length canonical codes, emitted in DHT) — T.81 mandates
-    the decoder read tables from the stream, so Annex K's typical
-    tables are an option, not a requirement.
+    Decode scope: 8-bit baseline sequential DCT (SOF0) AND progressive
+    DCT (SOF2 — spectral selection, successive approximation, EOB
+    runs, DC/AC refinement scans per T.81 Annex G), grayscale or YCbCr
+    with any sampling factors 1-4 whose ratio to the frame maximum is
+    integral (4:4:4, 4:2:2, 4:2:0, 4:1:1, 4:4:0), interleaved and
+    non-interleaved scans, restart intervals (DRI + RST0-7 with
+    predictor/EOB-run reset and byte re-alignment at each boundary).
+    Arithmetic-coded, hierarchical, lossless, 12-bit, and RGB-coded
+    (Adobe APP14 transform=0 or non-1/2/3 component ids) streams raise
+    cleanly.  Chroma upsampling is box replication — the exact inverse
+    of the encoder's box-mean downsample on subsample-aligned-constant
+    inputs; centers differ from libjpeg's "fancy" triangular filter by
+    design (documented, not accidental).
+
+    encode(pixels, quant=None, restart_interval=0,
+    subsampling="4:4:4", progressive=False): (h, w) uint8 gray or
+    (h, w, 3) uint8 RGB.  ``subsampling`` is "4:4:4" (all 1x1),
+    "4:2:2" (Y 2x1), or "4:2:0" (Y 2x2; the overwhelming real-world
+    web-JPEG shape) — ignored for grayscale.  ``progressive=True``
+    emits an SOF2 stream with the scan script DC(Al=1) → DC refine →
+    per-component AC 1-63 first(Al=1) → per-component AC refine(Al=0),
+    exercising every progressive decode path (EOB runs across blocks,
+    ZRL inside refinement, buffered correction bits).  The successive-
+    approximation split is exact: a progressive stream decodes to
+    BIT-IDENTICAL pixels vs the sequential stream of the same input
+    and quant table (the coefficient stores converge to equality).
+
+    Default quantization is ALL-ONES (maximum fidelity — the only loss
+    is DCT coefficient rounding, plus the YCbCr round trip and any
+    chroma subsampling for RGB); pass an (8, 8) integer array for real
+    compression.  Huffman tables are built PER SCAN from the actual
+    symbol sets (uniform-length canonical codes, emitted in DHT) —
+    T.81 mandates the decoder read tables from the stream, so Annex
+    K's typical tables are an option, not a requirement.
+
     decode(data) → (height, width, channels, ndarray) with the array
     shaped (h, w) or (h, w, 3) uint8.
 
@@ -365,12 +387,14 @@ def _jpeg_codec():
         return np.array([x * 8 + y for x, y in order], dtype=np.int64)
 
     ZZ = _zigzag()          # block index (row*8+col) per zigzag position
-    UNZZ = np.argsort(ZZ)   # zigzag position per block index
+    UNZZ = np.argsort(ZZ)   # zigzag position per block index  # noqa: F841
 
     _c = np.cos(
         (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16
     )
     DCT = _c * np.where(np.arange(8)[:, None] == 0, np.sqrt(1 / 8), 0.5)
+
+    SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
 
     def _cat(v: int) -> int:
         return int(abs(v)).bit_length()
@@ -443,42 +467,7 @@ def _jpeg_codec():
                 raise ValueError("expected restart marker")
             self.pos += 2
 
-    # ---- encoder -------------------------------------------------------
-    def _blocks(plane, q):
-        # plane: (h8, w8) float64 already level-shifted; yields zigzag
-        # int coefficient arrays block by block, row-major
-        h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
-        for by in range(h8):
-            for bx in range(w8):
-                b = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                f = DCT @ b @ DCT.T
-                # q arrives in ZIGZAG order (as serialized in DQT)
-                yield np.round(f.reshape(-1)[ZZ] / q).astype(np.int64)
-
-    def _symbols_of_block(zz, pred):
-        # → (dc_symbol, dc_val, [(ac_symbol, ac_val), ...], new_pred)
-        diff = int(zz[0]) - pred
-        acs = []
-        run = 0
-        last = 0
-        for k in range(63, 0, -1):
-            if zz[k]:
-                last = k
-                break
-        for k in range(1, last + 1):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                acs.append((0xF0, 0))  # ZRL
-                run -= 16
-            acs.append(((run << 4) | _cat(v), v))
-            run = 0
-        if last < 63:
-            acs.append((0x00, 0))  # EOB
-        return _cat(diff), diff, acs, int(zz[0])
-
+    # ---- Huffman helpers -------------------------------------------------
     def _amplitude(v: int, s: int) -> int:
         return v if v >= 0 else v + (1 << s) - 1
 
@@ -498,111 +487,6 @@ def _jpeg_codec():
         payload = bytes([tc << 4 | th]) + bytes(bits[1:]) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
-    def encode(pixels, quant=None, restart_interval: int = 0) -> bytes:
-        px = np.asarray(pixels)
-        if px.dtype != np.uint8 or px.ndim not in (2, 3):
-            raise ValueError("pixels must be (h, w) or (h, w, 3) uint8")
-        if not 0 <= restart_interval <= 65535:
-            raise ValueError("restart_interval is 16-bit")
-        if px.ndim == 3 and px.shape[2] != 3:
-            raise ValueError("color pixels must have 3 channels")
-        h, w = px.shape[0], px.shape[1]
-        if h == 0 or w == 0:
-            raise ValueError("empty image")
-        if h > 65535 or w > 65535:
-            raise ValueError("SOF0 dimensions are 16-bit (max 65535)")
-        q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(
-            quant, dtype=np.int64
-        )
-        if q.shape != (8, 8) or q.min() < 1 or q.max() > 255:
-            raise ValueError("quant must be (8, 8) in [1, 255]")
-        qz = q.reshape(-1)[ZZ]
-        if px.ndim == 2:
-            planes = [px.astype(np.float64)]
-        else:
-            r, g, b = (px[..., i].astype(np.float64) for i in range(3))
-            y = 0.299 * r + 0.587 * g + 0.114 * b
-            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-            planes = [
-                np.clip(np.floor(p + 0.5), 0, 255) for p in (y, cb, cr)
-            ]
-        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-        padded = []
-        for p in planes:
-            pp = np.empty((ph, pw))
-            pp[:h, :w] = p
-            pp[h:, :w] = p[-1:, :]          # edge-replicate pad
-            pp[:, w:] = pp[:, w - 1 : w]
-            padded.append(pp - 128.0)
-        # pass 1: collect blocks + symbol statistics per table class
-        comp_blocks = [list(_blocks(p, qz)) for p in padded]
-        n_comp = len(padded)
-        dc_syms = [set(), set()]
-        ac_syms = [set(), set()]
-        for ci in range(n_comp):
-            tb = 0 if ci == 0 else 1
-            pred = 0
-            for bi, zz in enumerate(comp_blocks[ci]):
-                if restart_interval and bi and bi % restart_interval == 0:
-                    pred = 0  # mirror the pass-2 restart predictor reset
-                s, _diff, acs, pred = _symbols_of_block(zz, pred)
-                dc_syms[tb].add(s)
-                ac_syms[tb].update(sym for sym, _ in acs)
-        tables = []
-        for tb in range(2 if n_comp == 3 else 1):
-            dbits, dvals, dcodes = _uniform_table(dc_syms[tb] or {0})
-            abits, avals, acodes = _uniform_table(ac_syms[tb] or {0})
-            tables.append((dbits, dvals, dcodes, abits, avals, acodes))
-        # pass 2: entropy-code the interleaved MCUs (4:4:4 → one block
-        # per component per MCU, in component order)
-        bw = _BitWriter()
-        preds = [0] * n_comp
-        for bi in range(len(comp_blocks[0])):
-            if restart_interval and bi and bi % restart_interval == 0:
-                bw.marker(0xD0 + (bi // restart_interval - 1) % 8)
-                preds = [0] * n_comp
-            for ci in range(n_comp):
-                tb = 0 if ci == 0 else 1
-                _, _, dcodes, _, _, acodes = tables[tb]
-                zz = comp_blocks[ci][bi]
-                s, diff, acs, preds[ci] = _symbols_of_block(zz, preds[ci])
-                ln, code = dcodes[s]
-                bw.write(code, ln)
-                if s:
-                    bw.write(_amplitude(diff, s), s)
-                for sym, v in acs:
-                    ln, code = acodes[sym]
-                    bw.write(code, ln)
-                    sz = sym & 0x0F
-                    if sz:
-                        bw.write(_amplitude(v, sz), sz)
-        scan = bw.flush()
-        # ---- container -------------------------------------------------
-        out = bytearray(b"\xff\xd8")  # SOI
-        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
-            int(v) for v in qz
-        )
-        sof = struct.pack(">BHHB", 8, h, w, n_comp)
-        for ci in range(n_comp):
-            sof += bytes([ci + 1, 0x11, 0])  # sampling 1x1, quant table 0
-        out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
-        if restart_interval:
-            out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-        for tb, (dbits, dvals, _, abits, avals, _) in enumerate(tables):
-            out += _dht(0, tb, dbits, dvals)
-            out += _dht(1, tb, abits, avals)
-        sos = bytes([n_comp])
-        for ci in range(n_comp):
-            tb = 0 if ci == 0 else 1
-            sos += bytes([ci + 1, tb << 4 | tb])
-        sos += b"\x00\x3f\x00"  # Ss, Se, AhAl
-        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
-        out += scan + b"\xff\xd9"  # EOI
-        return bytes(out)
-
-    # ---- decoder -------------------------------------------------------
     def _huff_map(bits, vals):
         code, vi, table = 0, 0, {}
         for ln in range(1, 17):
@@ -625,6 +509,418 @@ def _jpeg_codec():
     def _extend(v, s):
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
+    # ---- encoder -------------------------------------------------------
+    def _comp_coeffs(plane, qz):
+        # plane: level-shifted float64 with dims multiples of 8 →
+        # (nbh, nbw, 64) quantized coefficients in ZIGZAG order (qz is
+        # the quant table in zigzag order, as serialized in DQT)
+        nbh, nbw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(nbh, 8, nbw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        f = np.einsum("ij,bjk,lk->bil", DCT, blocks, DCT)
+        zz = f.reshape(-1, 64)[:, ZZ]
+        return np.round(zz / qz).astype(np.int64).reshape(nbh, nbw, 64)
+
+    class _StatsSink:
+        """Pass-1 sink: records which symbols each Huffman table must
+        carry; raw bits and restart markers are no-ops."""
+
+        def __init__(self):
+            self.dc, self.ac = {}, {}
+
+        def dc_sym(self, t, s):
+            self.dc.setdefault(t, set()).add(s)
+
+        def ac_sym(self, t, s):
+            self.ac.setdefault(t, set()).add(s)
+
+        def bits(self, v, n):
+            pass
+
+        def restart(self, i):
+            pass
+
+    class _CodeSink:
+        """Pass-2 sink: Huffman-codes symbols into the bit writer."""
+
+        def __init__(self, bw, dc_codes, ac_codes):
+            self.bw, self.dc_codes, self.ac_codes = bw, dc_codes, ac_codes
+
+        def dc_sym(self, t, s):
+            ln, code = self.dc_codes[t][s]
+            self.bw.write(code, ln)
+
+        def ac_sym(self, t, s):
+            ln, code = self.ac_codes[t][s]
+            self.bw.write(code, ln)
+
+        def bits(self, v, n):
+            if n:
+                self.bw.write(v, n)
+
+        def restart(self, i):
+            self.bw.marker(0xD0 + (i - 1) % 8)
+
+    def _emit_sequential(units, coeffs, tb_of, sink, ri):
+        # one full DC+AC pass over MCU units [(ci, by, bx), ...]
+        preds = {}
+        for mi, mcu in enumerate(units):
+            if ri and mi and mi % ri == 0:
+                sink.restart(mi // ri)
+                preds = {}
+            for ci, by, bx in mcu:
+                tb = tb_of(ci)
+                zz = coeffs[ci][by, bx]
+                dc = int(zz[0])
+                diff = dc - preds.get(ci, 0)
+                preds[ci] = dc
+                s = _cat(diff)
+                sink.dc_sym(tb, s)
+                sink.bits(_amplitude(diff, s), s)
+                last = 0
+                for k in range(63, 0, -1):
+                    if zz[k]:
+                        last = k
+                        break
+                run = 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        sink.ac_sym(tb, 0xF0)  # ZRL
+                        run -= 16
+                    s = _cat(v)
+                    sink.ac_sym(tb, (run << 4) | s)
+                    sink.bits(_amplitude(v, s), s)
+                    run = 0
+                if last < 63:
+                    sink.ac_sym(tb, 0x00)  # EOB
+
+    def _emit_dc_first(units, coeffs, al, sink, ri):
+        preds = {}
+        for mi, mcu in enumerate(units):
+            if ri and mi and mi % ri == 0:
+                sink.restart(mi // ri)
+                preds = {}
+            for ci, by, bx in mcu:
+                # DC point transform is an ARITHMETIC shift (T.81
+                # G.1.2.1) — floor division, unlike the AC transform
+                v = int(coeffs[ci][by, bx, 0]) >> al
+                diff = v - preds.get(ci, 0)
+                preds[ci] = v
+                s = _cat(diff)
+                sink.dc_sym(0, s)
+                sink.bits(_amplitude(diff, s), s)
+
+    def _emit_dc_refine(units, coeffs, al, sink, ri):
+        # DC refinement is raw bits, no Huffman coding (T.81 G.1.2.1)
+        for mi, mcu in enumerate(units):
+            if ri and mi and mi % ri == 0:
+                sink.restart(mi // ri)
+            for ci, by, bx in mcu:
+                sink.bits((int(coeffs[ci][by, bx, 0]) >> al) & 1, 1)
+
+    def _emit_ac_first(blocks, coeff, ss, se, al, sink, ri):
+        # AC point transform truncates toward zero (sign-magnitude,
+        # T.81 G.1.2.2); EOB runs accumulate across fully-zero bands
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                sink.ac_sym(0, r << 4)
+                sink.bits(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for bi, (by, bx) in enumerate(blocks):
+            if ri and bi and bi % ri == 0:
+                flush()
+                sink.restart(bi // ri)
+            zz = coeff[by, bx]
+            va = []
+            for k in range(ss, se + 1):
+                c = int(zz[k])
+                va.append((abs(c) >> al) * (1 if c >= 0 else -1))
+            last = -1
+            for i in range(len(va) - 1, -1, -1):
+                if va[i]:
+                    last = i
+                    break
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            run = 0
+            for i in range(last + 1):
+                v = va[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    sink.ac_sym(0, 0xF0)
+                    run -= 16
+                s = _cat(v)
+                sink.ac_sym(0, (run << 4) | s)
+                sink.bits(_amplitude(v, s), s)
+                run = 0
+            if last < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+
+    def _emit_ac_refine(blocks, coeff, ss, se, al, sink, ri):
+        # T.81 G.1.2.3: newly-significant coefficients code as
+        # (zero-history-run << 4) | 1 + sign bit; already-significant
+        # ones contribute one correction bit apiece, attached to the
+        # SYMBOL WHOSE ADVANCE SKIPS THEIR POSITION — a ZRL carries
+        # only the bits inside its own 16-zero span (positions are
+        # tagged with their zero count so multi-ZRL gaps split
+        # correctly), and bits past the last newly-significant
+        # coefficient buffer with the pending EOB run.
+        eobrun = 0
+        pending = []  # correction bits owed with the pending EOB run
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                sink.ac_sym(0, r << 4)
+                sink.bits(eobrun - (1 << r), r)
+                for b in pending:
+                    sink.bits(b, 1)
+                pending.clear()
+                eobrun = 0
+
+        for bi, (by, bx) in enumerate(blocks):
+            if ri and bi and bi % ri == 0:
+                flush()
+                sink.restart(bi // ri)
+            zz = coeff[by, bx]
+            mag, sgn = [], []
+            for k in range(ss, se + 1):
+                c = int(zz[k])
+                mag.append(abs(c) >> al)
+                sgn.append(1 if c >= 0 else 0)
+            eob = -1
+            for i in range(len(mag) - 1, -1, -1):
+                if mag[i] == 1:  # newly significant at this precision
+                    eob = i
+                    break
+            run = 0
+            held = []  # (zeros_seen_before_position, correction_bit)
+            for i in range(eob + 1):
+                if mag[i] == 0:
+                    run += 1
+                elif mag[i] > 1:
+                    held.append((run, mag[i] & 1))
+                else:
+                    nz = 0  # zeros consumed by ZRLs emitted for this gap
+                    while run - nz > 15:
+                        flush()
+                        sink.ac_sym(0, 0xF0)
+                        for z, b in held:
+                            if nz <= z < nz + 16:
+                                sink.bits(b, 1)
+                        held = [(z, b) for z, b in held if z >= nz + 16]
+                        nz += 16
+                    flush()
+                    sink.ac_sym(0, ((run - nz) << 4) | 1)
+                    sink.bits(sgn[i], 1)
+                    for _, b in held:
+                        sink.bits(b, 1)
+                    held = []
+                    run = 0
+            tail = [mag[i] & 1 for i in range(eob + 1, len(mag)) if mag[i] > 1]
+            if run > 0 or held or tail or eob < len(mag) - 1:
+                eobrun += 1
+                pending.extend(b for _, b in held)
+                pending.extend(tail)
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+
+    def encode(
+        pixels,
+        quant=None,
+        restart_interval: int = 0,
+        subsampling: str = "4:4:4",
+        progressive: bool = False,
+    ) -> bytes:
+        px = np.asarray(pixels)
+        if px.dtype != np.uint8 or px.ndim not in (2, 3):
+            raise ValueError("pixels must be (h, w) or (h, w, 3) uint8")
+        if not 0 <= restart_interval <= 65535:
+            raise ValueError("restart_interval is 16-bit")
+        if px.ndim == 3 and px.shape[2] != 3:
+            raise ValueError("color pixels must have 3 channels")
+        if subsampling not in SUBSAMPLING:
+            raise ValueError("subsampling must be one of 4:4:4, 4:2:2, 4:2:0")
+        h, w = px.shape[0], px.shape[1]
+        if h == 0 or w == 0:
+            raise ValueError("empty image")
+        if h > 65535 or w > 65535:
+            raise ValueError("SOF dimensions are 16-bit (max 65535)")
+        q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(
+            quant, dtype=np.int64
+        )
+        if q.shape != (8, 8) or q.min() < 1 or q.max() > 255:
+            raise ValueError("quant must be (8, 8) in [1, 255]")
+        qz = q.reshape(-1)[ZZ]
+        gray = px.ndim == 2
+        if gray:
+            full = [px.astype(np.float64)]
+        else:
+            r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+            full = [np.clip(np.floor(p + 0.5), 0, 255) for p in (y, cb, cr)]
+        n_comp = len(full)
+        sh, sv = (1, 1) if gray else SUBSAMPLING[subsampling]
+        samp = [(sh, sv)] + [(1, 1)] * (n_comp - 1)
+        hmax, vmax = sh, sv
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        ph, pw = mcuy * 8 * vmax, mcux * 8 * hmax
+        coeffs = []
+        for ci, p in enumerate(full):
+            pp = np.empty((ph, pw))
+            pp[:h, :w] = p
+            pp[h:, :w] = p[-1:, :]          # edge-replicate pad
+            pp[:, w:] = pp[:, w - 1 : w]
+            hi, vi = samp[ci]
+            fv, fh = vmax // vi, hmax // hi
+            if fv > 1 or fh > 1:
+                # box-mean downsample, round half up — the decoder's
+                # box replication inverts this exactly on inputs that
+                # are constant per fv x fh cell
+                pp = pp.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
+                pp = np.floor(pp + 0.5)
+            coeffs.append(_comp_coeffs(pp - 128.0, qz))
+        # interleaved MCU traversal (Hi x Vi blocks per component, in
+        # component order — T.81 A.2.3)
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                mcu = []
+                for ci in range(n_comp):
+                    hi, vi = samp[ci]
+                    for v in range(vi):
+                        for u in range(hi):
+                            mcu.append((ci, my * vi + v, mx * hi + u))
+                units.append(mcu)
+
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += (
+            b"\xff\xe0"
+            + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        )
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+            int(v) for v in qz
+        )
+        sof = struct.pack(">BHHB", 8, h, w, n_comp)
+        for ci in range(n_comp):
+            hi, vi = samp[ci]
+            sof += bytes([ci + 1, hi << 4 | vi, 0])
+        out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+            ">H", len(sof) + 2
+        ) + sof
+        if restart_interval:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+        if not progressive:
+            def tb_of(ci):
+                return 0 if ci == 0 else 1
+
+            stats = _StatsSink()
+            _emit_sequential(units, coeffs, tb_of, stats, restart_interval)
+            dc_codes, ac_codes = {}, {}
+            for tb in range(2 if n_comp == 3 else 1):
+                dbits, dvals, dcd = _uniform_table(stats.dc.get(tb) or {0})
+                abits, avals, acd = _uniform_table(stats.ac.get(tb) or {0})
+                out += _dht(0, tb, dbits, dvals) + _dht(1, tb, abits, avals)
+                dc_codes[tb], ac_codes[tb] = dcd, acd
+            bw = _BitWriter()
+            _emit_sequential(
+                units, coeffs, tb_of, _CodeSink(bw, dc_codes, ac_codes),
+                restart_interval,
+            )
+            sos = bytes([n_comp])
+            for ci in range(n_comp):
+                tb = tb_of(ci)
+                sos += bytes([ci + 1, tb << 4 | tb])
+            sos += b"\x00\x3f\x00"  # Ss, Se, AhAl
+            out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+            out += bw.flush() + b"\xff\xd9"
+            return bytes(out)
+
+        # progressive scan script: coarse DC → DC refine → per-comp AC
+        # first → per-comp AC refine.  AC scans are single-component
+        # and NON-INTERLEAVED: they cover the component's own
+        # ceil(px/8) block grid, never the MCU padding blocks
+        # (T.81 A.2.2) — the padding's AC stays zero, which only
+        # affects pixels the crop discards.
+        def _ac_blocks(ci):
+            hi, vi = samp[ci]
+            cph = -(-(h * vi) // vmax)
+            cpw = -(-(w * hi) // hmax)
+            return [
+                (by, bx)
+                for by in range(-(-cph // 8))
+                for bx in range(-(-cpw // 8))
+            ]
+
+        script = [("dc_first", None, 0, 0, 0, 1), ("dc_refine", None, 0, 0, 1, 0)]
+        script += [("ac_first", ci, 1, 63, 0, 1) for ci in range(n_comp)]
+        script += [("ac_refine", ci, 1, 63, 1, 0) for ci in range(n_comp)]
+        for kind, ci, ss, se, ah, al in script:
+            def run(sink, kind=kind, ci=ci, ss=ss, se=se, al=al):
+                if kind == "dc_first":
+                    _emit_dc_first(units, coeffs, al, sink, restart_interval)
+                elif kind == "dc_refine":
+                    _emit_dc_refine(units, coeffs, al, sink, restart_interval)
+                elif kind == "ac_first":
+                    _emit_ac_first(
+                        _ac_blocks(ci), coeffs[ci], ss, se, al, sink,
+                        restart_interval,
+                    )
+                else:
+                    _emit_ac_refine(
+                        _ac_blocks(ci), coeffs[ci], ss, se, al, sink,
+                        restart_interval,
+                    )
+
+            stats = _StatsSink()
+            run(stats)
+            dc_codes, ac_codes = {}, {}
+            if stats.dc:
+                dbits, dvals, dcd = _uniform_table(stats.dc[0])
+                out += _dht(0, 0, dbits, dvals)
+                dc_codes[0] = dcd
+            if stats.ac:
+                abits, avals, acd = _uniform_table(stats.ac[0])
+                out += _dht(1, 0, abits, avals)
+                ac_codes[0] = acd
+            bw = _BitWriter()
+            run(_CodeSink(bw, dc_codes, ac_codes))
+            comps_in_scan = range(n_comp) if ci is None else [ci]
+            sos = bytes([len(list(comps_in_scan))])
+            for c in comps_in_scan:
+                sos += bytes([c + 1, 0x00])
+            sos += bytes([ss, se, (ah << 4) | al])
+            out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+            out += bw.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # ---- decoder -------------------------------------------------------
     def decode(data: bytes):
         if data[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG: bad SOI")
@@ -632,8 +928,156 @@ def _jpeg_codec():
         qt = {}
         dc_tabs, ac_tabs = {}, {}
         restart_ri = 0
-        frame = None
+        frame = None        # (h, w, comps, progressive)
+        geom = None         # (hmax, vmax, mcux, mcuy, {cid: info})
         adobe_transform = None  # APP14 color-transform declaration
+        scans = 0
+
+        def _decode_scan(br, ids, sel_by_id, ss, se, ah, al, progressive):
+            hmax, vmax, mcux, mcuy, info = geom
+            # interleaved scans traverse MCUs over the frame grid;
+            # single-component scans traverse the component's own
+            # ceil(px/8) block grid, raster order (T.81 A.2)
+            if len(ids) > 1:
+                units = []
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        u = []
+                        for cid in ids:
+                            ci = info[cid]
+                            hi, vi = ci["hi"], ci["vi"]
+                            for v in range(vi):
+                                for uu in range(hi):
+                                    u.append((cid, my * vi + v, mx * hi + uu))
+                        units.append(u)
+            else:
+                cbh, cbw = info[ids[0]]["blocks"]
+                units = [
+                    [(ids[0], by, bx)]
+                    for by in range(cbh)
+                    for bx in range(cbw)
+                ]
+            dc_of, ac_of = {}, {}
+            for cid in ids:
+                dc_of[cid] = dc_tabs.get(sel_by_id[cid] >> 4)
+                ac_of[cid] = ac_tabs.get(sel_by_id[cid] & 0x0F)
+                needs_dc = not progressive or (ss == 0 and ah == 0)
+                needs_ac = not progressive or ss > 0
+                if (needs_dc and dc_of[cid] is None) or (
+                    needs_ac and ac_of[cid] is None
+                ):
+                    raise ValueError("scan references missing DHT")
+            preds = {cid: 0 for cid in ids}
+            eobrun = 0
+            p1, m1 = 1 << al, -(1 << al)
+            for ui, unit in enumerate(units):
+                if restart_ri and ui and ui % restart_ri == 0:
+                    br.restart()
+                    preds = {cid: 0 for cid in ids}
+                    eobrun = 0
+                for cid, by, bx in unit:
+                    coef = info[cid]["coef"][by, bx]
+                    if not progressive:
+                        s = _read_huff(br, dc_of[cid])
+                        diff = _extend(br.bits(s), s) if s else 0
+                        preds[cid] += diff
+                        coef[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _read_huff(br, ac_of[cid])
+                            if sym == 0x00:
+                                break  # EOB
+                            run, sz = sym >> 4, sym & 0x0F
+                            if sz == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            coef[k] = _extend(br.bits(sz), sz)
+                            k += 1
+                    elif ss == 0 and ah == 0:  # DC first
+                        s = _read_huff(br, dc_of[cid])
+                        diff = _extend(br.bits(s), s) if s else 0
+                        preds[cid] += diff
+                        coef[0] = preds[cid] << al
+                    elif ss == 0:  # DC refinement: one raw bit, no Huffman
+                        if br.bit():
+                            coef[0] |= p1
+                    elif ah == 0:  # AC first (T.81 G.2.2)
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = _read_huff(br, ac_of[cid])
+                            run, sz = sym >> 4, sym & 0x0F
+                            if sz == 0:
+                                if run == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                eobrun = (1 << run) - 1
+                                if run:
+                                    eobrun += br.bits(run)
+                                break
+                            k += run
+                            if k > se:
+                                raise ValueError("AC run overflows band")
+                            coef[k] = _extend(br.bits(sz), sz) << al
+                            k += 1
+                    else:  # AC refinement (T.81 G.2.2 / Figure G.7)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = _read_huff(br, ac_of[cid])
+                                run, sz = sym >> 4, sym & 0x0F
+                                newval = 0
+                                if sz == 0:
+                                    if run != 15:
+                                        eobrun = 1 << run
+                                        if run:
+                                            eobrun += br.bits(run)
+                                        break
+                                    # run == 15: ZRL skips 16 ZERO-
+                                    # HISTORY positions, refining the
+                                    # nonzero ones passed on the way
+                                elif sz == 1:
+                                    newval = p1 if br.bit() else m1
+                                else:
+                                    raise ValueError(
+                                        "refinement magnitude must be 1"
+                                    )
+                                while k <= se:
+                                    if coef[k] != 0:
+                                        if br.bit() and not (coef[k] & p1):
+                                            coef[k] += (
+                                                p1 if coef[k] >= 0 else m1
+                                            )
+                                    else:
+                                        run -= 1
+                                        if run < 0:
+                                            break
+                                    k += 1
+                                if newval:
+                                    if k > se:
+                                        raise ValueError(
+                                            "refinement run overflows band"
+                                        )
+                                    coef[k] = newval
+                                k += 1
+                        if eobrun:
+                            # the rest of this block carries only
+                            # correction bits for already-nonzero coefs
+                            while k <= se:
+                                if coef[k] != 0 and br.bit() and not (
+                                    coef[k] & p1
+                                ):
+                                    coef[k] += p1 if coef[k] >= 0 else m1
+                                k += 1
+                            eobrun -= 1
+
         while pos < len(data):
             if data[pos] != 0xFF:
                 raise ValueError("marker expected")
@@ -645,7 +1089,9 @@ def _jpeg_codec():
                 continue
             pos += 2
             if m == 0xD9:  # EOI
-                raise ValueError("no scan before EOI")
+                if scans == 0:
+                    raise ValueError("no scan before EOI")
+                break
             if m in (0x01,) or 0xD0 <= m <= 0xD7:
                 continue  # standalone markers
             if pos + 2 > len(data):
@@ -681,26 +1127,54 @@ def _jpeg_codec():
                         raise ValueError("DHT declares more codes than it carries")
                     (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_map(bits, vals)
                     at += 17 + n
-            elif m == 0xC0:  # SOF0 baseline
+            elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 if len(seg) < 6:
-                    raise ValueError("truncated SOF0")
+                    raise ValueError("truncated SOF")
                 prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
                 if len(seg) < 6 + nf * 3:
-                    raise ValueError("truncated SOF0 components")
+                    raise ValueError("truncated SOF components")
                 if prec != 8:
                     raise ValueError("only 8-bit precision")
+                if nf not in (1, 3):
+                    raise ValueError("1 or 3 components only")
                 comps = []
                 for ci in range(nf):
                     cid, hv, tq = seg[6 + ci * 3 : 9 + ci * 3]
-                    if hv != 0x11:
-                        raise ValueError("subsampling unsupported (4:4:4 only)")
-                    comps.append((cid, tq))
-                if nf not in (1, 3):
-                    raise ValueError("1 or 3 components only")
-                frame = (h, w, comps)
-            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                    hi, vi = hv >> 4, hv & 0x0F
+                    if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                        raise ValueError("sampling factors must be 1-4")
+                    comps.append((cid, hi, vi, tq))
+                hmax = max(hi for _, hi, _, _ in comps)
+                vmax = max(vi for _, _, vi, _ in comps)
+                for _, hi, vi, _ in comps:
+                    if hmax % hi or vmax % vi:
+                        raise ValueError(
+                            "fractional chroma sampling ratios unsupported"
+                        )
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                info = {}
+                for cid, hi, vi, tq in comps:
+                    cph = -(-(h * vi) // vmax)  # comp pixel dims (ceil)
+                    cpw = -(-(w * hi) // hmax)
+                    info[cid] = {
+                        "hi": hi,
+                        "vi": vi,
+                        "tq": tq,
+                        "px": (cph, cpw),
+                        "blocks": (-(-cph // 8), -(-cpw // 8)),
+                        "coef": np.zeros(
+                            (mcuy * vi, mcux * hi, 64), dtype=np.int64
+                        ),
+                    }
+                frame = (h, w, comps, m == 0xC2)
+                geom = (hmax, vmax, mcux, mcuy, info)
+            elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                        0xCD, 0xCE, 0xCF):
-                raise ValueError("only baseline sequential (SOF0) supported")
+                raise ValueError(
+                    "only baseline (SOF0) and progressive (SOF2) DCT "
+                    "supported"
+                )
             elif m == 0xDD:  # DRI
                 if len(seg) < 2:
                     raise ValueError("truncated DRI")
@@ -711,7 +1185,7 @@ def _jpeg_codec():
                 adobe_transform = seg[11]
             elif m == 0xDA:  # SOS — entropy data follows
                 if frame is None:
-                    raise ValueError("SOS before SOF0")
+                    raise ValueError("SOS before SOF")
                 if not seg:
                     raise ValueError("truncated SOS")
                 ns = seg[0]
@@ -719,14 +1193,36 @@ def _jpeg_codec():
                     raise ValueError("truncated SOS")
                 # T.81 matches scan components to frame components BY
                 # ID, not position — build the id → table-selector map
+                ids = [seg[1 + i * 2] for i in range(ns)]
                 sel_by_id = {
                     seg[1 + i * 2]: seg[2 + i * 2] for i in range(ns)
                 }
-                h, w, comps = frame
-                if ns != len(comps):
-                    raise ValueError("non-interleaved scans unsupported")
-                if set(sel_by_id) != {cid for cid, _ in comps}:
+                _, _, comps, progressive = frame
+                if not set(ids) <= {cid for cid, *_ in comps}:
                     raise ValueError("SOS component ids do not match SOF0")
+                if len(set(ids)) != ns:
+                    raise ValueError("duplicate component in scan")
+                ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
+                ahal = seg[3 + ns * 2]
+                ah, al = ahal >> 4, ahal & 0x0F
+                if not progressive:
+                    if (ss, se, ah, al) != (0, 63, 0, 0):
+                        raise ValueError(
+                            "baseline scan must cover the full 0-63 band "
+                            "with no point transform"
+                        )
+                else:
+                    if ss == 0 and se != 0:
+                        raise ValueError(
+                            "progressive scan with Ss=0 must have Se=0 "
+                            "(DC and AC never share a scan)"
+                        )
+                    if ss > 0 and ns != 1:
+                        raise ValueError(
+                            "progressive AC scans are single-component"
+                        )
+                    if se > 63 or ss > 63 or (ss > 0 and se < ss):
+                        raise ValueError("bad spectral selection")
                 # entropy-coded bytes run to the next non-stuffed,
                 # non-restart marker (RST0-7 live INSIDE the scan)
                 end = pos
@@ -738,87 +1234,71 @@ def _jpeg_codec():
                     ):
                         break
                     end += 1
-                br = _BitReader(data[pos:end])
-                ph, pw = -(-h // 8), -(-w // 8)
-                planes = [
-                    np.zeros((ph * 8, pw * 8), dtype=np.float64)
-                    for _ in comps
-                ]
-                preds = [0] * len(comps)
-                for by in range(ph):
-                    for bx in range(pw):
-                        mcu = by * pw + bx
-                        if restart_ri and mcu and mcu % restart_ri == 0:
-                            br.restart()  # byte-align + consume RSTn
-                            preds = [0] * len(comps)
-                        for ci, (cid, tq) in enumerate(comps):
-                            tsel = sel_by_id[cid]
-                            dct_t = dc_tabs.get(tsel >> 4)
-                            ac_t = ac_tabs.get(tsel & 0x0F)
-                            if dct_t is None or ac_t is None:
-                                raise ValueError("scan references missing DHT")
-                            if tq not in qt:
-                                raise ValueError("missing DQT")
-                            zz = np.zeros(64, dtype=np.int64)
-                            s = _read_huff(br, dct_t)
-                            diff = _extend(br.bits(s), s) if s else 0
-                            preds[ci] += diff
-                            zz[0] = preds[ci]
-                            k = 1
-                            while k < 64:
-                                sym = _read_huff(br, ac_t)
-                                if sym == 0x00:
-                                    break  # EOB
-                                run, sz = sym >> 4, sym & 0x0F
-                                if sz == 0:
-                                    if run != 15:
-                                        raise ValueError("bad AC symbol")
-                                    k += 16  # ZRL
-                                    continue
-                                k += run
-                                if k > 63:
-                                    raise ValueError("AC run overflows block")
-                                zz[k] = _extend(br.bits(sz), sz)
-                                k += 1
-                            f = np.zeros(64, dtype=np.float64)
-                            f[ZZ] = zz * qt[tq]
-                            blk = DCT.T @ f.reshape(8, 8) @ DCT + 128.0
-                            planes[ci][
-                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                            ] = blk
-                out = [p[:h, :w] for p in planes]
-                if len(out) == 1:
-                    px = np.clip(np.floor(out[0] + 0.5), 0, 255).astype(np.uint8)
-                    return h, w, 1, px
-                # the inverse transform below assumes JFIF YCbCr; an
-                # RGB-coded 3-component stream (Adobe APP14 transform=0,
-                # or non-1/2/3 component ids like 'R'/'G'/'B') would
-                # silently decode with wrong colors — raise cleanly
-                # like every other unsupported mode instead
-                if adobe_transform == 0:
-                    raise ValueError(
-                        "3-component JPEG declares APP14 transform=0 "
-                        "(RGB-coded, not YCbCr) — unsupported"
-                    )
-                if [cid for cid, _ in comps] != [1, 2, 3]:
-                    raise ValueError(
-                        "3-component JPEG with non-JFIF component ids "
-                        f"{[cid for cid, _ in comps]} (expected 1/2/3 "
-                        "= Y/Cb/Cr) — unsupported"
-                    )
-                y, cb, cr = out
-                r = y + 1.402 * (cr - 128.0)
-                g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-                b = y + 1.772 * (cb - 128.0)
-                px = np.stack(
-                    [
-                        np.clip(np.floor(c + 0.5), 0, 255).astype(np.uint8)
-                        for c in (r, g, b)
-                    ],
-                    axis=2,
+                _decode_scan(
+                    _BitReader(data[pos:end]), ids, sel_by_id,
+                    ss, se, ah, al, progressive,
                 )
-                return h, w, 3, px
-        raise ValueError("no SOS scan found")
+                pos = end
+                scans += 1
+        if scans == 0:
+            raise ValueError("no SOS scan found")
+
+        # ---- finalize: dequantize, IDCT, upsample, color ----------------
+        h, w, comps, progressive = frame
+        hmax, vmax, _, _, info = geom
+        planes = []
+        for cid, hi, vi, tq in comps:
+            if tq not in qt:
+                raise ValueError("missing DQT")
+            ci = info[cid]
+            coef = ci["coef"]
+            nbh, nbw = coef.shape[0], coef.shape[1]
+            nat = np.zeros((nbh * nbw, 64), dtype=np.float64)
+            nat[:, ZZ] = coef.reshape(-1, 64) * qt[tq]
+            blocks = np.einsum(
+                "ji,bjk,kl->bil", DCT, nat.reshape(-1, 8, 8), DCT
+            )
+            plane = (
+                blocks.reshape(nbh, nbw, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(nbh * 8, nbw * 8)
+            ) + 128.0
+            cph, cpw = ci["px"]
+            plane = plane[:cph, :cpw]
+            fv, fh = vmax // vi, hmax // hi
+            if fv > 1 or fh > 1:
+                plane = np.repeat(np.repeat(plane, fv, axis=0), fh, axis=1)
+            planes.append(plane[:h, :w])
+        if len(planes) == 1:
+            px = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+            return h, w, 1, px
+        # the inverse transform below assumes JFIF YCbCr; an RGB-coded
+        # 3-component stream (Adobe APP14 transform=0, or non-1/2/3
+        # component ids like 'R'/'G'/'B') would silently decode with
+        # wrong colors — raise cleanly like every other unsupported mode
+        if adobe_transform == 0:
+            raise ValueError(
+                "3-component JPEG declares APP14 transform=0 "
+                "(RGB-coded, not YCbCr) — unsupported"
+            )
+        if [cid for cid, *_ in comps] != [1, 2, 3]:
+            raise ValueError(
+                "3-component JPEG with non-JFIF component ids "
+                f"{[cid for cid, *_ in comps]} (expected 1/2/3 "
+                "= Y/Cb/Cr) — unsupported"
+            )
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        px = np.stack(
+            [
+                np.clip(np.floor(c + 0.5), 0, 255).astype(np.uint8)
+                for c in (r, g, b)
+            ],
+            axis=2,
+        )
+        return h, w, 3, px
 
     return encode, decode
 

@@ -344,21 +344,51 @@ def test_jpeg_rejects_unsupported_and_corrupt():
         jpeg_decode(b"not a jpeg")
     with pytest.raises(ValueError):
         jpeg_decode(blob[: len(blob) // 2] )
-    # progressive (SOF2) refused, not mis-decoded
+    # a baseline scan inside an SOF2 frame is malformed (progressive
+    # never codes DC and AC in one scan) — refused, not mis-decoded
     prog = bytearray(blob)
     i = prog.index(b"\xff\xc0")
     prog[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="progressive|Se=0"):
         jpeg_decode(bytes(prog))
-    # subsampled streams refused
+    # genuinely unsupported frame types still refuse: SOF3 (lossless),
+    # SOF9 (arithmetic-coded)
+    for sof in (0xC3, 0xC9):
+        other = bytearray(blob)
+        other[i + 1] = sof
+        with pytest.raises(ValueError, match="SOF0"):
+            jpeg_decode(bytes(other))
+    # a single-component frame's sampling factors are ratios against
+    # themselves — flipping them to 2x2 decodes identically (the old
+    # codec refused; the subsampling-aware one must not)
     sub = bytearray(blob)
     sof_at = sub.index(b"\xff\xc0")
     sub[sof_at + 11] = 0x22  # H=2, V=2 for component 1
-    with pytest.raises(ValueError, match="subsampling"):
-        jpeg_decode(bytes(sub))
+    h, w, ch, out = jpeg_decode(bytes(sub))
+    assert (h, w, ch) == (8, 8, 1)
+    ref = jpeg_decode(blob)
+    assert np.array_equal(out, ref[3])
+    # fractional sampling ratios (Hmax % Hi != 0) refuse cleanly:
+    # force component 1 to 3x1 in a color stream whose chroma is 2x1
+    cpx = (np.arange(192, dtype=np.int64) % 256).astype(np.uint8).reshape(8, 8, 3)
+    frac = bytearray(jpeg_encode(cpx, subsampling="4:2:2"))
+    fat = frac.index(b"\xff\xc0")
+    frac[fat + 11] = 0x31  # Y: H=3, V=1; chroma stays 1x1 → 3 % 2? 3%1 ok, but 3 vs 2...
+    # Y=3x1, chroma=1x1 → hmax=3, 3 % 1 == 0 for chroma; adjust chroma
+    # to 2x1 so hmax=3 and 3 % 2 != 0
+    frac[fat + 14] = 0x21  # Cb: H=2, V=1
+    with pytest.raises(ValueError, match="fractional"):
+        jpeg_decode(bytes(frac))
+    # sampling factors outside 1-4 refuse
+    bad = bytearray(blob)
+    bad[sof_at + 11] = 0x51
+    with pytest.raises(ValueError, match="1-4"):
+        jpeg_decode(bytes(bad))
     # quant table constraints
     with pytest.raises(ValueError, match="quant"):
         jpeg_encode(px, quant=np.zeros((8, 8), dtype=np.int64))
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_encode(px, subsampling="4:1:1")
 
 
 def test_decode_real_sniffs_jpeg():
@@ -514,3 +544,251 @@ def test_jpeg_restart_intervals_roundtrip(h, w, seed, rgb, ri):
 
         with pytest.raises(ValueError):
             jpeg_decode(blob[:i] + blob[i + 2 :])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    mode=st.sampled_from(["4:2:0", "4:2:2"]),
+)
+def test_jpeg_subsampled_roundtrip_on_aligned_cells(h, w, seed, mode):
+    """Chroma subsampling round trip: on images whose color is constant
+    per subsample cell (2x2 for 4:2:0, 2x1 for 4:2:2), the box-mean
+    downsample and box-replication upsample are exact inverses, so the
+    error bound equals the 4:4:4 one (±3: YCbCr forward, coefficient,
+    inverse roundings) — for arbitrary non-multiple-of-MCU shapes."""
+    from heatmap_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    fh, fv = (2, 2) if mode == "4:2:0" else (2, 1)
+    rng = np.random.default_rng(seed)
+    base = rng.integers(
+        0, 256, size=(-(-h // fv), -(-w // fh), 3), dtype=np.int64
+    ).astype(np.uint8)
+    px = np.repeat(np.repeat(base, fv, axis=0), fh, axis=1)[:h, :w]
+    hh, ww, ch, out = jpeg_decode(jpeg_encode(px, subsampling=mode))
+    assert (hh, ww, ch) == (h, w, 3)
+    diff = np.abs(out.astype(np.int64) - px.astype(np.int64)).max()
+    assert diff <= 3, diff
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=33),
+    w=st.integers(min_value=1, max_value=33),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    rgb=st.booleans(),
+    mode=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+    ri=st.integers(min_value=0, max_value=3),
+)
+def test_jpeg_progressive_decodes_bit_identical_to_baseline(
+    h, w, seed, rgb, mode, ri
+):
+    """The successive-approximation split (DC Al=1 + refine, AC Al=1 +
+    refine) is exact: a progressive stream must decode to BIT-IDENTICAL
+    pixels vs the sequential stream of the same input — the coefficient
+    stores converge to equality, so any divergence is an entropy-layer
+    bug (EOB runs, ZRL-in-refinement, correction-bit placement), not
+    rounding.  Covers subsampled + restart-interval combinations."""
+    from heatmap_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    px = rng.integers(0, 256, size=shape, dtype=np.int64).astype(np.uint8)
+    base = jpeg_decode(jpeg_encode(px, subsampling=mode, restart_interval=ri))
+    prog_blob = jpeg_encode(
+        px, subsampling=mode, restart_interval=ri, progressive=True
+    )
+    assert prog_blob[2:4] != b"\xff\xc0" and b"\xff\xc2" in prog_blob
+    prog = jpeg_decode(prog_blob)
+    assert base[:3] == prog[:3]
+    assert np.array_equal(base[3], prog[3])
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_jpeg_progressive_refinement_entropy_edge_cases(seed):
+    """Quant tables shaped to force the hairiest refinement paths:
+    a large low-frequency coefficient (already-significant history), a
+    16+ zero gap with a mid-gap history coefficient PAST the 16th zero
+    (so its correction bit must ride the SECOND ZRL, not the first —
+    the T.81 G.1.2.3 'bits attach to the symbol whose advance skips
+    their position' rule), and a ±1 newly-significant coefficient deep
+    in the band.  Progressive and baseline decodes must stay
+    bit-identical."""
+    from heatmap_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    # zigzag traversal, independently derived
+    order = []
+    for s in range(15):
+        cells = [(x, s - x) for x in range(max(0, s - 7), min(s, 7) + 1)]
+        order.extend(cells if s % 2 else cells[::-1])
+    zz = [x * 8 + y for x, y in order]
+    qn = np.full(64, 255, dtype=np.int64)
+    qn[zz[0]] = 8
+    qn[zz[1]] = 2    # low-freq: |coeff| >= 2 → history in the refine scan
+    qn[zz[25]] = 1   # mid-gap (24 zeros before it): history past zero #16
+    qn[zz[51]] = 3   # deep: |coeff| == 1 → newly significant
+    qn[zz[60]] = 2
+    quant = qn.reshape(8, 8)
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(32, 48), dtype=np.int64).astype(np.uint8)
+    base = jpeg_decode(jpeg_encode(px, quant=quant))
+    prog = jpeg_decode(jpeg_encode(px, quant=quant, progressive=True))
+    assert np.array_equal(base[3], prog[3])
+
+
+def test_jpeg_decode_subsampled_hand_assembled_spec_stream():
+    """One-sided oracle for SUBSAMPLED decoding: a minimal 4:2:0 JPEG
+    (16x16, Y 2x2, Cb/Cr 1x1 — one MCU of Y1 Y2 Y3 Y4 Cb Cr) is
+    assembled BY HAND from T.81 with DC-only blocks, so the MCU block
+    order, chroma upsampling, and color inverse are pinned against
+    closed-form expectations independent of the encoder."""
+    import struct
+
+    from heatmap_spark.operators.multimodal import jpeg_decode
+
+    def chunkhdr(marker, payload):
+        return marker + struct.pack(">H", len(payload) + 2) + payload
+
+    # DC table 0 = {6: '00', 7: '01'}; AC table 0 = {EOB: '00'}
+    dht_dc = chunkhdr(
+        b"\xff\xc4", bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([6, 7])
+    )
+    dht_ac = chunkhdr(
+        b"\xff\xc4", bytes([0x10]) + bytes([0, 1] + [0] * 14) + bytes([0x00])
+    )
+    dqt = chunkhdr(b"\xff\xdb", b"\x00" + bytes([1] * 64))
+    sof = chunkhdr(
+        b"\xff\xc0",
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x22, 0])  # Y: 2x2
+        + bytes([2, 0x11, 0])  # Cb: 1x1
+        + bytes([3, 0x11, 0]),  # Cr: 1x1
+    )
+    sos = chunkhdr(
+        b"\xff\xda",
+        bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00",
+    )
+    # DC-only MCU: Y quadrant DCs 80, 16, -16, -80 (diffs 80, -64, -32,
+    # -64 → cats 7, 7, 6, 7); Cb DC 64 (cat 7), Cr DC -64 (cat 7).
+    # amplitudes: v >= 0 → v; v < 0 → v + 2^s - 1
+    bits = (
+        "01" + format(80, "07b") + "00"          # Y1: cat7, 80, EOB
+        + "01" + format(-64 + 127, "07b") + "00"  # Y2: diff -64
+        + "00" + format(-32 + 63, "06b") + "00"   # Y3: cat6, diff -32
+        + "01" + format(-64 + 127, "07b") + "00"  # Y4: diff -64
+        + "01" + format(64, "07b") + "00"         # Cb: 64
+        + "01" + format(-64 + 127, "07b") + "00"  # Cr: -64
+    )
+    bits += "1" * (-len(bits) % 8)
+    scan = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    blob = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+    h, w, ch, out = jpeg_decode(blob)
+    assert (h, w, ch) == (16, 16, 3)
+
+    # closed form: a DC-only block is flat at 128 + DC/8; chroma is one
+    # block upsampled 2x2 → constant cb=136, cr=120 everywhere
+    def rgb(ydc):
+        y = 128 + ydc / 8.0
+        cb, cr = 128 + 64 / 8.0, 128 - 64 / 8.0
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return [
+            int(np.clip(np.floor(c + 0.5), 0, 255)) for c in (r, g, b)
+        ]
+
+    quads = {(0, 0): 80, (0, 1): 16, (1, 0): -16, (1, 1): -80}
+    for (qy, qx), ydc in quads.items():
+        block = out[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8]
+        exp = rgb(ydc)
+        assert block.reshape(-1, 3).tolist().count(exp) == 64, (
+            (qy, qx), exp, block[0, 0].tolist()
+        )
+
+
+def test_jpeg_decode_progressive_hand_assembled_spec_stream():
+    """One-sided oracle for PROGRESSIVE decoding: a minimal
+    spectral-selection-only SOF2 stream (gray 8x8, scan 1 = DC with
+    Al=0, scan 2 = AC band 1-63 with one coefficient then EOB0) is
+    assembled by hand, and the output checked against the same
+    closed-form IDCT as the baseline hand test — pinning SOF2 parsing,
+    per-scan DHT redefinition, the DC-first path, the AC-first band
+    path, and EOB-run consumption against the spec, independent of the
+    encoder's scan script."""
+    import struct
+
+    from heatmap_spark.operators.multimodal import jpeg_decode
+
+    def chunkhdr(marker, payload):
+        return marker + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = chunkhdr(b"\xff\xdb", b"\x00" + bytes([1] * 64))
+    sof2 = chunkhdr(
+        b"\xff\xc2", struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    )
+    # scan 1: DC table {0: '00', 4: '01'}; block diff 8 → cat 4 '01' + '1000'
+    dht1 = chunkhdr(
+        b"\xff\xc4", bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([0, 4])
+    )
+    sos1 = chunkhdr(b"\xff\xda", bytes([1, 1, 0x00]) + bytes([0, 0, 0x00]))
+    bits1 = "01" + "1000"
+    bits1 += "1" * (-len(bits1) % 8)
+    scan1 = bytes(int(bits1[i : i + 8], 2) for i in range(0, len(bits1), 8))
+    # scan 2: AC table {0x00: '00', 0x02: '01'}; coefficient 3 at zigzag
+    # k=1 (run 0, size 2) then EOB0 closes the band
+    dht2 = chunkhdr(
+        b"\xff\xc4",
+        bytes([0x10]) + bytes([0, 2] + [0] * 14) + bytes([0x00, 0x02]),
+    )
+    sos2 = chunkhdr(b"\xff\xda", bytes([1, 1, 0x00]) + bytes([1, 63, 0x00]))
+    bits2 = "01" + "11" + "00"
+    bits2 += "1" * (-len(bits2) % 8)
+    scan2 = bytes(int(bits2[i : i + 8], 2) for i in range(0, len(bits2), 8))
+    blob = (
+        b"\xff\xd8" + dqt + sof2 + dht1 + sos1 + scan1
+        + dht2 + sos2 + scan2 + b"\xff\xd9"
+    )
+    h, w, ch, out = jpeg_decode(blob)
+    assert (h, w, ch) == (8, 8, 1)
+
+    def idct_block(F):
+        res = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        au = np.sqrt(1 / 8) if u == 0 else 0.5
+                        av = np.sqrt(1 / 8) if v == 0 else 0.5
+                        s += (
+                            au * av * F[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                res[x, y] = s
+        return res
+
+    F = np.zeros((8, 8))
+    F[0, 0] = 8
+    F[0, 1] = 3  # zigzag k=1 is (row 0, col 1)
+    exp = np.clip(np.floor(idct_block(F) + 128.0 + 0.5), 0, 255)
+    assert np.array_equal(out.reshape(8, 8), exp.astype(np.uint8))
+
+
+def test_decode_real_sniffs_progressive_and_subsampled_jpeg():
+    """decode_real's JPEG branch covers the real-world web shape:
+    progressive 4:2:0 color streams decode through content sniffing."""
+    from heatmap_spark.operators.multimodal import decode_real, jpeg_encode
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(8, 8, 3), dtype=np.int64).astype(np.uint8)
+    px = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    img = decode_real(jpeg_encode(px, subsampling="4:2:0", progressive=True))
+    assert img["kind"] == "image"
+    assert (img["height"], img["width"], img["channels"]) == (16, 16, 3)
+    assert np.abs(
+        img["pixels"].astype(np.int64) - px.astype(np.int64)
+    ).max() <= 3
