@@ -1582,3 +1582,199 @@ def unigram_sampling_table(
         (F.sum("weight").over(w) - F.col("weight")).cast("bigint").alias("range_lo"),
         F.sum("weight").over(w).cast("bigint").alias("range_hi"),
     )
+
+
+def pmi_collocations(
+    spark: SparkSession, sf_dir: str, min_count: int = 10
+) -> DataFrame:
+    """Corpus-level collocation mining: bigrams ranked by pointwise
+    mutual information — the classic phrase detector (word2vec's
+    phrase pass, NLTK's collocation finder) a pretraining pipeline
+    runs to fold multi-word units ("new york") into single tokens:
+
+        PMI(w1, w2) = log2( p(w1 w2) / (p(w1) · p(w2)) )
+                    = log2( (c12/N2) / ((c1/N1) · (c2/N1)) )
+
+    with c12 the bigram count over N2 bigram positions and c1/c2 the
+    unigram counts over N1 token positions.  Emits every bigram with
+    c12 ≥ min_count and rounded PMI > 0 (positively associated) —
+    a threshold set, not a top-k, so the result is deterministic with
+    no ordering boundary.
+
+    Determinism: every count is an exact integer; PMI is ONE double
+    expression written identically in the oracle, rounded to 6.
+
+    Scale shape: the min_count filter lands on the bigram aggregate
+    BEFORE the unigram joins, so the joined stream is the (tiny) set
+    of frequent bigrams, not the corpus; unigram counts join on token
+    keys (AQE broadcasts the survivors); the two corpus totals attach
+    as one broadcast row.  All map-side-combinable aggregates of one
+    explode — no Python, no window, no skew pivot (the hottest token
+    key caps at vocabulary frequency, sharded by the hash aggregate's
+    partial combine).
+
+    Reference: none — SURVEY.md §2.8 text-analysis family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _all_tokens()
+    bg_arr = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    occ = docs.select(F.explode(bg_arr).alias("bg"))
+    tok = docs.select(F.explode(toks).alias("token"))
+    cb = (
+        occ.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_bigram"))
+        .where(F.col("c_bigram") >= min_count)
+        .select(
+            "bg",
+            "c_bigram",
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+        )
+    )
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("n1")
+    ).crossJoin(occ.agg(F.count(F.lit(1)).alias("n2")))
+    u1 = uni.select(F.col("token").alias("w1"), F.col("cu").alias("c_w1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("cu").alias("c_w2"))
+    pmi = F.round(
+        F.log2(
+            (F.col("c_bigram") / F.col("n2"))
+            / ((F.col("c_w1") / F.col("n1")) * (F.col("c_w2") / F.col("n1")))
+        ),
+        6,
+    )
+    return (
+        cb.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("c_bigram").cast("bigint").alias("c_bigram"),
+            F.col("c_w1").cast("bigint").alias("c_w1"),
+            F.col("c_w2").cast("bigint").alias("c_w2"),
+            pmi.alias("pmi"),
+        )
+        .where(F.col("pmi") > 0)
+    )
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch reading ease + Flesch-Kincaid grade with
+    fully deterministic structural counts — the readability gate a
+    curation pipeline uses alongside the Gopher rules (drop the
+    unreadable tail, stratify the rest):
+
+        ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+        grade = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+
+    Sentences: runs of [.!?]+ bound non-blank segments (min 1, so a
+    fragment without terminal punctuation is one sentence).  Syllable
+    heuristic: vowel groups [aeiouy]+ per word, min 1 — the standard
+    cheap approximation; both engines count it with the same regex.
+
+    Determinism: sentence/word/syllable counts are exact integers
+    (the syllable fold is an integer aggregate over the token array —
+    no double accumulation), and each score is one double expression
+    written identically in the oracle, rounded to 4.
+
+    Scale shape: map-only — one projection per document, no shuffle,
+    no Python; the regex work stays inside whole-stage codegen.
+
+    Reference: none — SURVEY.md §2.8 quality-filter family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _all_tokens()
+    sentences = F.greatest(
+        F.lit(1),
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"),
+                lambda s: F.trim(s) != "",
+            )
+        ),
+    ).cast("bigint")
+    words = F.size(toks).cast("bigint")
+    syllables = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, wd: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(wd, F.lit("[aeiouy]+"), 0)),
+        ),
+    )
+    t = docs.select(
+        "doc_id",
+        sentences.alias("n_sentences"),
+        words.alias("n_words"),
+        syllables.alias("n_syllables"),
+    )
+    wps = F.col("n_words") / F.greatest(F.lit(1), F.col("n_sentences"))
+    spw = F.col("n_syllables") / F.greatest(F.lit(1), F.col("n_words"))
+    return t.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
+            "flesch_ease"
+        ),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4).alias(
+            "fk_grade"
+        ),
+    )
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    the compression-ratio proxy that catches what token rules miss:
+    binary blobs and base64 runs score near log2(alphabet) ≈ 6 bits,
+    single-character spam near 0, natural language ~4.0-4.5.  A
+    standard cheap gate before the heavier quality classifiers.
+
+        H(doc) = −Σ_c (n_c/n)·log2(n_c/n)   over characters c
+
+    Determinism: character counts are exact integers; each character's
+    −p·log2(p) term rounds to 9 decimals and sums as DECIMAL(28,9)
+    (the unigram-logprob policy), so the per-document sum is
+    bit-identical on any partitioning and in the oracle; the final
+    entropy rounds to 6.
+
+    Scale shape: one explode to character occurrences, then a
+    (doc_id, char)-keyed hash aggregate — map-side combine collapses
+    each partition's occurrences to ≤ |alphabet| rows per document
+    before the exchange, so shuffle volume is ~alphabet-sized per doc
+    regardless of document length; the per-doc total joins back on
+    doc_id (co-partitioned with the term aggregate by the same key).
+
+    Reference: none — SURVEY.md §2.8 quality-filter family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+    )
+    term = F.round(
+        -(F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n")), 9
+    ).cast("decimal(28,9)")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars"),
+            F.max("n_distinct_chars").alias("n_distinct_chars"),
+            F.round(F.sum(term).cast("double"), 6).alias("entropy_bits"),
+        )
+    )

@@ -5224,6 +5224,86 @@ SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
   round(pow(CAST(2.0 AS DOUBLE), -round(avg, 6)), 6) AS ppl
 FROM agg""",
     ),
+    # PMI collocation mining: threshold set (c12 >= 10, rounded pmi > 0),
+    # exact integer counts, one identical double log2 expression.
+    "q_pmi_collocations": QuerySpec(
+        textops.pmi_collocations,
+        """WITH toksd AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents),
+occ AS (
+  SELECT unnest(list_filter(list_transform(list_zip(tk, tk[2:]),
+    p -> p[1] || ' ' || p[2]), x -> x IS NOT NULL)) AS bg
+  FROM toksd),
+tok AS (SELECT unnest(tk) AS token FROM toksd),
+cb AS (
+  SELECT bg, count(*) AS c_bigram,
+    split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM occ GROUP BY 1 HAVING count(*) >= 10),
+uni AS (SELECT token, count(*) AS cu FROM tok GROUP BY 1),
+tot AS (
+  SELECT (SELECT count(*) FROM tok) AS n1,
+         (SELECT count(*) FROM occ) AS n2),
+scored AS (
+  SELECT bg AS bigram,
+    CAST(c_bigram AS BIGINT) AS c_bigram,
+    CAST(u1.cu AS BIGINT) AS c_w1,
+    CAST(u2.cu AS BIGINT) AS c_w2,
+    round(log2((c_bigram / n2) / ((u1.cu / n1) * (u2.cu / n1))), 6) AS pmi
+  FROM cb
+  JOIN uni u1 ON u1.token = cb.w1
+  JOIN uni u2 ON u2.token = cb.w2
+  CROSS JOIN tot)
+SELECT * FROM scored WHERE pmi > 0""",
+    ),
+    # Flesch reading ease + FK grade: exact integer sentence/word/
+    # syllable counts (same regexes), identical double score formulas.
+    "q_readability": QuerySpec(
+        textops.readability_scores,
+        r"""WITH t AS (
+  SELECT doc_id,
+    greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+      s -> trim(s) <> ''))) AS n_sentences,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      x -> x <> '')) AS n_words,
+    coalesce(list_sum(list_transform(
+      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+      wd -> greatest(1, len(regexp_extract_all(wd, '[aeiouy]+'))))), 0)
+      AS n_syllables
+  FROM documents)
+SELECT doc_id,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_syllables AS BIGINT) AS n_syllables,
+  round(206.835 - 1.015 * (n_words / greatest(1, n_sentences))
+        - 84.6 * (n_syllables / greatest(1, n_words)), 4) AS flesch_ease,
+  round(0.39 * (n_words / greatest(1, n_sentences))
+        + 11.8 * (n_syllables / greatest(1, n_words)) - 15.59, 4) AS fk_grade
+FROM t""",
+    ),
+    # Character-distribution Shannon entropy: exact counts, per-char
+    # terms rounded to 9 and summed as DECIMAL (partition-order-proof).
+    "q_char_entropy": QuerySpec(
+        textops.char_entropy,
+        """WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+  FROM documents),
+counts AS (
+  SELECT doc_id, ch, count(*) AS c
+  FROM chars WHERE ch <> '' GROUP BY 1, 2),
+totals AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS n_distinct_chars
+  FROM counts GROUP BY 1)
+SELECT counts.doc_id,
+  max(n) AS n_chars,
+  max(n_distinct_chars) AS n_distinct_chars,
+  round(CAST(sum(CAST(round(-(c / n) * log2(c / n), 9) AS DECIMAL(28,9)))
+             AS DOUBLE), 6) AS entropy_bits
+FROM counts JOIN totals USING (doc_id)
+GROUP BY counts.doc_id""",
+    ),
     # Temperature-scaled mixture weights (share ∝ n^0.7): exact counts,
     # identical double power/normalize, one final floor.
     "q_temperature_mix": QuerySpec(

@@ -547,3 +547,109 @@ def test_approx_quantiles_scalar_columns(spark, sf_smoke):
     ]
     for r in out.collect():
         assert r["p50"] <= r["p90"] <= r["p99"]
+
+
+def test_pmi_collocations_matches_python_counts(spark, sf_smoke):
+    """Threshold semantics (c12 >= 10, rounded pmi > 0) and the PMI
+    value itself re-derived from exact Python counts over the same
+    tokenization — catching any drift between the Spark expression
+    tree and the declared formula."""
+    import math
+    import re
+    from collections import Counter
+
+    from heatmap_spark.operators.textops import pmi_collocations
+    from heatmap_spark.sources.tables import load_table
+
+    out = {r["bigram"]: r for r in pmi_collocations(spark, sf_smoke).collect()}
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_smoke, "documents").select("text").collect()
+    ]
+    uni, big = Counter(), Counter()
+    for t in texts:
+        tk = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        uni.update(tk)
+        big.update(f"{a} {b}" for a, b in zip(tk, tk[1:]))
+    n1, n2 = sum(uni.values()), sum(big.values())
+    expect = {}
+    for bg, c12 in big.items():
+        if c12 < 10:
+            continue
+        w1, w2 = bg.split(" ")
+        pmi = round(
+            math.log2((c12 / n2) / ((uni[w1] / n1) * (uni[w2] / n1))), 6
+        )
+        if pmi > 0:
+            expect[bg] = (c12, uni[w1], uni[w2], pmi)
+    assert set(out) == set(expect)
+    for bg, (c12, c1, c2, pmi) in expect.items():
+        r = out[bg]
+        assert (r["c_bigram"], r["c_w1"], r["c_w2"]) == (c12, c1, c2)
+        assert abs(r["pmi"] - pmi) < 1e-9, bg
+
+
+def test_readability_matches_python_recount(spark, sf_smoke):
+    """Sentence/word/syllable counts and both scores re-derived in
+    Python with the same regexes, row for row.  Rounding recount uses
+    HALF_UP on the shortest decimal repr — Spark's round() goes
+    through BigDecimal.valueOf(Double.toString) and DuckDB rounds
+    half away from zero, while Python's round() is banker's; a tie at
+    the 4th decimal (e.g. 12.74625) splits them."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from heatmap_spark.operators.textops import readability_scores
+    from heatmap_spark.sources.tables import load_table
+
+    def r4(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    rows = {r["doc_id"]: r for r in readability_scores(spark, sf_smoke).collect()}
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        tk = [x for x in re.split(r"[^a-z0-9]+", d["text"].lower()) if x]
+        sents = max(1, len([s for s in re.split(r"[.!?]+", d["text"]) if s.strip()]))
+        words = len(tk)
+        syll = sum(max(1, len(re.findall(r"[aeiouy]+", w))) for w in tk)
+        wps = words / max(1, sents)
+        spw = syll / max(1, words)
+        r = rows[d["doc_id"]]
+        assert (r["n_sentences"], r["n_words"], r["n_syllables"]) == (
+            sents,
+            words,
+            syll,
+        )
+        assert abs(r["flesch_ease"] - r4(206.835 - 1.015 * wps - 84.6 * spw)) < 1e-9
+        assert abs(r["fk_grade"] - r4(0.39 * wps + 11.8 * spw - 15.59)) < 1e-9
+
+
+def test_char_entropy_matches_python_and_bounds(spark, sf_smoke):
+    """Entropy re-derived in Python under the same term-rounding
+    policy (round each −p·log2 p to 9, exact sum), plus the
+    information-theoretic bound 0 <= H <= log2(distinct chars)."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from heatmap_spark.operators.textops import char_entropy
+    from heatmap_spark.sources.tables import load_table
+
+    rows = {r["doc_id"]: r for r in char_entropy(spark, sf_smoke).collect()}
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    for d in docs:
+        cnt = Counter(d["text"])
+        n = sum(cnt.values())
+        if n == 0:
+            assert d["doc_id"] not in rows
+            continue
+        terms = [
+            Decimal(str(round(-(c / n) * math.log2(c / n), 9)))
+            for c in cnt.values()
+        ]
+        exp = round(float(sum(terms)), 6)
+        r = rows[d["doc_id"]]
+        assert (r["n_chars"], r["n_distinct_chars"]) == (n, len(cnt))
+        assert abs(r["entropy_bits"] - exp) < 1e-9
+        assert -1e-9 <= r["entropy_bits"] <= math.log2(len(cnt)) + 1e-6
