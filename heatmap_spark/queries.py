@@ -3075,6 +3075,28 @@ SELECT doc_id, frame_idx,
   md5(frame) AS frame_md5
 FROM sliced""",
     ),
+    # Video frame sampling over real AVI/MJPEG payloads: the Spark side
+    # builds AVI containers, walks RIFF, and fully decodes every 2nd
+    # frame (container → MJPEG → pixels — the emitted dims come from
+    # the DECODED frames); the oracle re-derives the structural fields
+    # from the fixture's byte-length geometry (strlen = byte length in
+    # DuckDB).  Pixel content is pinned by the codec property tests
+    # (JPEG is lossy, so no value-hash on pixels by design).
+    "q_media_video_frames": QuerySpec(
+        multimodal.media_video_frames,
+        """WITH m AS (SELECT doc_id, strlen(text) AS L FROM documents),
+g AS (SELECT doc_id,
+        CAST(L % 24 + 8 AS INTEGER) AS width,
+        CAST(L % 5 + 2 AS INTEGER) AS n_frames
+      FROM m)
+SELECT doc_id,
+  CAST(2 * i AS INTEGER) AS frame_idx,
+  width,
+  CAST(8 AS INTEGER) AS height,
+  n_frames
+FROM g CROSS JOIN range(0, 3) t(i)
+WHERE 2 * i < n_frames""",
+    ),
     # ---- MLlib LSH variants (engine-internal hash families — rows-only) ----
     "q_ml_minhash_lsh": QuerySpec(
         lambda spark, sf_dir: _ml().ml_minhash_candidates(spark, sf_dir), None

@@ -792,3 +792,96 @@ def test_decode_real_sniffs_progressive_and_subsampled_jpeg():
     assert np.abs(
         img["pixels"].astype(np.int64) - px.astype(np.int64)
     ).max() <= 3
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=6),
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    rgb=st.booleans(),
+    fps=st.sampled_from([1, 10, 30]),
+)
+def test_avi_mjpeg_roundtrip(n, h, w, seed, rgb, fps):
+    """AVI/MJPEG container round trip: frame count, fps (rate/scale),
+    header dims, and per-frame pixels within the JPEG unit-quant bound
+    — arbitrary shapes including odd-length JPEG chunks (exercising
+    RIFF even-padding)."""
+    from heatmap_spark.operators.multimodal import (
+        avi_decode,
+        avi_encode,
+        avi_frame_blobs,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    frames = [
+        rng.integers(0, 256, size=shape, dtype=np.int64).astype(np.uint8)
+        for _ in range(n)
+    ]
+    blob = avi_encode(frames, fps=fps)
+    got_fps, out = avi_decode(blob)
+    assert got_fps == fps and len(out) == n
+    for a, b in zip(frames, out):
+        assert np.abs(
+            a.astype(np.int64) - b.reshape(a.shape).astype(np.int64)
+        ).max() <= (3 if rgb else 1)
+    fps2, ww, hh, blobs = avi_frame_blobs(blob)
+    assert (fps2, ww, hh, len(blobs)) == (fps, w, h, n)
+
+
+def test_avi_carries_progressive_subsampled_jpeg_frames():
+    """Every JPEG mode flows through the container: progressive 4:2:0
+    color frames decode from the AVI path within the codec bound."""
+    from heatmap_spark.operators.multimodal import avi_decode, avi_encode
+
+    rng = np.random.default_rng(5)
+    base = [
+        rng.integers(0, 256, size=(8, 8, 3), dtype=np.int64).astype(np.uint8)
+        for _ in range(3)
+    ]
+    frames = [np.repeat(np.repeat(b, 2, axis=0), 2, axis=1) for b in base]
+    fps, out = avi_decode(
+        avi_encode(frames, fps=5, subsampling="4:2:0", progressive=True)
+    )
+    assert fps == 5 and len(out) == 3
+    for a, b in zip(frames, out):
+        assert np.abs(a.astype(np.int64) - b.astype(np.int64)).max() <= 3
+
+
+def test_avi_rejects_corrupt_and_inconsistent():
+    import struct
+
+    import pytest
+
+    from heatmap_spark.operators.multimodal import (
+        avi_decode,
+        avi_encode,
+        avi_frame_blobs,
+    )
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = avi_encode([px, px], fps=10)
+    with pytest.raises(ValueError, match="RIFF"):
+        avi_frame_blobs(b"not an avi at all")
+    with pytest.raises(ValueError, match="RIFF"):
+        avi_frame_blobs(b"RIFF\x04\x00\x00\x00WAVE")  # wrong form type
+    with pytest.raises(ValueError, match="truncated"):
+        avi_frame_blobs(blob[: len(blob) // 2])
+    # idx1 count disagreeing with movi must refuse (silent frame loss
+    # is the classic AVI corruption mode)
+    i = blob.index(b"idx1")
+    (ln,) = struct.unpack("<I", blob[i + 4 : i + 8])
+    bad = blob[: i + 4] + struct.pack("<I", ln - 16) + blob[i + 8 : i + 8 + ln - 16]
+    # fix the RIFF size for the shortened file
+    bad = b"RIFF" + struct.pack("<I", len(bad) - 8) + bad[8:]
+    with pytest.raises(ValueError, match="idx1"):
+        avi_frame_blobs(bad)
+    # encoder guards
+    with pytest.raises(ValueError, match="at least one"):
+        avi_encode([], fps=10)
+    with pytest.raises(ValueError, match="one shape"):
+        avi_encode([px, px[:4]], fps=10)
+    with pytest.raises(ValueError, match="fps"):
+        avi_encode([px], fps=0)

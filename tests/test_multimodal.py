@@ -269,3 +269,52 @@ def test_adam7_palette_query_matches_python_reference(spark, sf_smoke):
         assert g["pixel_sum"] == int(vals.sum())
         expect_md5 = hashlib.md5(",".join(map(str, vals.tolist())).encode()).hexdigest()
         assert g["pixel_md5"] == expect_md5
+
+
+def test_video_frame_sample_structure_and_pixels(spark, sf_smoke):
+    """End-to-end video path: AVI fixture geometry matches the
+    closed-form byte-length rule, sampling keeps exactly every 2nd
+    frame, and a decoded sampled frame's pixels equal the deterministic
+    raster slice of the document bytes (unit-quant gray JPEG: ±1)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.multimodal import (
+        avi_frame_blobs,
+        avi_media_table,
+        jpeg_decode,
+        media_video_frames,
+    )
+    from heatmap_spark.sources.tables import load_table
+
+    out = media_video_frames(spark, sf_smoke).localCheckpoint(eager=True)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    }
+    rows = out.collect()
+    assert rows
+    seen = {}
+    for r in rows:
+        L = len(docs[r["doc_id"]].encode("utf-8"))
+        assert r["width"] == (L % 24) + 8
+        assert r["height"] == 8
+        assert r["n_frames"] == (L % 5) + 2
+        assert r["frame_idx"] % 2 == 0 and r["frame_idx"] < r["n_frames"]
+        seen.setdefault(r["doc_id"], set()).add(r["frame_idx"])
+    for doc_id, idxs in seen.items():
+        nf = (len(docs[doc_id].encode("utf-8")) % 5) + 2
+        assert idxs == set(range(0, nf, 2))
+    # pixel check on one payload pulled through the real container
+    media = avi_media_table(spark, sf_smoke).where(F.col("n_bytes") > 0).limit(1).collect()[0]
+    buf = np.frombuffer(docs[media["doc_id"]].encode("utf-8"), dtype=np.uint8)
+    L = len(buf)
+    w, nf = (L % 24) + 8, (L % 5) + 2
+    px = np.resize(buf, nf * 8 * w)
+    _, _, _, blobs = avi_frame_blobs(bytes(media["avi"]))
+    assert len(blobs) == nf
+    for f in range(nf):
+        hh, ww, ch, got = jpeg_decode(blobs[f])
+        exp = px[f * 8 * w : (f + 1) * 8 * w].reshape(8, w)
+        assert (hh, ww, ch) == (8, w, 1)
+        assert np.abs(got.reshape(8, w).astype(np.int64) - exp.astype(np.int64)).max() <= 1
