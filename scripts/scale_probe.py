@@ -1748,6 +1748,78 @@ def probe_mixer(spark, n: int) -> None:
     )
 
 
+
+
+def probe_entropy(spark, n: int) -> None:
+    """Character-entropy gate over n docs (~420 chars each): the
+    explode fans out to ~420n char occurrences, but map-side combine
+    collapses each partition to <= |alphabet| rows per doc before the
+    exchange — shuffle volume is alphabet-bounded, not length-bound."""
+    from pyspark.sql import functions as F
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    t0 = time.perf_counter()
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("nn"))
+    term = F.round(
+        -(F.col("c") / F.col("nn")) * F.log2(F.col("c") / F.col("nn")), 9
+    ).cast("decimal(28,9)")
+    out = (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("h"))
+    )
+    out.write.format("noop").mode("overwrite").save()
+    t = time.perf_counter() - t0
+    print(f"char-entropy {n:,} docs: {t:.1f}s ({n / t / 1000:.0f}k docs/s)")
+
+
+def probe_pmi(spark, n: int) -> None:
+    """PMI collocations over n docs (59n bigram positions): the
+    min-count filter lands on the bigram aggregate BEFORE the unigram
+    joins, so only frequent bigrams reach the join stage."""
+    from pyspark.sql import functions as F
+
+    docs = synthetic_documents(spark, n)
+    docs.count()  # warm
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    bg = F.filter(
+        F.zip_with(toks, F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    t0 = time.perf_counter()
+    occ = docs.select(F.explode(bg).alias("bgr"))
+    tok = docs.select(F.explode(toks).alias("token"))
+    cb = (
+        occ.groupBy("bgr").agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= 10)
+        .select("bgr", "c12",
+                F.substring_index("bgr", " ", 1).alias("w1"),
+                F.substring_index("bgr", " ", -1).alias("w2"))
+    )
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n1")).crossJoin(
+        occ.agg(F.count(F.lit(1)).alias("n2"))
+    )
+    out = (
+        cb.join(uni.withColumnRenamed("token", "w1").withColumnRenamed("cu", "c1"), "w1")
+        .join(uni.withColumnRenamed("token", "w2").withColumnRenamed("cu", "c2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(F.log2((F.col("c12") / F.col("n2"))
+                       / ((F.col("c1") / F.col("n1")) * (F.col("c2") / F.col("n1")))).alias("pmi"))
+    )
+    n_out = out.count()
+    t = time.perf_counter() - t0
+    print(f"pmi {n:,} docs ({59*n:,} bigram positions): {t:.1f}s "
+          f"({59*n/t/1e6:.1f}M positions/s), {n_out:,} collocations")
+
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -1758,7 +1830,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -1772,7 +1844,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi}[which](spark, n)
 
 
 if __name__ == "__main__":
