@@ -56,41 +56,63 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_real(payload: bytes):
-    """Best-effort real decode by content sniffing: PNG, baseline
-    JPEG, and WAV decode through the native stdlib codecs below (no
-    external library); other container formats (MP3/MP4/WEBP/...)
-    still require PIL/librosa/ffmpeg and raise until one is
-    installed."""
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        h, w, ch, depth, px = png_decode_ex(payload)
-        return {
-            "kind": "image",
-            "height": h,
-            "width": w,
-            "channels": ch,
-            "depth": depth,
-            "pixels": px,
-        }
-    if payload[:2] == b"\xff\xd8":
-        h, w, ch, px = jpeg_decode(payload)
-        return {
-            "kind": "image",
-            "height": h,
-            "width": w,
-            "channels": ch,
-            "depth": 8,
-            "pixels": px,
-        }
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        rate, pcm = wav_decode(payload)
-        return {"kind": "audio", "sample_rate": rate, "samples": pcm}
-    raise NotImplementedError(
-        "payload is neither PNG, JPEG, nor WAV; other container "
-        "formats need external codecs (PIL/librosa/ffmpeg) this "
-        "module deliberately does not wrap — use "
-        "decode_stub_features for the deterministic fake path"
-    )
+def _decode_real_factory(png_dec, jdec, wdec, ablobs):
+    """Builds the content-sniffing decoder as a CLOSURE over the codec
+    functions (themselves closure products) so Spark kernels that
+    capture it pickle it by value — a module-level def would pickle by
+    reference and break in workers when the driver imports from a
+    foreign cwd (the standing codec-pickling rule here).  Bound to the
+    ``decode_real`` name after the codecs are defined below."""
+
+    def decode_real(payload: bytes):
+        """Best-effort real decode by content sniffing: PNG, JPEG
+        (baseline + progressive, subsampled), WAV, and AVI/MJPEG
+        decode through the native stdlib codecs in this module (no
+        external library); other container formats (MP3/MP4/WEBP/...)
+        still require PIL/librosa/ffmpeg and raise until one is
+        installed."""
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            h, w, ch, depth, px = png_dec(payload)
+            return {
+                "kind": "image",
+                "height": h,
+                "width": w,
+                "channels": ch,
+                "depth": depth,
+                "pixels": px,
+            }
+        if payload[:2] == b"\xff\xd8":
+            h, w, ch, px = jdec(payload)
+            return {
+                "kind": "image",
+                "height": h,
+                "width": w,
+                "channels": ch,
+                "depth": 8,
+                "pixels": px,
+            }
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            rate, pcm = wdec(payload)
+            return {"kind": "audio", "sample_rate": rate, "samples": pcm}
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            fps, w, h, blobs = ablobs(payload)
+            return {
+                "kind": "video",
+                "fps": fps,
+                "width": w,
+                "height": h,
+                "n_frames": len(blobs),
+                "frames": [jdec(b)[3] for b in blobs],
+            }
+        raise NotImplementedError(
+            "payload is neither PNG, JPEG, WAV, nor AVI; other "
+            "container formats need external codecs "
+            "(PIL/librosa/ffmpeg) this module deliberately does not "
+            "wrap — use decode_stub_features for the deterministic "
+            "fake path"
+        )
+
+    return decode_real
 
 
 def decode_stub_features(media: DataFrame) -> DataFrame:
@@ -2259,6 +2281,10 @@ def _avi_codec(jenc, jdec):
 
 avi_encode, avi_decode, avi_frame_blobs = _avi_codec(jpeg_encode, jpeg_decode)
 
+decode_real = _decode_real_factory(
+    png_decode_ex, jpeg_decode, wav_decode, avi_frame_blobs
+)
+
 
 AVI_MEDIA_SCHEMA = "doc_id long, n_bytes int, avi binary"
 VIDEO_FRAME_SCHEMA = (
@@ -2337,3 +2363,119 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame).  Oracle derives the structural fields from the byte-length
     geometry; the pixel content is pinned by the codec test suite."""
     return video_frame_sample(avi_media_table(spark, sf_dir), every=2)
+
+
+MEDIA_DIR_SCHEMA = (
+    "doc_id long, kind string, width int, height int, "
+    "n_frames int, n_samples long"
+)
+
+
+def write_media_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """Render documents as real media FILES on disk — PNG for
+    doc_id%3==0, WAV for ==1, AVI/MJPEG for ==2, all content a pure
+    function of the doc's byte length + bytes (the png/wav/avi fixture
+    rules) — the on-disk half of the directory-ingestion operator.
+
+    The write is DISTRIBUTED (mapInPandas partitions write their own
+    files; names are doc_id-unique so there is no contention).  This
+    writer is test scaffolding for the fixture: a production crawl's
+    media already sits on shared storage — the operator that matters
+    at 100 TB is :func:`media_ingest_dir`'s scan side.
+    """
+    import os as _os
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    penc, wenc, aenc, pad = png_encode, wav_encode, avi_encode, _PNG_PAD
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        import numpy as np
+
+        for pdf in it:
+            n = 0
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                buf = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                L = len(buf)
+                m = int(doc_id) % 3
+                if m == 0:
+                    w = (L % 64) + 1
+                    h = max(1, -(-L // w))
+                    px = np.full(h * w, pad, dtype=np.uint8)
+                    px[:L] = buf
+                    blob, ext = penc(px.reshape(h, w)), "png"
+                elif m == 1:
+                    blob, ext = wenc(buf.astype(np.int16)), "wav"
+                else:
+                    w = (L % 24) + 8
+                    nf = (L % 5) + 2
+                    if L:
+                        px = np.resize(buf, nf * 8 * w)
+                    else:
+                        px = np.full(nf * 8 * w, pad, dtype=np.uint8)
+                    frames = [
+                        px[f * 8 * w : (f + 1) * 8 * w].reshape(8, w)
+                        for f in range(nf)
+                    ]
+                    blob, ext = aenc(frames, fps=10), "avi"
+                with open(
+                    os.path.join(out_dir, f"{int(doc_id)}.{ext}"), "wb"
+                ) as fh:
+                    fh.write(blob)
+                n += 1
+            yield pd.DataFrame({"n": [n]})
+
+    return int(
+        docs.mapInPandas(batches, schema="n long").agg(F.sum("n")).collect()[0][0]
+    )
+
+
+def media_ingest_dir(spark: SparkSession, media_dir: str) -> DataFrame:
+    """Ingest a DIRECTORY of media files the way a crawl pipeline
+    would: Spark's built-in ``binaryFile`` source scans the files
+    (file-granular partitions — the scan parallelizes across
+    executors and prunes nothing it shouldn't), then an Arrow-batched
+    kernel content-sniffs each payload through :func:`decode_real`
+    (PNG/JPEG/WAV/AVI native codecs) and emits typed metadata.
+
+    At 100 TB this is the shape you want: the scan is the built-in
+    file source (split planning, locality, no driver listing loop
+    beyond the initial file index), decode is map-only per file, and
+    the output is a typed table ready for the dedup/phash/frame
+    operators downstream."""
+    import re as _re
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(media_dir + "/*")
+        .select("path", "content")
+    )
+    dreal = decode_real  # closure-captured
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "kind", "width", "height", "n_frames", "n_samples"
+                )
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                doc_id = int(re.search(r"(\d+)\.\w+$", path).group(1))
+                info = dreal(bytes(content))
+                kind = info["kind"]
+                out["doc_id"].append(doc_id)
+                out["kind"].append(kind)
+                out["width"].append(info.get("width"))
+                out["height"].append(info.get("height"))
+                out["n_frames"].append(info.get("n_frames"))
+                out["n_samples"].append(
+                    len(info["samples"]) if kind == "audio" else None
+                )
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(batches, schema=MEDIA_DIR_SCHEMA)

@@ -169,6 +169,22 @@ def q_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_locations(spark, sf_dir)
 
 
+def q_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-ingestion round trip: render the documents as real
+    media files (PNG/WAV/AVI by doc_id%3) into a scratch dir with the
+    distributed writer, then scan them back through Spark's built-in
+    binaryFile source and content-sniff each payload through the
+    native codecs (multimodal.media_ingest_dir)."""
+    from heatmap_spark.operators.multimodal import (
+        media_ingest_dir,
+        write_media_dir,
+    )
+
+    d = _scratch_dir("mediadir_q_") + "/files"
+    write_media_dir(spark, sf_dir, d)
+    return media_ingest_dir(spark, d)
+
+
 def q_rowstore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's connector path, RUNNABLE: write the locations
     table into the heatmap_rowstore format (Python DataSource API —
@@ -3096,6 +3112,28 @@ SELECT doc_id,
   n_frames
 FROM g CROSS JOIN range(0, 3) t(i)
 WHERE 2 * i < n_frames""",
+    ),
+    # Directory ingestion through Spark's built-in binaryFile source:
+    # documents render to real PNG/WAV/AVI FILES (distributed writer),
+    # the scan reads them back file-per-partition, and decode_real
+    # content-sniffs each payload through the native codecs.  The
+    # oracle re-derives the typed metadata from the fixture geometry —
+    # a hash match certifies file write → binaryFile scan → sniff →
+    # decode end-to-end.
+    "q_media_ingest": QuerySpec(
+        q_media_ingest,
+        """WITH m AS (SELECT doc_id, strlen(text) AS L FROM documents)
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  CASE doc_id % 3 WHEN 0 THEN CAST(L % 64 + 1 AS INTEGER)
+                  WHEN 2 THEN CAST(L % 24 + 8 AS INTEGER) END AS width,
+  CASE doc_id % 3
+       WHEN 0 THEN CAST(greatest(1, ceil(L / (L % 64 + 1.0))) AS INTEGER)
+       WHEN 2 THEN CAST(8 AS INTEGER) END AS height,
+  CASE doc_id % 3 WHEN 2 THEN CAST(L % 5 + 2 AS INTEGER) END AS n_frames,
+  CASE doc_id % 3 WHEN 1 THEN CAST(L AS BIGINT) END AS n_samples
+FROM m""",
     ),
     # ---- MLlib LSH variants (engine-internal hash families — rows-only) ----
     "q_ml_minhash_lsh": QuerySpec(

@@ -318,3 +318,71 @@ def test_video_frame_sample_structure_and_pixels(spark, sf_smoke):
         exp = px[f * 8 * w : (f + 1) * 8 * w].reshape(8, w)
         assert (hh, ww, ch) == (8, w, 1)
         assert np.abs(got.reshape(8, w).astype(np.int64) - exp.astype(np.int64)).max() <= 1
+
+
+def test_decode_real_sniffs_avi_video():
+    import numpy as np
+
+    from heatmap_spark.operators.multimodal import avi_encode, decode_real
+
+    rng = np.random.default_rng(9)
+    frames = [
+        rng.integers(0, 256, size=(8, 12), dtype=np.int64).astype(np.uint8)
+        for _ in range(4)
+    ]
+    info = decode_real(avi_encode(frames, fps=25))
+    assert info["kind"] == "video"
+    assert (info["fps"], info["width"], info["height"], info["n_frames"]) == (
+        25, 12, 8, 4,
+    )
+    for a, b in zip(frames, info["frames"]):
+        assert np.abs(a.astype(np.int64) - b.reshape(a.shape).astype(np.int64)).max() <= 1
+
+
+def test_media_ingest_dir_end_to_end(spark, sf_smoke, tmp_path):
+    """Distributed file writer → binaryFile scan → content sniff:
+    every document lands as exactly one real media file; the ingested
+    metadata matches the closed-form geometry; a spot-checked image
+    file's pixels round-trip the document bytes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.multimodal import (
+        media_ingest_dir,
+        png_decode_ex,
+        write_media_dir,
+    )
+    from heatmap_spark.sources.tables import load_table
+
+    d = str(tmp_path / "media")
+    n = write_media_dir(spark, sf_smoke, d)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    }
+    assert n == len(docs)
+    out = {r["doc_id"]: r for r in media_ingest_dir(spark, d).collect()}
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        L = len(text.encode("utf-8"))
+        r = out[doc_id]
+        m = doc_id % 3
+        if m == 0:
+            w = (L % 64) + 1
+            assert (r["kind"], r["width"], r["height"]) == (
+                "image", w, max(1, -(-L // w)),
+            )
+            assert r["n_frames"] is None and r["n_samples"] is None
+        elif m == 1:
+            assert (r["kind"], r["n_samples"]) == ("audio", L)
+            assert r["width"] is None and r["height"] is None
+        else:
+            assert (r["kind"], r["width"], r["height"], r["n_frames"]) == (
+                "video", (L % 24) + 8, 8, (L % 5) + 2,
+            )
+    # pixel spot check: one PNG file carries the document bytes verbatim
+    some = next(k for k in docs if k % 3 == 0 and len(docs[k]) > 0)
+    blob = open(f"{d}/{some}.png", "rb").read()
+    _, _, _, _, px = png_decode_ex(blob)
+    buf = np.frombuffer(docs[some].encode("utf-8"), dtype=np.uint8)
+    assert np.array_equal(px.reshape(-1)[: len(buf)], buf)
