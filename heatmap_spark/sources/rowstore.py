@@ -120,30 +120,52 @@ def make_rowstore_datasource():
     class BucketPartition(InputPartition):
         files: tuple  # absolute paths, one bucket's committed files
 
-    def _norm_batch(batch, canon):
+    def _norm_batch(batch, canon, fill_types=None):
         """Normalize a batch to the store's canonical column ORDER with
         all-nullable fields (types untouched).  Two writes of the same
         Spark schema can reach Arrow with different column orders (a
         join reorders) or nullability metadata; files in one store must
         share ONE Arrow schema or a bin-packed read partition (and the
-        runner's single stream writer) breaks on the mix."""
+        runner's single stream writer) breaks on the mix.
+
+        Columns in ``canon`` MISSING from the batch null-fill with
+        their store Arrow type when ``fill_types`` carries one — the
+        read-side half of additive schema evolution (files written
+        before a column existed, and appends that omit a nullable
+        column, both read as the union schema)."""
         if batch.schema.names == list(canon) and all(
             f.nullable for f in batch.schema
         ):
             return batch
-        idx = [batch.schema.get_field_index(n) for n in canon]
-        arrays = [batch.column(i) for i in idx]
-        fields = [
-            _pa.field(n, a.type, nullable=True) for n, a in zip(canon, arrays)
-        ]
+        arrays, fields = [], []
+        for n in canon:
+            i = batch.schema.get_field_index(n)
+            if i >= 0:
+                a = batch.column(i)
+            elif fill_types is not None and n in fill_types:
+                a = _pa.nulls(batch.num_rows, type=fill_types[n])
+            else:
+                raise ValueError(
+                    f"batch lacks column {n!r} and no fill type is known"
+                )
+            arrays.append(a)
+            fields.append(_pa.field(n, a.type, nullable=True))
         return _pa.RecordBatch.from_arrays(arrays, schema=_pa.schema(fields))
 
-    def _iter_ipc(files, canon=None):
+    def _man_arrow_types(man):
+        """name → Arrow type for every column of the manifest schema —
+        the fill types evolution-aware readers/writers null-fill with."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        st = StructType.fromJson(_json.loads(man["schema"]))
+        return {f.name: f.type for f in to_arrow_schema(st)}
+
+    def _iter_ipc(files, canon=None, fill_types=None):
         for fn in files:
             with _ipc.open_file(fn) as r:
                 for i in range(r.num_record_batches):
                     b = r.get_batch(i)
-                    yield b if canon is None else _norm_batch(b, canon)
+                    yield b if canon is None else _norm_batch(b, canon, fill_types)
 
     class RowStoreReader(DataSourceReader):
         """Batch scan: one partition per data file; pushFilters prunes
@@ -276,15 +298,26 @@ def make_rowstore_datasource():
                 f["name"]
                 for f in _json.loads(self.man["schema"])["fields"]
             ]
-            yield from _iter_ipc(partition.files, canon)
+            yield from _iter_ipc(partition.files, canon, _man_arrow_types(self.man))
 
     class RowStoreStreamReader(SimpleDataSourceStreamReader):
         """Micro-batch feed: offsets are manifest versions; a batch is
         every file ADDED in versions (start, latest] — the commit-log
-        (CDC) view of the store.  Append-only stores only."""
+        (CDC) view of the store.  Append-only stores only.
+
+        The column set is FROZEN at stream start (the manifest schema
+        when this reader is built — the schema Spark binds the stream
+        to): files from commits that later EVOLVE the schema replay
+        projected onto the start-time columns, so every micro-batch
+        matches the stream's declared schema."""
 
         def __init__(self, path):
             self.path = path
+            man = _load_man(path)
+            self._canon = [
+                f["name"] for f in _json.loads(man["schema"])["fields"]
+            ]
+            self._fill = _man_arrow_types(man)
 
         def initialOffset(self):
             return {"version": 0}
@@ -344,7 +377,7 @@ def make_rowstore_datasource():
             # are pickled driver-side for distribution (a generator
             # fails to pickle); micro-batches are commit-sized.
             out = []
-            for batch in _iter_ipc(files):
+            for batch in _iter_ipc(files, self._canon, self._fill):
                 out.extend(tuple(r.values()) for r in batch.to_pylist())
             return out
 
@@ -367,16 +400,64 @@ def make_rowstore_datasource():
             self.bucket_key = bucket_key
             self.n_buckets = n_buckets
             self.overwrite = overwrite
-            self.schema_json = schema.json()
+            # the store schema is ALL-NULLABLE by policy — files are
+            # written all-nullable (_norm_batch), evolution null-fills
+            # omitted columns, and old files null-fill new ones; a
+            # non-nullable field in the declared read schema would let
+            # codegen read a null slot as a raw value
+            from pyspark.sql.types import StructField
+
+            self.schema_json = StructType(
+                [
+                    StructField(f.name, f.dataType, True, f.metadata)
+                    for f in schema.fields
+                ]
+            ).json()
             # canonical column order: appends normalize their batches
             # to the STORE's order so every file shares one Arrow
-            # schema (a join/union upstream reorders columns)
+            # schema (a join/union upstream reorders columns).
+            # ADDITIVE SCHEMA EVOLUTION (Delta-style): an append may
+            # carry NEW columns (the store schema widens to the union;
+            # pre-existing files null-fill at read) and may OMIT
+            # existing columns (null-filled at write) — but may never
+            # change an existing column's type, and must always carry
+            # the bucket key.
             man_path = _os.path.join(path, _MAN)
+            self.fill_types = None
             if not overwrite and _os.path.exists(man_path):
-                self.canon = [
-                    f["name"]
-                    for f in _json.loads(_load_man(path)["schema"])["fields"]
+                man = _load_man(path)
+                store_fields = _json.loads(man["schema"])["fields"]
+                new_fields = _json.loads(self.schema_json)["fields"]
+                store_by = {f["name"]: f for f in store_fields}
+                new_names = {f["name"] for f in new_fields}
+                for f in new_fields:
+                    old = store_by.get(f["name"])
+                    if old is not None and old["type"] != f["type"]:
+                        raise ValueError(
+                            f"append changes column {f['name']!r} type "
+                            f"from {old['type']} to {f['type']} — "
+                            "rowstore schema evolution is additive only"
+                        )
+                if bucket_key not in new_names:
+                    raise ValueError(
+                        f"append batch lacks the bucket key {bucket_key!r}"
+                    )
+                self.union_fields = store_fields + [
+                    dict(f, nullable=True)
+                    for f in new_fields
+                    if f["name"] not in store_by
                 ]
+                self.canon = [f["name"] for f in self.union_fields]
+                if set(self.canon) != new_names:
+                    # appended batches omit store columns and/or add
+                    # new ones — null-fill from the union's Arrow types
+                    self.fill_types = _man_arrow_types(
+                        {
+                            "schema": _json.dumps(
+                                {"type": "struct", "fields": self.union_fields}
+                            )
+                        }
+                    )
             else:
                 self.canon = [f.name for f in schema.fields]
             # MERGE support: buckets whose pre-existing files this
@@ -389,7 +470,7 @@ def make_rowstore_datasource():
             _os.makedirs(_os.path.join(self.path, "data"), exist_ok=True)
             sinks = {}  # bucket -> [name, OSFile, ipc writer, n, mn, mx]
             for batch in iterator:
-                batch = _norm_batch(batch, self.canon)
+                batch = _norm_batch(batch, self.canon, self.fill_types)
                 keys = batch.column(self.bucket_key).to_pylist()
                 by_b = defaultdict(list)
                 for i, k in enumerate(keys):
@@ -428,6 +509,26 @@ def make_rowstore_datasource():
                 }
             else:
                 man = _load_man(self.path)
+                # schema evolution commits the UNION atomically with
+                # the file entries: merge against the manifest AS OF
+                # COMMIT TIME (keeping its field definitions for
+                # existing names), so the widened schema and the files
+                # carrying the new columns appear in one swap
+                ours = getattr(
+                    self, "union_fields",
+                    _json.loads(self.schema_json)["fields"],
+                )
+                cur_fields = _json.loads(man["schema"])["fields"]
+                cur_names = {f["name"] for f in cur_fields}
+                added = [
+                    dict(f, nullable=True)
+                    for f in ours
+                    if f["name"] not in cur_names
+                ]
+                if added:
+                    man["schema"] = _json.dumps(
+                        {"type": "struct", "fields": cur_fields + added}
+                    )
             v = man["version"] + 1
             for m in messages:
                 if m is None:
@@ -638,8 +739,10 @@ def merge_upsert_rowstore(
     keep = current.join(updates.select(key).distinct(), key, "left_anti")
     # no repartition needed: the writer normalizes every batch to the
     # store's canonical Arrow schema (a join/union reorders columns
-    # and flips nullability metadata between the arms)
-    merged = keep.unionByName(updates)
+    # and flips nullability metadata between the arms).
+    # allowMissingColumns: updates may EVOLVE the schema (new columns
+    # null-fill on the kept rows) or omit nullable store columns
+    merged = keep.unionByName(updates, allowMissingColumns=True)
     register_rowstore(spark)
     (
         merged.write.format(FORMAT_NAME)

@@ -29,7 +29,14 @@ def test_roundtrip_exact(spark, sf_smoke, tmp_path):
     loc = _loc(spark, sf_smoke)
     write_rowstore(loc, store, bucket_key="user_id", mode="overwrite")
     back = read_rowstore(spark, store)
-    assert back.schema == loc.schema
+    # names and types round-trip exactly; nullability is all-TRUE by
+    # store policy (files are written all-nullable, and schema
+    # evolution null-fills — a non-nullable declared field would let
+    # codegen read a null slot as a raw value)
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in loc.schema.fields
+    ]
+    assert all(f.nullable for f in back.schema.fields)
     assert back.count() == loc.count()
     assert loc.exceptAll(back).isEmpty() and back.exceptAll(loc).isEmpty()
 
@@ -624,3 +631,101 @@ def test_vacuum_cannot_rearm_cdc_stream(spark, sf_smoke, tmp_path):
     )
     with pytest.raises(Exception, match="append-only"):
         q.awaitTermination(timeout=300)
+
+
+def test_schema_evolution_append_widens_and_null_fills(spark, tmp_path):
+    """Additive evolution (Delta-style): an append may add new columns
+    (store widens; OLD files null-fill at read) and omit existing
+    nullable ones (null-filled at write); type changes and a missing
+    bucket key refuse loudly; merges across the evolution boundary
+    union by name."""
+    import pytest
+
+    from heatmap_spark.sources.rowstore import merge_upsert_rowstore
+
+    store = str(tmp_path / "evo")
+    base = spark.range(10).select(
+        F.concat(F.lit("u"), F.col("id")).alias("user_id"),
+        (F.col("id") * 2).alias("weight"),
+    )
+    write_rowstore(base, store, bucket_key="user_id", mode="overwrite")  # v1
+    evolved = spark.range(10, 15).select(
+        F.concat(F.lit("u"), F.col("id")).alias("user_id"),
+        F.lit("web").alias("source"),  # new column; 'weight' omitted
+    )
+    write_rowstore(evolved, store, bucket_key="user_id", mode="append")  # v2
+
+    out = read_rowstore(spark, store)
+    assert [f.name for f in out.schema.fields] == ["user_id", "weight", "source"]
+    rows = {r["user_id"]: (r["weight"], r["source"]) for r in out.collect()}
+    assert len(rows) == 15
+    assert rows["u3"] == (6, None)       # pre-evolution file, new col null
+    assert rows["u12"] == (None, "web")  # omitted col null-filled at write
+
+    # keyed pruning still works across old+new files
+    one = read_rowstore(spark, store).where(F.col("user_id") == "u12")
+    assert one.collect()[0]["source"] == "web"
+    # time travel to the pre-evolution version reads (union schema)
+    v1 = read_rowstore(spark, store, as_of_version=1)
+    assert v1.count() == 10 and "source" in v1.columns
+    assert v1.where(F.col("source").isNotNull()).count() == 0
+
+    # manifest schema is the committed union, all nullable
+    man = read_manifest(store)
+    fields = json.loads(man["schema"])["fields"]
+    assert [f["name"] for f in fields] == ["user_id", "weight", "source"]
+    assert all(f["nullable"] for f in fields)
+
+    # type change refuses
+    with pytest.raises(Exception, match="additive only"):
+        write_rowstore(
+            spark.range(1).select(
+                F.lit("u1").alias("user_id"), F.lit("x").alias("weight")
+            ),
+            store, bucket_key="user_id", mode="append",
+        )
+    # missing bucket key refuses
+    with pytest.raises(Exception, match="bucket key"):
+        write_rowstore(
+            spark.range(1).select(F.lit(9).cast("bigint").alias("weight")),
+            store, bucket_key="user_id", mode="append",
+        )
+
+    # MERGE across the evolution boundary: update one old row with the
+    # widened schema; kept rows union by name
+    upd = spark.range(1).select(
+        F.lit("u3").alias("user_id"),
+        F.lit(99).cast("bigint").alias("weight"),
+        F.lit("crawl").alias("source"),
+    )
+    merge_upsert_rowstore(spark, upd, store)
+    rows2 = {
+        r["user_id"]: (r["weight"], r["source"])
+        for r in read_rowstore(spark, store).collect()
+    }
+    assert rows2["u3"] == (99, "crawl") and len(rows2) == 15
+    assert rows2["u4"] == (8, None)
+
+
+def test_schema_evolution_stream_projects_to_start_schema(spark, tmp_path):
+    """A CDC stream binds to the schema at stream start; commits that
+    later widen the store replay projected onto the start-time columns
+    (every micro-batch matches the declared schema)."""
+    from heatmap_spark.sources.rowstore import make_rowstore_datasource
+
+    store = str(tmp_path / "evostream")
+    base = spark.range(4).select(
+        F.concat(F.lit("u"), F.col("id")).alias("user_id"),
+        (F.col("id") * 2).alias("weight"),
+    )
+    write_rowstore(base, store, bucket_key="user_id", mode="overwrite")  # v1
+    reader = make_rowstore_datasource()({"path": store}).simpleStreamReader(None)
+    evolved = spark.range(4, 6).select(
+        F.concat(F.lit("u"), F.col("id")).alias("user_id"),
+        (F.col("id") * 2).alias("weight"),
+        F.lit("web").alias("source"),
+    )
+    write_rowstore(evolved, store, bucket_key="user_id", mode="append")  # v2
+    rows = reader.readBetweenOffsets({"version": 1}, {"version": 2})
+    # projected to the start-time 2-column schema, post-evolution rows
+    assert sorted(rows) == [("u4", 8), ("u5", 10)]
