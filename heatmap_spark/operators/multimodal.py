@@ -381,8 +381,10 @@ def _jpeg_codec():
 
     Default quantization is ALL-ONES (maximum fidelity — the only loss
     is DCT coefficient rounding, plus the YCbCr round trip and any
-    chroma subsampling for RGB); pass an (8, 8) integer array for real
-    compression.  Huffman tables are built PER SCAN from the actual
+    chroma subsampling for RGB); pass an (8, 8) integer array via
+    ``quant``, or ``quality=1..100`` for real compression (T.81 Annex
+    K example tables scaled on the IJG quality curve, separate
+    luminance/chrominance tables in DQT slots 0/1).  Huffman tables are built PER SCAN from the actual
     symbol sets (uniform-length canonical codes, emitted in DHT) —
     T.81 mandates the decoder read tables from the stream, so Annex
     K's typical tables are an option, not a requirement.
@@ -417,6 +419,34 @@ def _jpeg_codec():
     DCT = _c * np.where(np.arange(8)[:, None] == 0, np.sqrt(1 / 8), 0.5)
 
     SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+
+    # T.81 Annex K.1/K.2 example quantization tables (natural order) —
+    # the de-facto standard bases every encoder's quality knob scales
+    K_LUM = np.array([
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ], dtype=np.int64)
+    K_CHR = np.array([
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ], dtype=np.int64)
+
+    def _quality_scaled(base, quality: int):
+        # the IJG quality curve: 1-100 → linear table scaling
+        scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+        return np.clip((base * scale + 50) // 100, 1, 255)
 
     def _cat(v: int) -> int:
         return int(abs(v)).bit_length()
@@ -774,6 +804,7 @@ def _jpeg_codec():
         restart_interval: int = 0,
         subsampling: str = "4:4:4",
         progressive: bool = False,
+        quality=None,
     ) -> bytes:
         px = np.asarray(pixels)
         if px.dtype != np.uint8 or px.ndim not in (2, 3):
@@ -784,18 +815,34 @@ def _jpeg_codec():
             raise ValueError("color pixels must have 3 channels")
         if subsampling not in SUBSAMPLING:
             raise ValueError("subsampling must be one of 4:4:4, 4:2:2, 4:2:0")
+        if quality is not None:
+            if quant is not None:
+                raise ValueError("pass quant OR quality, not both")
+            if not 1 <= int(quality) <= 100:
+                raise ValueError("quality must be 1-100")
         h, w = px.shape[0], px.shape[1]
         if h == 0 or w == 0:
             raise ValueError("empty image")
         if h > 65535 or w > 65535:
             raise ValueError("SOF dimensions are 16-bit (max 65535)")
-        q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(
-            quant, dtype=np.int64
-        )
-        if q.shape != (8, 8) or q.min() < 1 or q.max() > 255:
-            raise ValueError("quant must be (8, 8) in [1, 255]")
-        qz = q.reshape(-1)[ZZ]
         gray = px.ndim == 2
+        if quality is not None:
+            # real compression: Annex K bases on the IJG quality curve,
+            # separate luminance/chrominance tables (DQT 0/1)
+            tabs = [_quality_scaled(K_LUM, int(quality))]
+            if not gray:
+                tabs.append(_quality_scaled(K_CHR, int(quality)))
+        else:
+            q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(
+                quant, dtype=np.int64
+            )
+            if q.shape != (8, 8) or q.min() < 1 or q.max() > 255:
+                raise ValueError("quant must be (8, 8) in [1, 255]")
+            tabs = [q.reshape(-1)]
+        qz_tabs = [t[ZZ] for t in tabs]
+
+        def tq_of(ci):
+            return 0 if (ci == 0 or len(tabs) == 1) else 1
         if gray:
             full = [px.astype(np.float64)]
         else:
@@ -824,7 +871,7 @@ def _jpeg_codec():
                 # are constant per fv x fh cell
                 pp = pp.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
                 pp = np.floor(pp + 0.5)
-            coeffs.append(_comp_coeffs(pp - 128.0, qz))
+            coeffs.append(_comp_coeffs(pp - 128.0, qz_tabs[tq_of(ci)]))
         # interleaved MCU traversal (Hi x Vi blocks per component, in
         # component order — T.81 A.2.3)
         units = []
@@ -844,13 +891,14 @@ def _jpeg_codec():
             + struct.pack(">H", 16)
             + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
         )
-        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
-            int(v) for v in qz
-        )
+        for ti, t in enumerate(qz_tabs):
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti]) + bytes(
+                int(v) for v in t
+            )
         sof = struct.pack(">BHHB", 8, h, w, n_comp)
         for ci in range(n_comp):
             hi, vi = samp[ci]
-            sof += bytes([ci + 1, hi << 4 | vi, 0])
+            sof += bytes([ci + 1, hi << 4 | vi, tq_of(ci)])
         out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
             ">H", len(sof) + 2
         ) + sof

@@ -266,6 +266,29 @@ def q_rowstore_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_rowstore(spark, store)
 
 
+def q_rowstore_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution end-to-end: write locations (v1),
+    then append a md5-selected subset that ADDS an ingest_tag column
+    and OMITS the nullable weight column (v2 — the store widens; the
+    commit is one manifest swap).  The read returns the union schema:
+    v1 rows null-fill ingest_tag, v2 rows null-fill weight.  The
+    oracle derives both generations directly, so the hash certifies
+    widen-at-commit + null-fill-at-read + null-fill-at-write through
+    the Python DataSource path."""
+    from heatmap_spark.sources.rowstore import read_rowstore, write_rowstore
+
+    store = _scratch_dir("rowstore_q_") + "/locations"
+    loc = load_locations(spark, sf_dir)
+    write_rowstore(loc, store, bucket_key="user_id", mode="overwrite")
+    late = (
+        loc.where(F.substring(F.md5("user_id"), 1, 1) <= "3")
+        .withColumn("ingest_tag", F.lit("backfill"))
+        .drop("weight")
+    )
+    write_rowstore(late, store, bucket_key="user_id", mode="append")
+    return read_rowstore(spark, store)
+
+
 def q_rowstore_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed DELETE (GDPR-erasure shape): drop every row of the
     md5-selected victim users via the bucket-rewrite path, then read
@@ -1694,6 +1717,19 @@ FROM locations""",
         q_rowstore_delete,
         f"""WITH {_LOC_CTE}
 SELECT * FROM locations WHERE substr(md5(user_id), 1, 1) > '1'""",
+    ),
+    # Additive schema evolution: v1 rows null-fill the new column, the
+    # evolved append null-fills the omitted one; union schema at read.
+    "q_rowstore_evolution": QuerySpec(
+        q_rowstore_evolution,
+        f"""WITH {_LOC_CTE}
+SELECT latitude, longitude, ts, timestamp_ms, user_id, source, weight,
+       CAST(NULL AS VARCHAR) AS ingest_tag
+FROM locations
+UNION ALL
+SELECT latitude, longitude, ts, timestamp_ms, user_id, source,
+       CAST(NULL AS DOUBLE) AS weight, 'backfill' AS ingest_tag
+FROM locations WHERE substr(md5(user_id), 1, 1) <= '3'""",
     ),
     "q_rowstore_stream": QuerySpec(q_rowstore_stream, locations_sql("duckdb")),
     "q_rowstore_stream_sink": QuerySpec(

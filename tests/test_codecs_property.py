@@ -885,3 +885,40 @@ def test_avi_rejects_corrupt_and_inconsistent():
         avi_encode([px, px[:4]], fps=10)
     with pytest.raises(ValueError, match="fps"):
         avi_encode([px], fps=0)
+
+
+def test_jpeg_quality_knob_rate_distortion():
+    """quality=1..100 scales the Annex K tables on the IJG curve:
+    file size grows monotonically with quality, reconstruction error
+    shrinks, the stream carries TWO quant tables (separate chroma),
+    and quality/progressive/subsampled combinations stay bit-identical
+    between scan orders."""
+    import pytest
+
+    from heatmap_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 256, size=(64, 64, 3), dtype=np.int64).astype(np.float64)
+    for _ in range(3):  # smooth the noise into a natural-ish image
+        base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3
+    px = np.clip(base, 0, 255).astype(np.uint8)
+    sizes, errs = {}, {}
+    for q in (10, 50, 90):
+        blob = jpeg_encode(px, quality=q, subsampling="4:2:0")
+        _, _, _, out = jpeg_decode(blob)
+        sizes[q] = len(blob)
+        errs[q] = np.abs(out.astype(np.int64) - px.astype(np.int64)).mean()
+    assert sizes[10] < sizes[50] < sizes[90]
+    assert errs[10] > errs[50] > errs[90]
+    blob = jpeg_encode(px, quality=50)
+    assert blob.count(b"\xff\xdb") == 2  # separate luma/chroma DQTs
+    for q in (25, 85):
+        b = jpeg_decode(jpeg_encode(px, quality=q, subsampling="4:2:0"))
+        p = jpeg_decode(
+            jpeg_encode(px, quality=q, subsampling="4:2:0", progressive=True)
+        )
+        assert np.array_equal(b[3], p[3])
+    with pytest.raises(ValueError, match="1-100"):
+        jpeg_encode(px, quality=0)
+    with pytest.raises(ValueError, match="not both"):
+        jpeg_encode(px, quality=50, quant=np.ones((8, 8), dtype=np.int64))
