@@ -223,10 +223,18 @@ def make_rowstore_datasource():
                     self.key_bounds.append(("==", f.value))
                 elif isinstance(f, In):
                     self.keep_buckets &= {_bucket(v, n) for v in f.value}
-                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                # inclusive and strict bounds prune DIFFERENTLY at the
+                # boundary: a file whose max equals v still contains
+                # rows matching >= v (row loss if pruned), but cannot
+                # contain rows matching > v
+                elif isinstance(f, GreaterThan):
                     self.key_bounds.append((">", f.value))
-                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.key_bounds.append((">=", f.value))
+                elif isinstance(f, LessThan):
                     self.key_bounds.append(("<", f.value))
+                elif isinstance(f, LessThanOrEqual):
+                    self.key_bounds.append(("<=", f.value))
             return filters  # Spark re-applies everything exactly
 
         def _visible(self, e) -> bool:
@@ -247,7 +255,11 @@ def make_rowstore_datasource():
                         return False
                     if op == ">" and not (hi > v):
                         return False
+                    if op == ">=" and not (hi >= v):
+                        return False
                     if op == "<" and not (lo < v):
+                        return False
+                    if op == "<=" and not (lo <= v):
                         return False
             except TypeError:  # cross-type comparison — never prune
                 return True

@@ -729,3 +729,25 @@ def test_schema_evolution_stream_projects_to_start_schema(spark, tmp_path):
     rows = reader.readBetweenOffsets({"version": 1}, {"version": 2})
     # projected to the start-time 2-column schema, post-evolution rows
     assert sorted(rows) == [("u4", 8), ("u5", 10)]
+
+
+def test_inclusive_range_pruning_keeps_boundary_files(spark, tmp_path):
+    """REGRESSION: >= / <= filters whose value equals a file's max/min
+    must NOT prune that file — the boundary row matches the inclusive
+    predicate, and pruning it is silent row loss (observed before the
+    fix: user_id >= 'k4' dropped 'k4' when a file's max was 'k4')."""
+    store = str(tmp_path / "b")
+    df1 = spark.range(0, 5).select(F.concat(F.lit("k"), F.col("id")).alias("user_id"))
+    df2 = spark.range(5, 9).select(F.concat(F.lit("k"), F.col("id")).alias("user_id"))
+    write_rowstore(df1.coalesce(1), store, bucket_key="user_id", n_buckets=1, mode="overwrite")
+    write_rowstore(df2.coalesce(1), store, bucket_key="user_id", n_buckets=1, mode="append")
+    # file 1 max == 'k4', file 2 min == 'k5' — probe all four boundaries
+    got = sorted(r[0] for r in read_rowstore(spark, store).where(F.col("user_id") >= "k4").collect())
+    assert got == ["k4", "k5", "k6", "k7", "k8"], got
+    got = sorted(r[0] for r in read_rowstore(spark, store).where(F.col("user_id") <= "k5").collect())
+    assert got == ["k0", "k1", "k2", "k3", "k4", "k5"], got
+    # strict bounds still exclude the boundary row but lose nothing else
+    got = sorted(r[0] for r in read_rowstore(spark, store).where(F.col("user_id") > "k4").collect())
+    assert got == ["k5", "k6", "k7", "k8"], got
+    got = sorted(r[0] for r in read_rowstore(spark, store).where(F.col("user_id") < "k5").collect())
+    assert got == ["k0", "k1", "k2", "k3", "k4"], got
