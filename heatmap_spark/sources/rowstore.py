@@ -180,6 +180,7 @@ def make_rowstore_datasource():
             self.man = _load_man(path)
             self._base_buckets = set(range(self.man["n_buckets"]))
             self.key_bounds = []  # (op, value) prunes on file min/max
+            self.col_bounds = {}  # column -> [(op, value)] vs stats
             opts = options or {}
             # Spark's defaults for the analogous file-source knobs
             self.max_part_bytes = int(
@@ -212,11 +213,31 @@ def make_rowstore_datasource():
             # a fresh read per differently-filtered action.
             self.keep_buckets = set(self._base_buckets)
             self.key_bounds = []
+            self.col_bounds = {}  # column -> [(op, value)] vs file stats
             key = self.man["bucket_key"]
             n = self.man["n_buckets"]
             for f in filters:
                 attr = getattr(f, "attribute", None)
-                if attr is None or list(attr) != [key]:
+                if attr is None or len(list(attr)) != 1:
+                    continue
+                if list(attr) != [key]:
+                    # data skipping on NON-key columns via the per-file
+                    # column stats (Delta-style): same op set, applied
+                    # against entry["stats"][col] in _file_survives
+                    col = list(attr)[0]
+                    bs = self.col_bounds.setdefault(col, [])
+                    if isinstance(f, EqualTo):
+                        bs.append(("==", f.value))
+                    elif isinstance(f, In):
+                        bs.append(("in", tuple(f.value)))
+                    elif isinstance(f, GreaterThan):
+                        bs.append((">", f.value))
+                    elif isinstance(f, GreaterThanOrEqual):
+                        bs.append((">=", f.value))
+                    elif isinstance(f, LessThan):
+                        bs.append(("<", f.value))
+                    elif isinstance(f, LessThanOrEqual):
+                        bs.append(("<=", f.value))
                     continue
                 if isinstance(f, EqualTo):
                     self.keep_buckets &= {_bucket(f.value, n)}
@@ -245,13 +266,15 @@ def make_rowstore_datasource():
                 return rm is None
             return v <= self.as_of and (rm is None or rm > self.as_of)
 
-        def _file_survives(self, entry) -> bool:
-            lo, hi = entry.get("min"), entry.get("max")
-            if lo is None or hi is None:
-                return True
+        @staticmethod
+        def _range_survives(lo, hi, bounds) -> bool:
+            # pruning is only ever an optimization: any doubt (missing
+            # stats, cross-type comparison) keeps the file
             try:
-                for op, v in self.key_bounds:
+                for op, v in bounds:
                     if op == "==" and not (lo <= v <= hi):
+                        return False
+                    if op == "in" and not any(lo <= x <= hi for x in v):
                         return False
                     if op == ">" and not (hi > v):
                         return False
@@ -263,6 +286,20 @@ def make_rowstore_datasource():
                         return False
             except TypeError:  # cross-type comparison — never prune
                 return True
+            return True
+
+        def _file_survives(self, entry) -> bool:
+            lo, hi = entry.get("min"), entry.get("max")
+            if lo is not None and hi is not None:
+                if not self._range_survives(lo, hi, self.key_bounds):
+                    return False
+            stats = entry.get("stats") or {}
+            for col, bounds in self.col_bounds.items():
+                rng = stats.get(col)
+                if rng is None:
+                    continue  # no stats for this column — keep
+                if not self._range_survives(rng[0], rng[1], bounds):
+                    return False
             return True
 
         def partitions(self):
@@ -477,12 +514,36 @@ def make_rowstore_datasource():
             # the same atomic manifest swap — Delta's add/remove log)
             self.replace_buckets = replace_buckets or set()
 
+        @staticmethod
+        def _stat_cols(schema):
+            # per-file min/max stats for every JSON-representable,
+            # totally-ordered column type (the Delta data-skipping
+            # set, minus temporals: a timestamp filter arrives as a
+            # datetime while JSON stores a string — incomparable, so
+            # skipping them keeps pruning provably lossless)
+            import pyarrow.types as _pt
+
+            return [
+                f.name
+                for f in schema
+                if _pt.is_integer(f.type)
+                or _pt.is_floating(f.type)
+                or _pt.is_string(f.type)
+                or _pt.is_large_string(f.type)
+                or _pt.is_boolean(f.type)
+            ]
+
         def write(self, iterator):
+            import pyarrow.compute as _pc
+
             tid = _uuid.uuid4().hex[:12]
             _os.makedirs(_os.path.join(self.path, "data"), exist_ok=True)
-            sinks = {}  # bucket -> [name, OSFile, ipc writer, n, mn, mx]
+            sinks = {}  # bucket -> [name, OSFile, ipc writer, n, mn, mx, cstats]
+            stat_cols = None
             for batch in iterator:
                 batch = _norm_batch(batch, self.canon, self.fill_types)
+                if stat_cols is None:
+                    stat_cols = self._stat_cols(batch.schema)
                 keys = batch.column(self.bucket_key).to_pylist()
                 by_b = defaultdict(list)
                 for i, k in enumerate(keys):
@@ -492,7 +553,10 @@ def make_rowstore_datasource():
                     if b not in sinks:
                         name = f"data/b{b}-{tid}.arrow"
                         f = _pa.OSFile(_os.path.join(self.path, name), "wb")
-                        sinks[b] = [name, f, _ipc.new_file(f, batch.schema), 0, None, None]
+                        sinks[b] = [
+                            name, f, _ipc.new_file(f, batch.schema),
+                            0, None, None, {},
+                        ]
                     s = sinks[b]
                     s[2].write_batch(sub)
                     s[3] += sub.num_rows
@@ -501,12 +565,23 @@ def make_rowstore_datasource():
                         lo, hi = min(kv), max(kv)
                         s[4] = lo if s[4] is None else min(s[4], lo)
                         s[5] = hi if s[5] is None else max(s[5], hi)
+                    for cn in stat_cols:
+                        mm = _pc.min_max(sub.column(cn), skip_nulls=True)
+                        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                        if lo is None or hi is None or lo != lo or hi != hi:
+                            continue  # all-null slice, or NaN bounds
+                        cur = s[6].get(cn)
+                        if cur is None:
+                            s[6][cn] = [lo, hi]
+                        else:
+                            cur[0] = min(cur[0], lo)
+                            cur[1] = max(cur[1], hi)
             entries = []
-            for b, (name, f, w, n, mn, mx) in sinks.items():
+            for b, (name, f, w, n, mn, mx, cstats) in sinks.items():
                 w.close()
                 f.close()
                 size = _os.path.getsize(_os.path.join(self.path, name))
-                entries.append((b, name, n, mn, mx, size))
+                entries.append((b, name, n, mn, mx, size, cstats))
             return TaskFiles(tuple(entries))
 
         def commit(self, messages):
@@ -545,11 +620,12 @@ def make_rowstore_datasource():
             for m in messages:
                 if m is None:
                     continue
-                for b, name, n, mn, mx, size in m.entries:
-                    man["files"].append(
-                        {"bucket": b, "name": name, "n_rows": n,
+                for b, name, n, mn, mx, size, cstats in m.entries:
+                    e = {"bucket": b, "name": name, "n_rows": n,
                          "min": mn, "max": mx, "v": v, "bytes": size}
-                    )
+                    if cstats:
+                        e["stats"] = cstats
+                    man["files"].append(e)
             if self.replace_buckets:
                 for e in man["files"]:
                     if (
@@ -612,11 +688,12 @@ def make_rowstore_datasource():
             for m in messages:
                 if m is None:
                     continue
-                for b, name, n, mn, mx, size in m.entries:
-                    man["files"].append(
-                        {"bucket": b, "name": name, "n_rows": n,
+                for b, name, n, mn, mx, size, cstats in m.entries:
+                    e = {"bucket": b, "name": name, "n_rows": n,
                          "min": mn, "max": mx, "v": v, "bytes": size}
-                    )
+                    if cstats:
+                        e["stats"] = cstats
+                    man["files"].append(e)
             man["version"] = v
             epochs.append(batchId)
             tmp = man_path + ".tmp"
@@ -901,6 +978,45 @@ def compact_rowstore(spark: SparkSession, path: str) -> int:
         new["epochs"] = old_epochs  # replay guard survives compaction
     _write_manifest(path, new)
     return max(0, len(before_files) - len(new["files"]))
+
+
+def optimize_rowstore(
+    spark: SparkSession, path: str, by: str, n_partitions: int | None = None
+) -> int:
+    """OPTIMIZE ... ZORDER-style clustering rewrite: repartition the
+    store BY RANGE on (bucket, ``by``) and rewrite, so each bucket's
+    files carry tight, near-disjoint ``by`` ranges — which makes the
+    per-file column stats (data skipping) selective for range
+    predicates on ``by``.  Same distributed read → overwrite path and
+    version restoration as :func:`compact_rowstore`; old files become
+    unreferenced until :func:`vacuum_rowstore`.  Returns the number of
+    live files after the rewrite.
+
+    At scale this is the standard layout-maintenance job: run it on
+    the cold tail after ingest settles; range partitioning samples the
+    key distribution, so skew in ``by`` splits rather than hot-spots.
+    """
+    man = read_manifest(path)
+    if man is None:
+        raise ValueError(f"no rowstore at {path}")
+    from pyspark.sql import functions as F
+
+    key, nb = man["bucket_key"], man["n_buckets"]
+    old_version, old_epochs = man["version"], man.get("epochs", [])
+    n = n_partitions or max(2, len([e for e in man["files"] if "rm" not in e]))
+    bucket_expr = F.crc32(F.col(key).cast("string").cast("binary")) % nb
+    df = read_rowstore(spark, path).repartitionByRange(
+        n, bucket_expr, F.col(by)
+    )
+    write_rowstore(df, path, bucket_key=key, n_buckets=nb, mode="overwrite")
+    new = read_manifest(path)
+    new["version"] = old_version + 1
+    for e in new["files"]:
+        e["v"] = old_version + 1
+    if old_epochs:
+        new["epochs"] = old_epochs
+    _write_manifest(path, new)
+    return len(new["files"])
 
 
 def delete_from_rowstore(

@@ -751,3 +751,56 @@ def test_inclusive_range_pruning_keeps_boundary_files(spark, tmp_path):
     assert got == ["k5", "k6", "k7", "k8"], got
     got = sorted(r[0] for r in read_rowstore(spark, store).where(F.col("user_id") < "k5").collect())
     assert got == ["k0", "k1", "k2", "k3", "k4"], got
+
+
+def test_column_stats_data_skipping_and_optimize(spark, tmp_path):
+    """Per-file min/max stats for every orderable column (Delta-style
+    data skipping): a range predicate on a NON-key column prunes files
+    whose stats exclude it — selective only after optimize_rowstore
+    clusters the layout by that column — and pruning never changes
+    results."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from heatmap_spark.sources.rowstore import optimize_rowstore
+
+    store = str(tmp_path / "s")
+    df = spark.range(20000).select(
+        F.concat(F.lit("u"), (F.col("id") % 97)).alias("user_id"),
+        (F.col("id") % 500).alias("weight"),
+    )
+    write_rowstore(
+        df.repartition(8), store, bucket_key="user_id", n_buckets=4,
+        mode="overwrite",
+    )
+    man = read_manifest(store)
+    assert all(set(e["stats"]) == {"user_id", "weight"} for e in man["files"])
+    for e in man["files"]:
+        assert e["stats"]["weight"][0] <= e["stats"]["weight"][1]
+
+    cls = make_rowstore_datasource()
+
+    def nparts(filters):
+        ds = cls(options={"path": store, "max_partition_bytes": "1",
+                          "open_cost_bytes": "0"})
+        r = ds.reader(ds.schema())
+        if filters:
+            r.pushFilters(filters)
+        return len(r.partitions())
+
+    full = nparts([])
+    n = optimize_rowstore(spark, store, by="weight")
+    assert n == len(read_manifest(store)["files"])
+    clustered_full = nparts([])
+    pruned = nparts([GreaterThanOrEqual(("weight",), 495)])
+    assert pruned < clustered_full, (pruned, clustered_full, full)
+    # equality on the non-key column prunes too
+    assert nparts([EqualTo(("weight",), 0)]) < clustered_full
+    # results identical through the real read path
+    got = read_rowstore(spark, store).where(F.col("weight") >= 495)
+    exp = df.where(F.col("weight") >= 495)
+    assert got.count() == exp.count() > 0
+    assert exp.exceptAll(got.select("user_id", "weight")).isEmpty()
+    # inclusive boundary on non-key stats keeps the boundary file
+    top = max(e["stats"]["weight"][1] for e in read_manifest(store)["files"])
+    got = read_rowstore(spark, store).where(F.col("weight") >= top)
+    assert got.count() == df.where(F.col("weight") >= top).count() > 0
