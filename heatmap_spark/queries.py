@@ -5805,6 +5805,15 @@ FROM weighted""",
 # round 1, plus 23 round-2-evidence queries biased toward the core
 # heatmap/tile family, the dedup family, and the TPC-H head — the
 # operators most central to the engine and longest without a re-check.
+#
+# ROUND 9 WINDOW MUST LEAD WITH the six round-8 landings (sim-green,
+# no driver row yet): q_pmi_collocations, q_readability,
+# q_char_entropy, q_media_video_frames, q_media_ingest,
+# q_rowstore_evolution — plus a re-pin of the rowstore octet is NOT
+# needed (all nine re-simmed green after the r8 stats/evolution/
+# pruning-fix changes, but fresh driver rows for changed code beat
+# re-pinning unchanged queries: consider q_rowstore_pruned_read and
+# q_rowstore_merge, whose pruning/union code moved this round).
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
