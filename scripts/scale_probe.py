@@ -1820,6 +1820,63 @@ def probe_pmi(spark, n: int) -> None:
 
 
 
+def probe_skipping(spark, n: int) -> None:
+    """Data skipping at n rows (default 2M): write with random layout
+    (range predicates on a non-key column prune nothing), then
+    optimize_rowstore clusters by that column and the same scan prunes
+    most files — wall-clock before/after plus reader-level file
+    counts."""
+    import tempfile
+
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from heatmap_spark.sources.rowstore import (
+        make_rowstore_datasource,
+        optimize_rowstore,
+        read_rowstore,
+        write_rowstore,
+    )
+
+    df = spark.range(n).select(
+        F.concat(F.lit("u"), (F.col("id") % 100_000).cast("string")).alias("user_id"),
+        (F.col("id") * 7919 % 1_000_000).alias("metric"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    df.count()  # warm
+    store = tempfile.mkdtemp(prefix="rowstore_skip_") + "/t"
+    write_rowstore(df.repartition(32), store, bucket_key="user_id",
+                   n_buckets=16, mode="overwrite")
+    cls = make_rowstore_datasource()
+
+    def nfiles(filters):
+        ds = cls(options={"path": store, "max_partition_bytes": "1",
+                          "open_cost_bytes": "0"})
+        r = ds.reader(ds.schema())
+        if filters:
+            r.pushFilters(filters)
+        return len(r.partitions())
+
+    flt = [GreaterThanOrEqual(("metric",), 990_000)]
+    pre_all, pre_f = nfiles([]), nfiles(flt)
+    t0 = time.perf_counter()
+    hits = read_rowstore(spark, store).where(F.col("metric") >= 990_000).count()
+    t_pre = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    optimize_rowstore(spark, store, by="metric")
+    t_opt = time.perf_counter() - t0
+    post_all, post_f = nfiles([]), nfiles(flt)
+    t0 = time.perf_counter()
+    hits2 = read_rowstore(spark, store).where(F.col("metric") >= 990_000).count()
+    t_post = time.perf_counter() - t0
+    assert hits == hits2
+    print(
+        f"data-skipping {n:,} rows: pre-optimize scan {pre_f}/{pre_all} files "
+        f"{t_pre:.1f}s; optimize(by=metric) {t_opt:.1f}s; post-optimize "
+        f"{post_f}/{post_all} files {t_post:.1f}s ({hits:,} hits, "
+        f"{t_pre / max(t_post, 1e-9):.1f}x)"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -1830,7 +1887,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -1844,7 +1901,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping}[which](spark, n)
 
 
 if __name__ == "__main__":
