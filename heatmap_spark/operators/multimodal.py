@@ -56,7 +56,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_real_factory(png_dec, jdec, wdec, ablobs):
+def _decode_real_factory(png_dec, jdec, wdec, ablobs, gdec=None):
     """Builds the content-sniffing decoder as a CLOSURE over the codec
     functions (themselves closure products) so Spark kernels that
     capture it pickle it by value — a module-level def would pickle by
@@ -104,8 +104,28 @@ def _decode_real_factory(png_dec, jdec, wdec, ablobs):
                 "n_frames": len(blobs),
                 "frames": [jdec(b)[3] for b in blobs],
             }
+        if gdec is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+            h, w, frames, delays = gdec(payload)
+            if len(frames) == 1:
+                return {
+                    "kind": "image",
+                    "height": h,
+                    "width": w,
+                    "channels": 3,
+                    "depth": 8,
+                    "pixels": frames[0],
+                }
+            return {
+                "kind": "video",
+                "fps": 0,
+                "width": w,
+                "height": h,
+                "n_frames": len(frames),
+                "frames": frames,
+                "delays_cs": delays,
+            }
         raise NotImplementedError(
-            "payload is neither PNG, JPEG, WAV, nor AVI; other "
+            "payload is not PNG, JPEG, WAV, AVI, or GIF; other "
             "container formats need external codecs "
             "(PIL/librosa/ffmpeg) this module deliberately does not "
             "wrap — use decode_stub_features for the deterministic "
@@ -2329,10 +2349,6 @@ def _avi_codec(jenc, jdec):
 
 avi_encode, avi_decode, avi_frame_blobs = _avi_codec(jpeg_encode, jpeg_decode)
 
-decode_real = _decode_real_factory(
-    png_decode_ex, jpeg_decode, wav_decode, avi_frame_blobs
-)
-
 
 AVI_MEDIA_SCHEMA = "doc_id long, n_bytes int, avi binary"
 VIDEO_FRAME_SCHEMA = (
@@ -2421,9 +2437,10 @@ MEDIA_DIR_SCHEMA = (
 
 def write_media_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     """Render documents as real media FILES on disk — PNG for
-    doc_id%3==0, WAV for ==1, AVI/MJPEG for ==2, all content a pure
-    function of the doc's byte length + bytes (the png/wav/avi fixture
-    rules) — the on-disk half of the directory-ingestion operator.
+    doc_id%4==0, WAV for ==1, AVI/MJPEG for ==2, animated GIF for ==3,
+    all content a pure function of the doc's byte length + bytes (the
+    fixture rules) — the on-disk half of the directory-ingestion
+    operator.
 
     The write is DISTRIBUTED (mapInPandas partitions write their own
     files; names are doc_id-unique so there is no contention).  This
@@ -2434,7 +2451,9 @@ def write_media_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     import os as _os
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    penc, wenc, aenc, pad = png_encode, wav_encode, avi_encode, _PNG_PAD
+    penc, wenc, aenc, genc, pad = (
+        png_encode, wav_encode, avi_encode, gif_encode, _PNG_PAD,
+    )
     _os.makedirs(out_dir, exist_ok=True)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2442,12 +2461,20 @@ def write_media_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
 
         import numpy as np
 
+        gif_pal = np.stack(
+            [
+                (np.arange(64) * 4) % 256,
+                (np.arange(64) * 7) % 256,
+                (np.arange(64) * 13) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
         for pdf in it:
             n = 0
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 buf = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
                 L = len(buf)
-                m = int(doc_id) % 3
+                m = int(doc_id) % 4
                 if m == 0:
                     w = (L % 64) + 1
                     h = max(1, -(-L // w))
@@ -2456,7 +2483,7 @@ def write_media_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
                     blob, ext = penc(px.reshape(h, w)), "png"
                 elif m == 1:
                     blob, ext = wenc(buf.astype(np.int16)), "wav"
-                else:
+                elif m == 2:
                     w = (L % 24) + 8
                     nf = (L % 5) + 2
                     if L:
@@ -2468,6 +2495,16 @@ def write_media_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
                         for f in range(nf)
                     ]
                     blob, ext = aenc(frames, fps=10), "avi"
+                else:
+                    w = (L % 16) + 4
+                    nf = (L % 3) + 2  # >= 2 frames: always an animation
+                    src = buf % 64 if L else np.full(1, pad % 64, np.uint8)
+                    px = np.resize(src, nf * 4 * w)
+                    frames = [
+                        px[f * 4 * w : (f + 1) * 4 * w].reshape(4, w)
+                        for f in range(nf)
+                    ]
+                    blob, ext = genc(frames, gif_pal, delays=[5] * nf), "gif"
                 with open(
                     os.path.join(out_dir, f"{int(doc_id)}.{ext}"), "wb"
                 ) as fh:
@@ -2527,3 +2564,327 @@ def media_ingest_dir(spark: SparkSession, media_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return files.mapInPandas(batches, schema=MEDIA_DIR_SCHEMA)
+
+
+def _gif_codec():
+    """GIF87a/89a (encode, decode) in stdlib + numpy — the remaining
+    common crawl-image container after PNG and JPEG.  Scope: 8-bit-max
+    palettes (global and per-frame local color tables), the full GIF
+    LZW variant (variable code width 3-12 bits, CLEAR/EOI, deferred
+    reset at 4096, little-endian bit packing in 255-byte sub-blocks),
+    4-pass row interlace, and animation (multiple frames with Graphic
+    Control Extensions: per-frame delay, disposal methods 0/1 "draw
+    over" and 2 "restore to background", transparency index skipped at
+    composite time).  Unknown extensions skip cleanly; truncated or
+    out-of-range LZW streams raise ValueError.
+
+    encode(frames, palette, delays=None, interlace=False) → bytes;
+    frames is one (h, w) uint8 index array or a non-empty list of
+    same-shaped ones, palette is (n≤256, 3) uint8 RGB.  Animation is
+    emitted when len(frames) > 1 (GIF89a + NETSCAPE2.0 loop block),
+    each frame full-canvas.
+    decode(data) → (height, width, [rgb frame ...], [delay_cs ...]):
+    fully composited uint8 (h, w, 3) frames.
+
+    Nested for by-value pickling like every codec here.
+    """
+    import struct
+
+    import numpy as np
+
+    _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) per pass
+
+    def _interlace_order(h):
+        rows = []
+        for start, step in _INTERLACE:
+            rows.extend(range(start, h, step))
+        return rows
+
+    # ---- LZW ----------------------------------------------------------
+    def _lzw_encode(indices, min_code_size: int) -> bytes:
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        out = bytearray()
+        acc = 0
+        nbits = 0
+        code_size = min_code_size + 1
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += code_size
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        table = {(i,): i for i in range(clear)}
+        next_code = eoi + 1
+        emit(clear)
+        prev = ()
+        for sym in indices:
+            sym = int(sym)
+            cur = prev + (sym,)
+            if cur in table:
+                prev = cur
+                continue
+            emit(table[prev])
+            table[cur] = next_code
+            next_code += 1
+            # the decoder bumps its read width when ITS next slot hits
+            # 2^size — it runs one entry behind, so the encoder bumps
+            # after assigning 2^size (giflib's RunningCode >= MaxCode1)
+            if next_code > (1 << code_size) and code_size < 12:
+                code_size += 1
+            if next_code == 4096:
+                emit(clear)
+                table = {(i,): i for i in range(clear)}
+                next_code = eoi + 1
+                code_size = min_code_size + 1
+            prev = (sym,)
+        if prev:
+            emit(table[prev])
+        emit(eoi)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def _lzw_decode(data: bytes, min_code_size: int, n_expected: int):
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        pos = 0
+        acc = 0
+        nbits = 0
+        code_size = min_code_size + 1
+        table = [(i,) for i in range(clear)] + [None, None]
+        prev = None
+        out = []
+
+        def read():
+            nonlocal pos, acc, nbits
+            while nbits < code_size:
+                if pos >= len(data):
+                    raise ValueError("LZW stream truncated")
+                acc |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            return code
+
+        while len(out) < n_expected:
+            code = read()
+            if code == clear:
+                table = [(i,) for i in range(clear)] + [None, None]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= len(table) or table[code] is None:
+                    raise ValueError("LZW code out of range")
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + (prev[0],)  # the KwKwK case
+            else:
+                raise ValueError("LZW code out of range")
+            out.extend(entry)
+            if prev is not None and len(table) < 4096:
+                table.append(prev + (entry[0],))
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+        return out[:n_expected]
+
+    # ---- container ------------------------------------------------------
+    def _sub_blocks(payload: bytes) -> bytes:
+        out = bytearray()
+        for i in range(0, len(payload), 255):
+            chunk = payload[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+        return bytes(out)
+
+    def encode(frames, palette, delays=None, interlace: bool = False) -> bytes:
+        if isinstance(frames, np.ndarray):
+            frames = [frames]
+        if not frames:
+            raise ValueError("GIF needs at least one frame")
+        pal = np.asarray(palette)
+        if pal.dtype != np.uint8 or pal.ndim != 2 or pal.shape[1] != 3:
+            raise ValueError("palette must be (n, 3) uint8")
+        if not 1 <= pal.shape[0] <= 256:
+            raise ValueError("palette carries 1-256 entries")
+        h, w = np.asarray(frames[0]).shape
+        if h == 0 or w == 0 or h > 65535 or w > 65535:
+            raise ValueError("GIF dimensions are 16-bit and non-zero")
+        # color table sizes are powers of two >= 2
+        bits = max(1, int(pal.shape[0] - 1).bit_length())
+        gct = np.zeros(((1 << bits), 3), dtype=np.uint8)
+        gct[: pal.shape[0]] = pal
+        min_code = max(2, bits)
+        delays = list(delays or [0] * len(frames))
+        if len(delays) != len(frames):
+            raise ValueError("one delay per frame")
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HH", w, h)
+        out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag+size, bg, aspect
+        out += gct.tobytes()
+        if len(frames) > 1:
+            out += b"\x21\xff\x0bNETSCAPE2.0" + _sub_blocks(b"\x01\x00\x00")[:-1]
+            out += b"\x00"
+        for f, delay in zip(frames, delays):
+            a = np.asarray(f)
+            if a.dtype != np.uint8 or a.shape != (h, w):
+                raise ValueError("all frames must be (h, w) uint8 indices")
+            if int(a.max(initial=0)) >= pal.shape[0]:
+                raise ValueError("frame index outside the palette")
+            out += b"\x21\xf9\x04" + bytes([0x00]) + struct.pack("<H", delay)
+            out += b"\x00\x00"  # no transparency; block terminator
+            out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+            out += bytes([0x40 if interlace else 0x00])
+            rows = _interlace_order(h) if interlace else range(h)
+            seq = a[list(rows), :].reshape(-1)
+            out += bytes([min_code]) + _sub_blocks(_lzw_encode(seq, min_code))
+        out += b"\x3b"  # trailer
+        return bytes(out)
+
+    def decode(data: bytes):
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF: bad signature")
+        if len(data) < 13:
+            raise ValueError("truncated GIF header")
+        w, h = struct.unpack("<HH", data[6:10])
+        packed, bg, _aspect = data[10], data[11], data[12]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(data[pos : pos + n * 3], dtype=np.uint8)
+            if gct.size != n * 3:
+                raise ValueError("truncated global color table")
+            gct = gct.reshape(n, 3)
+            pos += n * 3
+
+        def skip_blocks(p):
+            while True:
+                if p >= len(data):
+                    raise ValueError("truncated sub-blocks")
+                ln = data[p]
+                p += 1 + ln
+                if ln == 0:
+                    return p
+
+        def read_blocks(p):
+            payload = bytearray()
+            while True:
+                if p >= len(data):
+                    raise ValueError("truncated sub-blocks")
+                ln = data[p]
+                p += 1
+                if ln == 0:
+                    return bytes(payload), p
+                payload += data[p : p + ln]
+                if len(payload) % 255 and data[p + ln : p + ln + 1] != b"\x00":
+                    pass  # short block mid-stream is legal
+                p += ln
+
+        canvas = np.zeros((h, w), dtype=np.int64)
+        if gct is not None:
+            canvas[:] = bg if bg < gct.shape[0] else 0
+        frames, delays = [], []
+        delay, transparent, disposal = 0, None, 0
+        while pos < len(data):
+            b = data[pos]
+            pos += 1
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension
+                if pos >= len(data):
+                    raise ValueError("truncated extension")
+                label = data[pos]
+                pos += 1
+                if label == 0xF9:  # Graphic Control Extension
+                    if pos >= len(data):
+                        raise ValueError("truncated extension")
+                    ln = data[pos]
+                    blk = data[pos + 1 : pos + 1 + ln]
+                    if len(blk) < ln:
+                        raise ValueError("truncated extension")
+                    if ln >= 4:
+                        flags = blk[0]
+                        (delay,) = struct.unpack("<H", blk[1:3])
+                        transparent = blk[3] if flags & 0x01 else None
+                        disposal = (flags >> 2) & 0x07
+                    pos = skip_blocks(pos)
+                else:  # application/comment/plain-text: skip
+                    pos = skip_blocks(pos)
+                continue
+            if b != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{b:02x}")
+            if pos + 9 > len(data):
+                raise ValueError("truncated image descriptor")
+            fx, fy, fw, fh = struct.unpack("<HHHH", data[pos : pos + 8])
+            fpacked = data[pos + 8]
+            pos += 9
+            if fx + fw > w or fy + fh > h:
+                raise ValueError("frame rect outside the canvas")
+            lct = gct
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 0x07)
+                lct = np.frombuffer(data[pos : pos + n * 3], dtype=np.uint8)
+                if lct.size != n * 3:
+                    raise ValueError("truncated local color table")
+                lct = lct.reshape(n, 3)
+                pos += n * 3
+            if lct is None:
+                raise ValueError("frame without any color table")
+            min_code = data[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                raise ValueError("bad LZW minimum code size")
+            lzw, pos = read_blocks(pos)
+            seq = _lzw_decode(lzw, min_code, fw * fh)
+            if len(seq) < fw * fh:
+                raise ValueError("LZW stream ran short of the frame")
+            idx = np.array(seq, dtype=np.int64)
+            if fpacked & 0x40:  # interlaced
+                rect = np.empty((fh, fw), dtype=np.int64)
+                rect[_interlace_order(fh), :] = idx.reshape(fh, fw)
+            else:
+                rect = idx.reshape(fh, fw)
+            if int(rect.max(initial=0)) >= lct.shape[0]:
+                raise ValueError("pixel index outside the color table")
+            before = canvas[fy : fy + fh, fx : fx + fw].copy()
+            target = canvas[fy : fy + fh, fx : fx + fw]
+            if transparent is not None:
+                mask = rect != transparent
+                target[mask] = rect[mask]
+            else:
+                target[:] = rect
+            frames.append(lct[canvas.clip(0, lct.shape[0] - 1)].copy())
+            delays.append(delay)
+            if disposal == 2:  # restore to background
+                canvas[fy : fy + fh, fx : fx + fw] = (
+                    bg if gct is not None and bg < gct.shape[0] else 0
+                )
+            elif disposal == 3:  # restore to previous
+                canvas[fy : fy + fh, fx : fx + fw] = before
+            delay, transparent, disposal = 0, None, 0
+        if not frames:
+            raise ValueError("GIF carries no image frames")
+        return h, w, frames, delays
+
+    return encode, decode
+
+
+gif_encode, gif_decode = _gif_codec()
+
+decode_real = _decode_real_factory(
+    png_decode_ex, jpeg_decode, wav_decode, avi_frame_blobs, gif_decode
+)

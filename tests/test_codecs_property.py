@@ -507,7 +507,7 @@ def test_decode_real_raises_on_unknown_payload():
 
     from heatmap_spark.operators.multimodal import decode_real
 
-    with pytest.raises(NotImplementedError, match="neither"):
+    with pytest.raises(NotImplementedError, match="not PNG"):
         decode_real(b"\x00\x01\x02 definitely not a container")
 
 
@@ -922,3 +922,168 @@ def test_jpeg_quality_knob_rate_distortion():
         jpeg_encode(px, quality=0)
     with pytest.raises(ValueError, match="not both"):
         jpeg_encode(px, quality=50, quant=np.ones((8, 8), dtype=np.int64))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=32),
+    ncolors=st.integers(min_value=1, max_value=256),
+    n_frames=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    interlace=st.booleans(),
+)
+def test_gif_roundtrip_identity(h, w, ncolors, n_frames, seed, interlace):
+    """GIF round trip is EXACT (palette indices are lossless): frames,
+    delays, dims, and RGB pixels — across palette sizes (1-256, so
+    every LZW minimum code size), interlace, and animation."""
+    from heatmap_spark.operators.multimodal import gif_decode, gif_encode
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.int64).astype(np.uint8)
+    frames = [
+        rng.integers(0, ncolors, size=(h, w), dtype=np.int64).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+    delays = [int(rng.integers(0, 500)) for _ in range(n_frames)]
+    hh, ww, out, dl = gif_decode(
+        gif_encode(frames, pal, delays=delays, interlace=interlace)
+    )
+    assert (hh, ww, len(out)) == (h, w, n_frames)
+    assert dl == delays
+    for f, o in zip(frames, out):
+        assert np.array_equal(o, pal[f])
+
+
+def test_gif_decode_matches_hand_assembled_spec_stream():
+    """One-sided oracle for the GIF LZW decoder: a 2x2 single-color
+    image's code stream (CLEAR, 1, 6, 1, EOI at width 3) is packed BY
+    HAND per the spec's LSB-first sub-block rules into the exact bytes
+    [140, 83], so a decoder bug cannot hide behind a matching
+    encoder."""
+    import struct
+
+    from heatmap_spark.operators.multimodal import gif_decode
+
+    pal = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    blob = (
+        b"GIF89a"
+        + struct.pack("<HH", 2, 2)
+        + bytes([0x81, 0, 0])  # GCT present, 4 entries; bg 0
+        + pal
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+        + bytes([2])              # LZW minimum code size
+        + bytes([2, 140, 83, 0])  # codes 4,1,6,1,5 @3 bits, LSB-first
+        + b"\x3b"
+    )
+    h, w, frames, delays = gif_decode(blob)
+    assert (h, w, len(frames)) == (2, 2, 1)
+    assert np.array_equal(frames[0], np.full((2, 2, 3), [40, 50, 60], np.uint8))
+
+
+def test_gif_decoder_only_features_via_independent_encoder():
+    """Frame rects, disposal 2 (restore to background), transparency,
+    and a local color table — features our encoder never emits — fed
+    from an INDEPENDENT in-test LZW encoder (the degenerate all-root-
+    codes form: CLEAR before every symbol keeps the width fixed, legal
+    per the spec), so decoder compositing is pinned without trusting
+    the library encoder."""
+    import struct
+
+    from heatmap_spark.operators.multimodal import gif_decode
+
+    def lzw_roots(symbols, min_code):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        cs = min_code + 1
+        acc = nbits = 0
+        out = bytearray()
+
+        def emit(c):
+            nonlocal acc, nbits
+            acc |= c << nbits
+            nbits += cs
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        for s in symbols:
+            emit(clear)
+            emit(int(s))
+        emit(eoi)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def blocks(payload):
+        b = bytearray()
+        for i in range(0, len(payload), 255):
+            c = payload[i : i + 255]
+            b.append(len(c))
+            b += c
+        b.append(0)
+        return bytes(b)
+
+    gct = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])  # K R G B
+    lct = bytes([9, 9, 9, 200, 200, 200])  # frame-local 2-entry table
+    # frame 1: full 4x4 canvas of index 1 (red), disposal 2
+    f1 = lzw_roots([1] * 16, 2)
+    # frame 2: rect (1,1,2x2) with LOCAL table, pattern [0,1,1,0],
+    # transparency index 0 → only the two 1s (light grey) composite
+    f2 = lzw_roots([0, 1, 1, 0], 2)
+    blob = (
+        b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0x81, 0, 0]) + gct
+        + b"\x21\xf9\x04" + bytes([0x08]) + struct.pack("<H", 7)
+        + bytes([0]) + b"\x00"  # disposal 2, delay 7, no transparency
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00"
+        + bytes([2]) + blocks(f1)
+        + b"\x21\xf9\x04" + bytes([0x01]) + struct.pack("<H", 9)
+        + bytes([0]) + b"\x00"  # no disposal, delay 9, transparent idx 0
+        + b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 2) + bytes([0x80])
+        + lct
+        + bytes([2]) + blocks(f2)
+        + b"\x3b"
+    )
+    h, w, frames, delays = gif_decode(blob)
+    assert (h, w, len(frames), delays) == (4, 4, 2, [7, 9])
+    assert np.array_equal(frames[0], np.full((4, 4, 3), [255, 0, 0], np.uint8))
+    # after disposal 2 the canvas restored to bg (index 0 = black);
+    # frame 2 paints light grey at (1,2) and (2,1) only — note the
+    # composite renders through the LOCAL table, so untouched cells
+    # show lct[0] (near-black 9,9,9)
+    exp = np.full((4, 4, 3), [9, 9, 9], np.uint8)
+    exp[1, 2] = [200, 200, 200]
+    exp[2, 1] = [200, 200, 200]
+    assert np.array_equal(frames[1], exp), frames[1].tolist()
+
+
+def test_gif_rejects_corrupt():
+    import pytest
+
+    from heatmap_spark.operators.multimodal import gif_decode, gif_encode
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    px = (np.arange(20, dtype=np.int64) % 2).astype(np.uint8).reshape(4, 5)
+    blob = gif_encode(px, pal)
+    with pytest.raises(ValueError, match="signature"):
+        gif_decode(b"not a gif")
+    with pytest.raises(ValueError):
+        gif_decode(blob[: len(blob) // 2])
+    with pytest.raises(ValueError, match="palette"):
+        gif_encode(px + 7, pal)  # index outside the palette
+    with pytest.raises(ValueError, match="at least one"):
+        gif_encode([], pal)
+
+
+def test_decode_real_sniffs_gif():
+    from heatmap_spark.operators.multimodal import decode_real, gif_encode
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.int64).astype(np.uint8)
+    one = rng.integers(0, 8, size=(5, 6), dtype=np.int64).astype(np.uint8)
+    img = decode_real(gif_encode(one, pal))
+    assert img["kind"] == "image" and (img["height"], img["width"]) == (5, 6)
+    assert np.array_equal(img["pixels"], pal[one])
+    anim = decode_real(gif_encode([one, one], pal, delays=[3, 4]))
+    assert anim["kind"] == "video" and anim["n_frames"] == 2
+    assert anim["delays_cs"] == [3, 4]
