@@ -2530,8 +2530,6 @@ def media_ingest_dir(spark: SparkSession, media_dir: str) -> DataFrame:
     beyond the initial file index), decode is map-only per file, and
     the output is a typed table ready for the dedup/phash/frame
     operators downstream."""
-    import re as _re
-
     files = (
         spark.read.format("binaryFile")
         .load(media_dir + "/*")
