@@ -56,7 +56,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_real_factory(png_dec, jdec, wdec, ablobs, gdec=None):
+def _decode_real_factory(png_dec, jdec, wdec, ablobs, gdec=None, bdec=None):
     """Builds the content-sniffing decoder as a CLOSURE over the codec
     functions (themselves closure products) so Spark kernels that
     capture it pickle it by value — a module-level def would pickle by
@@ -104,6 +104,16 @@ def _decode_real_factory(png_dec, jdec, wdec, ablobs, gdec=None):
                 "n_frames": len(blobs),
                 "frames": [jdec(b)[3] for b in blobs],
             }
+        if bdec is not None and payload[:2] == b"BM":
+            h, w, ch, px = bdec(payload)
+            return {
+                "kind": "image",
+                "height": h,
+                "width": w,
+                "channels": ch,
+                "depth": 8,
+                "pixels": px,
+            }
         if gdec is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
             h, w, frames, delays = gdec(payload)
             if len(frames) == 1:
@@ -125,7 +135,7 @@ def _decode_real_factory(png_dec, jdec, wdec, ablobs, gdec=None):
                 "delays_cs": delays,
             }
         raise NotImplementedError(
-            "payload is not PNG, JPEG, WAV, AVI, or GIF; other "
+            "payload is not PNG, JPEG, WAV, AVI, GIF, or BMP; other "
             "container formats need external codecs "
             "(PIL/librosa/ffmpeg) this module deliberately does not "
             "wrap — use decode_stub_features for the deterministic "
@@ -2881,8 +2891,163 @@ def _gif_codec():
     return encode, decode
 
 
+def _bmp_codec():
+    """BMP (Windows DIB, BITMAPINFOHEADER) (encode, decode) in stdlib
+    + numpy — the last common uncompressed crawl-image container after
+    PNG/JPEG/GIF.  Scope: BI_RGB (uncompressed) 24-bit BGR and 8-bit
+    paletted, plus RLE8 (BI_RLE8) DECODE with end-of-line/bitmap and
+    delta escapes; bottom-up (positive height) and top-down (negative)
+    row orders; 4-byte row padding.  16/32-bit, BI_RLE4, and
+    BITFIELDS raise cleanly.  encode(pixels, palette=None) emits
+    24-bit BI_RGB for (h, w, 3) uint8 RGB, or 8-bit paletted for
+    (h, w) uint8 indices with an (n<=256, 3) RGB palette.
+    decode(data) → (height, width, channels, ndarray) with (h, w, 3)
+    uint8 RGB (palette expanded).  Nested for by-value pickling like
+    every codec here."""
+    import struct
+
+    import numpy as np
+
+    def encode(pixels, palette=None) -> bytes:
+        px = np.asarray(pixels)
+        if px.dtype != np.uint8:
+            raise ValueError("pixels must be uint8")
+        if px.ndim == 3 and px.shape[2] == 3 and palette is None:
+            h, w = px.shape[:2]
+            row = w * 3
+            pad = (-row) % 4
+            # BMP stores BGR, bottom-up
+            body = bytearray()
+            for y in range(h - 1, -1, -1):
+                body += px[y, :, ::-1].tobytes() + b"\x00" * pad
+            bpp, ncol, pal_bytes = 24, 0, b""
+        elif px.ndim == 2 and palette is not None:
+            pal = np.asarray(palette)
+            if pal.dtype != np.uint8 or pal.ndim != 2 or pal.shape[1] != 3:
+                raise ValueError("palette must be (n, 3) uint8")
+            if not 1 <= pal.shape[0] <= 256:
+                raise ValueError("palette carries 1-256 entries")
+            if int(px.max(initial=0)) >= pal.shape[0]:
+                raise ValueError("pixel index outside the palette")
+            h, w = px.shape
+            pad = (-w) % 4
+            body = bytearray()
+            for y in range(h - 1, -1, -1):
+                body += px[y].tobytes() + b"\x00" * pad
+            bpp, ncol = 8, pal.shape[0]
+            # palette entries are BGRA quads
+            pal_bytes = b"".join(
+                bytes([int(b), int(g), int(r), 0]) for r, g, b in pal
+            )
+        else:
+            raise ValueError(
+                "pass (h, w, 3) RGB with no palette, or (h, w) indices "
+                "with an (n, 3) palette"
+            )
+        if h == 0 or w == 0:
+            raise ValueError("empty image")
+        off = 14 + 40 + len(pal_bytes)
+        hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body), 2835, 2835,
+            ncol, 0,
+        )
+        return hdr + info + pal_bytes + bytes(body)
+
+    def decode(data: bytes):
+        if data[:2] != b"BM":
+            raise ValueError("not a BMP: bad signature")
+        if len(data) < 54:
+            raise ValueError("truncated BMP header")
+        (off,) = struct.unpack("<I", data[10:14])
+        (hsz,) = struct.unpack("<I", data[14:18])
+        if hsz < 40:
+            raise ValueError("pre-BITMAPINFOHEADER BMP unsupported")
+        w, h_raw = struct.unpack("<ii", data[18:26])
+        planes, bpp = struct.unpack("<HH", data[26:30])
+        (comp,) = struct.unpack("<I", data[30:34])
+        (ncol,) = struct.unpack("<I", data[46:50])
+        top_down = h_raw < 0
+        h = -h_raw if top_down else h_raw
+        if w <= 0 or h <= 0 or w > 65535 or h > 65535:
+            raise ValueError("bad BMP dimensions")
+        if bpp not in (8, 24):
+            raise ValueError("only 8-bit paletted and 24-bit BMPs supported")
+        if comp not in (0, 1) or (comp == 1 and bpp != 8):
+            raise ValueError("only BI_RGB and BI_RLE8 compression supported")
+        pal = None
+        if bpp == 8:
+            n = ncol or 256
+            pal_at = 14 + hsz
+            quads = np.frombuffer(
+                data[pal_at : pal_at + n * 4], dtype=np.uint8
+            )
+            if quads.size != n * 4:
+                raise ValueError("truncated BMP palette")
+            pal = quads.reshape(n, 4)[:, [2, 1, 0]]  # BGRA → RGB
+        if comp == 1:  # RLE8
+            if top_down:
+                raise ValueError("RLE8 BMPs are bottom-up by spec")
+            idx = np.zeros((h, w), dtype=np.int64)
+            x = y = 0
+            p = off
+            while p + 1 < len(data):
+                a, b = data[p], data[p + 1]
+                p += 2
+                if a:  # run of b, length a
+                    if y >= h or x + a > w:
+                        raise ValueError("RLE8 run overflows the bitmap")
+                    idx[h - 1 - y, x : x + a] = b
+                    x += a
+                elif b == 0:  # end of line
+                    x, y = 0, y + 1
+                elif b == 1:  # end of bitmap
+                    break
+                elif b == 2:  # delta
+                    if p + 1 >= len(data):
+                        raise ValueError("truncated RLE8 delta")
+                    x += data[p]
+                    y += data[p + 1]
+                    p += 2
+                else:  # absolute mode: b literal bytes + word padding
+                    if y >= h or x + b > w or p + b > len(data):
+                        raise ValueError("RLE8 literals overflow the bitmap")
+                    idx[h - 1 - y, x : x + b] = np.frombuffer(
+                        data[p : p + b], dtype=np.uint8
+                    )
+                    x += b
+                    p += b + (b % 2)
+            else:
+                raise ValueError("RLE8 stream missing end-of-bitmap")
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                raise ValueError("pixel index outside the palette")
+            return h, w, 3, pal[idx].astype(np.uint8)
+        stride = (w * (bpp // 8) + 3) // 4 * 4
+        need = off + stride * h
+        if len(data) < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(
+            data[off : off + stride * h], dtype=np.uint8
+        ).reshape(h, stride)
+        if not top_down:
+            rows = rows[::-1]
+        if bpp == 24:
+            px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+            return h, w, 3, px.copy()
+        idx = rows[:, :w].astype(np.int64)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("pixel index outside the palette")
+        return h, w, 3, pal[idx].astype(np.uint8)
+
+    return encode, decode
+
+
+bmp_encode, bmp_decode = _bmp_codec()
+
+
 gif_encode, gif_decode = _gif_codec()
 
 decode_real = _decode_real_factory(
-    png_decode_ex, jpeg_decode, wav_decode, avi_frame_blobs, gif_decode
+    png_decode_ex, jpeg_decode, wav_decode, avi_frame_blobs, gif_decode,
+    bmp_decode,
 )

@@ -1087,3 +1087,115 @@ def test_decode_real_sniffs_gif():
     anim = decode_real(gif_encode([one, one], pal, delays=[3, 4]))
     assert anim["kind"] == "video" and anim["n_frames"] == 2
     assert anim["delays_cs"] == [3, 4]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    paletted=st.booleans(),
+)
+def test_bmp_roundtrip_identity(h, w, seed, paletted):
+    """BMP round trip is exact for 24-bit RGB and 8-bit paletted —
+    across widths exercising every 4-byte row-padding residue."""
+    from heatmap_spark.operators.multimodal import bmp_decode, bmp_encode
+
+    rng = np.random.default_rng(seed)
+    if paletted:
+        pal = rng.integers(0, 256, size=(37, 3), dtype=np.int64).astype(np.uint8)
+        idx = rng.integers(0, 37, size=(h, w), dtype=np.int64).astype(np.uint8)
+        blob, exp = bmp_encode(idx, palette=pal), pal[idx]
+    else:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+        blob, exp = bmp_encode(px), px
+    hh, ww, ch, out = bmp_decode(blob)
+    assert (hh, ww, ch) == (h, w, 3)
+    assert np.array_equal(out, exp)
+
+
+def test_bmp_decoder_only_features():
+    """Top-down row order and RLE8 compression — shapes our encoder
+    never emits — hand-assembled from the DIB spec: runs, absolute
+    mode with its word-alignment pad, end-of-line, delta skip, and
+    end-of-bitmap."""
+    import struct
+
+    import pytest
+
+    from heatmap_spark.operators.multimodal import bmp_decode, bmp_encode
+
+    # top-down 24-bit: negate the height, rows in natural order
+    px = (np.arange(2 * 3 * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(2, 3, 3)
+    blob = bytearray(bmp_encode(px))
+    h_neg = struct.pack("<i", -2)
+    blob[22:26] = h_neg
+    # re-emit rows top-down: swap the two padded rows in the body
+    (off,) = struct.unpack("<I", bytes(blob[10:14]))
+    stride = (3 * 3 + 3) // 4 * 4
+    r0 = bytes(blob[off : off + stride])
+    r1 = bytes(blob[off + stride : off + 2 * stride])
+    blob[off : off + 2 * stride] = r1 + r0
+    hh, ww, ch, out = bmp_decode(bytes(blob))
+    assert np.array_equal(out, px)
+
+    # RLE8 4x6: row0 = run 4x idx1 + eol padding? build precisely:
+    # row y=0 (bottom): run(4,1), literal [2,3,4] absolute (pad byte),
+    # eol; row 1: delta skip (2,0) then run(4,5)... keep simple:
+    pal = np.zeros((8, 3), dtype=np.uint8)
+    pal[:] = np.arange(8, dtype=np.uint8)[:, None] * 30
+    quads = b"".join(bytes([int(b), int(g), int(r), 0]) for r, g, b in pal)
+    w, h = 7, 2
+    off = 14 + 40 + len(quads)
+    # bottom row: run of 4, then a 3-literal absolute block (odd count
+    # carries a word-alignment pad byte), end of line; top row: run of
+    # 2, a (3,0) delta skip, run of 2, end of bitmap
+    rle_ok = (
+        bytes([4, 1])
+        + bytes([0, 3, 2, 3, 4, 0])
+        + bytes([0, 0])
+        + bytes([2, 6])
+        + bytes([0, 2, 3, 0])
+        + bytes([2, 7])
+        + bytes([0, 1])
+    )
+    hdr = b"BM" + struct.pack("<IHHI", off + len(rle_ok), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle_ok), 0, 0, 8, 0)
+    hh, ww, ch, out = bmp_decode(hdr + info + quads + rle_ok)
+    assert (hh, ww, ch) == (2, 7, 3)
+    exp_idx = np.zeros((2, 7), dtype=np.int64)
+    exp_idx[1] = [1, 1, 1, 1, 2, 3, 4]     # bottom row
+    exp_idx[0] = [6, 6, 0, 0, 0, 7, 7]     # top row: run, delta gap, run
+    assert np.array_equal(out, pal[exp_idx])
+
+    # a run overflowing the row width refuses
+    rle_bad = bytes([8, 1]) + bytes([0, 1])
+    hdr_bad = b"BM" + struct.pack("<IHHI", off + len(rle_bad), 0, 0, off)
+    info_bad = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle_bad), 0, 0, 8, 0)
+    with pytest.raises(ValueError, match="overflow"):
+        bmp_decode(hdr_bad + info_bad + quads + rle_bad)
+
+
+def test_bmp_rejects_unsupported_and_sniffs():
+    import struct
+
+    import pytest
+
+    from heatmap_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+        decode_real,
+    )
+
+    px = (np.arange(27, dtype=np.int64) % 256).astype(np.uint8).reshape(3, 3, 3)
+    blob = bytearray(bmp_encode(px))
+    with pytest.raises(ValueError, match="signature"):
+        bmp_decode(b"not a bmp")
+    with pytest.raises(ValueError):
+        bmp_decode(bytes(blob[:30]))
+    b32 = bytearray(blob)
+    b32[28:30] = struct.pack("<H", 32)
+    with pytest.raises(ValueError, match="24-bit"):
+        bmp_decode(bytes(b32))
+    img = decode_real(bytes(blob))
+    assert img["kind"] == "image" and np.array_equal(img["pixels"], px)
