@@ -2447,10 +2447,10 @@ MEDIA_DIR_SCHEMA = (
 
 def write_media_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     """Render documents as real media FILES on disk — PNG for
-    doc_id%4==0, WAV for ==1, AVI/MJPEG for ==2, animated GIF for ==3,
-    all content a pure function of the doc's byte length + bytes (the
-    fixture rules) — the on-disk half of the directory-ingestion
-    operator.
+    doc_id%5==0, WAV for ==1, AVI/MJPEG for ==2, animated GIF for ==3,
+    24-bit BMP for ==4, all content a pure function of the doc's byte
+    length + bytes (the fixture rules) — the on-disk half of the
+    directory-ingestion operator.
 
     The write is DISTRIBUTED (mapInPandas partitions write their own
     files; names are doc_id-unique so there is no contention).  This
@@ -2461,8 +2461,8 @@ def write_media_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     import os as _os
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    penc, wenc, aenc, genc, pad = (
-        png_encode, wav_encode, avi_encode, gif_encode, _PNG_PAD,
+    penc, wenc, aenc, genc, benc, pad = (
+        png_encode, wav_encode, avi_encode, gif_encode, bmp_encode, _PNG_PAD,
     )
     _os.makedirs(out_dir, exist_ok=True)
 
@@ -2484,7 +2484,7 @@ def write_media_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 buf = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
                 L = len(buf)
-                m = int(doc_id) % 4
+                m = int(doc_id) % 5
                 if m == 0:
                     w = (L % 64) + 1
                     h = max(1, -(-L // w))
@@ -2505,7 +2505,7 @@ def write_media_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
                         for f in range(nf)
                     ]
                     blob, ext = aenc(frames, fps=10), "avi"
-                else:
+                elif m == 3:
                     w = (L % 16) + 4
                     nf = (L % 3) + 2  # >= 2 frames: always an animation
                     src = buf % 64 if L else np.full(1, pad % 64, np.uint8)
@@ -2515,6 +2515,11 @@ def write_media_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
                         for f in range(nf)
                     ]
                     blob, ext = genc(frames, gif_pal, delays=[5] * nf), "gif"
+                else:
+                    w = (L % 10) + 2
+                    src = buf if L else np.full(1, pad, np.uint8)
+                    px = np.resize(src, 3 * w * 3).reshape(3, w, 3)
+                    blob, ext = benc(px), "bmp"
                 with open(
                     os.path.join(out_dir, f"{int(doc_id)}.{ext}"), "wb"
                 ) as fh:

@@ -171,7 +171,7 @@ def q_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directory-ingestion round trip: render the documents as real
-    media files (PNG/WAV/AVI/GIF by doc_id%4) into a scratch dir with the
+    media files (PNG/WAV/AVI/GIF/BMP by doc_id%5) into a scratch dir with the
     distributed writer, then scan them back through Spark's built-in
     binaryFile source and content-sniff each payload through the
     native codecs (multimodal.media_ingest_dir)."""
@@ -3150,7 +3150,7 @@ FROM g CROSS JOIN range(0, 3) t(i)
 WHERE 2 * i < n_frames""",
     ),
     # Directory ingestion through Spark's built-in binaryFile source:
-    # documents render to real PNG/WAV/AVI/GIF FILES (distributed writer),
+    # documents render to real PNG/WAV/AVI/GIF/BMP FILES (distributed writer),
     # the scan reads them back file-per-partition, and decode_real
     # content-sniffs each payload through the native codecs.  The
     # oracle re-derives the typed metadata from the fixture geometry —
@@ -3160,18 +3160,20 @@ WHERE 2 * i < n_frames""",
         q_media_ingest,
         """WITH m AS (SELECT doc_id, strlen(text) AS L FROM documents)
 SELECT doc_id,
-  CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-       ELSE 'video' END AS kind,
-  CASE doc_id % 4 WHEN 0 THEN CAST(L % 64 + 1 AS INTEGER)
+  CASE doc_id % 5 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       WHEN 4 THEN 'image' ELSE 'video' END AS kind,
+  CASE doc_id % 5 WHEN 0 THEN CAST(L % 64 + 1 AS INTEGER)
                   WHEN 2 THEN CAST(L % 24 + 8 AS INTEGER)
-                  WHEN 3 THEN CAST(L % 16 + 4 AS INTEGER) END AS width,
-  CASE doc_id % 4
+                  WHEN 3 THEN CAST(L % 16 + 4 AS INTEGER)
+                  WHEN 4 THEN CAST(L % 10 + 2 AS INTEGER) END AS width,
+  CASE doc_id % 5
        WHEN 0 THEN CAST(greatest(1, ceil(L / (L % 64 + 1.0))) AS INTEGER)
        WHEN 2 THEN CAST(8 AS INTEGER)
-       WHEN 3 THEN CAST(4 AS INTEGER) END AS height,
-  CASE doc_id % 4 WHEN 2 THEN CAST(L % 5 + 2 AS INTEGER)
+       WHEN 3 THEN CAST(4 AS INTEGER)
+       WHEN 4 THEN CAST(3 AS INTEGER) END AS height,
+  CASE doc_id % 5 WHEN 2 THEN CAST(L % 5 + 2 AS INTEGER)
                   WHEN 3 THEN CAST(L % 3 + 2 AS INTEGER) END AS n_frames,
-  CASE doc_id % 4 WHEN 1 THEN CAST(L AS BIGINT) END AS n_samples
+  CASE doc_id % 5 WHEN 1 THEN CAST(L AS BIGINT) END AS n_samples
 FROM m""",
     ),
     # ---- MLlib LSH variants (engine-internal hash families — rows-only) ----

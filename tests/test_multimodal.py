@@ -366,7 +366,7 @@ def test_media_ingest_dir_end_to_end(spark, sf_smoke, tmp_path):
     for doc_id, text in docs.items():
         L = len(text.encode("utf-8"))
         r = out[doc_id]
-        m = doc_id % 4
+        m = doc_id % 5
         if m == 0:
             w = (L % 64) + 1
             assert (r["kind"], r["width"], r["height"]) == (
@@ -380,12 +380,17 @@ def test_media_ingest_dir_end_to_end(spark, sf_smoke, tmp_path):
             assert (r["kind"], r["width"], r["height"], r["n_frames"]) == (
                 "video", (L % 24) + 8, 8, (L % 5) + 2,
             )
-        else:  # animated GIF
+        elif m == 3:  # animated GIF
             assert (r["kind"], r["width"], r["height"], r["n_frames"]) == (
                 "video", (L % 16) + 4, 4, (L % 3) + 2,
             )
+        else:  # 24-bit BMP
+            assert (r["kind"], r["width"], r["height"]) == (
+                "image", (L % 10) + 2, 3,
+            )
+            assert r["n_frames"] is None and r["n_samples"] is None
     # pixel spot check: one PNG file carries the document bytes verbatim
-    some = next(k for k in docs if k % 4 == 0 and len(docs[k]) > 0)
+    some = next(k for k in docs if k % 5 == 0 and len(docs[k]) > 0)
     blob = open(f"{d}/{some}.png", "rb").read()
     _, _, _, _, px = png_decode_ex(blob)
     buf = np.frombuffer(docs[some].encode("utf-8"), dtype=np.uint8)
