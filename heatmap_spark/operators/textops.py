@@ -1778,3 +1778,61 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term).cast("double"), 6).alias("entropy_bits"),
         )
     )
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str, top_k: int = 1000) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary — the classic corpus
+    health diagnostic (natural language sits near slope −1; generated
+    or templated text flattens, boilerplate steepens): OLS of
+    log2(freq) on log2(rank) over the top_k terms,
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²).
+
+    Determinism: term frequencies are exact integers and the rank
+    order has a total tiebreak (freq desc, token asc), so the top-k
+    SET and every rank are engine-independent; each OLS term rounds to
+    9 decimals and sums as DECIMAL(28,9) (the unigram-logprob policy),
+    then ONE double expression per coefficient, rounded to 6.
+
+    Scale shape: the frequency table is a map-side-combinable
+    aggregate; the global order is a TakeOrderedAndProject top-k, and
+    the only unpartitioned window ranks those ≤ top_k rows — bounded
+    by construction, not by data (the retrieval_metrics precedent).
+
+    Reference: none — SURVEY.md §2.8 text-analysis family.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(_all_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(top_k)
+    )
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("freq"), F.asc("token"))),
+    )
+    x = F.log2(F.col("rank").cast("double"))
+    y = F.log2(F.col("freq").cast("double"))
+    d9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(d9(x)).alias("sx"),
+        F.sum(d9(y)).alias("sy"),
+        F.sum(d9(x * y)).alias("sxy"),
+        F.sum(d9(x * x)).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - F.round(slope, 6) * sx) / n, 6).alias("intercept"),
+    )

@@ -5405,6 +5405,43 @@ SELECT counts.doc_id,
 FROM counts JOIN totals USING (doc_id)
 GROUP BY counts.doc_id""",
     ),
+    # Zipf's-law fit over the top-1000 vocabulary: exact ranks with a
+    # total tiebreak, OLS terms rounded to 9 and decimal-summed, one
+    # identical double expression per coefficient.
+    "q_zipf_fit": QuerySpec(
+        textops.zipf_fit,
+        """WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS token
+  FROM documents),
+freq AS (
+  SELECT token, count(*) AS freq FROM tok GROUP BY 1
+  ORDER BY freq DESC, token ASC LIMIT 1000),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+  FROM freq),
+terms AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+    sum(CAST(round(log2(CAST(rank AS DOUBLE)), 9) AS DECIMAL(28,9))) AS sx,
+    sum(CAST(round(log2(CAST(freq AS DOUBLE)), 9) AS DECIMAL(28,9))) AS sy,
+    sum(CAST(round(log2(CAST(rank AS DOUBLE)) * log2(CAST(freq AS DOUBLE)), 9)
+        AS DECIMAL(28,9))) AS sxy,
+    sum(CAST(round(log2(CAST(rank AS DOUBLE)) * log2(CAST(rank AS DOUBLE)), 9)
+        AS DECIMAL(28,9))) AS sxx
+  FROM ranked)
+SELECT n_terms,
+  round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+  round((CAST(sy AS DOUBLE)
+         - round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           * CAST(sx AS DOUBLE)) / CAST(n_terms AS DOUBLE), 6) AS intercept
+FROM terms""",
+    ),
     # Temperature-scaled mixture weights (share ∝ n^0.7): exact counts,
     # identical double power/normalize, one final floor.
     "q_temperature_mix": QuerySpec(
@@ -5811,10 +5848,10 @@ FROM weighted""",
 # heatmap/tile family, the dedup family, and the TPC-H head — the
 # operators most central to the engine and longest without a re-check.
 #
-# ROUND 9 WINDOW MUST LEAD WITH the six round-8 landings (sim-green,
-# no driver row yet): q_pmi_collocations, q_readability,
+# ROUND 9 WINDOW MUST LEAD WITH the seven round-8 landings
+# (sim-green, no driver row yet): q_pmi_collocations, q_readability,
 # q_char_entropy, q_media_video_frames, q_media_ingest,
-# q_rowstore_evolution — plus a re-pin of the rowstore octet is NOT
+# q_rowstore_evolution, q_zipf_fit — plus a re-pin of the rowstore octet is NOT
 # needed (all nine re-simmed green after the r8 stats/evolution/
 # pruning-fix changes, but fresh driver rows for changed code beat
 # re-pinning unchanged queries: consider q_rowstore_pruned_read and

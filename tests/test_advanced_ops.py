@@ -653,3 +653,38 @@ def test_char_entropy_matches_python_and_bounds(spark, sf_smoke):
         assert (r["n_chars"], r["n_distinct_chars"]) == (n, len(cnt))
         assert abs(r["entropy_bits"] - exp) < 1e-9
         assert -1e-9 <= r["entropy_bits"] <= math.log2(len(cnt)) + 1e-6
+
+
+def test_zipf_fit_matches_python_ols(spark, sf_smoke):
+    """Slope/intercept re-derived from exact Python counts under the
+    same rank tiebreak and term-rounding policy; slope is negative
+    (frequency decreases with rank) on any natural-ish corpus."""
+    import math
+    import re
+    from collections import Counter
+    from decimal import Decimal
+
+    from heatmap_spark.operators.textops import zipf_fit
+    from heatmap_spark.sources.tables import load_table
+
+    row = zipf_fit(spark, sf_smoke).collect()[0]
+    cnt = Counter()
+    for r in load_table(spark, sf_smoke, "documents").select("text").collect():
+        cnt.update(x for x in re.split(r"[^a-z0-9]+", r["text"].lower()) if x)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    n = len(top)
+    d9 = lambda v: Decimal(str(round(v, 9)))  # noqa: E731
+    sx = sum(d9(math.log2(i + 1)) for i in range(n))
+    sy = sum(d9(math.log2(f)) for _, f in top)
+    sxy = sum(d9(math.log2(i + 1) * math.log2(f)) for i, (_, f) in enumerate(top))
+    sxx = sum(d9(math.log2(i + 1) ** 2) for i in range(n))
+    slope = (n * float(sxy) - float(sx) * float(sy)) / (
+        n * float(sxx) - float(sx) * float(sx)
+    )
+    assert row["n_terms"] == n
+    assert abs(row["zipf_slope"] - round(slope, 6)) < 1e-6
+    assert row["zipf_slope"] < 0
+    assert abs(
+        row["intercept"]
+        - round((float(sy) - round(slope, 6) * float(sx)) / n, 6)
+    ) < 1e-6
