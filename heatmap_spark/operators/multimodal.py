@@ -2305,12 +2305,17 @@ def _avi_codec(jenc, jdec):
                     p2 = payload[at + 8 : at + 8 + l2]
                     if t2 == b"LIST" and p2[:4] == b"strl":
                         strh = p2[4:]
-                        if strh[:4] == b"strh" and strh[12:16] == b"vids":
+                        # strh BODY layout (AVISTREAMHEADER): fccType
+                        # [0:4]='vids', fccHandler [4:8]='MJPG', flags,
+                        # wPriority, wLanguage, dwInitialFrames, then
+                        # dwScale [20:24] / dwRate [24:28]
+                        if strh[:4] == b"strh" and strh[8:12] == b"vids":
                             (l3,) = struct.unpack("<I", strh[4:8])
                             body = strh[8 : 8 + l3]
-                            scale, rate = struct.unpack("<II", body[12:20])
-                            if scale:
-                                fps = rate // scale
+                            if l3 >= 28:
+                                scale, rate = struct.unpack("<II", body[20:28])
+                                if scale:
+                                    fps = rate // scale
                     elif t2 == b"avih" and l2 >= 40:
                         wdt, hgt = struct.unpack("<II", p2[32:40])
                         dims = (wdt, hgt)
@@ -2807,9 +2812,18 @@ def _gif_codec():
                     pass  # short block mid-stream is legal
                 p += ln
 
-        canvas = np.zeros((h, w), dtype=np.int64)
-        if gct is not None:
-            canvas[:] = bg if bg < gct.shape[0] else 0
+        # Composite in RGB (ADVICE r8): frames may carry DIFFERENT
+        # local color tables, so a palette-INDEX canvas re-mapped
+        # through the current frame's table would look earlier frames'
+        # pixels up in the wrong palette.  The RGB canvas is palette-
+        # free; indices matter only within one frame's own rect.
+        def _bg_rgb():
+            if gct is not None and bg < gct.shape[0]:
+                return gct[bg].astype(np.int64)
+            return np.zeros(3, dtype=np.int64)
+
+        canvas = np.zeros((h, w, 3), dtype=np.int64)
+        canvas[:] = _bg_rgb()
         frames, delays = [], []
         delay, transparent, disposal = 0, None, 0
         while pos < len(data):
@@ -2875,17 +2889,16 @@ def _gif_codec():
                 raise ValueError("pixel index outside the color table")
             before = canvas[fy : fy + fh, fx : fx + fw].copy()
             target = canvas[fy : fy + fh, fx : fx + fw]
+            rect_rgb = lct[rect].astype(np.int64)  # this frame's OWN palette
             if transparent is not None:
                 mask = rect != transparent
-                target[mask] = rect[mask]
+                target[mask] = rect_rgb[mask]
             else:
-                target[:] = rect
-            frames.append(lct[canvas.clip(0, lct.shape[0] - 1)].copy())
+                target[:] = rect_rgb
+            frames.append(canvas.astype(np.uint8))
             delays.append(delay)
             if disposal == 2:  # restore to background
-                canvas[fy : fy + fh, fx : fx + fw] = (
-                    bg if gct is not None and bg < gct.shape[0] else 0
-                )
+                canvas[fy : fy + fh, fx : fx + fw] = _bg_rgb()
             elif disposal == 3:  # restore to previous
                 canvas[fy : fy + fh, fx : fx + fw] = before
             delay, transparent, disposal = 0, None, 0

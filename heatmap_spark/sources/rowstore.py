@@ -943,18 +943,45 @@ def read_locations_rowstore(spark: SparkSession, store_path: str) -> DataFrame:
     return read_rowstore(spark, store_path)
 
 
+def _carry_rewrite_tombstone(old_man: dict, new_man: dict, rewrite_v: int) -> None:
+    """A compaction/clustering rewrite invalidates CDC replay windows
+    at or past it — replaying adds at the rewrite version would emit
+    every pre-rewrite row AND its rewritten copy — exactly like a
+    MERGE's ``rm`` marks.  But the overwrite path writes a FRESH
+    manifest, erasing any prior marks and the vacuum tombstone, so a
+    checkpointed CDC stream crossing the rewrite would silently
+    double-count instead of hitting ``_files_between``'s append-only
+    guard.  Carry the guard across: record the rewrite itself, plus
+    every earlier rewrite the pre-rewrite manifest knew about (live
+    ``rm`` marks, an ``earliest_rewrite`` tombstone, or the legacy
+    version-less ``rewrites_expired`` flag), as a durable
+    ``earliest_rewrite`` tombstone on the new manifest."""
+    cands = [rewrite_v]
+    cands += [e["rm"] for e in old_man["files"] if "rm" in e]
+    prev = old_man.get("earliest_rewrite")
+    if prev is not None:
+        cands.append(prev)
+    elif old_man.get("rewrites_expired"):
+        # legacy tombstone without a recorded version: the rewrite
+        # could have been anywhere — stay conservative
+        cands.append(0)
+    new_man["rewrites_expired"] = True
+    new_man["earliest_rewrite"] = min(cands)
+
+
 def compact_rowstore(spark: SparkSession, path: str) -> int:
     """Cassandra-style compaction: many per-(task, epoch) files per
     bucket → one write's worth, fully THROUGH the engine (batch read →
     overwrite write, so the rewrite is distributed and bucket-split by
     the ordinary writer).  The manifest version stays monotonic
     (overwrite resets to 1, then we restore old_version + 1) so batch
-    readers are unaffected; a CDC stream reader crossing a compaction
-    re-reads the compacted snapshot (at-least-once across compaction —
-    compact between stream drains, same caveat as the LSM stores'
-    fold).  Old data files become unreferenced; reclaim with
-    :func:`vacuum_rowstore`.  Returns the number of files compacted
-    away (before − after)."""
+    readers are unaffected; the rewrite records itself as an
+    ``earliest_rewrite`` tombstone so a checkpointed CDC stream whose
+    window crosses the compaction fails loudly (append-only guard)
+    instead of double-counting the rewritten rows — windows entirely
+    before it stay replayable.  Old data files become unreferenced;
+    reclaim with :func:`vacuum_rowstore`.  Returns the number of files
+    compacted away (before − after)."""
     man = read_manifest(path)
     if man is None:
         return 0
@@ -976,6 +1003,7 @@ def compact_rowstore(spark: SparkSession, path: str) -> int:
         e["v"] = old_version + 1
     if old_epochs:
         new["epochs"] = old_epochs  # replay guard survives compaction
+    _carry_rewrite_tombstone(man, new, new["version"])
     _write_manifest(path, new)
     return max(0, len(before_files) - len(new["files"]))
 
@@ -1015,6 +1043,7 @@ def optimize_rowstore(
         e["v"] = old_version + 1
     if old_epochs:
         new["epochs"] = old_epochs
+    _carry_rewrite_tombstone(man, new, new["version"])
     _write_manifest(path, new)
     return len(new["files"])
 

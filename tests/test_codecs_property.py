@@ -1047,13 +1047,76 @@ def test_gif_decoder_only_features_via_independent_encoder():
     h, w, frames, delays = gif_decode(blob)
     assert (h, w, len(frames), delays) == (4, 4, 2, [7, 9])
     assert np.array_equal(frames[0], np.full((4, 4, 3), [255, 0, 0], np.uint8))
-    # after disposal 2 the canvas restored to bg (index 0 = black);
-    # frame 2 paints light grey at (1,2) and (2,1) only — note the
-    # composite renders through the LOCAL table, so untouched cells
-    # show lct[0] (near-black 9,9,9)
-    exp = np.full((4, 4, 3), [9, 9, 9], np.uint8)
+    # after disposal 2 the canvas restored to bg (gct index 0 = BLACK);
+    # frame 2 paints light grey at (1,2) and (2,1) only — compositing
+    # is in RGB (ADVICE r8), so untouched cells keep the background's
+    # GLOBAL-table color, never a re-map through the frame's local
+    # table (the old index-canvas bug rendered them as lct[0])
+    exp = np.zeros((4, 4, 3), np.uint8)
     exp[1, 2] = [200, 200, 200]
     exp[2, 1] = [200, 200, 200]
+    assert np.array_equal(frames[1], exp), frames[1].tolist()
+
+
+def test_gif_earlier_frame_pixels_survive_a_different_local_table():
+    """The ADVICE-r8 compositing bug, isolated: with NO disposal, a
+    later frame with its own local color table must leave earlier
+    frames' pixels in their ORIGINAL colors — the index-canvas decoder
+    re-mapped them through the new frame's table (red became yellow
+    here).  Hand-assembled stream, degenerate all-root-codes LZW."""
+    import struct
+
+    from heatmap_spark.operators.multimodal import gif_decode
+
+    def lzw_roots(symbols, min_code):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        cs = min_code + 1
+        acc = nbits = 0
+        out = bytearray()
+
+        def emit(c):
+            nonlocal acc, nbits
+            acc |= c << nbits
+            nbits += cs
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        for s in symbols:
+            emit(clear)
+            emit(int(s))
+        emit(eoi)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def blocks(payload):
+        b = bytearray()
+        for i in range(0, len(payload), 255):
+            c = payload[i : i + 255]
+            b.append(len(c))
+            b += c
+        b.append(0)
+        return bytes(b)
+
+    gct = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])  # K R G B
+    lct = bytes([0, 200, 200, 255, 255, 0])  # teal, yellow
+    f1 = lzw_roots([1] * 16, 2)  # full canvas red, disposal 0
+    f2 = lzw_roots([1, 1, 1, 1], 2)  # 2x2 yellow rect at (0,0), own LCT
+    blob = (
+        b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0x81, 0, 0]) + gct
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00"
+        + bytes([2]) + blocks(f1)
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + bytes([0x80]) + lct
+        + bytes([2]) + blocks(f2)
+        + b"\x3b"
+    )
+    h, w, frames, _delays = gif_decode(blob)
+    assert (h, w, len(frames)) == (4, 4, 2)
+    assert np.array_equal(frames[0], np.full((4, 4, 3), [255, 0, 0], np.uint8))
+    exp = np.full((4, 4, 3), [255, 0, 0], np.uint8)  # red SURVIVES
+    exp[0:2, 0:2] = [255, 255, 0]
     assert np.array_equal(frames[1], exp), frames[1].tolist()
 
 

@@ -339,6 +339,40 @@ def test_decode_real_sniffs_avi_video():
         assert np.abs(a.astype(np.int64) - b.reshape(a.shape).astype(np.int64)).max() <= 1
 
 
+def test_avi_fps_from_strh_scale_rate_not_avih():
+    """One-sided oracle for the stream-header parse (ADVICE r8: the
+    'vids' check read fccHandler, so the branch never fired and fps
+    always came from avih's microsecond fallback): patch a real AVI so
+    avih usec-per-frame DISAGREES with strh dwScale/dwRate — fps must
+    come from the stream header (the authoritative field; NTSC
+    30000/1001 isn't even representable in integer usec) — and fall
+    back to avih only when dwScale == 0."""
+    import struct
+
+    import numpy as np
+
+    from heatmap_spark.operators.multimodal import avi_encode, avi_frame_blobs
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, size=(8, 8), dtype=np.int64).astype(np.uint8)
+              for _ in range(3)]
+    data = bytearray(avi_encode(frames, fps=24))
+
+    a = bytes(data).find(b"avih") + 8  # avih body: dwMicroSecPerFrame first
+    s = bytes(data).find(b"vidsMJPG")  # strh body starts at fccType
+    assert a > 7 and s > 0
+    # NTSC film rate in strh, garbage-but-nonzero usec in avih
+    data[s + 20 : s + 28] = struct.pack("<II", 1001, 30000)
+    data[a : a + 4] = struct.pack("<I", 40000)  # would say 25 fps
+    fps, w, h, blobs = avi_frame_blobs(bytes(data))
+    assert (fps, w, h, len(blobs)) == (30000 // 1001, 8, 8, 3)
+
+    # dwScale == 0 → avih microsecond fallback
+    data[s + 20 : s + 28] = struct.pack("<II", 0, 30000)
+    fps, _, _, _ = avi_frame_blobs(bytes(data))
+    assert fps == 25
+
+
 def test_media_ingest_dir_end_to_end(spark, sf_smoke, tmp_path):
     """Distributed file writer → binaryFile scan → content sniff:
     every document lands as exactly one real media file; the ingested

@@ -633,6 +633,65 @@ def test_vacuum_cannot_rearm_cdc_stream(spark, sf_smoke, tmp_path):
         q.awaitTermination(timeout=300)
 
 
+def test_compact_optimize_poison_cdc_window_not_prefix(spark, sf_smoke, tmp_path):
+    """compact_rowstore / optimize_rowstore rewrite every file through
+    the overwrite path, which writes a FRESH manifest — without a
+    carried tombstone a checkpointed CDC stream crossing the rewrite
+    would silently replay the whole compacted store as new adds
+    (double-count).  The rewrite must record itself as
+    earliest_rewrite so the append-only guard fires, while windows
+    entirely before it stay replayable; and a prior MERGE's earlier
+    boundary must survive the rewrite (min, not overwrite)."""
+    import pytest
+
+    from heatmap_spark.sources.rowstore import (
+        compact_rowstore,
+        make_rowstore_datasource,
+        merge_upsert_rowstore,
+        optimize_rowstore,
+    )
+
+    loc = _loc(spark, sf_smoke)
+
+    # -- compaction on a pure-append store: boundary == its own version
+    store = str(tmp_path / "c")
+    write_rowstore(loc, store, bucket_key="user_id", mode="overwrite")  # v1
+    write_rowstore(loc.limit(5), store, mode="append")  # v2
+    assert compact_rowstore(spark, store) >= 0  # v3 — the rewrite
+    man = read_manifest(store)
+    assert man["version"] == 3
+    assert man["rewrites_expired"] is True
+    assert man["earliest_rewrite"] == 3
+    reader = make_rowstore_datasource()({"path": store}).simpleStreamReader(None)
+    # a prefix window is ALLOWED (a restart re-acking sink-committed
+    # batches must not die) but replays empty — the rewrite moved every
+    # pre-rewrite file out of the manifest; the rows live in the v3
+    # snapshot, which only read_rowstore (not the CDC log) can serve
+    assert reader.readBetweenOffsets({"version": 0}, {"version": 2}) == []
+    with pytest.raises(ValueError, match="append-only"):
+        reader.readBetweenOffsets({"version": 0}, {"version": 3})
+    with pytest.raises(ValueError, match="append-only"):
+        reader.readBetweenOffsets({"version": 2}, {"version": 3})
+
+    # -- optimize after a MERGE: the merge's earlier boundary survives
+    store2 = str(tmp_path / "o")
+    write_rowstore(loc, store2, bucket_key="user_id", mode="overwrite")  # v1
+    write_rowstore(loc.limit(5), store2, mode="append")  # v2
+    updates = loc.limit(3).withColumn("weight", F.col("weight") * 2)
+    merge_upsert_rowstore(spark, updates, store2)  # v3 — first rewrite
+    optimize_rowstore(spark, store2, by="weight")  # v4 — erases 'rm' marks
+    man2 = read_manifest(store2)
+    assert man2["version"] == 4
+    assert not any("rm" in e for e in man2["files"])
+    assert man2["earliest_rewrite"] == 3  # min(merge v3, optimize v4)
+    reader2 = make_rowstore_datasource()({"path": store2}).simpleStreamReader(None)
+    assert reader2.readBetweenOffsets({"version": 0}, {"version": 2}) == []
+    with pytest.raises(ValueError, match="append-only"):
+        reader2.readBetweenOffsets({"version": 0}, {"version": 4})
+    with pytest.raises(ValueError, match="append-only"):
+        reader2.readBetweenOffsets({"version": 3}, {"version": 4})
+
+
 def test_schema_evolution_append_widens_and_null_fills(spark, tmp_path):
     """Additive evolution (Delta-style): an append may add new columns
     (store widens; OLD files null-fill at read) and omit existing
