@@ -1589,6 +1589,82 @@ def media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(batches, schema=WAV_FEATURES_SCHEMA)
 
 
+JPEG_FEATURES_SCHEMA = (
+    "doc_id long, width int, height int, n_blocks int, "
+    "pixel_sum bigint, blocks_md5 string"
+)
+
+
+def media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JPEG decode round trip under the value-hash gate: each
+    document's byte values become the levels of CONSTANT 8×8 blocks
+    (block grid bw=(L%12)+1 across, bh=ceil(L/bw) down, space-padded),
+    encoded as a baseline SOF0 grayscale JPEG at the default UNIT
+    quantization and decoded back through the full T.81 path (Huffman
+    entropy decode → dequantize → IDCT).  A constant block survives
+    the transform EXACTLY — its only nonzero coefficient is the
+    integer DC 8·(v−128), which unit quantization preserves — so
+    every decoded pixel is bit-exact and the DuckDB oracle can replay
+    the block values straight from the raw text.  The kernel RAISES
+    if any decoded block is non-constant (so corruption inside a
+    block fails loudly, not just at the sampled value); the emitted
+    md5 is over the DECODED values, so a level shift breaks the hash.
+
+    Fixture assumption (as in media_decode): documents.text is
+    pure-ASCII, so the oracle's codepoint indexing equals this side's
+    UTF-8 byte view."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    jenc, jdec = jpeg_encode, jpeg_decode  # closure-captured, by value
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in it:
+            ws, hs, nb, sums, md5s = [], [], [], [], []
+            for text in pdf["text"]:
+                buf = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                L = len(buf)
+                bw = (L % 12) + 1
+                bh = max(1, (L + bw - 1) // bw)
+                codes = np.full(bw * bh, 32, dtype=np.int64)
+                codes[:L] = buf
+                img = np.kron(
+                    codes.reshape(bh, bw), np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                h, w, ch, px = jdec(jenc(img))
+                if (h, w, ch) != (8 * bh, 8 * bw, 1):
+                    raise AssertionError(
+                        f"JPEG geometry drifted: {(h, w, ch)} for {(bh, bw)}"
+                    )
+                grid = px.reshape(bh, 8, bw, 8)
+                if (grid.min(axis=(1, 3)) != grid.max(axis=(1, 3))).any():
+                    raise AssertionError(
+                        "unit-quant JPEG decoded a constant block as "
+                        "non-constant — codec regression"
+                    )
+                dec_vals = grid[:, 0, :, 0].reshape(-1)
+                ws.append(w)
+                hs.append(h)
+                nb.append(bw * bh)
+                sums.append(int(px.sum(dtype=np.int64)))
+                csv = ",".join(str(int(v)) for v in dec_vals)
+                md5s.append(hashlib.md5(csv.encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": ws,
+                    "height": hs,
+                    "n_blocks": nb,
+                    "pixel_sum": sums,
+                    "blocks_md5": md5s,
+                }
+            )
+
+    return docs.mapInPandas(batches, schema=JPEG_FEATURES_SCHEMA)
+
+
 RESIZED_SCHEMA = "doc_id long, src_w int, src_h int, resized binary"
 
 

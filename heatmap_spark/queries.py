@@ -289,6 +289,108 @@ def q_rowstore_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_rowstore(spark, store)
 
 
+def q_rowstore_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping (per-file column stats) made driver-visible:
+    write locations FRAGMENTED — three time-interleaved appends, so
+    every file spans the full timestamp range and a time predicate
+    can prune nothing — then run :func:`optimize_rowstore`
+    (OPTIMIZE/ZORDER-style clustering by ``timestamp_ms``) and read
+    the newest decile (``timestamp_ms >= mn + (mx-mn)*9 DIV 10``,
+    exact integer arithmetic the oracle replicates).  Before
+    returning, the registry PINS the skipping itself: the reader's
+    planned partition count under the pushed range filter must be
+    STRICTLY below the unfiltered plan.  File counts depend on range-
+    partitioner sampling, so they are asserted (raise ⇒ driver turns
+    red), not hashed; the hashed rows certify pruning never changes
+    results.  At 100 TB this is the layout-maintenance + time-slice
+    serving path: cluster the cold tail once, and every dashboard's
+    "last N hours" scan touches only the files whose stats overlap."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from heatmap_spark.sources.rowstore import (
+        make_rowstore_datasource,
+        optimize_rowstore,
+        read_rowstore,
+        write_rowstore,
+    )
+
+    store = _scratch_dir("rowstore_q_") + "/locations"
+    loc = load_locations(spark, sf_dir)
+    thirds = [loc.where(F.expr("mod(timestamp_ms, 3)") == i) for i in range(3)]
+    write_rowstore(
+        thirds[0], store, bucket_key="user_id", n_buckets=2, mode="overwrite"
+    )
+    write_rowstore(thirds[1], store, mode="append")
+    write_rowstore(thirds[2], store, mode="append")
+    optimize_rowstore(spark, store, by="timestamp_ms", n_partitions=8)
+    mn, mx = loc.agg(F.min("timestamp_ms"), F.max("timestamp_ms")).first()
+    cut = mn + (mx - mn) * 9 // 10
+
+    cls = make_rowstore_datasource()
+
+    def _nparts(filters):
+        # partitions == files (max_partition_bytes=1): the planned
+        # file count is the skipping signal, same probe the reader
+        # tests use (tests/test_rowstore.py data-skipping test)
+        ds = cls(options={"path": store, "max_partition_bytes": "1",
+                          "open_cost_bytes": "0"})
+        r = ds.reader(ds.schema())
+        if filters:
+            r.pushFilters(filters)
+        return len(r.partitions())
+
+    full = _nparts([])
+    pruned = _nparts([GreaterThanOrEqual(("timestamp_ms",), cut)])
+    if not pruned < full:
+        raise AssertionError(
+            "data skipping regressed: the clustered range scan planned "
+            f"{pruned} of {full} file partitions for the newest decile"
+        )
+    return read_rowstore(spark, store).where(F.col("timestamp_ms") >= F.lit(cut))
+
+
+def q_rowstore_cdc_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evolution × CDC seam end-to-end: a checkpointed commit-log
+    stream drains the v1 store (7-column schema), the store then
+    EVOLVES (append adds ingest_tag, omits nullable weight), and the
+    SAME checkpoint resumes — the restarted stream binds to the
+    widened union schema, replays only the post-checkpoint commit
+    (offsets are manifest versions), and null-fills weight for the v2
+    generation while the sink's v1 files null-fill ingest_tag at the
+    merged read.  Oracle = the same union q_rowstore_evolution
+    derives, so the hash certifies schema-drift handling through
+    restart, replay, projection, and sink merge together."""
+    from heatmap_spark.sources.rowstore import stream_rowstore, write_rowstore
+
+    scratch = _scratch_dir("rowstore_q_")
+    store, out, ckpt = (
+        scratch + "/locations", scratch + "/out", scratch + "/ckpt"
+    )
+    loc = load_locations(spark, sf_dir)
+    write_rowstore(loc, store, bucket_key="user_id", mode="overwrite")  # v1
+
+    def _drain():
+        q = (
+            stream_rowstore(spark, store)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _drain()  # batch 1: the 7-column generation
+    late = (
+        loc.where(F.substring(F.md5("user_id"), 1, 1) <= "3")
+        .withColumn("ingest_tag", F.lit("backfill"))
+        .drop("weight")
+    )
+    write_rowstore(late, store, bucket_key="user_id", mode="append")  # v2
+    _drain()  # batch 2: resumes from the checkpoint, union schema
+    return spark.read.option("mergeSchema", "true").parquet(out)
+
+
 def q_rowstore_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed DELETE (GDPR-erasure shape): drop every row of the
     md5-selected victim users via the bucket-rewrite path, then read
@@ -1713,6 +1815,16 @@ SELECT * REPLACE (CASE WHEN substr(md5(user_id), 1, 1) <= '3'
                        THEN weight * 2 ELSE weight END AS weight)
 FROM locations""",
     ),
+    # Clustering rewrite + per-file-stats pruning: the file-count drop
+    # is raise-pinned in-registry (layout is sampler-dependent), the
+    # rows are hash-gated — pruning must never change results.
+    "q_rowstore_skipping": QuerySpec(
+        q_rowstore_skipping,
+        f"""WITH {_LOC_CTE},
+b AS (SELECT min(timestamp_ms) + (max(timestamp_ms) - min(timestamp_ms)) * 9 // 10 AS cut
+      FROM locations)
+SELECT l.* FROM locations l, b WHERE l.timestamp_ms >= b.cut""",
+    ),
     "q_rowstore_delete": QuerySpec(
         q_rowstore_delete,
         f"""WITH {_LOC_CTE}
@@ -1722,6 +1834,19 @@ SELECT * FROM locations WHERE substr(md5(user_id), 1, 1) > '1'""",
     # evolved append null-fills the omitted one; union schema at read.
     "q_rowstore_evolution": QuerySpec(
         q_rowstore_evolution,
+        f"""WITH {_LOC_CTE}
+SELECT latitude, longitude, ts, timestamp_ms, user_id, source, weight,
+       CAST(NULL AS VARCHAR) AS ingest_tag
+FROM locations
+UNION ALL
+SELECT latitude, longitude, ts, timestamp_ms, user_id, source,
+       CAST(NULL AS DOUBLE) AS weight, 'backfill' AS ingest_tag
+FROM locations WHERE substr(md5(user_id), 1, 1) <= '3'""",
+    ),
+    # Evolution × CDC: a checkpointed stream crossing the widen
+    # boundary; same union oracle as q_rowstore_evolution.
+    "q_rowstore_cdc_evolution": QuerySpec(
+        q_rowstore_cdc_evolution,
         f"""WITH {_LOC_CTE}
 SELECT latitude, longitude, ts, timestamp_ms, user_id, source, weight,
        CAST(NULL AS VARCHAR) AS ingest_tag
@@ -3092,6 +3217,32 @@ SELECT doc_id, width, height,
   CAST(list_sum(vals) AS BIGINT) AS pixel_sum,
   md5(array_to_string(vals, ',')) AS pixel_md5
 FROM px""",
+    ),
+    # Real JPEG decode under the value hash: constant 8×8 blocks are
+    # EXACT through unit-quant SOF0 (DC-only, integer), so the oracle
+    # replays the decoded block levels straight from the text; a
+    # non-constant decoded block raises in-kernel.
+    "q_media_jpeg": QuerySpec(
+        multimodal.media_decode_jpeg,
+        """WITH m AS (SELECT doc_id, strlen(text) AS L, text FROM documents),
+dims AS (
+  SELECT doc_id, L, text, CAST((L % 12) + 1 AS INTEGER) AS bw,
+    CAST(greatest(1, CAST(ceil(L / CAST((L % 12) + 1 AS DOUBLE)) AS BIGINT))
+         AS INTEGER) AS bh
+  FROM m),
+codes AS (
+  SELECT doc_id, bw, bh,
+    list_transform(range(1, bw * bh + 1),
+      i -> CASE WHEN i <= CAST(L AS INTEGER)
+                THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+                ELSE 32 END) AS cs
+  FROM dims)
+SELECT doc_id,
+  CAST(bw * 8 AS INTEGER) AS width, CAST(bh * 8 AS INTEGER) AS height,
+  CAST(bw * bh AS INTEGER) AS n_blocks,
+  CAST(64 * list_sum(cs) AS BIGINT) AS pixel_sum,
+  md5(array_to_string(cs, ',')) AS blocks_md5
+FROM codes""",
     ),
     # Real AUDIO decode: text bytes → int16 PCM in a real RIFF/WAV
     # container → parsed back; oracle reconstructs sample values from
