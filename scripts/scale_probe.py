@@ -1877,6 +1877,101 @@ def probe_skipping(spark, n: int) -> None:
     )
 
 
+def probe_codec(spark, n: int) -> None:
+    """Python-codec ceiling, measured (VERDICT r8 item 5): the
+    from-scratch MJPEG decode is a sequential Python bit-loop per
+    file — correct and test-pinned but far slower than libjpeg.  The
+    probe times (a) the bare binaryFile scan over n//10 synthetic AVI
+    files (10 frames of 64x64 gray each) and (b) the same scan plus a
+    FULL T.81 decode of every frame, both distributed, so the "swap
+    the kernel body for PIL/libjpeg at production" claim
+    (operators/multimodal.py module docstring) carries a measured
+    frames/s + MPx/s number and the scan-vs-kernel split is explicit:
+    the plan shape (split-planned binaryFile scan + map-only decode)
+    is the one a native kernel would keep."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from heatmap_spark.operators.multimodal import (
+        avi_encode,
+        avi_frame_blobs,
+        jpeg_decode,
+    )
+
+    n_files = max(1, n // 10)
+    d = tempfile.mkdtemp(prefix="codec_probe_")
+    aenc = avi_encode
+
+    def wbatches(it):
+        import os
+
+        import numpy as np
+
+        for pdf in it:
+            cnt = 0
+            for i in pdf["id"]:
+                vals = (
+                    np.arange(64 * 64 * 10, dtype=np.int64) * (int(i) * 2 + 1) * 104729
+                ) % 256
+                frames = [
+                    vals[f * 4096 : (f + 1) * 4096].reshape(64, 64).astype(np.uint8)
+                    for f in range(10)
+                ]
+                with open(os.path.join(d, f"{int(i)}.avi"), "wb") as fh:
+                    fh.write(aenc(frames, fps=10))
+                cnt += 1
+            yield pd.DataFrame({"n": [cnt]})
+
+    wrote = (
+        spark.range(n_files)
+        .repartition(32)
+        .mapInPandas(wbatches, schema="n long")
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert wrote == n_files
+
+    scan = spark.read.format("binaryFile").load(d)
+    t0 = time.perf_counter()
+    n_bytes = scan.agg(F.sum(F.length("content"))).first()[0]
+    t_scan = time.perf_counter() - t0
+
+    fb, jd = avi_frame_blobs, jpeg_decode
+
+    def dbatches(it):
+        for pdf in it:
+            nf = npx = 0
+            for content in pdf["content"]:
+                _fps, _w, _h, blobs = fb(bytes(content))
+                for b in blobs:
+                    hh, ww, _ch, _px = jd(b)
+                    nf += 1
+                    npx += hh * ww
+            yield pd.DataFrame({"frames": [nf], "pixels": [npx]})
+
+    t0 = time.perf_counter()
+    row = (
+        scan.select("content")
+        .mapInPandas(dbatches, schema="frames long, pixels long")
+        .agg(F.sum("frames"), F.sum("pixels"))
+        .first()
+    )
+    t_dec = time.perf_counter() - t0
+    frames, pixels = row[0], row[1]
+    assert frames == n_files * 10 and pixels == frames * 4096
+    print(
+        f"codec ceiling {n_files:,} AVI files / {frames:,} frames "
+        f"({n_bytes/1e6:.1f} MB): scan-only {t_scan:.2f}s; scan+decode "
+        f"{t_dec:.2f}s = {frames/t_dec:,.0f} frames/s, "
+        f"{pixels/t_dec/1e6:.1f} MPx/s (Python T.81 kernel); kernel share "
+        f"{100*(t_dec-t_scan)/t_dec:.0f}% of wall — a libjpeg-class kernel "
+        f"(~100x per-pixel) would leave the scan-bound floor of ~{t_scan:.2f}s"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -1887,7 +1982,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -1901,7 +1996,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec}[which](spark, n)
 
 
 if __name__ == "__main__":
