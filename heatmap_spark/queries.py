@@ -392,6 +392,63 @@ def q_rowstore_cdc_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(out)
 
 
+def q_rowstore_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL conditional MERGE grammar end-to-end (Delta's WHEN
+    MATCHED AND cond DELETE / WHEN MATCHED AND cond UPDATE SET / WHEN
+    NOT MATCHED INSERT) through the bucket-rewrite commit path: one
+    md5-keyed source deletes the '0'-'1' users, adds +2.5 weight to
+    the '2'-'7' users (unlisted columns keep target values), and
+    inserts one synthetic 'ins-' row per '8' user with literal insert
+    values.  The oracle derives all three arms relationally, so the
+    hash certifies clause precedence (DELETE before UPDATE), partial
+    SET, null-filled inserts, and untouched-row passthrough in one
+    read-back."""
+    from heatmap_spark.sources.rowstore import (
+        merge_into_rowstore,
+        read_rowstore,
+        write_rowstore,
+    )
+
+    store = _scratch_dir("rowstore_q_") + "/locations"
+    loc = load_locations(spark, sf_dir)
+    write_rowstore(loc, store, bucket_key="user_id", mode="overwrite")
+    h = F.substring(F.md5("user_id"), 1, 1)
+    users = loc.select("user_id").distinct()
+    src = (
+        users.where(h <= "7")
+        .select(
+            "user_id",
+            F.when(h <= "1", F.lit("del")).otherwise(F.lit("upd")).alias("action"),
+            F.lit(2.5).alias("delta"),
+        )
+        .unionByName(
+            users.where(h == "8").select(
+                F.concat(F.lit("ins-"), F.col("user_id")).alias("user_id"),
+                F.lit("new").alias("action"),
+                F.lit(1.0).alias("delta"),
+            )
+        )
+    )
+    merge_into_rowstore(
+        spark,
+        src,
+        store,
+        matched_update={"weight": "t.weight + s.delta"},
+        matched_update_cond="s.action = 'upd'",
+        matched_delete_cond="s.action = 'del'",
+        insert_values={
+            "user_id": "s.user_id",
+            "latitude": "0.0",
+            "longitude": "0.0",
+            "ts": "timestamp'1970-01-01 00:00:00'",
+            "timestamp_ms": "0",
+            "source": "'merge'",
+            "weight": "s.delta",
+        },
+    )
+    return read_rowstore(spark, store)
+
+
 def q_rowstore_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed DELETE (GDPR-erasure shape): drop every row of the
     md5-selected victim users via the bucket-rewrite path, then read
@@ -1815,6 +1872,27 @@ SELECT * FROM locations WHERE substr(md5(user_id), 1, 1) <= '7'""",
 SELECT * REPLACE (CASE WHEN substr(md5(user_id), 1, 1) <= '3'
                        THEN weight * 2 ELSE weight END AS weight)
 FROM locations""",
+    ),
+    # Full conditional MERGE (DELETE/UPDATE-with-cond/INSERT arms);
+    # oracle derives all three arms relationally.
+    "q_rowstore_conditional_merge": QuerySpec(
+        q_rowstore_conditional_merge,
+        f"""WITH {_LOC_CTE},
+h AS (SELECT DISTINCT user_id, substr(md5(user_id), 1, 1) AS x FROM locations),
+kept AS (
+  SELECT l.latitude, l.longitude, l.ts, l.timestamp_ms, l.user_id, l.source,
+         CASE WHEN hx.x BETWEEN '2' AND '7' THEN l.weight + 2.5
+              ELSE l.weight END AS weight
+  FROM locations l JOIN h hx USING (user_id)
+  WHERE hx.x > '1'),
+ins AS (
+  SELECT 0.0 AS latitude, 0.0 AS longitude,
+         TIMESTAMP '1970-01-01 00:00:00' AS ts,
+         CAST(0 AS BIGINT) AS timestamp_ms,
+         'ins-' || user_id AS user_id, 'merge' AS source,
+         CAST(1.0 AS DOUBLE) AS weight
+  FROM h WHERE x = '8')
+SELECT * FROM kept UNION ALL SELECT * FROM ins""",
     ),
     # Clustering rewrite + per-file-stats pruning: the file-count drop
     # is raise-pinned in-registry (layout is sampler-dependent), the
@@ -5994,81 +6072,76 @@ FROM weighted""",
 
 
 # The grading driver records hard correctness rows for the FIRST 50
-# registry entries only.  After the round-7 closing rotation, 251 of
-# 253 declared queries carry hard driver rows; the only 2 without are
-# the late-r7 landings (q_retrieval_metrics, q_annotator_agreement).
-# Round 8 leads with those two, then spends the remaining 44 slots on
-# FRESHNESS re-pins: the 21 queries whose only driver row is from
-# round 1, plus 23 round-2-evidence queries biased toward the core
-# heatmap/tile family, the dedup family, and the TPC-H head — the
-# operators most central to the engine and longest without a re-check.
-#
-# ROUND 9 WINDOW MUST LEAD WITH the seven round-8 landings
-# (sim-green, no driver row yet): q_pmi_collocations, q_readability,
-# q_char_entropy, q_media_video_frames, q_media_ingest,
-# q_rowstore_evolution, q_zipf_fit — plus a re-pin of the rowstore octet is NOT
-# needed (all nine re-simmed green after the r8 stats/evolution/
-# pruning-fix changes, but fresh driver rows for changed code beat
-# re-pinning unchanged queries: consider q_rowstore_pruned_read and
-# q_rowstore_merge, whose pruning/union code moved this round).
+# registry entries only.  After the round-8 rotation every pre-r8
+# declared query carries a hard driver row.  Round 9 leads with the
+# seven round-8 landings (sim-green, no driver row yet) and the five
+# round-9 landings, re-pins the two rowstore queries whose
+# pruning/union code moved in r8, then spends the rest on the
+# STALEST evidence: the streaming-store family (compaction/marker
+# code keeps evolving; most rows date to r3/r4) and every remaining
+# query whose latest row is r1/r2, topping up with three r3-evidence
+# heatmap queries.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
     "q_heatmap_pyramid_cascade",
     "q_heatmap_resultsets",
     "q_heatmap_table",
-    # the 2 late-r7 landings — the only declared queries without a
-    # hard driver row; leading with them closes 253/253
-    "q_retrieval_metrics",
-    "q_annotator_agreement",
-    # freshness re-pins: every query whose only driver row is r1
-    "q_anti_join",
-    "q_approx_distinct",
-    "q_cube_lineitem",
-    "q_distinct_users",
-    "q_event_pivot",
-    "q_except_nations",
-    "q_grouping_sets",
-    "q_heatmap_topk_tiles",
-    "q_intersect_nations",
-    "q_json_extract",
-    "q_percentiles",
-    "q_rollup_orders",
-    "q_running_total",
-    "q_semi_join",
-    "q_session_window_batch",
-    "q_ship_latency",
-    "q_string_functions",
-    "q_top_parts_per_brand",
-    "q_window_sliding",
-    "q_window_tumbling",
-    "q_zorder_key",
-    # r2-evidence re-pins: core heatmap/tile family
-    "q_heatmap_ingest",
-    "q_heatmap_incremental",
-    "q_heatmap_table_stats",
-    "q_heatmap_timespans",
-    "q_heatmap_unique_users",
-    "q_locations",
-    "q_sql_tile_functions",
-    "q_tile_family",
-    "q_tile_functions",
-    "q_sessionize",
-    # r2-evidence re-pins: dedup family
-    "q_dedup_exact",
-    "q_dedup_fingerprint",
-    "q_dedup_minhash_lsh",
-    "q_dedup_clusters",
-    "q_incremental_dedup",
-    "q_embedding_near_dup",
-    "q_near_dup_jaccard",
-    "q_simhash",
-    "q_decontaminate",
-    # r2-evidence re-pins: TPC-H head
-    "q_tpch_q1",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q6",
+    # round-8 landings — first hard driver rows
+    "q_pmi_collocations",
+    "q_readability",
+    "q_char_entropy",
+    "q_zipf_fit",
+    "q_media_video_frames",
+    "q_media_ingest",
+    "q_rowstore_evolution",
+    # round-9 landings — first hard driver rows (q_knn_graph_recall is
+    # rows-only by design; its recall pin runs under the driver)
+    "q_rowstore_skipping",
+    "q_rowstore_cdc_evolution",
+    "q_rowstore_conditional_merge",
+    "q_media_jpeg",
+    "q_knn_graph_recall",
+    # rowstore re-pins: pruning/union code moved in r8, and r9 touched
+    # the rewrite/tombstone path
+    "q_rowstore_pruned_read",
+    "q_rowstore_merge",
+    # streaming-store family: rows date to r3/r4, code keeps changing
+    "q_streaming_tile_store",
+    "q_streaming_tile_store_partitioned",
+    "q_streaming_dedup",
+    "q_streaming_duplicated_passages",
+    "q_streaming_funnel",
+    "q_streaming_sessions",
+    "q_streaming_heatmap",
+    "q_streaming_enrich",
+    "q_streaming_stateful",
+    "q_streaming_incremental_dedup",
+    "q_tile_store_serving",
+    # latest row is r1/r2
+    "q_asof_join",
+    "q_knn_cosine",
+    "q_text_stats",
+    "q_lang_id",
+    "q_token_counts",
+    "q_multimodal_meta",
+    "q_streaming_tumbling",
+    "q_streaming_join",
+    # latest row is r2
+    "q_edit_distance_pairs",
+    "q_knn_cosine_ivf_exact",
+    "q_curation_pipeline",
+    "q_gopher_quality",
+    "q_repetition_metrics",
+    "q_tfidf_top_terms",
+    "q_chunk_documents",
+    "q_tpch_q18",
+    "q_trajectory_similarity",
+    "q_leakage_safe_split",
+    "q_mixing_sample",
+    # r3-evidence heatmap top-up
+    "q_heatmap_bbox",
+    "q_heatmap_drilldown",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

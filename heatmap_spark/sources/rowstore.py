@@ -842,6 +842,112 @@ def merge_upsert_rowstore(
     )
 
 
+def merge_into_rowstore(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    *,
+    matched_update: dict[str, str] | None = None,
+    matched_update_cond: str | None = None,
+    matched_delete_cond: str | None = None,
+    insert_values: dict[str, str] | None = None,
+) -> None:
+    """Full conditional MERGE grammar (Delta's ``MERGE INTO`` with one
+    UPDATE clause, one DELETE clause, and one INSERT clause), joined on
+    the store's bucket key:
+
+    - WHEN MATCHED AND ``matched_delete_cond`` THEN DELETE (evaluated
+      FIRST, like a DELETE clause listed before UPDATE);
+    - WHEN MATCHED [AND ``matched_update_cond``] THEN UPDATE SET
+      ``matched_update`` (``{column: SQL expr}`` over ``t.``/``s.``
+      aliases; unlisted columns keep their target value);
+    - WHEN NOT MATCHED THEN INSERT ``insert_values`` (``{column: SQL
+      expr}`` over ``s.``; omitted ⇒ no insert clause; columns absent
+      from the mapping null-fill).
+
+    Delta's multiple-matches contract is enforced: a source with two
+    rows for one key raises instead of producing nondeterministic
+    update results.  Same bucket-rewrite mechanics and crash safety as
+    :func:`merge_upsert_rowstore` (which stays the fast path for the
+    common replace-by-key upsert): only touched buckets rewrite, one
+    atomic manifest swap with ``rm`` marks, time travel intact."""
+    man = read_manifest(path)
+    if man is None:
+        raise ValueError(f"no rowstore at {path}")
+    key, n = man["bucket_key"], man["n_buckets"]
+    from pyspark.sql import functions as F
+
+    if source.groupBy(key).count().where(F.col("count") > 1).limit(1).count():
+        raise ValueError(
+            "merge_into_rowstore: multiple source rows share a merge key — "
+            "the UPDATE result would be nondeterministic (Delta's "
+            "DELTA_MULTIPLE_SOURCE_ROW_MATCHING contract); pre-aggregate "
+            "the source to one row per key"
+        )
+    schema_cols = [
+        f["name"] for f in json.loads(man["schema"])["fields"]
+    ]
+    types = {f.name: f.dataType for f in read_rowstore(spark, path).schema.fields}
+    bucket_expr = F.crc32(F.col(key).cast("string").cast("binary")) % n
+    touched = sorted(
+        r[0] for r in source.select(bucket_expr.alias("b")).distinct().collect()
+    )
+    current = read_rowstore(spark, path, buckets=touched).where(
+        bucket_expr.isin(*touched)
+    )
+    t, s = current.alias("t"), source.alias("s")
+    joined = t.join(s, F.col(f"t.`{key}`") == F.col(f"s.`{key}`"), "left")
+    matched = F.col(f"s.`{key}`").isNotNull()
+    # NULL-condition rows must fall through to "keep unchanged", not
+    # vanish under where(~NULL) — coalesce to FALSE like SQL WHEN
+    def _cond(expr_sql):
+        return F.coalesce(F.expr(expr_sql).cast("boolean"), F.lit(False))
+
+    delete = (
+        matched & _cond(matched_delete_cond)
+        if matched_delete_cond
+        else F.lit(False)
+    )
+    update = matched & (
+        _cond(matched_update_cond) if matched_update_cond else F.lit(True)
+    )
+    upd = matched_update or {}
+    kept = joined.where(~delete).select(
+        *[
+            F.when(update, F.expr(upd[c]).cast(types[c]))
+            .otherwise(F.col(f"t.`{c}`"))
+            .alias(c)
+            if c in upd
+            else F.col(f"t.`{c}`").alias(c)
+            for c in schema_cols
+        ]
+    )
+    merged = kept
+    if insert_values is not None:
+        iv = insert_values
+        inserts = (
+            source.alias("s")
+            .join(current.select(key).distinct(), key, "left_anti")
+            .select(
+                *[
+                    F.expr(iv[c]).cast(types[c]).alias(c)
+                    if c in iv
+                    else F.lit(None).cast(types[c]).alias(c)
+                    for c in schema_cols
+                ]
+            )
+        )
+        merged = kept.unionByName(inserts)
+    register_rowstore(spark)
+    (
+        merged.write.format(FORMAT_NAME)
+        .option("path", path)
+        .option("replace_buckets", ",".join(str(b) for b in touched))
+        .mode("append")
+        .save()
+    )
+
+
 def read_rowstore(
     spark: SparkSession,
     path: str,

@@ -78,15 +78,17 @@ def test_rows_only_runs(spark, sf_smoke, name, spec):
 
 def test_priority_window_is_first_50():
     """The grading driver hash-checks REGISTRY positions 0-49: the
-    curated _PRIORITY list must be exactly that prefix.  The round-8
-    freshness rotation leads with the two late-r7 landings (the only
-    declared queries without a driver row) and re-pins r1/r2-evidence
-    queries; its one rows-only entry is q_approx_distinct (an r1-only
-    HLL-sketch row worth refreshing).  Any OTHER rows-only entry in
-    the window is a wasted hash slot and fails here."""
+    curated _PRIORITY list must be exactly that prefix.  The round-9
+    rotation leads with the seven round-8 landings and four round-9
+    landings (their first hard driver rows), then refreshes the
+    stalest evidence (streaming-store family, r1/r2-only rows); its
+    one rows-only entry is q_knn_graph_recall — the NEW graph-ANN
+    query, whose recall raise-pin must run under the driver once.
+    Any OTHER rows-only entry in the window is a wasted hash slot and
+    fails here."""
     from heatmap_spark.queries import _PRIORITY, REGISTRY
 
     keys = list(REGISTRY)
     assert keys[:50] == _PRIORITY
     rows_only = {k for k in keys[:50] if REGISTRY[k].oracle is None}
-    assert rows_only == {"q_approx_distinct"}
+    assert rows_only == {"q_knn_graph_recall"}

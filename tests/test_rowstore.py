@@ -863,3 +863,69 @@ def test_column_stats_data_skipping_and_optimize(spark, tmp_path):
     top = max(e["stats"]["weight"][1] for e in read_manifest(store)["files"])
     got = read_rowstore(spark, store).where(F.col("weight") >= top)
     assert got.count() == df.where(F.col("weight") >= top).count() > 0
+
+
+def test_merge_into_conditional_clauses(spark, tmp_path):
+    """Full MERGE grammar: WHEN MATCHED AND cond DELETE (wins over
+    update), WHEN MATCHED AND cond UPDATE SET (unlisted columns keep
+    target values; NULL conditions keep the row unchanged), WHEN NOT
+    MATCHED INSERT values; unmatched target rows untouched; a source
+    with two rows per key refuses (Delta's multiple-matches
+    contract)."""
+    import pytest
+
+    from heatmap_spark.sources.rowstore import merge_into_rowstore
+
+    store = str(tmp_path / "m")
+    target = spark.createDataFrame(
+        [("u1", 10.0, "a"), ("u2", 20.0, "b"), ("u3", 30.0, "c"),
+         ("u4", 40.0, "d")],
+        "user_id string, weight double, tag string",
+    )
+    write_rowstore(target, store, bucket_key="user_id", n_buckets=2,
+                   mode="overwrite")
+    source = spark.createDataFrame(
+        [("u1", "del", 0.0), ("u2", "upd", 5.0), ("u3", "noop", None),
+         ("u9", "new", 9.0)],
+        "user_id string, action string, delta double",
+    )
+    merge_into_rowstore(
+        spark, source, store,
+        matched_update={"weight": "t.weight + s.delta"},
+        matched_update_cond="s.action = 'upd'",
+        matched_delete_cond="s.action = 'del'",
+        insert_values={"user_id": "s.user_id", "weight": "s.delta"},
+    )
+    got = {
+        r["user_id"]: (r["weight"], r["tag"])
+        for r in read_rowstore(spark, store).collect()
+    }
+    assert got == {
+        "u2": (25.0, "b"),       # updated; unlisted tag kept
+        "u3": (30.0, "c"),       # matched, neither clause fires
+        "u4": (40.0, "d"),       # unmatched target untouched
+        "u9": (9.0, None),       # inserted; unlisted tag null-fills
+    }, got
+    # NULL update condition keeps the row unchanged (not dropped)
+    merge_into_rowstore(
+        spark,
+        spark.createDataFrame([("u3", None)], "user_id string, delta double"),
+        store,
+        matched_update={"weight": "t.weight + s.delta"},
+        matched_update_cond="s.delta > 0",  # NULL here
+    )
+    assert read_rowstore(spark, store).where(
+        F.col("user_id") == "u3"
+    ).first()["weight"] == 30.0
+    # time travel still sees the pre-merge snapshot
+    v1 = read_rowstore(spark, store, as_of_version=1)
+    assert {r["user_id"] for r in v1.collect()} == {"u1", "u2", "u3", "u4"}
+    # multiple source rows per key refuse
+    dup = spark.createDataFrame(
+        [("u2", "upd", 1.0), ("u2", "upd", 2.0)],
+        "user_id string, action string, delta double",
+    )
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_into_rowstore(
+            spark, dup, store, matched_update={"weight": "s.delta"}
+        )
