@@ -2060,6 +2060,86 @@ def media_decode_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(batches, schema=RGB_FEATURES_SCHEMA)
 
 
+GIF_ANIM_SCHEMA = (
+    "doc_id long, frame_idx int, delay int, width int, height int, "
+    "pixel_sum bigint, pixel_md5 string"
+)
+
+
+def media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF decode round trip under the value hash: each
+    document's bytes (mod 64) index a fixed analytic 64-entry palette
+    (i -> (4i, 7i, 13i) mod 256 — the media-ingestion fixture's
+    table); frame 0 is the raw index raster ((L%20)+1 wide,
+    zero-padded), frame 1 shifts every index by +7 mod 64, and the
+    two-frame animation (delays 3 and 7 cs) goes through the real
+    GIF89a container — LZW compression, graphic-control extensions,
+    NETSCAPE loop block — and back.  LZW is LOSSLESS, so every decoded
+    RGB value is exact and the DuckDB oracle replays the palette
+    expansion analytically per frame (the q_media_adam7_palette
+    idiom), certifying the LZW coder, frame sequencing, and delay
+    parsing without ever seeing a GIF.
+
+    Fixture assumption (as in media_decode): ASCII text, so oracle
+    codepoint indexing equals this side's byte view."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    genc, gdec = gif_encode, gif_decode  # closures, pickled by value
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        i64 = np.arange(64, dtype=np.int64)
+        pal = np.stack(
+            [(i64 * 4) % 256, (i64 * 7) % 256, (i64 * 13) % 256], axis=1
+        ).astype(np.uint8)
+        for pdf in it:
+            ids, fis, dls, ws, hs, sums, md5s = [], [], [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                buf = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                L = len(buf)
+                w = (L % 20) + 1
+                h = max(1, -(-L // w))
+                idx = np.zeros(h * w, dtype=np.int64)
+                idx[:L] = buf % 64
+                f0 = idx.reshape(h, w).astype(np.uint8)
+                f1 = ((idx + 7) % 64).reshape(h, w).astype(np.uint8)
+                hh, ww, frames, delays = gdec(
+                    genc([f0, f1], pal, delays=[3, 7])
+                )
+                if (hh, ww, len(frames), delays) != (h, w, 2, [3, 7]):
+                    raise AssertionError(
+                        f"GIF geometry drifted: {(hh, ww, len(frames), delays)}"
+                    )
+                for fi, fr in enumerate(frames):
+                    vals = fr.reshape(-1)
+                    ids.append(doc_id)
+                    fis.append(fi)
+                    dls.append(delays[fi])
+                    ws.append(ww)
+                    hs.append(hh)
+                    sums.append(int(vals.sum(dtype="int64")))
+                    md5s.append(
+                        hashlib.md5(
+                            ",".join(map(str, vals.tolist())).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": fis,
+                    "delay": dls,
+                    "width": ws,
+                    "height": hs,
+                    "pixel_sum": sums,
+                    "pixel_md5": md5s,
+                }
+            )
+
+    return docs.mapInPandas(batches, schema=GIF_ANIM_SCHEMA)
+
+
 def media_decode_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PALETTE + ADAM7 decode round trip through the generalized
     codec: each document's utf-8 bytes (mod 64) become the index

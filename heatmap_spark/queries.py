@@ -3300,6 +3300,38 @@ SELECT doc_id, width, height,
   md5(array_to_string(vals, ',')) AS pixel_md5
 FROM px""",
     ),
+    # Animated GIF under the value hash: LZW is lossless, so the
+    # oracle replays the per-frame palette expansion analytically
+    # (frame 1 shifts indices +7 mod 64; delay = 3 + 4*frame_idx).
+    "q_media_gif": QuerySpec(
+        multimodal.media_decode_gif,
+        """WITH m AS (SELECT doc_id, strlen(text) AS L, text FROM documents),
+dims AS (
+  SELECT doc_id, L, text, CAST((L % 20) + 1 AS INTEGER) AS width,
+    CAST(greatest(1, CAST(ceil(L / CAST((L % 20) + 1 AS DOUBLE)) AS BIGINT))
+         AS INTEGER) AS height
+  FROM m),
+f AS (SELECT doc_id, L, text, width, height, CAST(i AS INTEGER) AS frame_idx
+      FROM dims CROSS JOIN range(0, 2) t(i)),
+px AS (
+  SELECT doc_id, frame_idx, width, height,
+    flatten(list_transform(
+      range(1, width * height + 1),
+      i -> CASE WHEN i <= CAST(L AS INTEGER)
+        THEN [(ascii(substr(text, CAST(i AS INTEGER), 1)) % 64 + frame_idx * 7) % 64 * 4 % 256,
+              (ascii(substr(text, CAST(i AS INTEGER), 1)) % 64 + frame_idx * 7) % 64 * 7 % 256,
+              (ascii(substr(text, CAST(i AS INTEGER), 1)) % 64 + frame_idx * 7) % 64 * 13 % 256]
+        ELSE [frame_idx * 7 % 64 * 4 % 256,
+              frame_idx * 7 % 64 * 7 % 256,
+              frame_idx * 7 % 64 * 13 % 256] END)) AS vals
+  FROM f)
+SELECT doc_id, frame_idx,
+  CAST(3 + 4 * frame_idx AS INTEGER) AS delay,
+  width, height,
+  CAST(list_sum(vals) AS BIGINT) AS pixel_sum,
+  md5(array_to_string(vals, ',')) AS pixel_md5
+FROM px""",
+    ),
     # Real JPEG decode under the value hash: constant 8×8 blocks are
     # EXACT through unit-quant SOF0 (DC-only, integer), so the oracle
     # replays the decoded block levels straight from the text; a
