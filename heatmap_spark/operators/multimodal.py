@@ -2140,6 +2140,94 @@ def media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(batches, schema=GIF_ANIM_SCHEMA)
 
 
+BMP_SCHEMA = (
+    "doc_id long, kind string, width int, height int, "
+    "pixel_sum bigint, pixel_md5 string"
+)
+
+
+def media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP decode round trip under the value hash, BOTH supported
+    encode arms per document: 'rgb24' (text bytes space-padded to a
+    3-channel (L%16)+1-wide raster through BI_RGB 24-bit BGR,
+    bottom-up rows + 4-byte padding) and 'pal8' (bytes mod 64 as
+    indices over the analytic palette i -> (6i, 10i, 14i) mod 256
+    through the 8-bit paletted arm).  BMP is uncompressed, so every
+    decoded value is exact; the md5 is over comma-joined decimal RGB
+    values (the q_media_adam7_palette idiom) and the DuckDB oracle
+    replays both expansions from the raw text — certifying the BGR
+    flip, bottom-up row order, row padding, and palette expansion.
+
+    Fixture assumption (as in media_decode): ASCII text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    benc, bdec = bmp_encode, bmp_decode  # closures, pickled by value
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        i64 = np.arange(64, dtype=np.int64)
+        pal = np.stack(
+            [(i64 * 6) % 256, (i64 * 10) % 256, (i64 * 14) % 256], axis=1
+        ).astype(np.uint8)
+
+        def emit(out, vals):
+            vals = np.asarray(vals).reshape(-1)
+            out.append(
+                (
+                    int(vals.sum(dtype="int64")),
+                    hashlib.md5(
+                        ",".join(map(str, vals.tolist())).encode()
+                    ).hexdigest(),
+                )
+            )
+
+        for pdf in it:
+            ids, kinds, ws, hs, stats = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                buf = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                L = len(buf)
+                # rgb24 arm
+                w = (L % 16) + 1
+                h = max(1, -(-L // (3 * w)))
+                raster = np.full(3 * w * h, 32, dtype=np.uint8)
+                raster[:L] = buf
+                hh, ww, ch, px = bdec(benc(raster.reshape(h, w, 3)))
+                if (hh, ww, ch) != (h, w, 3):
+                    raise AssertionError(f"BMP rgb24 geometry: {(hh, ww, ch)}")
+                ids.append(doc_id)
+                kinds.append("rgb24")
+                ws.append(ww)
+                hs.append(hh)
+                emit(stats, px)
+                # pal8 arm
+                wp = (L % 20) + 1
+                hp = max(1, -(-L // wp))
+                idx = np.zeros(hp * wp, dtype=np.uint8)
+                idx[:L] = buf % 64
+                hh, ww, ch, px = bdec(benc(idx.reshape(hp, wp), palette=pal))
+                if (hh, ww, ch) != (hp, wp, 3):
+                    raise AssertionError(f"BMP pal8 geometry: {(hh, ww, ch)}")
+                ids.append(doc_id)
+                kinds.append("pal8")
+                ws.append(ww)
+                hs.append(hh)
+                emit(stats, px)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "kind": kinds,
+                    "width": ws,
+                    "height": hs,
+                    "pixel_sum": [s0 for s0, _ in stats],
+                    "pixel_md5": [m for _, m in stats],
+                }
+            )
+
+    return docs.mapInPandas(batches, schema=BMP_SCHEMA)
+
+
 def media_decode_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PALETTE + ADAM7 decode round trip through the generalized
     codec: each document's utf-8 bytes (mod 64) become the index

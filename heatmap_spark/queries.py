@@ -3300,6 +3300,45 @@ SELECT doc_id, width, height,
   md5(array_to_string(vals, ',')) AS pixel_md5
 FROM px""",
     ),
+    # BMP under the value hash, both encode arms (24-bit BGR bottom-up
+    # + 8-bit paletted); oracle replays both expansions analytically.
+    "q_media_bmp": QuerySpec(
+        multimodal.media_decode_bmp,
+        """WITH m AS (SELECT doc_id, strlen(text) AS L, text FROM documents),
+rgb AS (
+  SELECT doc_id, L, text, 'rgb24' AS kind,
+    CAST((L % 16) + 1 AS INTEGER) AS width,
+    CAST(greatest(1, CAST(ceil(L / CAST(3 * ((L % 16) + 1) AS DOUBLE)) AS BIGINT))
+         AS INTEGER) AS height
+  FROM m),
+rgb_px AS (
+  SELECT doc_id, kind, width, height,
+    list_transform(range(1, 3 * width * height + 1),
+      i -> CASE WHEN i <= CAST(L AS INTEGER)
+                THEN ascii(substr(text, CAST(i AS INTEGER), 1))
+                ELSE 32 END) AS vals
+  FROM rgb),
+pal AS (
+  SELECT doc_id, L, text, 'pal8' AS kind,
+    CAST((L % 20) + 1 AS INTEGER) AS width,
+    CAST(greatest(1, CAST(ceil(L / CAST((L % 20) + 1 AS DOUBLE)) AS BIGINT))
+         AS INTEGER) AS height
+  FROM m),
+pal_px AS (
+  SELECT doc_id, kind, width, height,
+    flatten(list_transform(range(1, width * height + 1),
+      i -> CASE WHEN i <= CAST(L AS INTEGER)
+        THEN [ascii(substr(text, CAST(i AS INTEGER), 1)) % 64 * 6 % 256,
+              ascii(substr(text, CAST(i AS INTEGER), 1)) % 64 * 10 % 256,
+              ascii(substr(text, CAST(i AS INTEGER), 1)) % 64 * 14 % 256]
+        ELSE [0, 0, 0] END)) AS vals
+  FROM pal),
+u AS (SELECT * FROM rgb_px UNION ALL SELECT * FROM pal_px)
+SELECT doc_id, kind, width, height,
+  CAST(list_sum(vals) AS BIGINT) AS pixel_sum,
+  md5(array_to_string(vals, ',')) AS pixel_md5
+FROM u""",
+    ),
     # Animated GIF under the value hash: LZW is lossless, so the
     # oracle replays the per-frame palette expansion analytically
     # (frame 1 shifts indices +7 mod 64; delay = 3 + 4*frame_idx).
@@ -6106,13 +6145,12 @@ FROM weighted""",
 # The grading driver records hard correctness rows for the FIRST 50
 # registry entries only.  After the round-8 rotation every pre-r8
 # declared query carries a hard driver row.  Round 9 leads with the
-# seven round-8 landings (sim-green, no driver row yet) and the five
+# seven round-8 landings (sim-green, no driver row yet) and the seven
 # round-9 landings, re-pins the two rowstore queries whose
 # pruning/union code moved in r8, then spends the rest on the
 # STALEST evidence: the streaming-store family (compaction/marker
 # code keeps evolving; most rows date to r3/r4) and every remaining
-# query whose latest row is r1/r2, topping up with three r3-evidence
-# heatmap queries.
+# query whose latest row is r1/r2.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
@@ -6133,6 +6171,8 @@ _PRIORITY = [
     "q_rowstore_cdc_evolution",
     "q_rowstore_conditional_merge",
     "q_media_jpeg",
+    "q_media_gif",
+    "q_media_bmp",
     "q_knn_graph_recall",
     # rowstore re-pins: pruning/union code moved in r8, and r9 touched
     # the rewrite/tombstone path
@@ -6171,9 +6211,6 @@ _PRIORITY = [
     "q_trajectory_similarity",
     "q_leakage_safe_split",
     "q_mixing_sample",
-    # r3-evidence heatmap top-up
-    "q_heatmap_bbox",
-    "q_heatmap_drilldown",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))
