@@ -2124,30 +2124,70 @@ def _top_degree(scored: DataFrame, degree: int) -> DataFrame:
     ).where(F.col("rn") <= degree).drop("rn")
 
 
+def _seed_edges(emb: DataFrame, degree: int) -> DataFrame:
+    """Deterministic RANDOM seed graph with no id-contiguity
+    assumption: two independent murmur3 bucketings at ~degree/2+1
+    members per bucket; every bucket contributes its clique.  One
+    bucketing alone is useless — a union of disjoint cliques is CLOSED
+    under 2-hop composition, so NN-Descent could never leave its seed
+    component; two overlapping clique sets form a connected random
+    graph (each vertex bridges its two buckets).  The same lesson as
+    the earlier stride-ring bug: any seed whose reachability is
+    correlated with id arithmetic silently walls off id-correlated
+    structure (measured 0.00 edge-recall at 20k clustered vectors).
+    Plan shape: two hash-keyed self-joins, no windows, no contiguous
+    ids — works unchanged on arbitrary (hashed, sampled) id sets."""
+    m = emb.count()
+    per = max(2, degree // 2 + 1)
+    n_buckets = max(1, m // per)
+    out = None
+    for salt in (1, 2):
+        b = F.pmod(F.hash(F.col("vec_id"), F.lit(salt)), F.lit(n_buckets))
+        side = emb.select(F.col("vec_id"), b.alias("b"))
+        e = (
+            side.select(F.col("vec_id").alias("src"), "b")
+            .join(side.select(F.col("vec_id").alias("dst"), "b"), "b")
+            .select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+        )
+        out = e if out is None else out.union(e)
+    return out.distinct()
+
+
 def nn_descent_graph(
-    emb: DataFrame, degree: int = 12, iters: int = 4
+    emb: DataFrame,
+    degree: int = 12,
+    iters: int = 4,
+    long_links: int = 4,
 ) -> DataFrame:
     """Approximate kNN GRAPH via NN-Descent: seed every vector with
-    ``degree`` deterministic pseudo-random neighbors (prime-stride
-    ring — no RNG, so builds are reproducible), then ``iters`` rounds
-    of neighbor-of-neighbor exploration: candidates are the current
-    graph's 2-hop pairs in BOTH edge directions, scored and reduced to
-    the best ``degree`` per vertex.  Per round: one self-join of the
-    edge list (keyed on the shared middle vertex), two corpus joins to
-    score, one windowed top-K — candidate volume ~ N·degree², never
-    N².  localCheckpoint between rounds keeps the iterative plan
-    bounded (same idiom as the pyramid cascade).  Returns
-    (src, dst, sim) with ≤ degree edges per src."""
-    n = emb.count()
-    init = (
-        emb.select(F.col("vec_id").alias("src"))
-        .select(
-            "src",
-            F.explode(F.sequence(F.lit(1), F.lit(degree))).alias("j"),
+    ~``degree`` deterministic pseudo-random neighbors (murmur3 bucket
+    cliques — no RNG, so builds are reproducible), then ``iters``
+    rounds of neighbor-of-neighbor exploration: candidates are the
+    current graph's 2-hop pairs in BOTH edge directions, scored and
+    reduced to the best ``degree`` per vertex.  Per round: one
+    self-join of the edge list (keyed on the shared middle vertex),
+    two corpus joins to score, one windowed top-K — candidate volume
+    ~ N·degree², never N².  localCheckpoint between rounds keeps the
+    iterative plan bounded (same idiom as the pyramid cascade).
+    Returns (src, dst, sim) with ≤ degree near edges per src plus up
+    to ``long_links`` retained random long edges (see below)."""
+    init = _seed_edges(emb, degree)
+    # ``long_links`` of the seed edges are KEPT in the final graph
+    # (re-scored, deduped): a pure kNN graph over clustered data is a
+    # set of disconnected near-cliques — greedy search can never cross
+    # clusters (measured: 0.97 edge-recall yet 0.08 search recall at
+    # 20k clustered vectors).  Deterministic random long edges are the
+    # navigable-small-world ingredient (Kleinberg; HNSW keeps them via
+    # its insertion heuristic) that makes the graph an expander.
+    keep_long = None
+    if long_links:
+        wl = W.partitionBy("src").orderBy(F.hash("src", "dst"), F.asc("dst"))
+        keep_long = (
+            init.select("src", "dst", F.row_number().over(wl).alias("rn"))
+            .where(F.col("rn") <= long_links)
+            .select("src", "dst")
         )
-        .select("src", ((F.col("src") + F.col("j") * F.lit(7919)) % n).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-    )
     g = _top_degree(_score_edges(init, emb), degree).localCheckpoint(eager=True)
     for _ in range(iters):
         und = g.select("src", "dst").union(
@@ -2165,6 +2205,11 @@ def nn_descent_graph(
         g = _top_degree(_score_edges(cand, emb), degree).localCheckpoint(
             eager=True
         )
+    if keep_long is not None:
+        extra = keep_long.join(
+            g.select("src", "dst"), ["src", "dst"], "left_anti"
+        )
+        g = g.unionByName(_score_edges(extra, emb)).localCheckpoint(eager=True)
     return g
 
 
@@ -2176,6 +2221,8 @@ def graph_beam_search(
     beam: int = 16,
     hops: int = 4,
     n_entries: int = 4,
+    entry_frontier: DataFrame | None = None,
+    return_frontier: bool = False,
 ) -> DataFrame:
     """Greedy beam search over a neighborhood graph: start every query
     at ``n_entries`` fixed, deterministic entry vertices, and per hop
@@ -2211,7 +2258,12 @@ def graph_beam_search(
             .select("query_id", "node", cos.alias("sim"))
         )
 
-    frontier = queries.select("query_id").crossJoin(F.broadcast(entries))
+    if entry_frontier is not None:
+        # descending the hierarchy: the upper level's beam seeds this
+        # level's traversal (per-query entries, HNSW's greedy descent)
+        frontier = entry_frontier
+    else:
+        frontier = queries.select("query_id").crossJoin(F.broadcast(entries))
     visited = frontier
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node"))
     for _ in range(hops):
@@ -2230,6 +2282,8 @@ def graph_beam_search(
             .localCheckpoint(eager=True)
         )
         visited = visited.localCheckpoint(eager=True)
+    if return_frontier:
+        return frontier
     final = _score_nodes(visited).where(F.col("node") != F.col("query_id"))
     w2 = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node"))
     return final.select(
@@ -2238,6 +2292,96 @@ def graph_beam_search(
         F.col("sim").alias("cosine"),
         F.row_number().over(w2).cast("int").alias("rank"),
     ).where(F.col("rank") <= k)
+
+
+def hnsw_hierarchy(
+    emb: DataFrame,
+    degree: int = 12,
+    iters: int = 4,
+    branch: int = 16,
+    min_level_size: int = 64,
+) -> list[DataFrame]:
+    """The HNSW layer stack, distributed: level 0 is the full-corpus
+    NN-Descent graph; level i keeps the vec_ids with
+    hash(vec_id) ≡ 0 mod branch**i (the 'promote with probability
+    1/branch per layer' rule with a deterministic coin) and builds
+    its own NN-Descent graph.  Upper
+    layers are exponentially smaller, so their build cost telescopes
+    to ~1/(branch-1) of level 0's; the coarsest layer doubles as the
+    entry selector (scored whole, IVF-quantizer style) so search
+    always starts near the query's region regardless of corpus
+    growth.  Membership and seeding are murmur3-hash-based
+    throughout — no contiguous-id assumption anywhere."""
+    graphs = [(1, nn_descent_graph(emb, degree, iters))]
+    n = emb.count()
+    stride = branch
+    while n // stride >= min_level_size:
+        # membership by HASH, never id arithmetic: id-stride sampling
+        # walls off any id-correlated structure (same lattice trap as
+        # the seed-ring bug — a stride-256 layer over id%256 clusters
+        # contained exactly one cluster)
+        sub = emb.where(F.pmod(F.hash("vec_id"), F.lit(stride)) == 0)
+        graphs.append((stride, nn_descent_graph(sub, degree, iters)))
+        stride *= branch
+    return graphs
+
+
+def hnsw_search(
+    emb: DataFrame,
+    graphs: list[DataFrame],
+    n_queries: int = 10,
+    k: int = 5,
+    beam: int = 16,
+    hops: int = 4,
+    n_entries: int = 4,
+) -> DataFrame:
+    """Greedy hierarchy descent (the HNSW search loop): score the
+    ENTIRE coarsest layer against each query (it is N/branch^L rows —
+    exponentially small, the same role as an IVF coarse quantizer;
+    HNSW's top layer is likewise tiny enough that its entry cost is
+    negligible), take the per-query top-``beam`` as the entry
+    frontier, beam-search each intermediate layer handing the beam
+    down, and run the full traversal on level 0.  Every layer's
+    frontier stays n_queries×beam rows — the broadcast-to-the-data
+    shape is unchanged; the hierarchy only fixes WHERE level 0
+    starts."""
+    frontier = None
+    if len(graphs) > 1:
+        top_stride = graphs[-1][0]
+        queries = emb.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            norm_expr(F.col("vec")).alias("qn"),
+        )
+        members = emb.where(
+            F.pmod(F.hash("vec_id"), F.lit(top_stride)) == 0
+        ).select(
+            F.col("vec_id").alias("node"),
+            F.col("vec").alias("nvec"),
+            norm_expr(F.col("vec")).alias("nn"),
+        )
+        sim = F.round(
+            dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node"))
+        frontier = (
+            members.crossJoin(F.broadcast(queries))
+            .select("query_id", "node", sim.alias("sim"))
+            .select("query_id", "node", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") <= beam)
+            .select("query_id", "node")
+            .localCheckpoint(eager=True)
+        )
+    for _stride, g in reversed(graphs[1:]):
+        frontier = graph_beam_search(
+            emb, g, n_queries, k, beam=beam, hops=max(2, hops // 2),
+            n_entries=n_entries, entry_frontier=frontier,
+            return_frontier=True,
+        )
+    return graph_beam_search(
+        emb, graphs[0][1], n_queries, k, beam=beam, hops=hops,
+        n_entries=n_entries, entry_frontier=frontier,
+    )
 
 
 def knn_graph_recall(
@@ -2249,16 +2393,16 @@ def knn_graph_recall(
     iters: int = 4,
     beam: int = 16,
     hops: int = 4,
-    min_recall: float = 0.6,
+    min_recall: float = 0.8,
 ) -> DataFrame:
-    """Recall@k of NN-Descent + beam search vs exact brute force, one
-    row per traversal depth in {1, hops}; the final depth RAISES below
-    ``min_recall`` (in-registry quality pin, same contract as
-    knn_ivf_recall).  Defaults measured at BOTH 500-vector fixtures
-    (sf0.001 and sf0.01 carry different vectors): recall@5 = 0.82 on
-    each, so the 0.6 pin has headroom; the near-random fixture vectors
-    are the hard case for graph ANN — real clustered embeddings
-    navigate better."""
+    """Recall@k of the layered NN-Descent graph + hierarchy-descent
+    beam search vs exact brute force, one row per level-0 traversal
+    depth in {1, hops}; the final depth RAISES below ``min_recall``
+    (in-registry quality pin, same contract as knn_ivf_recall).
+    Measured at BOTH 500-vector fixtures (sf0.001 and sf0.01 carry
+    different vectors): recall@5 = 0.96 on each, so the 0.8 pin has
+    headroom; the 20k-vector clustered probe reads 0.94 hierarchical
+    vs 0.48 flat (scripts/scale_probe.py graphann)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
@@ -2268,11 +2412,11 @@ def knn_graph_recall(
         raise AssertionError(
             "knn_graph_recall: exact kNN returned 0 neighbor pairs"
         )
-    graph = nn_descent_graph(emb, degree=degree, iters=iters)
+    graphs = hnsw_hierarchy(emb, degree=degree, iters=iters)
     rows = []
     for h in (1, hops):
-        approx = graph_beam_search(
-            emb, graph, n_queries, k, beam=beam, hops=h
+        approx = hnsw_search(
+            emb, graphs, n_queries, k, beam=beam, hops=h
         )
         hits = exact.join(
             approx.select("query_id", "neighbor_id"),

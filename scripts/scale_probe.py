@@ -85,6 +85,20 @@ def synthetic_dup_embeddings(spark, n: int):
     return spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("vec"))
 
 
+def synthetic_clustered_embeddings(spark, n: int, centers: int = 256, dim: int = 64):
+    """(vec_id, vec): CLUSTERED vectors — center (id % centers) plus
+    small per-vector noise.  Real embedding corpora are clustered;
+    uniform-random vectors are the degenerate worst case for graph
+    navigation (no structure to navigate)."""
+    c = F.col("id") % centers
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.pmod(F.hash(c, j), F.lit(1000)).cast("double") / 1000.0 - 0.5)
+        + (F.pmod(F.hash(F.col("id"), j), F.lit(100)).cast("double") / 1000.0 - 0.05),
+    )
+    return spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("vec"))
+
+
 def probe_pyramid(spark, n: int) -> None:
     loc = synthetic_locations(spark, n)
     loc.count()  # warm
@@ -1972,6 +1986,51 @@ def probe_codec(spark, n: int) -> None:
     shutil.rmtree(d, ignore_errors=True)
 
 
+def probe_graphann(spark, n: int) -> None:
+    """Graph-ANN scale: NN-Descent build cost per round (candidates
+    ~N·degree², two keyed joins + a top-K window each) and broadcast
+    beam-search latency/recall at corpus sizes the 500-vector fixture
+    can't exercise.  Recall is vs exact brute force on 10 queries."""
+    from heatmap_spark.operators.similarity import (
+        graph_beam_search,
+        hnsw_hierarchy,
+        hnsw_search,
+        knn_cosine_df,
+    )
+
+    emb = synthetic_clustered_embeddings(spark, n).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    graphs = hnsw_hierarchy(emb, degree=12, iters=3)
+    n_edges = graphs[0][1].count()
+    t_build = time.perf_counter() - t0
+    exact = knn_cosine_df(emb, 10, 5).select("query_id", "neighbor_id")
+    exact = exact.localCheckpoint(eager=True)
+    ne = exact.count()
+
+    def recall(df):
+        return (
+            exact.join(
+                df.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            ).count()
+            / ne
+        )
+
+    t0 = time.perf_counter()
+    r_flat = recall(graph_beam_search(emb, graphs[0][1], 10, 5, beam=16, hops=5))
+    t_flat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r_hier = recall(hnsw_search(emb, graphs, 10, 5, beam=16, hops=5))
+    t_hier = time.perf_counter() - t0
+    print(
+        f"graph-ANN {n:,} clustered vecs: hierarchy({len(graphs)} levels, "
+        f"deg 12, 3 rounds) {t_build:.1f}s ({n_edges:,} L0 edges); flat "
+        f"L0-only search recall@5 {r_flat:.2f} in {t_flat:.1f}s vs "
+        f"HIERARCHICAL descent recall@5 {r_hier:.2f} in {t_hier:.1f}s "
+        f"(10 queries, beam 16, 5 hops)"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -1982,7 +2041,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000, "graphann": 50_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -1996,7 +2055,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec, "graphann": probe_graphann}[which](spark, n)
 
 
 if __name__ == "__main__":

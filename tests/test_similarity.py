@@ -441,25 +441,37 @@ def test_kmeans_empty_initial_cluster_preseeded(spark, sf_smoke, tmp_path):
 
 
 def test_nn_descent_graph_invariants(spark, sf_smoke):
-    """NN-Descent: ≤ degree out-edges per vertex, no self-loops, every
-    vertex present, deterministic rebuild, and each descent round must
-    IMPROVE mean neighbor similarity (the algorithm's contract: 2-hop
-    exploration only ever replaces an edge with a closer one)."""
+    """NN-Descent: ≤ degree+long_links out-edges per vertex, no
+    self-loops, every vertex present, deterministic rebuild, and each
+    descent round must IMPROVE mean NEAR-neighbor similarity (the
+    algorithm's contract: 2-hop exploration only ever replaces an edge
+    with a closer one; the retained random long links are shared by
+    both builds, so they cancel in the comparison only if excluded —
+    compare per-src top-degree edges)."""
     from heatmap_spark.operators.similarity import nn_descent_graph
 
     emb = load_table(spark, sf_smoke, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     n = emb.count()
-    g0 = nn_descent_graph(emb, degree=6, iters=0)
-    g2 = nn_descent_graph(emb, degree=6, iters=2)
+    g0 = nn_descent_graph(emb, degree=6, iters=0, long_links=2)
+    g2 = nn_descent_graph(emb, degree=6, iters=2, long_links=2)
+    from pyspark.sql.window import Window as W
+
+    wtop = W.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+
+    def near(g):
+        return g.select(
+            "src", "dst", "sim", F.row_number().over(wtop).alias("rn")
+        ).where(F.col("rn") <= 6)
+
     for g in (g0, g2):
         assert g.where(F.col("src") == F.col("dst")).count() == 0
         assert g.select("src").distinct().count() == n
         deg = g.groupBy("src").count().agg(F.max("count")).first()[0]
-        assert deg <= 6
-    m0 = g0.agg(F.avg("sim")).first()[0]
-    m2 = g2.agg(F.avg("sim")).first()[0]
+        assert deg <= 6 + 2
+    m0 = near(g0).agg(F.avg("sim")).first()[0]
+    m2 = near(g2).agg(F.avg("sim")).first()[0]
     assert m2 > m0, (m0, m2)
     # deterministic rebuild: identical edge sets
     g2b = nn_descent_graph(emb, degree=6, iters=2)
@@ -482,6 +494,7 @@ def test_graph_beam_search_properties(spark, sf_smoke):
     )
     graph = nn_descent_graph(emb, degree=12, iters=4)
     exact = knn_cosine_df(emb, 5, 3).select("query_id", "neighbor_id")
+    assert graph.count() > 0
     ne = exact.count()
 
     res = graph_beam_search(emb, graph, n_queries=5, k=3).collect()
