@@ -358,10 +358,26 @@ def make_rowstore_datasource():
         when this reader is built — the schema Spark binds the stream
         to): files from commits that later EVOLVE the schema replay
         projected onto the start-time columns, so every micro-batch
-        matches the stream's declared schema."""
+        matches the stream's declared schema.
 
-        def __init__(self, path):
+        ``max_versions_per_batch`` (reader option) rate-limits
+        catch-up: a stream starting far behind the latest manifest
+        version advances at most that many commits per micro-batch
+        (Delta's maxFilesPerTrigger shape) instead of loading the
+        whole backlog into one driver-side batch — the knob that keeps
+        recovery batches bounded at scale.  A continuous
+        (processing-trigger) stream catches up across successive
+        micro-batches; an availableNow run takes ONE bounded batch
+        from the checkpoint and stops (Spark sizes the run from the
+        first read's end offset), so batch-mode catch-up is "repeat
+        drains until the offset stops advancing" — pinned in
+        tests."""
+
+        def __init__(self, path, max_versions_per_batch=None):
             self.path = path
+            self.max_versions = (
+                int(max_versions_per_batch) if max_versions_per_batch else None
+            )
             man = _load_man(path)
             self._canon = [
                 f["name"] for f in _json.loads(man["schema"])["fields"]
@@ -415,8 +431,18 @@ def make_rowstore_datasource():
         def read(self, start):
             man = _load_man(self.path)
             latest = man["version"]
-            rows = self._rows(self._files_between(start["version"], latest))
-            return rows, {"version": latest}
+            end = latest
+            if self.max_versions is not None:
+                end = min(latest, start["version"] + self.max_versions)
+            if end == start["version"]:
+                # caught up: Spark's simple-reader wrapper probes a
+                # SAME-OFFSET result with next(it) expecting
+                # StopIteration — hand it an (empty) ITERATOR, not a
+                # list (TypeError otherwise; latent until a drain ran
+                # against an already-current store)
+                return iter(()), {"version": end}
+            rows = self._rows(self._files_between(start["version"], end))
+            return rows, {"version": end}
 
         def readBetweenOffsets(self, start, end):
             return self._rows(self._files_between(start["version"], end["version"]))
@@ -717,7 +743,10 @@ def make_rowstore_datasource():
             return RowStoreReader(self.options["path"], self.options)
 
         def simpleStreamReader(self, schema):
-            return RowStoreStreamReader(self.options["path"])
+            return RowStoreStreamReader(
+                self.options["path"],
+                self.options.get("max_versions_per_batch"),
+            )
 
         def streamWriter(self, schema, overwrite):
             path = self.options["path"]
@@ -1000,10 +1029,19 @@ def rowstore_history(path: str) -> list[dict]:
     return out
 
 
-def stream_rowstore(spark: SparkSession, path: str) -> DataFrame:
-    """readStream over the store's commit log (manifest versions)."""
+def stream_rowstore(
+    spark: SparkSession, path: str, max_versions_per_batch: int | None = None
+) -> DataFrame:
+    """readStream over the store's commit log (manifest versions).
+
+    ``max_versions_per_batch`` bounds how many commits a micro-batch
+    may advance (catch-up rate limiting; None = unbounded; an
+    availableNow run then takes one bounded batch per drain)."""
     register_rowstore(spark)
-    return spark.readStream.format(FORMAT_NAME).option("path", path).load()
+    r = spark.readStream.format(FORMAT_NAME).option("path", path)
+    if max_versions_per_batch is not None:
+        r = r.option("max_versions_per_batch", str(max_versions_per_batch))
+    return r.load()
 
 
 def stream_write_rowstore(
