@@ -1152,17 +1152,71 @@ def compact_rowstore(spark: SparkSession, path: str) -> int:
     return max(0, len(before_files) - len(new["files"]))
 
 
+def _zorder_expr(df: DataFrame, cols: list[str], bits: int = 8):
+    """Multi-column ZORDER key the way Delta's OPTIMIZE builds one:
+    quantile-bucket each column into 2^bits range ids (equal-FREQUENCY
+    via percentile_approx, so skew splits instead of hot-spotting —
+    equal-width buckets would put 99% of a skewed column in one id),
+    then bit-interleave the ids.  One small aggregate computes the
+    boundaries (2^bits-1 literals per column, embedded in the plan);
+    the key itself is map-only Column math.  Numeric/timestamp columns
+    only — the quantile step needs an ordered cast to double."""
+    from pyspark.sql import functions as F
+
+    n_b = (1 << bits) - 1
+    qs = [i / (n_b + 1) for i in range(1, n_b + 1)]
+    ids = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        bounds = (
+            df.select(
+                F.percentile_approx(v, qs, 10_000).alias("b")
+            ).first()["b"]
+        ) or []
+        arr = F.array(*[F.lit(float(b)) for b in bounds]) if bounds else F.array()
+        ids.append(
+            F.aggregate(
+                arr,
+                F.lit(0).cast("bigint"),
+                lambda acc, bv: acc
+                + F.when(v >= bv, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+            )
+        )
+    # interleave: bit b of column i lands at position b*len(cols)+i
+    terms = []
+    for i, bid in enumerate(ids):
+        for b in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(bid, b).bitwiseAND(F.lit(1)),
+                    b * len(ids) + i,
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
 def optimize_rowstore(
-    spark: SparkSession, path: str, by: str, n_partitions: int | None = None
+    spark: SparkSession,
+    path: str,
+    by: str | list[str],
+    n_partitions: int | None = None,
 ) -> int:
-    """OPTIMIZE ... ZORDER-style clustering rewrite: repartition the
-    store BY RANGE on (bucket, ``by``) and rewrite, so each bucket's
-    files carry tight, near-disjoint ``by`` ranges — which makes the
-    per-file column stats (data skipping) selective for range
-    predicates on ``by``.  Same distributed read → overwrite path and
-    version restoration as :func:`compact_rowstore`; old files become
-    unreferenced until :func:`vacuum_rowstore`.  Returns the number of
-    live files after the rewrite.
+    """OPTIMIZE ... ZORDER-style clustering rewrite.  With a single
+    ``by`` column: repartition the store BY RANGE on (bucket, ``by``)
+    and rewrite, so each bucket's files carry tight, near-disjoint
+    ``by`` ranges — which makes the per-file column stats (data
+    skipping) selective for range predicates on ``by``.  With a LIST
+    of columns: range-partition on (bucket, Morton key of the columns'
+    quantile-bucket ids) — Delta's multi-column ZORDER — so range
+    predicates on ANY listed column prune (each key range spans a
+    bounded slab of every interleaved dimension; pinned in
+    tests/test_rowstore.py).  Same distributed read → overwrite path
+    and version restoration as :func:`compact_rowstore`; old files
+    become unreferenced until :func:`vacuum_rowstore`.  Returns the
+    number of live files after the rewrite.
 
     At scale this is the standard layout-maintenance job: run it on
     the cold tail after ingest settles; range partitioning samples the
@@ -1177,9 +1231,14 @@ def optimize_rowstore(
     old_version, old_epochs = man["version"], man.get("epochs", [])
     n = n_partitions or max(2, len([e for e in man["files"] if "rm" not in e]))
     bucket_expr = F.crc32(F.col(key).cast("string").cast("binary")) % nb
-    df = read_rowstore(spark, path).repartitionByRange(
-        n, bucket_expr, F.col(by)
-    )
+    base = read_rowstore(spark, path)
+    if isinstance(by, str):
+        cluster_key = F.col(by)
+    elif len(by) == 1:
+        cluster_key = F.col(by[0])
+    else:
+        cluster_key = _zorder_expr(base, list(by))
+    df = base.repartitionByRange(n, bucket_expr, cluster_key)
     write_rowstore(df, path, bucket_key=key, n_buckets=nb, mode="overwrite")
     new = read_manifest(path)
     new["version"] = old_version + 1

@@ -989,3 +989,47 @@ def test_stream_rate_limit_bounds_catchup_batches(spark, sf_smoke, tmp_path):
     assert loc.exceptAll(got).isEmpty()
     # caught up: a further drain adds nothing
     assert drain() == c3
+
+
+def test_optimize_multi_column_zorder_prunes_both_dimensions(spark, tmp_path):
+    """optimize_rowstore(by=[a, b]) — Delta-style multi-column ZORDER
+    (quantile-bucket ids, bit-interleaved): after the rewrite a range
+    predicate on EITHER column prunes files via per-file stats, and
+    pruning never changes results.  Single-column clustering by 'a'
+    would leave 'b' scattered across every file."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from heatmap_spark.sources.rowstore import optimize_rowstore
+
+    store = str(tmp_path / "z")
+    df = spark.range(40000).select(
+        F.concat(F.lit("u"), (F.col("id") % 97)).alias("user_id"),
+        (F.col("id") % 500).alias("a"),
+        ((F.col("id") * 7919) % 1000).alias("b"),
+    )
+    write_rowstore(
+        df.repartition(8), store, bucket_key="user_id", n_buckets=2,
+        mode="overwrite",
+    )
+    cls = make_rowstore_datasource()
+
+    def nparts(filters):
+        ds = cls(options={"path": store, "max_partition_bytes": "1",
+                          "open_cost_bytes": "0"})
+        r = ds.reader(ds.schema())
+        if filters:
+            r.pushFilters(filters)
+        return len(r.partitions())
+
+    optimize_rowstore(spark, store, by=["a", "b"], n_partitions=16)
+    full = nparts([])
+    pruned_a = nparts([GreaterThanOrEqual(("a",), 450)])
+    pruned_b = nparts([GreaterThanOrEqual(("b",), 900)])
+    assert pruned_a < full, (pruned_a, full)
+    assert pruned_b < full, (pruned_b, full)
+    # results identical through the real read path, both dimensions
+    for col, cut in (("a", 450), ("b", 900)):
+        got = read_rowstore(spark, store).where(F.col(col) >= cut)
+        exp = df.where(F.col(col) >= cut)
+        assert got.count() == exp.count() > 0
+        assert exp.exceptAll(got.select("user_id", "a", "b")).isEmpty()
