@@ -2429,3 +2429,60 @@ def knn_graph_recall(
             f"pinned {min_recall}"
         )
     return spark.createDataFrame(rows, "hops int, recall double")
+
+
+def knn_cosine_filtered(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    lang: str = "en",
+) -> DataFrame:
+    """FILTERED vector search — exact top-k cosine restricted to the
+    corpus vectors whose joined metadata row passes a predicate (the
+    production "search within a tenant/language/date slice" shape).
+    This is PRE-FILTERING: the predicate pushes down to the metadata
+    scan, a keyed join keeps only passing vectors, and the brute-force
+    kernel runs on the filtered corpus — so the slice always yields
+    exactly k results when it has k members, unlike post-filtering a
+    fixed-size ANN result (which silently under-fills selective
+    slices).  At scale the same pre-filter composes with the IVF/graph
+    indexes by intersecting candidate lists with the predicate's id
+    set (a bounded keyed join) — the standard filtered-ANN trade.
+    Queries themselves stay unfiltered (a query may live outside the
+    slice it searches)."""
+    from heatmap_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    passing = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("lang") == lang)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        norm_expr(F.col("vec")).alias("qn"),
+    )
+    corpus = emb.join(passing, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        norm_expr(F.col("vec")).alias("nn"),
+    )
+    sim = F.round(
+        dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.row_number().over(w).cast("int").alias("rank"),
+    ).where(F.col("rank") <= k)

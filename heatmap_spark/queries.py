@@ -2923,6 +2923,28 @@ SELECT vec_id, cluster,
   CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
 FROM a2""",
     ),
+    # Filtered vector search (pre-filter, exact): corpus restricted to
+    # lang='en' docs via a pushed predicate + keyed join.
+    "q_knn_filtered": QuerySpec(
+        similarity.knn_cosine_filtered,
+        """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 10),
+c AS (SELECT e.vec_id, e.vec FROM emb e
+      JOIN documents d ON e.vec_id = d.doc_id WHERE d.lang = 'en'),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+    round(
+      list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * e.vec[i])) /
+      (sqrt(list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * qvec[i]))) *
+       sqrt(list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * e.vec[i])))),
+      6) AS cosine
+  FROM c e CROSS JOIN q WHERE e.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""",
+    ),
     "q_knn_cosine_ivf": QuerySpec(similarity.knn_cosine_ivf, None),
     # PQ-ADC compressed-domain search + exact re-rank; rows-only with
     # an in-registry recall pin (raises below 0.85) like q_knn_ivf_recall.
@@ -6191,7 +6213,7 @@ FROM weighted""",
 # The grading driver records hard correctness rows for the FIRST 50
 # registry entries only.  After the round-8 rotation every pre-r8
 # declared query carries a hard driver row.  Round 9 leads with the
-# seven round-8 landings (sim-green, no driver row yet) and the eight
+# seven round-8 landings (sim-green, no driver row yet) and the nine
 # round-9 landings, re-pins the two rowstore queries whose
 # pruning/union code moved in r8, then spends the rest on the
 # STALEST evidence: the streaming-store family (compaction/marker
@@ -6219,6 +6241,7 @@ _PRIORITY = [
     "q_media_jpeg",
     "q_media_gif",
     "q_media_bmp",
+    "q_knn_filtered",
     "q_knn_graph_recall",
     "q_streaming_graph_ann",
     # rowstore re-pins: pruning/union code moved in r8, and r9 touched
@@ -6256,7 +6279,6 @@ _PRIORITY = [
     "q_chunk_documents",
     "q_tpch_q18",
     "q_trajectory_similarity",
-    "q_leakage_safe_split",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))
