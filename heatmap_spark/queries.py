@@ -1035,13 +1035,15 @@ def q_streaming_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the touched old nodes — per-batch cost O(batch·degree²),
     nothing proportional to accumulated edges.  Serving brute-forces
     the hash-promoted coarse member set as the entry selector and
-    beam-searches the maintained graph.  Rows-only with a raise pin:
+    beam-searches the maintained graph (compaction folded mid-stream,
+    so the read spans base + partial).  Rows-only with a raise pin:
     recall@5 vs exact brute force must stay ≥ 0.8 (measured 0.98/1.00
     at the two fixtures — the incremental insertion search scores
     MORE direct candidates per node than the one-shot build's 0.96)."""
     from heatmap_spark.operators.similarity import knn_cosine_df
     from heatmap_spark.sources.tables import load_table
     from heatmap_spark.streaming.graph_store import (
+        compact_graph_store,
         merge_batch_into_graph_store,
         search_graph_store,
     )
@@ -1054,6 +1056,10 @@ def q_streaming_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(3):
         batch = emb.where(F.expr(f"CAST(vec_id * 3 DIV {mx} AS INT)") == b)
         merge_batch_into_graph_store(spark, batch, store, b)
+        if b == 1:
+            # mid-stream LSM fold — the serving read below spans
+            # (compacted base + 1 partial), like the sibling stores
+            compact_graph_store(spark, store)
     exact = knn_cosine_df(emb, 10, 5).select("query_id", "neighbor_id")
     n_exact = exact.count()
     got = search_graph_store(spark, store)

@@ -18,7 +18,10 @@ insertion:
   wins" — no tombstones needed.
 
 Per-batch cost is O(batch·degree²) plus one bounded coarse-member
-scan — nothing proportional to accumulated EDGES is rewritten.  The
+scan — nothing proportional to accumulated EDGES is rewritten;
+:func:`compact_graph_store` folds the partials into a versioned base
+(the family's LSM protocol) so reads touch ≤ (1 base + recent
+partials) regardless of stream age.  The
 hierarchy's upper layers are not maintained per batch; serving
 brute-forces the (hash-static, 1/branch-sized) coarse member set as
 its entry selector, exactly like hnsw_search's top layer — so the
@@ -44,7 +47,9 @@ from heatmap_spark.operators.similarity import (
     norm_expr,
 )
 from heatmap_spark.streaming.passages import (
+    _batch_id,
     _committed_batches,
+    _parse_base_marker,
     _read_last_batch,
 )
 from heatmap_spark.streaming.tile_store import _Fs, _join
@@ -81,15 +86,72 @@ def read_vectors(spark: SparkSession, store: str) -> DataFrame:
     return spark.read.parquet(*dirs)
 
 
+def _edges_base(spark: SparkSession, store: str):
+    """(compacted edge base, version, max folded batch id) —
+    (None, -1, -1) if never compacted."""
+    fs = _Fs()
+    marker = _join(store, "edges_base", _LATEST)
+    if not fs.exists(marker):
+        return None, -1, -1
+    ver, folded = _parse_base_marker(fs.read_text(marker))
+    return (
+        spark.read.parquet(_join(store, "edges_base", f"v={ver}")),
+        ver,
+        folded,
+    )
+
+
 def read_graph_edges(spark: SparkSession, store: str) -> DataFrame:
     """Current adjacency: per src, the edges of its LATEST contributing
-    batch (later insertions supersede a node's earlier out-edges)."""
-    dirs = _committed_batches(store, "edges")
-    all_e = spark.read.parquet(*dirs).withColumn(
-        "b", F.regexp_extract(F.input_file_name(), r"batch=(\d+)", 1).cast("int")
+    batch (later insertions supersede a node's earlier out-edges).
+    Reads the compacted base (every folded batch already resolved to
+    per-src-latest) plus only the post-fold partials — the base wins
+    only where no later partial touched the src, so the union rule is
+    "base at batch −1, partials at their real ids, max wins"."""
+    base, _ver, folded = _edges_base(spark, store)
+    dirs = _committed_batches(store, "edges", min_batch=folded)
+    parts = None
+    if dirs:
+        parts = spark.read.parquet(*dirs).withColumn(
+            "b",
+            F.regexp_extract(F.input_file_name(), r"batch=(\d+)", 1).cast("int"),
+        )
+    if base is not None:
+        tagged = base.withColumn("b", F.lit(-1).cast("int"))
+        parts = tagged if parts is None else parts.unionByName(tagged)
+    latest = parts.groupBy("src").agg(F.max("b").alias("b"))
+    return parts.join(latest, ["src", "b"]).select("src", "dst", "sim")
+
+
+def compact_graph_store(spark: SparkSession, store: str) -> int:
+    """LSM compaction: resolve per-src-latest adjacency across the
+    base and every committed edge partial, write it as a new base
+    version (marker-committed, ``ver:folded`` payload — the family
+    protocol), then GC the folded partials.  Returns the number of
+    partials folded.  Same crash contract as the other stores: reads
+    skip partials ≤ the marker's folded id, so the deletes are pure
+    GC and a crash between swap and delete never double-serves an
+    edge set."""
+    fs = _Fs(spark)
+    _base, ver, folded = _edges_base(spark, store)
+    partials = _committed_batches(store, "edges", min_batch=folded)
+    if not partials:
+        for p in _committed_batches(store, "edges"):
+            if _batch_id(p) <= folded:
+                fs.delete(p)
+        return 0
+    new_folded = max(_batch_id(p) for p in partials)
+    merged = read_graph_edges(spark, store)
+    merged.write.mode("overwrite").parquet(
+        _join(store, "edges_base", f"v={ver + 1}")
     )
-    latest = all_e.groupBy("src").agg(F.max("b").alias("b"))
-    return all_e.join(latest, ["src", "b"]).select("src", "dst", "sim")
+    fs.write_text_atomic(
+        _join(store, "edges_base", _LATEST), f"{ver + 1}:{new_folded}"
+    )
+    for p in _committed_batches(store, "edges"):
+        if _batch_id(p) <= new_folded:
+            fs.delete(p)
+    return len(partials)
 
 
 def merge_batch_into_graph_store(

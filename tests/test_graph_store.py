@@ -92,3 +92,39 @@ def test_search_recall_vs_exact(spark, sf_smoke, tmp_path):
         got.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     ).count()
     assert hits / ne >= 0.8, hits / ne
+
+
+def test_compaction_is_transparent_and_replay_safe(spark, sf_smoke, tmp_path):
+    """compact_graph_store folds edge partials into a versioned base:
+    adjacency is IDENTICAL before and after (per-src-latest already
+    resolved), a post-compaction merge still supersedes base rows, a
+    second compaction folds the new partial, and serving recall is
+    unchanged.  Crash contract: partials ≤ the marker's folded id are
+    invisible, so re-running the GC is a no-op."""
+    from heatmap_spark.streaming.graph_store import compact_graph_store
+
+    emb = _emb(spark, sf_smoke)
+    store = str(tmp_path / "g")
+    batches = _batches(emb)
+    merge_batch_into_graph_store(spark, batches[0], store, 0)
+    merge_batch_into_graph_store(spark, batches[1], store, 1)
+    before = read_graph_edges(spark, store).localCheckpoint(eager=True)
+    assert compact_graph_store(spark, store) == 2
+    after = read_graph_edges(spark, store)
+    assert before.exceptAll(after).isEmpty() and after.exceptAll(before).isEmpty()
+    # idempotent: nothing new to fold
+    assert compact_graph_store(spark, store) == 0
+    # a later merge supersedes base adjacency for the nodes it touches
+    merge_batch_into_graph_store(spark, batches[2], store, 2)
+    g = read_graph_edges(spark, store)
+    assert g.select("src").distinct().count() == emb.count()
+    assert g.groupBy("src").count().agg(F.max("count")).first()[0] <= 12
+    # second fold absorbs the new partial; serving still hits the bar
+    assert compact_graph_store(spark, store) == 1
+    exact = knn_cosine_df(emb, 10, 5).select("query_id", "neighbor_id")
+    ne = exact.count()
+    got = search_graph_store(spark, store)
+    hits = exact.join(
+        got.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    assert hits / ne >= 0.8, hits / ne
