@@ -600,3 +600,27 @@ def test_round5c_landings_plan_shapes(spark, sf_smoke):
 
     pp = preference_pairs(spark, sf_smoke)
     assert not has_python_eval(pp)
+
+
+def test_graph_beam_search_broadcasts_frontier(spark, sf_smoke):
+    """The graph-ANN traversal must ship the tiny frontier TO the
+    corpus: every join in a hop's plan is a broadcast join — a
+    SortMergeJoin/ShuffledHashJoin would mean the corpus (100 TB at
+    scale) is being exchanged per hop."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.similarity import (
+        graph_beam_search,
+        nn_descent_graph,
+    )
+    from heatmap_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    g = nn_descent_graph(emb, degree=6, iters=1)
+    res = graph_beam_search(emb, g, 5, 3, beam=8, hops=1)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
