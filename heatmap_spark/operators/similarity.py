@@ -2223,6 +2223,7 @@ def graph_beam_search(
     n_entries: int = 4,
     entry_frontier: DataFrame | None = None,
     return_frontier: bool = False,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy beam search over a neighborhood graph: start every query
     at ``n_entries`` fixed, deterministic entry vertices, and per hop
@@ -2231,7 +2232,16 @@ def graph_beam_search(
     frontier.  The frontier (n_queries×beam rows) is broadcast into
     keyed joins on the edge list and corpus, so no hop shuffles the
     big side.  Returns the exact-cosine top-``k`` of the VISITED set
-    (query_id, neighbor_id, cosine, rank)."""
+    (query_id, neighbor_id, cosine, rank).
+
+    ``allowed`` (a one-column vec_id relation) restricts the FINAL
+    ranking to the filtered slice while traversal stays unrestricted —
+    the standard filtered-HNSW recipe for moderately selective
+    filters: blocked nodes still route the walk, they just can't be
+    answers.  The slice can only fill k when visited∩allowed has k
+    members, so selective filters want a wider beam/more hops (the
+    caller's dial); highly selective slices should pre-filter into
+    the exact kernel instead (knn_cosine_filtered)."""
     n = emb.count()
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -2285,6 +2295,9 @@ def graph_beam_search(
     if return_frontier:
         return frontier
     final = _score_nodes(visited).where(F.col("node") != F.col("query_id"))
+    if allowed is not None:
+        ok = allowed.select(F.col(allowed.columns[0]).alias("node")).distinct()
+        final = final.join(ok, "node")
     w2 = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node"))
     return final.select(
         "query_id",
@@ -2334,6 +2347,7 @@ def hnsw_search(
     beam: int = 16,
     hops: int = 4,
     n_entries: int = 4,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy hierarchy descent (the HNSW search loop): score the
     ENTIRE coarsest layer against each query (it is N/branch^L rows —
@@ -2380,7 +2394,7 @@ def hnsw_search(
         )
     return graph_beam_search(
         emb, graphs[0][1], n_queries, k, beam=beam, hops=hops,
-        n_entries=n_entries, entry_frontier=frontier,
+        n_entries=n_entries, entry_frontier=frontier, allowed=allowed,
     )
 
 

@@ -515,3 +515,41 @@ def test_graph_beam_search_properties(spark, sf_smoke):
     # beam == corpus and enough hops to reach everything ⇒ exact
     n = emb.count()
     assert recall(hops=6, beam=n) == 1.0
+
+
+def test_graph_beam_search_filtered_slice(spark, sf_smoke):
+    """Filtered graph search (the filtered-HNSW recipe): traversal is
+    unrestricted, the final ranking joins the allowed slice — every
+    answer satisfies the filter, and against the exact FILTERED top-k
+    (the knn_cosine_filtered semantics) recall stays useful at a
+    widened beam."""
+    from pyspark.sql import functions as F2
+
+    from heatmap_spark.operators.similarity import (
+        hnsw_hierarchy,
+        hnsw_search,
+        knn_cosine_filtered,
+    )
+    from heatmap_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    allowed = (
+        load_table(spark, sf_smoke, "documents")
+        .where(F2.col("lang") == "en")
+        .select(F2.col("doc_id").alias("vec_id"))
+    )
+    graphs = hnsw_hierarchy(emb)
+    got = hnsw_search(emb, graphs, 10, 5, beam=32, hops=5, allowed=allowed)
+    ids = {r["vec_id"] for r in allowed.collect()}
+    rows = got.collect()
+    assert rows and all(r["neighbor_id"] in ids for r in rows)
+    exact = knn_cosine_filtered(spark, sf_smoke).select(
+        "query_id", "neighbor_id"
+    )
+    ne = exact.count()
+    hits = exact.join(
+        got.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    assert hits / ne >= 0.6, hits / ne
