@@ -864,3 +864,126 @@ def annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus three times per materialization
     pairs = F.array(*[pair_struct(a, b) for a, b in ((0, 1), (0, 2), (1, 2))])
     return agg.select(F.explode(pairs).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Portable HLL: deterministic md5-register HyperLogLog (cross-engine exact)
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8  # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 56  # md5 bits after the bucket prefix used for rho
+_HLL_SCALE = 1 << (_HLL_WBITS + 1)  # 2^57: exact-integer scale for Σ 2^-rho
+
+
+def _hll_alpha() -> Column:
+    """alpha_256 as the SAME IEEE expression tree the oracle writes:
+    0.7213 / (1.0 + 1.079 / 256.0) — every literal a double."""
+    return F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+
+
+def hll_register_table(
+    df: DataFrame, key: Column | str, group_cols: list[str]
+) -> DataFrame:
+    """(group..., bucket, rho) register table of a from-scratch
+    HyperLogLog with p=8 — the sketch ITSELF, not an opaque binary.
+
+    Flajolet HLL over a portable hash: h = md5(string(key)); the first
+    2 hex chars are the bucket (0..255), the next 14 hex chars are a
+    56-bit value w, and rho = (leading zeros of w in 56 bits) + 1 =
+    57 - bit_length(w), computed as integer string-length of bin(w) —
+    no float log2, so the register values are EXACTLY reproducible in
+    any engine with md5 + bin (DuckDB oracle mirrors them bit-for-bit,
+    unlike `hll_sketch_agg`'s engine-private binary, which is why
+    q_hll_sketches is rows-only but q_hll_portable carries a full
+    value hash).
+
+    The register table is the persistence/merge unit: ≤256 rows per
+    group regardless of input size, merged by max(rho) per bucket —
+    commutative, associative, idempotent, so partial sketches from any
+    partitioning (per-day, per-file, per-executor) union into the same
+    registers the one-shot build produces.  At 100 TB: sketch each
+    ingest partition once, store 256-row register tables, and answer
+    cardinality queries (and their unions) without ever rescanning.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(key.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 3, 14), 16, 10).cast("bigint")
+    rho = (
+        F.when(w == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(F.lit(_HLL_WBITS + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Cardinality estimate off a register table: raw harmonic-mean
+    estimate with Flajolet's small-range linear-counting correction.
+
+    Σ 2^-rho is computed EXACTLY: each register contributes the integer
+    2^(57-rho) (bigint shift), absent registers contribute 2^57, and
+    the decimal-summed total is divided by 2^57 only after the single
+    cast to double — order-independent, so the estimate is bit-identical
+    on any partitioning and in the DuckDB oracle."""
+    two57 = F.lit(_HLL_SCALE).cast("decimal(20,0)")
+    est = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("registers_set"),
+        F.sum(
+            F.expr(
+                f"CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - rho)"
+                " AS DECIMAL(20,0))"
+            )
+        ).alias("s_present"),
+    )
+    zeros = (F.lit(_HLL_M) - F.col("registers_set")).cast("int")
+    s = (F.col("s_present") + zeros.cast("decimal(20,0)") * two57).cast("double")
+    raw = _hll_alpha() * F.lit(float(_HLL_M * _HLL_M)) / (s / F.lit(float(_HLL_SCALE)))
+    linear = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double"))
+    users = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (zeros > 0), linear
+    ).otherwise(raw)
+    return est.select(
+        *group_cols,
+        F.round(users, 4).alias("hll_users"),
+        "registers_set",
+    )
+
+
+def hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query (q_hll_portable): per-event-type distinct-user
+    estimates from the portable register-table HLL, plus the lossless
+    register-max union as '__all__', each beside the exact count.
+
+    The union row is the mergeability demonstration: '__all__' is NOT
+    re-sketched from raw data — its registers are max(rho) over the
+    per-type register tables (256-row inputs), exactly how stored
+    partial sketches combine at 100 TB.  Every value is deterministic
+    (md5 registers + exact-integer harmonic sum), so the driver
+    value-hashes estimates AND register counts against DuckDB."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = hll_register_table(ev, "user_id", ["event_type"])
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("__all__").alias("event_type"), "bucket", "rho")
+    )
+    est = hll_estimate(regs.unionByName(merged), ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    exact_all = ev.agg(
+        F.count_distinct("user_id").alias("exact_users")
+    ).select(F.lit("__all__").alias("event_type"), "exact_users")
+    exact_u = exact.unionByName(exact_all)
+    return est.join(exact_u, "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        "hll_users",
+        "registers_set",
+    )

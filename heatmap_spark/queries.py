@@ -977,6 +977,100 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return estimate_heavy_hitters(spark, store, candidates)
 
 
+# Shared oracle for the portable HLL (q_hll_portable) and its streamed
+# register store (q_streaming_hll): the md5-register sketch is fully
+# deterministic, so BOTH the one-shot build and the 3-batch incremental
+# store must hash-match this SQL — see operators/profiling.py
+# hll_register_table for the bit-compatibility contract.
+_HLL_PORTABLE_SQL = """WITH parts AS (
+  SELECT event_type,
+    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) AS bucket,
+    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 14) AS BIGINT) AS w
+  FROM events),
+regs AS (
+  SELECT event_type, bucket,
+    max(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END) AS rho
+  FROM parts GROUP BY 1, 2),
+merged AS (
+  SELECT event_type, bucket, rho FROM regs
+  UNION ALL
+  SELECT '__all__' AS event_type, bucket, max(rho) AS rho FROM regs GROUP BY 2),
+est AS (
+  SELECT event_type,
+    CAST(count(*) AS INTEGER) AS registers_set,
+    sum(CAST(1 AS BIGINT) << (57 - rho)) AS s_present
+  FROM merged GROUP BY 1),
+fin AS (
+  SELECT event_type, registers_set,
+    CAST(s_present + (256 - registers_set) * CAST(144115188075855872 AS HUGEINT)
+         AS DOUBLE) AS s
+  FROM est),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1
+  UNION ALL
+  SELECT '__all__' AS event_type, count(DISTINCT user_id) FROM events)
+SELECT f.event_type,
+  CAST(ex.exact_users AS BIGINT) AS exact_users,
+  round(CASE WHEN CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+                  * 65536.0 / (s / CAST(144115188075855872 AS DOUBLE)) <= 640.0
+              AND registers_set < 256
+         THEN 256.0 * ln(256.0 / CAST(256 - registers_set AS DOUBLE))
+         ELSE CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+              * 65536.0 / (s / CAST(144115188075855872 AS DOUBLE)) END, 4) AS hll_users,
+  registers_set
+FROM fin f JOIN ex USING (event_type)"""
+
+
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-user sketching: events arrive as 3
+    deterministic batches (event_id thirds); each batch writes its
+    ≤256-row-per-type register partial into the log-structured HLL
+    store, with an LSM compaction after batch 1 so the final read spans
+    (compacted base + 1 partial).  Accumulated registers equal the
+    one-shot sketch of the whole table by the max-merge identity, so
+    this SHARES q_hll_portable's oracle — the value hash certifies
+    incremental sketch maintenance end-to-end."""
+    from heatmap_spark.operators.profiling import hll_estimate
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.hll import (
+        accumulated_registers,
+        compact_hll_store,
+        merge_batch_into_hll_store,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    mx = ev.agg(F.max("event_id")).first()[0] + 1
+    store = _scratch_dir("hll_store_q_") + "/store"
+    for b in range(3):
+        batch = ev.where(F.expr(f"CAST(event_id * 3 DIV {mx} AS INT)") == b).select(
+            "event_type", "user_id"
+        )
+        merge_batch_into_hll_store(spark, batch, store, b)
+        if b == 1:
+            compact_hll_store(spark, store)
+    regs = accumulated_registers(spark, store)
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("__all__").alias("event_type"), "bucket", "rho")
+    )
+    est = hll_estimate(regs.unionByName(merged), ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    exact_all = ev.agg(F.count_distinct("user_id").alias("exact_users")).select(
+        F.lit("__all__").alias("event_type"), "exact_users"
+    )
+    return est.join(exact.unionByName(exact_all), "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        "hll_users",
+        "registers_set",
+    )
+
+
 def q_streaming_bpe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-health monitoring: the documents table arrives as 3
     deterministic batches (doc_id thirds); each batch is encoded
@@ -4286,6 +4380,16 @@ FROM walk GROUP BY zoom, row, col""",
     ),
     # ---- mergeable sketches (engine-specific estimates → rows-only) ----
     "q_hll_sketches": QuerySpec(profiling.hll_user_sketches, None),
+    # from-scratch md5-register HLL: registers AND estimates are
+    # deterministic (integer rho via bin() string length, exact-integer
+    # harmonic sum), so unlike the engine-private sketch above this one
+    # carries a full value hash; '__all__' is the register-max union of
+    # the per-type tables — mergeability itself is hash-checked
+    "q_hll_portable": QuerySpec(profiling.hll_portable, _HLL_PORTABLE_SQL),
+    # the SAME oracle gates the streamed register store: accumulated
+    # registers == one-shot registers by the max-merge identity, so the
+    # value hash certifies incremental sketch maintenance end-to-end
+    "q_streaming_hll": QuerySpec(q_streaming_hll, _HLL_PORTABLE_SQL),
     "q_theta_audience_overlap": QuerySpec(
         profiling.theta_audience_overlap,
         # exact below lgK=12 capacity (guarded by assert_true in the
