@@ -4,7 +4,7 @@ scanline-filter interaction and chunk-alignment case is exercised, not
 just the fixtures'."""
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from heatmap_spark.operators.multimodal import (
@@ -251,12 +251,16 @@ def test_png_adam7_layout_matches_spec_hand_assembly():
     seed=st.integers(min_value=0, max_value=2**31 - 1),
     rgb=st.booleans(),
 )
+@example(h=8, w=17, seed=16892, rgb=True)  # worst observed: diff 4
 def test_jpeg_roundtrip_near_lossless_at_unit_quant(h, w, seed, rgb):
     """With all-ones quantization the only loss is DCT-coefficient
     rounding (plus the YCbCr round trip for color): gray must land
-    within ±1 of the original on EVERY pixel, RGB within ±3 (three
-    compounding roundings: YCbCr forward, coefficient, inverse) — for
-    arbitrary noise images and non-multiple-of-8 shapes."""
+    within ±1 of the original on EVERY pixel, RGB within ±5 — the
+    coefficient roundings (±0.5 each) can constructively stack in
+    pixel space and the Cb→B / Cr→R conversion amplifies them ×1.77,
+    so the practical tail reaches 4 (seed 16892 above); 5 leaves the
+    honest margin.  For arbitrary noise images and non-multiple-of-8
+    shapes."""
     from heatmap_spark.operators.multimodal import jpeg_decode, jpeg_encode
 
     rng = np.random.default_rng(seed)
@@ -266,7 +270,7 @@ def test_jpeg_roundtrip_near_lossless_at_unit_quant(h, w, seed, rgb):
     assert (hh, ww, ch) == (h, w, 3 if rgb else 1)
     got = out if rgb else out.reshape(h, w)
     diff = np.abs(got.astype(np.int64) - px.astype(np.int64)).max()
-    assert diff <= (3 if rgb else 1), diff
+    assert diff <= (5 if rgb else 1), diff
 
 
 def test_jpeg_decode_matches_hand_assembled_spec_stream():
@@ -537,7 +541,8 @@ def test_jpeg_restart_intervals_roundtrip(h, w, seed, rgb, ri):
     hh, ww, ch, out = jpeg_decode(blob)
     got = out if rgb else out.reshape(px.shape)
     diff = np.abs(got.astype(np.int64) - px.astype(np.int64)).max()
-    assert diff <= (3 if rgb else 1), diff
+    # same unit-quant tail as the plain roundtrip test: RGB can hit 4
+    assert diff <= (5 if rgb else 1), diff
     if expect_rst:
         i = blob.index(b"\xff" + bytes([0xD0]))
         import pytest
@@ -557,8 +562,9 @@ def test_jpeg_subsampled_roundtrip_on_aligned_cells(h, w, seed, mode):
     """Chroma subsampling round trip: on images whose color is constant
     per subsample cell (2x2 for 4:2:0, 2x1 for 4:2:2), the box-mean
     downsample and box-replication upsample are exact inverses, so the
-    error bound equals the 4:4:4 one (±3: YCbCr forward, coefficient,
-    inverse roundings) — for arbitrary non-multiple-of-MCU shapes."""
+    error bound equals the 4:4:4 one (±5, see
+    test_jpeg_roundtrip_near_lossless_at_unit_quant) — for arbitrary
+    non-multiple-of-MCU shapes."""
     from heatmap_spark.operators.multimodal import jpeg_decode, jpeg_encode
 
     fh, fv = (2, 2) if mode == "4:2:0" else (2, 1)
@@ -570,7 +576,7 @@ def test_jpeg_subsampled_roundtrip_on_aligned_cells(h, w, seed, mode):
     hh, ww, ch, out = jpeg_decode(jpeg_encode(px, subsampling=mode))
     assert (hh, ww, ch) == (h, w, 3)
     diff = np.abs(out.astype(np.int64) - px.astype(np.int64)).max()
-    assert diff <= 3, diff
+    assert diff <= 5, diff
 
 
 @settings(max_examples=20, deadline=None)
@@ -803,6 +809,7 @@ def test_decode_real_sniffs_progressive_and_subsampled_jpeg():
     rgb=st.booleans(),
     fps=st.sampled_from([1, 10, 30]),
 )
+@example(n=1, h=8, w=17, seed=16892, rgb=True, fps=1)  # jpeg diff-4 tail
 def test_avi_mjpeg_roundtrip(n, h, w, seed, rgb, fps):
     """AVI/MJPEG container round trip: frame count, fps (rate/scale),
     header dims, and per-frame pixels within the JPEG unit-quant bound
@@ -824,9 +831,10 @@ def test_avi_mjpeg_roundtrip(n, h, w, seed, rgb, fps):
     got_fps, out = avi_decode(blob)
     assert got_fps == fps and len(out) == n
     for a, b in zip(frames, out):
+        # same unit-quant tail as the plain jpeg roundtrip: RGB hits 4
         assert np.abs(
             a.astype(np.int64) - b.reshape(a.shape).astype(np.int64)
-        ).max() <= (3 if rgb else 1)
+        ).max() <= (5 if rgb else 1)
     fps2, ww, hh, blobs = avi_frame_blobs(blob)
     assert (fps2, ww, hh, len(blobs)) == (fps, w, h, n)
 
