@@ -1836,3 +1836,123 @@ def zipf_fit(spark: SparkSession, sf_dir: str, top_k: int = 1000) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - F.round(slope, 6) * sx) / n, 6).alias("intercept"),
     )
+
+
+def dsir_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 1024,
+    target_lang: str = "en",
+) -> DataFrame:
+    """DSIR-style data selection: per-document importance log-weights
+    from hashed n-gram features (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023).
+
+    The target distribution is the corpus slice that looks like what
+    you want more of (here: lang == 'en', standing in for "a trusted
+    high-quality corpus"); the raw distribution is the whole corpus.
+    Both are bag-of-hashed-feature unigram+bigram models with add-0.5
+    smoothing over ``n_buckets`` buckets, and a document's weight is
+
+        log p_target(doc) - log p_raw(doc)
+          = Σ_f  count_f(doc) · λ_f,   λ_f = ln(p̂_target(f) / p̂_raw(f))
+
+    DSIR then resamples ∝ exp(weight); the deterministic analogue here
+    flags ``selected`` = (weight > 0), i.e. docs the target model
+    likes better than the raw model.
+
+    Cross-engine exactness: each λ_f is ONE double ln of one division
+    (identical operand order in the oracle), rounded to 9 decimals and
+    carried as DECIMAL(18,9); per-doc scores are exact decimal sums of
+    integer-count × λ products — order-independent, value-hashable.
+
+    Scale shape (pinned in test_plans.py): the feature-distribution
+    relation is ≤ n_buckets rows NO MATTER the corpus size — it
+    aggregates once (exchange 1), rides back as a BROADCAST onto the
+    per-doc feature counts, and the only other exchange is the per-doc
+    aggregation.  Nothing corpus-sized is ever joined or sorted; at
+    100 TB this is two map-side-combined aggregates and a 1024-row
+    broadcast, the same cost shape as quality_classifier.
+
+    Reference: none — SURVEY.md §2.8 curation family (the
+    distribution-matching rung above the rule/classifier filters).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = _all_tokens()
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    feats = docs.select(
+        "doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("feat")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 12), 16, 10).cast("bigint")
+        % n_buckets
+    )
+    fb = feats.select("doc_id", "lang", bucket.alias("bucket"))
+
+    half_b = 0.5 * n_buckets
+    # the distribution is ≤ n_buckets rows; checkpoint it eagerly so
+    # totals and λ derive from ONE tokenize pass instead of re-running
+    # the corpus aggregation once per consumer
+    dist = (
+        fb.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_raw"),
+            F.sum(
+                F.when(F.col("lang") == target_lang, F.lit(1)).otherwise(F.lit(0))
+            ).alias("cnt_target"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = dist.agg(
+        F.sum("cnt_raw").alias("tot_raw"), F.sum("cnt_target").alias("tot_target")
+    )
+    # λ = ln( ((t+0.5) * (tot_raw+B/2)) / ((r+0.5) * (tot_target+B/2)) )
+    # — one ln of one division, operand order mirrored in the oracle
+    lam = F.log(
+        (
+            (F.col("cnt_target").cast("double") + F.lit(0.5))
+            * (F.col("tot_raw").cast("double") + F.lit(half_b))
+        )
+        / (
+            (F.col("cnt_raw").cast("double") + F.lit(0.5))
+            * (F.col("tot_target").cast("double") + F.lit(half_b))
+        )
+    )
+    lam_tbl = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket", F.round(lam, 9).cast("decimal(18,9)").alias("lam")
+    )
+
+    # lang rides the grouping keys (functionally dependent on doc_id),
+    # so no corpus-sized join back to documents is ever needed
+    per_doc_bucket = fb.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    scored = (
+        per_doc_bucket.join(F.broadcast(lam_tbl), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            # decimal(10,0) × decimal(18,9) = decimal(29,9): within
+            # Spark's 38-digit cap, so the product keeps all 9 decimals
+            # exactly (a (20,0) count would push precision to 39 and
+            # Spark would silently round the scale down to 8)
+            F.sum(F.col("n").cast("decimal(10,0)") * F.col("lam")).alias("s"),
+            F.sum("n").cast("bigint").alias("n_feats"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        # round the EXACT decimal (half-away-from-zero in both
+        # engines), then cast — rounding the double instead differs
+        # by 1 ulp between engines on ~3% of docs
+        F.round(F.col("s"), 6).cast("double").alias("dsir_logweight"),
+        (F.col("s") > 0).alias("selected"),
+    )

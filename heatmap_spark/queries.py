@@ -5744,6 +5744,48 @@ FROM bits""",
     ),
     # Hashed linear classifier inference: md5-keyed integer weights,
     # exact bigint forward pass (fastText-style unigram+bigram bag).
+    # DSIR-style importance weights (Xie et al. 2023): hashed-n-gram
+    # target/raw distribution ratio per doc; λ table is ≤1024 rows and
+    # broadcasts, per-doc scores are exact decimal sums of n·λ — fully
+    # value-hashed despite being a "model" score
+    "q_dsir_weights": QuerySpec(
+        textops.dsir_weights,
+        """WITH toks AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents),
+feats AS (
+  SELECT doc_id, lang,
+    unnest(tk || list_filter(
+      list_transform(list_zip(tk, tk[2:]), p -> p[1] || '_' || p[2]),
+      x -> x IS NOT NULL)) AS feat
+  FROM toks),
+fb AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(feat), 1, 12)) AS BIGINT) % 1024 AS bucket
+  FROM feats),
+dist AS (
+  SELECT bucket, count(*) AS cnt_raw,
+    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_target
+  FROM fb GROUP BY 1),
+tot AS (SELECT sum(cnt_raw) AS tot_raw, sum(cnt_target) AS tot_target FROM dist),
+lam AS (
+  SELECT bucket,
+    CAST(round(ln(
+      ((CAST(cnt_target AS DOUBLE) + 0.5) * (CAST(tot_raw AS DOUBLE) + 512.0))
+      / ((CAST(cnt_raw AS DOUBLE) + 0.5) * (CAST(tot_target AS DOUBLE) + 512.0))
+    ), 9) AS DECIMAL(18,9)) AS lam
+  FROM dist CROSS JOIN tot),
+pdb AS (SELECT doc_id, lang, bucket, count(*) AS n FROM fb GROUP BY 1, 2, 3),
+sc AS (
+  SELECT doc_id, lang, sum(CAST(n AS DECIMAL(10,0)) * lam) AS s,
+    CAST(sum(n) AS BIGINT) AS n_feats
+  FROM pdb JOIN lam USING (bucket) GROUP BY 1, 2)
+SELECT doc_id, lang, n_feats,
+  CAST(round(s, 6) AS DOUBLE) AS dsir_logweight,
+  (s > 0) AS selected
+FROM sc""",
+    ),
     "q_quality_classifier": QuerySpec(
         textops.quality_classifier,
         """WITH toks AS (

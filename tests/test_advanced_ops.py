@@ -688,3 +688,59 @@ def test_zipf_fit_matches_python_ols(spark, sf_smoke):
         row["intercept"]
         - round((float(sy) - round(slope, 6) * float(sx)) / n, 6)
     ) < 1e-6
+
+
+def test_dsir_weights_discriminates_target_slice(spark, sf_smoke):
+    """The importance weight must separate the target slice from the
+    rest: mean weight of lang='en' docs > mean of non-en docs, and the
+    per-doc weight equals a pure-python recomputation on a sample."""
+    import hashlib
+    import math
+    import re
+
+    from heatmap_spark.operators.textops import dsir_weights
+    from heatmap_spark.sources.tables import load_table
+
+    rows = dsir_weights(spark, sf_smoke).collect()
+    en = [r["dsir_logweight"] for r in rows if r["lang"] == "en"]
+    rest = [r["dsir_logweight"] for r in rows if r["lang"] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+    # pure-python recomputation (floating-point, so compare loosely;
+    # the EXACT cross-engine contract is the driver oracle)
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+
+    def feats(text):
+        tk = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return tk + [f"{a}_{b}" for a, b in zip(tk, tk[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:12], 16) % 1024
+
+    cnt_raw, cnt_t = {}, {}
+    for d in docs:
+        for f in feats(d["text"]):
+            b = bucket(f)
+            cnt_raw[b] = cnt_raw.get(b, 0) + 1
+            if d["lang"] == "en":
+                cnt_t[b] = cnt_t.get(b, 0) + 1
+    tot_raw = sum(cnt_raw.values())
+    tot_t = sum(cnt_t.values())
+    lam = {
+        b: round(
+            math.log(
+                ((cnt_t.get(b, 0) + 0.5) * (tot_raw + 512.0))
+                / ((cnt_raw[b] + 0.5) * (tot_t + 512.0))
+            ),
+            9,
+        )
+        for b in cnt_raw
+    }
+    want = {}
+    for d in docs:
+        want[d["doc_id"]] = sum(lam[bucket(f)] for f in feats(d["text"]))
+    for r in rows[:50]:
+        assert abs(r["dsir_logweight"] - want[r["doc_id"]]) < 1e-5, r

@@ -624,3 +624,20 @@ def test_graph_beam_search_broadcasts_frontier(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_dsir_weights_plan_shape(spark, sf_smoke):
+    """DSIR's λ table (≤1024 rows) must return as a BROADCAST onto the
+    per-doc feature counts, nothing corpus-sized may SortMergeJoin, and
+    the whole computation is the three hash aggregations (bucket
+    distribution, per-doc-bucket counts, per-doc score) — at 100 TB the
+    only data-sized costs are two scans of the token stream."""
+    from heatmap_spark.operators.textops import dsir_weights
+
+    df = dsir_weights(spark, sf_smoke)
+    plan = plan_string(df, "simple")
+    assert has_broadcast_join(df), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert not has_python_eval(df)
+    # bucket agg + per-(doc,lang,bucket) agg + per-(doc,lang) agg
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
