@@ -43,6 +43,7 @@ from heatmap_spark.functions import tiles as tl
 from heatmap_spark.operators import (
     dedup,
     entity,
+    geo,
     graph,
     multimodal,
     profiling,
@@ -5074,6 +5075,13 @@ FROM t GROUP BY 1, 2""",
 FROM events GROUP BY event_type""",
     ),
     # geo nearest-neighbor by haversine (meter-rounded for portability)
+    # point-in-polygon geofencing: unrolled even-odd ray casting as
+    # plan-literal Column arithmetic (map-only + one fence-key agg);
+    # the oracle is GENERATED from the same polygon constants
+    "q_geofence": QuerySpec(
+        geo.geofence_visits,
+        geo.geofence_oracle_sql(_LOC_CTE),
+    ),
     "q_haversine_nearest": QuerySpec(
         similarity.haversine_nearest,
         f"""WITH {_LOC_CTE},

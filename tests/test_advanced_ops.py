@@ -744,3 +744,41 @@ def test_dsir_weights_discriminates_target_slice(spark, sf_smoke):
         want[d["doc_id"]] = sum(lam[bucket(f)] for f in feats(d["text"]))
     for r in rows[:50]:
         assert abs(r["dsir_logweight"] - want[r["doc_id"]]) < 1e-5, r
+
+
+def test_geofence_matches_pure_python_ray_cast(spark, sf_smoke):
+    """Per-fence counts equal a from-scratch python even-odd test over
+    the same derived locations, and membership is sane (a point deep
+    inside each polygon classifies inside)."""
+    from heatmap_spark.operators.geo import GEOFENCES, geofence_visits
+    from heatmap_spark.sources.locations import load_locations
+
+    def inside(lon, lat, poly):
+        c = 0
+        for (x1, y1), (x2, y2) in zip(poly, poly[1:] + poly[:1]):
+            if (y1 > lat) != (y2 > lat) and lon < (x2 - x1) * (lat - y1) / (
+                y2 - y1
+            ) + x1:
+                c += 1
+        return c % 2 == 1
+
+    pts = (
+        load_locations(spark, sf_smoke)
+        .where("source <> 'background'")
+        .select("longitude", "latitude", "user_id")
+        .collect()
+    )
+    want = {}
+    for name, poly in GEOFENCES:
+        hits = [p for p in pts if inside(p[0], p[1], poly)]
+        want[name] = (len(hits), len({p[2] for p in hits}))
+    got = {
+        r["fence"]: (r["n_points"], r["n_users"])
+        for r in geofence_visits(spark, sf_smoke).collect()
+    }
+    assert got == want
+    # centroid of each polygon lies inside it (convex-ish fixtures)
+    for name, poly in GEOFENCES:
+        cx = sum(x for x, _ in poly) / len(poly)
+        cy = sum(y for _, y in poly) / len(poly)
+        assert inside(cx, cy, poly), name

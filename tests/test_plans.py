@@ -641,3 +641,16 @@ def test_dsir_weights_plan_shape(spark, sf_smoke):
     assert not has_python_eval(df)
     # bucket agg + per-(doc,lang,bucket) agg + per-(doc,lang) agg
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_geofence_is_scan_plus_one_aggregation(spark, sf_smoke):
+    """The polygon tests are plan literals: no Join anywhere, no
+    Python, and the only exchanges belong to the 3-row fence-key
+    aggregation — at 100 TB the classification cost is the scan."""
+    from heatmap_spark.operators.geo import geofence_visits
+
+    df = geofence_visits(spark, sf_smoke)
+    plan = plan_string(df, "simple")
+    assert "Join" not in plan, plan
+    assert not has_python_eval(df)
+    assert count_exchanges(df) <= 2, plan
