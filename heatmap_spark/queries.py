@@ -1072,6 +1072,54 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained orders ⋈ lineitem view: each side
+    arrives as 3 deterministic batches whose thirds are MISALIGNED
+    (orders by o_orderkey range, lineitem by l_orderkey mod 3), so
+    every (left-batch, right-batch) combination contributes pairs and
+    all three delta-join terms fire; view compaction runs mid-stream
+    after batch 1.  The delta rule emits each pair exactly once, so
+    the monthly aggregate over the maintained view equals the same
+    aggregate over a one-shot join — the oracle is the plain SQL
+    join, and the value hash certifies incremental maintenance."""
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.joinview import (
+        compact_join_view,
+        merge_batch_into_join_view,
+        read_join_view,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    mx = orders.agg(F.max("okey")).first()[0] + 1
+    store = _scratch_dir("jv_store_q_") + "/store"
+    for b in range(3):
+        od = orders.where(F.expr(f"CAST(okey * 3 DIV {mx} AS INT)") == b)
+        ld = li.where(F.col("okey") % 3 == b)
+        merge_batch_into_join_view(spark, store, b, od, ld, ["okey"])
+        if b == 1:
+            compact_join_view(spark, store)
+    view = read_join_view(spark, store)
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    )
+    return (
+        view.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
 def q_streaming_bpe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-health monitoring: the documents table arrives as 3
     deterministic batches (doc_id thirds); each batch is encoded
@@ -4391,6 +4439,19 @@ FROM walk GROUP BY zoom, row, col""",
     # registers == one-shot registers by the max-merge identity, so the
     # value hash certifies incremental sketch maintenance end-to-end
     "q_streaming_hll": QuerySpec(q_streaming_hll, _HLL_PORTABLE_SQL),
+    # incrementally maintained JOIN view (delta rule ΔL⋈R ∪ L⋈ΔR ∪
+    # ΔL⋈ΔR): the oracle is the ONE-SHOT join — pair-exactly-once makes
+    # the streamed view hash-equal to it
+    "q_streaming_join_view": QuerySpec(
+        q_streaming_join_view,
+        f"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+  CAST(month(o_orderdate) AS INTEGER) AS mo,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum({_d('l_extendedprice')} * ({_ONE} - {_d('l_discount')}))
+       AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2""",
+    ),
     "q_theta_audience_overlap": QuerySpec(
         profiling.theta_audience_overlap,
         # exact below lgK=12 capacity (guarded by assert_true in the
@@ -6433,12 +6494,15 @@ _PRIORITY = [
     "q_edit_distance_pairs",
     "q_knn_cosine_ivf_exact",
     "q_curation_pipeline",
-    "q_gopher_quality",
-    "q_repetition_metrics",
-    "q_tfidf_top_terms",
-    "q_chunk_documents",
-    "q_tpch_q18",
     "q_trajectory_similarity",
+    # late round-9 landings (first hard driver rows): portable HLL +
+    # its streamed register store, DSIR weights, geofencing, the
+    # incremental join view
+    "q_hll_portable",
+    "q_streaming_hll",
+    "q_dsir_weights",
+    "q_geofence",
+    "q_streaming_join_view",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))
