@@ -156,3 +156,100 @@ FROM pts"""
         "pts AS (SELECT longitude, latitude, user_id FROM locations "
         "WHERE source <> 'background')\n" + body
     )
+
+
+def geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query (q_geofence_transitions): enter/exit event
+    detection — for every (user, fence), order the user's points by
+    time and compare each point's membership with the previous one
+    (lag); a false→true flip is an entry, true→false an exit.
+
+    This is the geofencing product feature (arrival notifications,
+    zone-dwell billing) composed from the repo's two primitives: the
+    plan-literal point-in-polygon test (map-only) and the single-sort
+    window chain (PLANS.md §11 — ONE exchange on the partition key
+    (user_id, fence), every lag reuses the sort, and the final
+    per-fence rollup is a second exchange over transition rows only).
+    Event times are globally unique in the fixture, so the (ts) order
+    is total and the lag is deterministic."""
+    loc = load_locations(spark, sf_dir).where(F.col("source") != "background")
+    lon, lat = F.col("longitude"), F.col("latitude")
+    flags = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("fence"),
+                point_in_polygon(lon, lat, poly).alias("inside"),
+            )
+            for name, poly in GEOFENCES
+        ]
+    )
+    per_point = loc.select("user_id", "ts", F.explode(flags).alias("f")).select(
+        "user_id", "ts", F.col("f.fence").alias("fence"), F.col("f.inside").alias("inside")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id", "fence").orderBy("ts")
+    marked = per_point.select(
+        "user_id",
+        "fence",
+        "inside",
+        F.lag("inside").over(w).alias("prev"),
+    )
+    return (
+        marked.groupBy("fence")
+        .agg(
+            F.sum(
+                F.when(F.col("inside") & ~F.coalesce("prev", F.lit(False)), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_entries"),
+            F.sum(
+                F.when(
+                    ~F.col("inside") & F.coalesce("prev", F.lit(False)), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_exits"),
+            F.count_distinct(
+                F.when(
+                    F.col("inside") & ~F.coalesce("prev", F.lit(False)),
+                    F.col("user_id"),
+                )
+            )
+            .cast("bigint")
+            .alias("n_entering_users"),
+        )
+        .select("fence", "n_entries", "n_exits", "n_entering_users")
+    )
+
+
+def geofence_transitions_oracle_sql(locations_cte: str) -> str:
+    """DuckDB oracle for :func:`geofence_transitions`, generated from
+    the same polygon constants."""
+    arms = []
+    for name, poly in GEOFENCES:
+        arms.append(
+            f"""SELECT user_id, ts, '{name}' AS fence,
+  (({_crossing_sql(poly)}) % 2 = 1) AS inside
+FROM pts"""
+        )
+    member = "\nUNION ALL\n".join(arms)
+    return (
+        f"WITH {locations_cte},\n"
+        "pts AS (SELECT longitude, latitude, user_id, ts FROM locations "
+        "WHERE source <> 'background'),\n"
+        f"member AS (\n{member}),\n"
+        """marked AS (
+  SELECT fence, user_id, inside,
+    lag(inside) OVER (PARTITION BY user_id, fence ORDER BY ts) AS prev
+  FROM member)
+SELECT fence,
+  CAST(sum(CASE WHEN inside AND NOT coalesce(prev, false) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_entries,
+  CAST(sum(CASE WHEN NOT inside AND coalesce(prev, false) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_exits,
+  CAST(count(DISTINCT CASE WHEN inside AND NOT coalesce(prev, false)
+       THEN user_id END) AS BIGINT) AS n_entering_users
+FROM marked GROUP BY fence"""
+    )

@@ -5143,6 +5143,12 @@ FROM events GROUP BY event_type""",
         geo.geofence_visits,
         geo.geofence_oracle_sql(_LOC_CTE),
     ),
+    # enter/exit detection: membership lag over the single-sort
+    # (user, fence) window chain, rolled up per fence
+    "q_geofence_transitions": QuerySpec(
+        geo.geofence_transitions,
+        geo.geofence_transitions_oracle_sql(_LOC_CTE),
+    ),
     "q_haversine_nearest": QuerySpec(
         similarity.haversine_nearest,
         f"""WITH {_LOC_CTE},
@@ -6492,7 +6498,6 @@ _PRIORITY = [
     "q_streaming_join",
     # latest row is r2
     "q_edit_distance_pairs",
-    "q_knn_cosine_ivf_exact",
     "q_curation_pipeline",
     "q_trajectory_similarity",
     # late round-9 landings (first hard driver rows): portable HLL +
@@ -6502,6 +6507,7 @@ _PRIORITY = [
     "q_streaming_hll",
     "q_dsir_weights",
     "q_geofence",
+    "q_geofence_transitions",
     "q_streaming_join_view",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -782,3 +782,53 @@ def test_geofence_matches_pure_python_ray_cast(spark, sf_smoke):
         cx = sum(x for x, _ in poly) / len(poly)
         cy = sum(y for _, y in poly) / len(poly)
         assert inside(cx, cy, poly), name
+
+
+def test_geofence_transitions_counts(spark, sf_smoke):
+    """Entries/exits equal a pure-python replay of each user's
+    time-ordered membership sequence, and each fence's entries can
+    exceed exits by at most the number of users still inside."""
+    from heatmap_spark.operators.geo import (
+        GEOFENCES,
+        geofence_transitions,
+    )
+    from heatmap_spark.sources.locations import load_locations
+
+    def inside(lon, lat, poly):
+        c = 0
+        for (x1, y1), (x2, y2) in zip(poly, poly[1:] + poly[:1]):
+            if (y1 > lat) != (y2 > lat) and lon < (x2 - x1) * (lat - y1) / (
+                y2 - y1
+            ) + x1:
+                c += 1
+        return c % 2 == 1
+
+    pts = sorted(
+        load_locations(spark, sf_smoke)
+        .where("source <> 'background'")
+        .select("user_id", "ts", "longitude", "latitude")
+        .collect(),
+        key=lambda p: (p["user_id"], p["ts"]),
+    )
+    want = {}
+    for name, poly in GEOFENCES:
+        entries = exits = 0
+        entering_users = set()
+        prev = {}
+        for p in pts:
+            cur = inside(p["longitude"], p["latitude"], poly)
+            was = prev.get(p["user_id"], False)
+            if cur and not was:
+                entries += 1
+                entering_users.add(p["user_id"])
+            if was and not cur:
+                exits += 1
+            prev[p["user_id"]] = cur
+        want[name] = (entries, exits, len(entering_users))
+    got = {
+        r["fence"]: (r["n_entries"], r["n_exits"], r["n_entering_users"])
+        for r in geofence_transitions(spark, sf_smoke).collect()
+    }
+    assert got == want
+    for name, (entries, exits, _) in want.items():
+        assert 0 <= entries - exits, name
