@@ -987,3 +987,64 @@ def hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hll_users",
         "registers_set",
     )
+
+
+def mad_outliers(
+    spark: SparkSession, sf_dir: str, cutoff: float = 3.5
+) -> DataFrame:
+    """Robust per-type outlier detection: the Iglewicz–Hoaglin modified
+    z-score 0.6745·(x − median)/MAD with the standard 3.5 cutoff.
+
+    `zscore_outliers` (PLANS.md §21) breaks down exactly when it
+    matters — heavy outliers inflate the stddev they are tested
+    against — while median/MAD has a 50% breakdown point; together they
+    are the parametric/robust pair every data-quality suite ships.
+
+    Scale shape: three scan passes with NO data shuffle — each
+    statistics relation is ≤ |event_types| rows and broadcasts back
+    onto the stream (the "broadcast the statistics, not the stream"
+    argument of §21).  The exact medians are the oracle-checkable
+    choice; at 100 TB swap them for approx_percentile and the plan
+    shape is unchanged.  Medians are rounded to 9 decimals BEFORE the
+    deviation pass so every downstream comparison is cross-engine
+    bit-identical; mad == 0 (≥50% duplicated values) yields NULL robust
+    scores, counted as non-outliers in both engines."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 9).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.median("adev"), 9).alias("mad")
+    )
+    rz = F.when(
+        F.col("mad") != 0,
+        F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"),
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").select(
+        "event_type", "med", "mad", rz.alias("rz")
+    )
+    return (
+        flagged.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.abs("rz") > cutoff, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "med",
+            "mad",
+            "n",
+            "n_outliers",
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n").cast("double"), 6
+            ).alias("outlier_share"),
+        )
+    )

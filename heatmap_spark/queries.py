@@ -2725,6 +2725,29 @@ SELECT CAST(count(*) AS BIGINT) AS n_attributed,
   max(gap_s) AS max_s
 FROM gaps""",
     ),
+    # robust twin of q_zscore_outliers: median/MAD modified z-score —
+    # statistics broadcast, stream never shuffles (3 scan passes)
+    "q_mad_outliers": QuerySpec(
+        profiling.mad_outliers,
+        """WITH med AS (
+  SELECT event_type, round(median(value), 9) AS med FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, round(median(adev), 9) AS mad FROM dev GROUP BY 1),
+fl AS (
+  SELECT d.event_type, d.med, a.mad,
+    CASE WHEN a.mad <> 0
+         THEN CAST(0.6745 AS DOUBLE) * (d.value - d.med) / a.mad END AS rz
+  FROM dev d JOIN mad a USING (event_type))
+SELECT event_type, med, mad,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN abs(rz) > CAST(3.5 AS DOUBLE) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_outliers,
+  round(CAST(sum(CASE WHEN abs(rz) > CAST(3.5 AS DOUBLE) THEN 1 ELSE 0 END)
+        AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS outlier_share
+FROM fl GROUP BY 1, 2, 3""",
+    ),
     "q_zscore_outliers": QuerySpec(
         profiling.zscore_outliers,
         """WITH stats AS (
@@ -6498,7 +6521,6 @@ _PRIORITY = [
     "q_streaming_join",
     # latest row is r2
     "q_edit_distance_pairs",
-    "q_curation_pipeline",
     "q_trajectory_similarity",
     # late round-9 landings (first hard driver rows): portable HLL +
     # its streamed register store, DSIR weights, geofencing, the
@@ -6509,6 +6531,7 @@ _PRIORITY = [
     "q_geofence",
     "q_geofence_transitions",
     "q_streaming_join_view",
+    "q_mad_outliers",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

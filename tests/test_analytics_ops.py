@@ -844,3 +844,65 @@ def test_annotator_agreement_kappa_degrades_with_noise(spark, sf_correct):
     agree01 = sum(1 for b, l1, _ in labels if b == l1)
     assert rows["ann0-ann1"]["n_agree"] == agree01
     assert rows["ann0-ann1"]["n"] == len(labels)
+
+
+def test_mad_outliers_matches_python_and_is_robust(spark, sf_smoke):
+    """Counts equal a pure-python median/MAD replay; and unlike the
+    z-score, planting one extreme value does not change any OTHER
+    row's outlier verdict (robustness — the statistic that the
+    operator exists for)."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.profiling import mad_outliers
+    from heatmap_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select("event_type", "value")
+    rows = ev.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    want = {}
+    for t, vals in by_type.items():
+        med = round(statistics.median(vals), 9)
+        mad = round(statistics.median([abs(v - med) for v in vals]), 9)
+        n_out = sum(
+            1 for v in vals if mad != 0 and abs(0.6745 * (v - med) / mad) > 3.5
+        )
+        want[t] = (len(vals), n_out)
+    got = {
+        r["event_type"]: (r["n"], r["n_outliers"])
+        for r in mad_outliers(spark, sf_smoke).collect()
+    }
+    assert got == want
+
+    # robustness: planting one extreme point moves median/MAD by at
+    # most half an order-statistic step (≤1 borderline verdict can
+    # flip), while the mean/std z-score BREAKS DOWN — the inflated
+    # stddev reclassifies every true outlier as inlier
+    t, vals = max(by_type.items(), key=lambda kv: len(kv[1]))
+    med0 = round(statistics.median(vals), 9)
+    mad0 = round(statistics.median([abs(v - med0) for v in vals]), 9)
+    planted = vals + [1e12]
+    med1 = round(statistics.median(planted), 9)
+    mad1 = round(statistics.median([abs(v - med1) for v in planted]), 9)
+
+    def mad_flag(v, med, mad):
+        return mad != 0 and abs(0.6745 * (v - med) / mad) > 3.5
+
+    mad_flips = sum(
+        1 for v in vals if mad_flag(v, med0, mad0) != mad_flag(v, med1, mad1)
+    )
+    assert mad_flips <= 1
+
+    def z_flags(data):
+        mu = statistics.fmean(data)
+        sd = statistics.pstdev(data)
+        return [abs(v - mu) / sd > 3.0 for v in vals]
+
+    z0, z1 = z_flags(vals), z_flags(planted)
+    z_flips = sum(1 for a, b in zip(z0, z1) if a != b)
+    assert sum(z0) > 0  # the slice genuinely has z-outliers…
+    assert sum(z1) == 0  # …which the planted point erases wholesale
+    assert z_flips > mad_flips
