@@ -1878,6 +1878,14 @@ def dsir_weights(
     distribution-matching rung above the rule/classifier filters).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return dsir_weights_df(docs, n_buckets, target_lang)
+
+
+def dsir_weights_df(
+    docs: DataFrame, n_buckets: int = 1024, target_lang: str = "en"
+) -> DataFrame:
+    """DataFrame-core of :func:`dsir_weights` over any
+    (doc_id, lang, text) relation (the scale probe uses it)."""
     toks = _all_tokens()
     bigrams = F.filter(
         F.zip_with(

@@ -2035,6 +2035,168 @@ def probe_graphann(spark, n: int) -> None:
     )
 
 
+def probe_geofence(spark, n: int) -> None:
+    """Point-in-polygon classification + transition detection at 100×
+    bench scale: the membership test is plan-literal Column math fused
+    into the scan, so classification should run at scan rate; the
+    transition pass adds one (user, fence) window."""
+    from heatmap_spark.operators.geo import GEOFENCES, point_in_polygon
+
+    loc = synthetic_locations(spark, n).where("source <> 'background'")
+    lon, lat = F.col("longitude"), F.col("latitude")
+    flags = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("fence"),
+                point_in_polygon(lon, lat, poly).alias("inside"),
+            )
+            for name, poly in GEOFENCES
+        ]
+    )
+    per_point = loc.select("user_id", "ts", F.explode(flags).alias("f")).select(
+        "user_id", "ts", F.col("f.fence").alias("fence"), F.col("f.inside").alias("inside")
+    )
+    t0 = time.perf_counter()
+    counts = (
+        per_point.groupBy("fence")
+        .agg(F.sum(F.when(F.col("inside"), 1).otherwise(0)).alias("n_points"))
+        .collect()
+    )
+    t_cls = time.perf_counter() - t0
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id", "fence").orderBy("ts")
+    t0 = time.perf_counter()
+    trans = (
+        per_point.select(
+            "fence", "inside", F.lag("inside").over(w).alias("prev")
+        )
+        .where(F.col("inside") & ~F.coalesce("prev", F.lit(False)))
+        .groupBy("fence")
+        .count()
+        .collect()
+    )
+    t_tr = time.perf_counter() - t0
+    inside_total = sum(r["n_points"] for r in counts)
+    entries = sum(r["count"] for r in trans)
+    print(
+        f"geofence {n:,} pts × {len(GEOFENCES)} fences: classify+agg "
+        f"{t_cls:.1f}s ({n / t_cls / 1e6:.1f}M pts/s), {inside_total:,} "
+        f"inside; transition window {t_tr:.1f}s, {entries:,} entries"
+    )
+
+
+def probe_hll(spark, n: int) -> None:
+    """Portable-HLL register build at 100× bench scale, estimate
+    accuracy vs exact, and the cost of the register-max union."""
+    from heatmap_spark.operators.profiling import hll_estimate, hll_register_table
+
+    m = max(n // 3, 1)
+    ev = spark.range(n).select(
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("event_type"),
+        ((F.col("id") * 2654435761) % m).alias("user_id"),
+    )
+    t0 = time.perf_counter()
+    regs = hll_register_table(ev, "user_id", ["event_type"]).localCheckpoint(
+        eager=True
+    )
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("__all__").alias("event_type"), "bucket", "rho")
+    )
+    ests = {
+        r["event_type"]: r["hll_users"]
+        for r in hll_estimate(regs.unionByName(merged), ["event_type"]).collect()
+    }
+    t_est = time.perf_counter() - t0
+    exact_all = ev.select("user_id").distinct().count()
+    err = abs(ests["__all__"] - exact_all) / exact_all
+    print(
+        f"portable HLL {n:,} events: register build {t_build:.1f}s "
+        f"({n / t_build / 1e6:.1f}M rows/s, ≤256 rows/type state); "
+        f"union+estimate {t_est:.1f}s; '__all__' est {ests['__all__']:,.0f} "
+        f"vs exact {exact_all:,} (rel err {err:.3f}; m=256 ⇒ σ≈6.5%)"
+    )
+
+
+def probe_dsir(spark, n: int) -> None:
+    """DSIR weights at 100× bench scale: the λ table stays ≤1024 rows
+    no matter the corpus, so cost is two tokenize passes + three hash
+    aggregations."""
+    from heatmap_spark.operators.textops import dsir_weights_df
+
+    docs = synthetic_documents(spark, n).select(
+        "doc_id",
+        F.concat(
+            F.lit(""),
+            F.element_at(
+                F.array(*[F.lit(x) for x in ["en", "de", "es", "fr", "zh"]]),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        ).alias("lang"),
+        "text",
+    )
+    t0 = time.perf_counter()
+    out = dsir_weights_df(docs).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("selected"), 1).otherwise(0)).alias("sel"),
+    ).collect()[0]
+    t = time.perf_counter() - t0
+    print(
+        f"DSIR {n:,} docs (60 tokens each): {t:.1f}s "
+        f"({n / t / 1e3:.0f}k docs/s), {out['sel']:,}/{out['n']:,} selected "
+        f"(λ table ≤1024 rows broadcast)"
+    )
+
+
+def probe_joinview(spark, n: int) -> None:
+    """Incremental join-view maintenance at scale: n left rows / 3n
+    right rows arriving in 5 misaligned batches each; per-batch cost is
+    delta-vs-state, and the maintained view must count-match the
+    one-shot join."""
+    import shutil
+    import tempfile
+
+    from heatmap_spark.streaming.joinview import (
+        compact_join_view,
+        merge_batch_into_join_view,
+        read_join_view,
+    )
+
+    left = spark.range(n).select(
+        F.col("id").alias("okey"), (F.col("id") % 97).alias("attr")
+    )
+    right = spark.range(3 * n).select(
+        (F.col("id") % n).alias("okey"), (F.col("id") % 31).alias("val")
+    )
+    store = tempfile.mkdtemp(prefix="jv_probe_") + "/store"
+    try:
+        t0 = time.perf_counter()
+        per_batch = []
+        for b in range(5):
+            tb = time.perf_counter()
+            ld = left.where(F.expr(f"CAST(okey * 5 DIV {n} AS INT)") == b)
+            rd = right.where(F.col("okey") % 5 == b)
+            merge_batch_into_join_view(spark, store, b, ld, rd, ["okey"])
+            per_batch.append(time.perf_counter() - tb)
+            if b == 2:
+                compact_join_view(spark, store)
+        t_all = time.perf_counter() - t0
+        got = read_join_view(spark, store).count()
+        want = left.join(right, "okey").count()
+        assert got == want, (got, want)
+        print(
+            f"join-view {n:,}⋈{3 * n:,} over 5 misaligned batches: "
+            f"{t_all:.1f}s total (per-batch {' '.join(f'{t:.1f}' for t in per_batch)}s, "
+            f"compaction after batch 2); view rows {got:,} == one-shot join"
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -2045,7 +2207,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000, "graphann": 50_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000, "graphann": 50_000, "geofence": 10_000_000, "hll": 20_000_000, "dsir": 2_000_000, "joinview": 2_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -2059,7 +2221,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec, "graphann": probe_graphann}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec, "graphann": probe_graphann, "geofence": probe_geofence, "hll": probe_hll, "dsir": probe_dsir, "joinview": probe_joinview}[which](spark, n)
 
 
 if __name__ == "__main__":
