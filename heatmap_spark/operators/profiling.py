@@ -1048,3 +1048,142 @@ def mad_outliers(
             ).alias("outlier_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable KMV (k-minimum values) sketch: set-operation estimates
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SCALE = float(1 << 48)  # md5 48-bit prefix → [0, 1)
+
+
+def kmv_hashes(df: DataFrame, key: Column | str, group_cols: list[str]) -> DataFrame:
+    """(group..., hv): DISTINCT portable hash values per group — the
+    KMV sketch is the k smallest of these.  hv is the 48-bit md5
+    prefix as bigint (exact in any engine; ties impossible below
+    ~2^24 distinct keys by birthday bound, and identical cross-engine
+    even when they happen)."""
+    key = F.col(key) if isinstance(key, str) else key
+    hv = F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    return df.select(*group_cols, hv.alias("hv")).distinct()
+
+
+def kmv_audience_overlap(
+    spark: SparkSession, sf_dir: str, k: int = _KMV_K
+) -> DataFrame:
+    """Declared query (q_kmv_overlap): pairwise audience union and
+    intersection ESTIMATES per event-type pair from k-minimum-values
+    sketches (Beyer et al. 2007 / the theta-sketch construction),
+    beside the exact counts.
+
+    Unlike `theta_audience_overlap` (exact below DataSketches
+    capacity), this is a REAL estimator whose estimates value-hash:
+    the sketch of a set is its k smallest md5 values — deterministic,
+    mergeable (union sketch = k smallest of the concatenated sketches)
+    and fully reproducible in SQL.  Estimators:
+
+        distinct(A)   ≈ (k−1) / r_k            (r_k = kth smallest /2^48)
+        union(A,B)    ≈ (k−1) / r_k(merged)
+        jaccard(A,B)  ≈ |merged_k ∩ A_k ∩ B_k| / k
+        inter(A,B)    ≈ jaccard · union
+
+    Scale shape: the per-group top-k is a WindowGroupLimit (partial
+    top-k BEFORE the exchange — only k rows per group per partition
+    move); everything after runs on k-row relations.  At 100 TB you
+    persist the 64-row sketches per type/day and answer any pairwise
+    overlap later without touching raw events — the same
+    store-the-sketch argument as the portable HLL, extended from
+    cardinality to SET ALGEBRA."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hashes = kmv_hashes(ev, "user_id", ["event_type"]).localCheckpoint(
+        eager=True
+    )
+    w = W.partitionBy("event_type").orderBy("hv")
+    sk = hashes.select(
+        "event_type", "hv", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= k)
+
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("hv").alias("hv")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("hv").alias("hv")
+    )
+    pairs = (
+        a.select("type_a")
+        .distinct()
+        .join(b.select("type_b").distinct(), F.col("type_a") < F.col("type_b"))
+    )
+    # merged candidate hashes per pair: union of the two k-sets with
+    # membership flags (a hash can sit in both sketches)
+    cand = (
+        pairs.join(a, "type_a")
+        .select("type_a", "type_b", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(b, "type_b").select(
+                "type_a", "type_b", "hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+        .groupBy("type_a", "type_b", "hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wm = W.partitionBy("type_a", "type_b").orderBy("hv")
+    merged = cand.select(
+        "type_a", "type_b", "hv", "in_a", "in_b",
+        F.row_number().over(wm).alias("rn"),
+    ).where(F.col("rn") <= k)
+    est = merged.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("kth"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("shared"),
+    )
+    # fewer than k merged values ⇒ the sketch IS the union (exact)
+    union_est = F.when(
+        F.col("m") < k, F.col("m").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth").cast("double") / F.lit(_KMV_SCALE))
+    )
+    jacc = F.col("shared").cast("double") / F.col("m").cast("double")
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("types"))
+    )
+    # exact pairwise counts from one aggregate (types per user)
+    ex = (
+        exact.select(F.explode("types").alias("type_a"), "types")
+        .select("type_a", F.explode("types").alias("type_b"))
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    ex_card = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("nd")
+    )
+    out = (
+        est.join(ex, ["type_a", "type_b"], "left")
+        .join(
+            ex_card.select(F.col("event_type").alias("type_a"), F.col("nd").alias("nd_a")),
+            "type_a",
+        )
+        .join(
+            ex_card.select(F.col("event_type").alias("type_b"), F.col("nd").alias("nd_b")),
+            "type_b",
+        )
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        F.round(union_est, 4).alias("union_est"),
+        F.round(F.round(jacc, 9) * F.round(union_est, 4), 4).alias("inter_est"),
+        (F.col("nd_a") + F.col("nd_b") - F.coalesce("exact_inter", F.lit(0)))
+        .cast("bigint")
+        .alias("exact_union"),
+        F.coalesce("exact_inter", F.lit(0)).cast("bigint").alias("exact_inter"),
+    )

@@ -4475,6 +4475,71 @@ FROM walk GROUP BY zoom, row, col""",
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY 1, 2""",
     ),
+    # portable KMV (k-minimum values): REAL set-operation estimates
+    # that value-hash — the sketch is the 64 smallest md5 values, so
+    # both engines reproduce estimates bit-for-bit (the theta query
+    # below is exact-below-capacity; this one is the true estimator)
+    "q_kmv_overlap": QuerySpec(
+        profiling.kmv_audience_overlap,
+        """WITH hv AS (
+  SELECT DISTINCT event_type,
+    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS hv
+  FROM events),
+sk AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv,
+      row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM hv) WHERE rn <= 64),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM sk) a
+  JOIN (SELECT DISTINCT event_type FROM sk) b
+    ON a.event_type < b.event_type),
+cand AS (
+  SELECT type_a, type_b, hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT p.type_a, p.type_b, s.hv, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, s.hv, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.event_type = p.type_b)
+  GROUP BY 1, 2, 3),
+merged AS (
+  SELECT * FROM (
+    SELECT type_a, type_b, hv, in_a, in_b,
+      row_number() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn
+    FROM cand) WHERE rn <= 64),
+est AS (
+  SELECT type_a, type_b, count(*) AS m,
+    max(CASE WHEN rn = 64 THEN hv END) AS kth,
+    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS shared
+  FROM merged GROUP BY 1, 2),
+uest AS (
+  SELECT type_a, type_b, shared, m,
+    CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+         ELSE CAST(63 AS DOUBLE)
+              / (CAST(kth AS DOUBLE) / CAST(281474976710656 AS DOUBLE)) END
+      AS union_est
+  FROM est),
+ex_inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    count(*) AS exact_inter
+  FROM (SELECT DISTINCT event_type, user_id FROM events) a
+  JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+ex_card AS (
+  SELECT event_type, count(DISTINCT user_id) AS nd FROM events GROUP BY 1)
+SELECT u.type_a, u.type_b,
+  round(union_est, 4) AS union_est,
+  round(round(CAST(shared AS DOUBLE) / CAST(m AS DOUBLE), 9)
+        * round(union_est, 4), 4) AS inter_est,
+  CAST(ca.nd + cb.nd - coalesce(ei.exact_inter, 0) AS BIGINT) AS exact_union,
+  CAST(coalesce(ei.exact_inter, 0) AS BIGINT) AS exact_inter
+FROM uest u
+LEFT JOIN ex_inter ei ON u.type_a = ei.type_a AND u.type_b = ei.type_b
+JOIN ex_card ca ON ca.event_type = u.type_a
+JOIN ex_card cb ON cb.event_type = u.type_b""",
+    ),
     "q_theta_audience_overlap": QuerySpec(
         profiling.theta_audience_overlap,
         # exact below lgK=12 capacity (guarded by assert_true in the
@@ -6520,7 +6585,6 @@ _PRIORITY = [
     "q_streaming_tumbling",
     "q_streaming_join",
     # latest row is r2
-    "q_edit_distance_pairs",
     "q_trajectory_similarity",
     # late round-9 landings (first hard driver rows): portable HLL +
     # its streamed register store, DSIR weights, geofencing, the
@@ -6532,6 +6596,7 @@ _PRIORITY = [
     "q_geofence_transitions",
     "q_streaming_join_view",
     "q_mad_outliers",
+    "q_kmv_overlap",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

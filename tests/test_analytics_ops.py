@@ -906,3 +906,22 @@ def test_mad_outliers_matches_python_and_is_robust(spark, sf_smoke):
     assert sum(z0) > 0  # the slice genuinely has z-outliers…
     assert sum(z1) == 0  # …which the planted point erases wholesale
     assert z_flips > mad_flips
+
+
+def test_kmv_overlap_estimates_within_sketch_error(spark, sf_smoke):
+    """KMV union estimates land within the sketch's error envelope
+    (σ ≈ 1/√(k−1) ≈ 12.6% at k=64; allow 3σ) and intersection
+    estimates stay ordered sanely (≤ union, ≥ 0)."""
+    from heatmap_spark.operators.profiling import kmv_audience_overlap
+
+    rows = kmv_audience_overlap(spark, sf_smoke).collect()
+    assert len(rows) == 10  # 5 types → 10 unordered pairs
+    for r in rows:
+        assert r["exact_union"] > 0
+        rel = abs(r["union_est"] - r["exact_union"]) / r["exact_union"]
+        assert rel < 0.38, (r["type_a"], r["type_b"], r["union_est"], r["exact_union"])
+        assert 0.0 <= r["inter_est"] <= r["union_est"] + 1e-9
+        # intersection estimate tracks the exact within the coarser
+        # KMV-intersection envelope (jaccard resolution is 1/64)
+        slack = 3 * r["exact_union"] / 8  # 3·(1/√63 + 1/64)·union, loose
+        assert abs(r["inter_est"] - r["exact_inter"]) < max(slack, 80), r
