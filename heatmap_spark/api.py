@@ -302,6 +302,27 @@ class CorpusBuilder:
             self.spark, self._df.join(keep, "doc_id", "left_semi")
         )
 
+    def dsir_select(
+        self, n_buckets: int = 1024, target_lang: str = "en"
+    ) -> "CorpusBuilder":
+        """Keep documents whose DSIR importance log-weight is positive
+        (textops.dsir_weights_df — the target-distribution n-gram model
+        likes them better than the raw-corpus model; the
+        distribution-matching rung above classifier_filter).  Requires
+        a ``lang`` column (the fixture target-slice marker)."""
+        from pyspark.sql import functions as F
+
+        from heatmap_spark.operators.textops import dsir_weights_df
+
+        keep = (
+            dsir_weights_df(self._df, n_buckets, target_lang)
+            .where(F.col("selected"))
+            .select("doc_id")
+        )
+        return CorpusBuilder(
+            self.spark, self._df.join(keep, "doc_id", "left_semi")
+        )
+
     def span_corruption(
         self, block: int = 3, mask_pct: int = 15
     ) -> "CorpusBuilder":

@@ -356,3 +356,26 @@ def test_fluent_classifier_and_span_stages(spark, sf_smoke):
         "doc_id", "n_tokens", "n_masked_spans", "inputs", "targets"
     }
     assert pairs.count() == len(want)
+
+
+def test_fluent_dsir_stage(spark, sf_smoke):
+    """Corpus.dsir_select keeps exactly the positively-weighted docs
+    and composes with downstream stages on one plan."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.api import Corpus
+    from heatmap_spark.operators.textops import dsir_weights
+
+    kept = Corpus(spark).from_sf_dir(sf_smoke).dsir_select().df()
+    want = {
+        r["doc_id"]
+        for r in dsir_weights(spark, sf_smoke).where(F.col("selected")).collect()
+    }
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == want
+    # the selected slice should skew toward the target language
+    langs = kept.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in langs}
+    assert by_lang.get("en", 0) == max(by_lang.values())
+
+    chunks = Corpus(spark).from_sf_dir(sf_smoke).dsir_select().chunk().df()
+    assert {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()} <= want
