@@ -2500,3 +2500,127 @@ def knn_cosine_filtered(
         "cosine",
         F.row_number().over(w).cast("int").alias("rank"),
     ).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit) quantization: Hamming shortlist + exact rerank
+# ---------------------------------------------------------------------------
+
+
+def binary_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, code_lo, code_hi): 1-bit sign quantization — bit i of
+    code_lo is (vec[i] > 0) for dims 0..31, code_hi covers 32..63, so a
+    64-dim float vector compresses 256× into two integers and Hamming
+    distance is two XOR+popcount ops.
+
+    The packing is exact integer math in any engine: pow(2.0, i) is a
+    power of two (exact in double) cast to bigint, and splitting into
+    32-bit halves keeps every term below the bigint sign bit — no
+    2^63 overflow, identical two's-complement semantics everywhere.
+    Fixture-shaped: expects exactly 64 dims (like sq8_codes)."""
+
+    def half(lo: int) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda i: F.when(
+                    F.element_at(F.col("vec"), i + F.lit(lo + 1)) > 0.0,
+                    F.pow(F.lit(2.0), i).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    return emb.select(
+        "vec_id", half(0).alias("code_lo"), half(32).alias("code_hi")
+    )
+
+
+def knn_binary_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = 64,
+) -> DataFrame:
+    """Two-stage binary-quantized search (q_knn_binary): 1-bit sign
+    codes shortlist ``shortlist`` candidates per query by Hamming
+    distance (XOR + popcount — the cheapest compressed-domain scan
+    there is, 256× smaller than the float corpus), then exact cosine
+    re-ranks the shortlist to the final top-``k``.
+
+    This is the RaBitQ/BQ serving pattern: at 100 TB the binary codes
+    (16 bytes/vector incl. id) fit memory tiers nothing else fits, the
+    Hamming scan is SIMD-trivial, and the exact pass touches only
+    shortlist·n_queries original vectors via an id equi-join.  Both
+    stages are deterministic integer/fold math, so — unlike float-ADC
+    ANN — the full ranking value-hashes cross-engine, and each row
+    carries its exact-top-k agreement flag (realized recall pinned in
+    tests).
+
+    Scale shape: mirrors knn_sq8_rerank — code scan never shuffles
+    (queries broadcast), per-query top-k rides WindowGroupLimit, rerank
+    joins fetch originals for the shortlist only."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    codes = binary_codes(emb)
+    queries = codes.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code_lo").alias("qlo"),
+        F.col("code_hi").alias("qhi"),
+    )
+    ham = (
+        F.bit_count(F.col("qlo").bitwiseXOR(F.col("code_lo")))
+        + F.bit_count(F.col("qhi").bitwiseXOR(F.col("code_hi")))
+    ).cast("int")
+    scored = (
+        codes.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), ham.alias("hamming")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    short = scored.select(
+        "query_id", "neighbor_id", "hamming", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= shortlist)
+
+    nvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        norm_expr(F.col("vec")).alias("nn"),
+    )
+    qvec = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        norm_expr(F.col("vec")).alias("qn"),
+    )
+    cos = F.round(
+        dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6
+    )
+    rer = (
+        short.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", "hamming", cos.alias("cosine"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    top = rer.select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        "cosine",
+        F.row_number().over(w2).cast("int").alias("rank"),
+    ).where(F.col("rank") <= k)
+    exact = knn_cosine_df(emb, n_queries, k).select(
+        "query_id", "neighbor_id", F.lit(True).alias("in_exact_topk")
+    )
+    return top.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        "cosine",
+        "rank",
+        F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
+    )

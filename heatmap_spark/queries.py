@@ -5715,6 +5715,71 @@ SELECT s.query_id, s.neighbor_id, s.score_sq8, s.rank,
 FROM sq8 s LEFT JOIN exact e
   ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id""",
     ),
+    # Binary (1-bit) quantization serving search: sign codes packed
+    # into two 32-bit halves (256× compression), Hamming shortlist via
+    # XOR+popcount, exact cosine rerank — all integer/fold math, so
+    # the full ranking value-hashes (the RaBitQ/BQ pattern)
+    "q_knn_binary": QuerySpec(
+        similarity.knn_binary_rerank,
+        """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+codes AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN vec[i + 1] > 0.0
+      THEN CAST(pow(2.0, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS code_lo,
+    CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN vec[i + 33] > 0.0
+      THEN CAST(pow(2.0, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS code_hi
+  FROM emb),
+q AS (SELECT vec_id AS query_id, code_lo AS qlo, code_hi AS qhi
+      FROM codes WHERE vec_id < 10),
+hs AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+    CAST(bit_count(xor(qlo, c.code_lo)) + bit_count(xor(qhi, c.code_hi))
+         AS INTEGER) AS hamming
+  FROM codes c CROSS JOIN q WHERE c.vec_id <> query_id),
+short AS (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT query_id, neighbor_id, hamming,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY hamming, neighbor_id) AS rn
+    FROM hs) WHERE rn <= 64),
+rer AS (
+  SELECT sh.query_id, sh.neighbor_id, sh.hamming,
+    round(
+      list_sum(list_transform(range(1, len(qv.vec) + 1), i -> qv.vec[i] * nv.vec[i])) /
+      (sqrt(list_sum(list_transform(range(1, len(qv.vec) + 1), i -> qv.vec[i] * qv.vec[i]))) *
+       sqrt(list_sum(list_transform(range(1, len(nv.vec) + 1), i -> nv.vec[i] * nv.vec[i])))),
+      6) AS cosine
+  FROM short sh
+  JOIN emb nv ON nv.vec_id = sh.neighbor_id
+  JOIN emb qv ON qv.vec_id = sh.query_id),
+topk AS (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id, hamming, cosine,
+      CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+    FROM rer) WHERE rank <= 5),
+exact_scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+    round(
+      list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * e.vec[i])) /
+      (sqrt(list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * qvec[i]))) *
+       sqrt(list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * e.vec[i])))),
+      6) AS cosine
+  FROM emb e CROSS JOIN
+    (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 10) qq
+  WHERE e.vec_id <> query_id),
+exact AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM exact_scored)
+  WHERE rk <= 5)
+SELECT t.query_id, t.neighbor_id, t.hamming, t.cosine, t.rank,
+  (e.neighbor_id IS NOT NULL) AS in_exact_topk
+FROM topk t LEFT JOIN exact e
+  ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id""",
+    ),
     # Two-stage serving search: SQ8 integer shortlist (20) + exact
     # cosine rerank to top-5; both stages deterministic, final ranking
     # fully value-hashed with per-row exact-agreement flags.
@@ -6585,10 +6650,9 @@ _PRIORITY = [
     "q_streaming_tumbling",
     "q_streaming_join",
     # latest row is r2
-    "q_trajectory_similarity",
     # late round-9 landings (first hard driver rows): portable HLL +
     # its streamed register store, DSIR weights, geofencing, the
-    # incremental join view
+    # incremental join view, robust MAD, KMV set algebra, binary ANN
     "q_hll_portable",
     "q_streaming_hll",
     "q_dsir_weights",
@@ -6597,6 +6661,7 @@ _PRIORITY = [
     "q_streaming_join_view",
     "q_mad_outliers",
     "q_kmv_overlap",
+    "q_knn_binary",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

@@ -553,3 +553,40 @@ def test_graph_beam_search_filtered_slice(spark, sf_smoke):
         got.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     ).count()
     assert hits / ne >= 0.6, hits / ne
+
+
+def test_binary_codes_pack_signs_exactly(spark, sf_smoke):
+    """code_lo/code_hi reproduce a pure-python sign packing, and
+    Hamming distances match numpy popcounts."""
+    from heatmap_spark.operators.similarity import binary_codes
+    from heatmap_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    rows = {r["vec_id"]: r for r in binary_codes(emb).collect()}
+    for r in emb.limit(50).collect():
+        lo = sum(1 << i for i in range(32) if r["vec"][i] > 0)
+        hi = sum(1 << i for i in range(32) if r["vec"][i + 32] > 0)
+        got = rows[r["vec_id"]]
+        assert (got["code_lo"], got["code_hi"]) == (lo, hi), r["vec_id"]
+
+
+def test_knn_binary_rerank_recall(spark, sf_smoke):
+    """Two-stage binary search: exact agreement flags give realized
+    recall ≥ 0.8 at shortlist 64 on the fixture, ranks are 1..5 per
+    query, and Hamming distances are within [0, 64]."""
+    from heatmap_spark.operators.similarity import knn_binary_rerank
+
+    rows = knn_binary_rerank(spark, sf_smoke).collect()
+    by_q = {}
+    for r in rows:
+        assert 0 <= r["hamming"] <= 64
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 10
+    hits = total = 0
+    for q, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3, 4, 5]
+        hits += sum(1 for r in rs if r["in_exact_topk"])
+        total += len(rs)
+    assert hits / total >= 0.8, hits / total
