@@ -86,3 +86,32 @@ def test_join_view_empty_delta_sides(spark, sf_smoke, tmp_path):
     assert _multiset(
         read_join_view(spark, store).select(*orders.join(li, "okey").columns)
     ) == _multiset(orders.join(li, "okey"))
+
+
+def test_join_view_exactly_once_for_arbitrary_splits(spark, tmp_path):
+    """Property: for ANY assignment of left/right rows to batches —
+    including empty deltas and keys arriving on one side only — the
+    maintained view is multiset-equal to the one-shot join.  Driven by
+    deterministic hash splits at several seeds instead of @given (a
+    SparkSession inside hypothesis is too slow), which still explores
+    lopsided and interleaved arrival orders."""
+    from pyspark.sql import functions as F
+
+    for seed in (1, 7, 13):
+        store = str(tmp_path / f"jv{seed}")
+        left = spark.range(40).select(
+            (F.col("id") % 17).alias("okey"), F.col("id").alias("l_attr")
+        )
+        right = spark.range(60).select(
+            (F.col("id") % 23).alias("okey"), F.col("id").alias("r_attr")
+        )
+        n_batches = 4
+        lsplit = F.pmod(F.xxhash64(F.col("l_attr") + seed), F.lit(n_batches))
+        rsplit = F.pmod(F.xxhash64(F.col("r_attr") * 31 + seed), F.lit(n_batches))
+        for b in range(n_batches):
+            ld = left.where(lsplit == b)
+            rd = right.where(rsplit == b)
+            assert merge_batch_into_join_view(spark, store, b, ld, rd, ["okey"])
+        got = _multiset(read_join_view(spark, store).select("okey", "l_attr", "r_attr"))
+        want = _multiset(left.join(right, "okey").select("okey", "l_attr", "r_attr"))
+        assert got == want, seed
