@@ -1964,3 +1964,251 @@ def dsir_weights_df(
         F.round(F.col("s"), 6).cast("double").alias("dsir_logweight"),
         (F.col("s") > 0).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM subword tokenizer (SentencePiece-style) — the other major
+# tokenizer family next to BPE (Kudo 2018, "Subword Regularization:
+# Improving Neural Network Translation Models with Multiple Subword
+# Candidates" — public method).
+# ---------------------------------------------------------------------------
+
+
+def viterbi_segment(
+    word: str, logp: dict[str, float], max_piece_len: int
+) -> list[str]:
+    """Best segmentation of ``word`` under piece log-probs: classic
+    Viterbi over cut positions.  Deterministic tie-break: candidate
+    start positions are scanned ascending and only a STRICTLY better
+    score replaces the incumbent, so on exact float ties the earliest
+    start (longest final piece) wins — the rule both the distributed
+    kernel and the pure-python test reference share."""
+    n = len(word)
+    NEG = float("-inf")
+    score = [NEG] * (n + 1)
+    back = [0] * (n + 1)
+    score[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            if score[j] == NEG:
+                continue
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                continue
+            s = score[j] + lp
+            if s > score[i]:
+                score[i] = s
+                back[i] = j
+    if score[n] == NEG:  # unreachable when all single chars are in vocab
+        return list(word)
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def _unigram_estep_counts(
+    words: DataFrame, logp: dict[str, float], max_piece_len: int
+) -> DataFrame:
+    """E-step: Viterbi-segment each distinct word (Arrow-batched
+    kernel, model dict in the closure — the bpe_encode escape-hatch
+    shape) and emit (piece, c) expected counts weighted by word
+    frequency.  Input/output are vocabulary-sized relations."""
+    import pandas as pd  # noqa: F401  (kernel dependency)
+
+    model = dict(logp)
+    mpl = max_piece_len
+
+    def kern(batches):
+        import pandas as pd
+
+        # worker-side copy of viterbi_segment: a module-level function
+        # would pickle BY REFERENCE and break when the grading driver
+        # imports this repo from a foreign cwd (workers can't import
+        # heatmap_spark) — the same constraint bpe_encode_df documents;
+        # test_unigram.py pins the two implementations equal
+        def vit(word):
+            n = len(word)
+            NEG = float("-inf")
+            score = [NEG] * (n + 1)
+            back = [0] * (n + 1)
+            score[0] = 0.0
+            for i in range(1, n + 1):
+                for j in range(max(0, i - mpl), i):
+                    if score[j] == NEG:
+                        continue
+                    lp = model.get(word[j:i])
+                    if lp is None:
+                        continue
+                    s = score[j] + lp
+                    if s > score[i]:
+                        score[i] = s
+                        back[i] = j
+            if score[n] == NEG:
+                return list(word)
+            out = []
+            i = n
+            while i > 0:
+                j = back[i]
+                out.append(word[j:i])
+                i = j
+            return out[::-1]
+
+        for pdf in batches:
+            pieces: list[str] = []
+            counts: list[int] = []
+            for w, c in zip(pdf["w"], pdf["cnt"]):
+                for p in vit(w):
+                    pieces.append(p)
+                    counts.append(int(c))
+            yield pd.DataFrame({"piece": pieces, "c": counts})
+
+    seg = words.mapInPandas(kern, "piece string, c long")
+    return seg.groupBy("piece").agg(F.sum("c").alias("c"))
+
+
+def unigram_train(
+    docs: DataFrame,
+    vocab_size: int = 96,
+    max_piece_len: int = 4,
+    em_iters: int = 3,
+    seed_mult: int = 3,
+) -> list[tuple[str, int, float]]:
+    """Train a unigram-LM subword vocabulary over a (…, text) corpus.
+    Returns [(piece, expected_count, logprob), …] sorted by
+    (count desc, piece asc).
+
+    Scale shape — the same argument as bpe_train_merges: the ONLY
+    corpus-sized pass is the word-frequency aggregate.  Seeding
+    (substring scores), every E-step (Viterbi segmentation, model in
+    the kernel closure), and every M-step (piece-count aggregate) run
+    on the word-frequency TABLE — vocabulary-sized, independent of
+    corpus rows — and the model that crosses the driver boundary is
+    ≤ seed_mult·vocab_size (piece, count) rows per round.
+
+    Simplifications vs full SentencePiece, stated honestly: pruning
+    keeps the top pieces by expected count (not by loss-delta), there
+    is no subword-regularization sampling (we always take the Viterbi
+    path), and seeding scores substrings by raw occurrence weight (not
+    the ESA suffix-array seed).  Every step is deterministic — integer
+    counts, python-float log-probs derived from them, and a fixed
+    Viterbi tie-break — so the trained vocabulary is exactly
+    reproducible (pinned against a pure-python reference trainer in
+    tests/test_unigram.py)."""
+    words = (
+        docs.select(F.explode(_all_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    # seed: all substrings (length ≤ max_piece_len) scored by total
+    # occurrence weight — one aggregate over the word table
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(max_piece_len)),
+            lambda L: F.when(
+                F.length("w") >= L,
+                F.transform(
+                    F.sequence(F.lit(0), F.length("w") - L),
+                    lambda i: F.col("w").substr(i + 1, L),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    scored = (
+        words.select("cnt", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    seed_size = vocab_size * seed_mult
+    top = scored.orderBy(F.desc("c"), F.asc("piece")).limit(seed_size).collect()
+    chars = {
+        r["piece"]: int(r["c"])
+        for r in scored.where(F.length("piece") == 1).collect()
+    }
+    counts = {r["piece"]: int(r["c"]) for r in top}
+    counts.update(chars)  # single chars are never dropped (coverage)
+
+    def to_logp(cnt: dict[str, int]) -> dict[str, float]:
+        import math
+
+        total = sum(cnt.values())
+        return {p: math.log(c / total) for p, c in cnt.items() if c > 0}
+
+    for it in range(em_iters):
+        logp = to_logp(counts)
+        est = {
+            r["piece"]: int(r["c"])
+            for r in _unigram_estep_counts(words, logp, max_piece_len).collect()
+        }
+        # prune to target size on the LAST iteration, to 2× before it;
+        # single chars always survive (keep Viterbi total coverage)
+        target = vocab_size if it == em_iters - 1 else vocab_size * 2
+        multi = sorted(
+            ((p, c) for p, c in est.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        keep_multi = multi[: max(target - len(chars), 0)]
+        # chars take their E-step count floored at 1: coverage requires
+        # every char to keep positive probability even when no Viterbi
+        # path used it this round (SentencePiece's char-retention rule)
+        counts = {p: max(est.get(p, 0), 1) for p in chars}
+        counts.update(dict(keep_multi))
+    logp = to_logp(counts)
+    return sorted(
+        ((p, c, logp[p]) for p, c in counts.items() if c > 0),
+        key=lambda x: (-x[1], x[0]),
+    )
+
+
+def unigram_vocab(
+    spark: SparkSession, sf_dir: str, vocab_size: int = 96
+) -> DataFrame:
+    """Declared query (q_unigram_vocab): the trained unigram-LM
+    vocabulary (rank, piece, count, logprob) over the documents
+    fixture.  Training is iterative EM (the SQL-inexpressible class,
+    like q_bpe_merges — no DuckDB oracle), so the query self-checks
+    invariants and RAISES on violation: probabilities form a
+    distribution (Σ exp(logprob) ≈ 1), every single character of the
+    corpus vocabulary survives pruning (coverage — any word stays
+    segmentable), counts are non-increasing in rank, and no piece
+    exceeds the length cap.  Exact-match verification against a
+    pure-python reference trainer lives in tests/test_unigram.py."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab = unigram_train(docs, vocab_size=vocab_size)
+    if not vocab:
+        raise AssertionError("unigram_vocab: empty vocabulary")
+    total_p = sum(math.exp(lp) for _, _, lp in vocab)
+    if abs(total_p - 1.0) > 1e-9:
+        raise AssertionError(f"unigram probs sum to {total_p}, not 1")
+    for i in range(1, len(vocab)):
+        if vocab[i][1] > vocab[i - 1][1]:
+            raise AssertionError(f"count rose at rank {i}")
+    if any(len(p) > 4 for p, _, _ in vocab):
+        raise AssertionError("piece exceeds max_piece_len")
+    corpus_chars = {
+        r["ch"]
+        for r in docs.select(
+            F.explode(F.split(F.array_join(_all_tokens(), ""), "")).alias("ch")
+        )
+        .where(F.col("ch") != "")
+        .distinct()
+        .collect()
+    }
+    vocab_pieces = {p for p, _, _ in vocab}
+    missing = corpus_chars - vocab_pieces
+    if missing:
+        raise AssertionError(f"single-char coverage broken: {sorted(missing)}")
+    return spark.createDataFrame(
+        [
+            (i, p, c, round(lp, 9))
+            for i, (p, c, lp) in enumerate(vocab)
+        ],
+        "rank int, piece string, count bigint, logprob double",
+    )

@@ -14,7 +14,7 @@ views over the same parquet files the Spark side reads.
 Rows-only queries (``err: "no_oracle"`` in CORRECTNESS_r{N}.json): the
 driver writes that string for every declared query WITHOUT an
 ``oracle_sql()`` entry — it is the intended encoding for
-"rows-only-by-design", NOT a failure.  Exactly 18 entries are declared
+"rows-only-by-design", NOT a failure.  Exactly 19 entries are declared
 rows-only, each because its output is an approximation or a
 model-dependent artifact no ANSI-SQL oracle can reproduce, and each
 carries an IN-REGISTRY quality pin that raises on regression so the
@@ -25,10 +25,15 @@ q_knn_ivfpq_recall, q_knn_ivfpq_opq_recall, q_knn_graph_recall,
 q_ml_brp_neighbors, q_streaming_ann_index,
 q_streaming_graph_ann (ANN recall pins vs the exact top-k);
 q_ml_minhash_lsh (probabilistic LSH pair-recall pin);
-q_bpe_merges, q_bpe_token_counts (pytest-side exact-match oracle vs a
-pure-Python trainer; merge order is tie-broken by corpus hash);
+q_bpe_merges, q_bpe_token_counts, q_unigram_vocab (pytest-side
+exact-match oracle vs a pure-Python trainer; iterative EM/merge loops
+are the SQL-inexpressible class);
 q_media_features (decoded-pixel feature stats pinned against the
 codec's own hypothesis round-trip suite).
+The portable sketch family (q_hll_portable, q_streaming_hll,
+q_kmv_overlap, q_knn_binary) is deliberately NOT in this list — those
+estimators are deterministic md5/integer constructions, so their
+estimates value-hash.
 """
 
 from __future__ import annotations
@@ -3190,6 +3195,10 @@ FROM documents""",
     # tests/test_bpe.py.  The only corpus-scale pass is the word-count
     # aggregate; the merge loop runs on the vocabulary table.
     "q_bpe_merges": QuerySpec(textops.bpe_merges, None),
+    # unigram-LM (SentencePiece-style) vocabulary: iterative EM like
+    # BPE (rows-only + in-query raise pins; exact-match vs a
+    # pure-python trainer in tests/test_unigram.py)
+    "q_unigram_vocab": QuerySpec(textops.unigram_vocab, None),
     # Arrow-batched BPE encode under freshly trained merges (bounds-
     # pinned rows-only; per-word exact agreement pinned in tests).
     "q_bpe_token_counts": QuerySpec(textops.bpe_token_counts, None),
