@@ -3322,3 +3322,67 @@ decode_real = _decode_real_factory(
     png_decode_ex, jpeg_decode, wav_decode, avi_frame_blobs, gif_decode,
     bmp_decode,
 )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_samples long, mean_sample long, energy long, "
+    "peak_dev long, zcr long, rms double"
+)
+
+
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO feature extraction over decoded WAV samples
+    (q_media_audio_features): the real decode pipeline of
+    media_decode_wav followed by the classic signal features — energy,
+    RMS, peak deviation, and zero-crossing rate — computed around each
+    clip's integer mean.
+
+    Everything is exact integer math on the decoded int16 samples
+    (mean = floor(Σs/n); energy = Σ(s−mean)²; crossings where adjacent
+    deviations change sign), with ONE double sqrt for the RMS — so the
+    DuckDB oracle reconstructs every feature from the generation
+    formula and the value hash certifies the decode AND the feature
+    math.  Same ASCII fixture assumption as media_decode_wav.
+
+    Scale shape: binaryFile-style map-only Arrow kernel — feature
+    extraction fuses with the decode; nothing shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    enc, dec = wav_encode, wav_decode  # closure-captured, by value
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in it:
+            ns, mus, ens, peaks, zcrs, rmss = [], [], [], [], [], []
+            for text in pdf["text"]:
+                buf = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                _, pcm = dec(enc(buf.astype(np.int16)))
+                s = pcm.astype(np.int64)
+                n = int(s.size)
+                mu = int(s.sum()) // n
+                d = s - mu
+                energy = int((d * d).sum())
+                ns.append(n)
+                mus.append(mu)
+                ens.append(energy)
+                peaks.append(int(np.abs(d).max()))
+                zcrs.append(int(((d[:-1] * d[1:]) < 0).sum()))
+                # floor-quantized to 1e-6: floor is tie-free, so the
+                # value is identical under python round-half-even vs
+                # SQL round-half-away semantics
+                rmss.append(math.floor(math.sqrt(energy / n) * 1e6) / 1e6)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": ns,
+                    "mean_sample": mus,
+                    "energy": ens,
+                    "peak_dev": peaks,
+                    "zcr": zcrs,
+                    "rms": rmss,
+                }
+            )
+
+    return docs.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)

@@ -3646,6 +3646,39 @@ FROM codes""",
     # Real AUDIO decode: text bytes → int16 PCM in a real RIFF/WAV
     # container → parsed back; oracle reconstructs sample values from
     # ascii codes.
+    # audio FEATURE extraction over the decoded WAV samples: exact
+    # integer energy/peak/ZCR around the clip mean + floor-quantized
+    # RMS — the oracle rebuilds every feature from the generation
+    # formula, certifying decode AND feature math
+    "q_media_audio_features": QuerySpec(
+        multimodal.media_audio_features,
+        """WITH m AS (SELECT doc_id, strlen(text) AS L, text FROM documents),
+s AS (
+  SELECT doc_id, CAST(L AS BIGINT) AS n_samples,
+    list_transform(range(1, CAST(L AS INTEGER) + 1),
+                   i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS c
+  FROM m WHERE L > 0),
+st AS (
+  SELECT doc_id, n_samples, c,
+    CAST(list_sum(c) // n_samples AS BIGINT) AS mean_sample
+  FROM s),
+f AS (
+  SELECT doc_id, n_samples, mean_sample,
+    CAST(list_sum(list_transform(c,
+      x -> (x - mean_sample) * (x - mean_sample))) AS BIGINT) AS energy,
+    CAST(list_max(list_transform(c, x -> abs(x - mean_sample)))
+      AS BIGINT) AS peak_dev,
+    CAST(COALESCE(list_sum(list_transform(
+      range(1, CAST(n_samples AS INTEGER)),
+      i -> CASE WHEN (c[CAST(i AS INTEGER)] - mean_sample)
+                   * (c[CAST(i AS INTEGER) + 1] - mean_sample) < 0
+           THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zcr
+  FROM st)
+SELECT doc_id, n_samples, mean_sample, energy, peak_dev, zcr,
+  floor(sqrt(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE)) * 1000000.0)
+    / 1000000.0 AS rms
+FROM f""",
+    ),
     "q_media_wav": QuerySpec(
         multimodal.media_decode_wav,
         """WITH m AS (SELECT doc_id, strlen(text) AS L, text FROM documents),
@@ -6655,7 +6688,6 @@ _PRIORITY = [
     "q_text_stats",
     "q_lang_id",
     "q_token_counts",
-    "q_multimodal_meta",
     "q_streaming_tumbling",
     "q_streaming_join",
     # latest row is r2
@@ -6671,6 +6703,7 @@ _PRIORITY = [
     "q_mad_outliers",
     "q_kmv_overlap",
     "q_knn_binary",
+    "q_media_audio_features",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

@@ -429,3 +429,40 @@ def test_media_ingest_dir_end_to_end(spark, sf_smoke, tmp_path):
     _, _, _, _, px = png_decode_ex(blob)
     buf = np.frombuffer(docs[some].encode("utf-8"), dtype=np.uint8)
     assert np.array_equal(px.reshape(-1)[: len(buf)], buf)
+
+
+def test_audio_features_match_python_signal_math(spark, sf_smoke):
+    """Energy/peak/ZCR/RMS equal a pure-python replay over the raw
+    byte values, and zcr is bounded by n_samples - 1."""
+    import math
+
+    from heatmap_spark.operators.multimodal import media_audio_features
+    from heatmap_spark.sources.tables import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .limit(40)
+        .collect()
+    }
+    rows = {
+        r["doc_id"]: r
+        for r in media_audio_features(spark, sf_smoke).collect()
+        if r["doc_id"] in docs
+    }
+    assert set(rows) == set(docs)
+    for doc_id, text in docs.items():
+        s = list(text.encode("utf-8"))
+        mu = sum(s) // len(s)
+        d = [x - mu for x in s]
+        energy = sum(x * x for x in d)
+        zcr = sum(1 for a, b in zip(d, d[1:]) if a * b < 0)
+        r = rows[doc_id]
+        assert r["n_samples"] == len(s)
+        assert r["mean_sample"] == mu
+        assert r["energy"] == energy
+        assert r["peak_dev"] == max(abs(x) for x in d)
+        assert r["zcr"] == zcr
+        assert r["zcr"] <= r["n_samples"] - 1
+        assert r["rms"] == math.floor(math.sqrt(energy / len(s)) * 1e6) / 1e6
