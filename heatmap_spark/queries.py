@@ -1077,6 +1077,31 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained geofence dashboard: locations arrive as
+    3 deterministic batches (hash thirds); each batch's (fence, user)
+    hit grain lands in the log-structured store, with an LSM compaction
+    after batch 1.  The grain makes visit sums AND distinct-visitor
+    counts exactly mergeable, so the accumulated read equals the
+    one-shot classification and this SHARES q_geofence's generated
+    oracle — the value hash certifies incremental maintenance."""
+    from heatmap_spark.sources.locations import load_locations
+    from heatmap_spark.streaming.geofence import (
+        compact_geofence_store,
+        merge_batch_into_geofence_store,
+        read_geofence_counts,
+    )
+
+    loc = load_locations(spark, sf_dir).where(F.col("source") != "background")
+    split = F.pmod(F.hash("user_id", "ts"), F.lit(3))
+    store = _scratch_dir("geo_store_q_") + "/store"
+    for b in range(3):
+        merge_batch_into_geofence_store(spark, loc.where(split == b), store, b)
+        if b == 1:
+            compact_geofence_store(spark, store)
+    return read_geofence_counts(spark, store)
+
+
 def q_streaming_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained orders ⋈ lineitem view: each side
     arrives as 3 deterministic batches whose thirds are MISALIGNED
@@ -5273,6 +5298,13 @@ FROM events GROUP BY event_type""",
         geo.geofence_visits,
         geo.geofence_oracle_sql(_LOC_CTE),
     ),
+    # the streamed (fence, user)-grain store SHARES the generated
+    # oracle: sum/distinct mergeability makes the accumulated read
+    # equal the one-shot classification
+    "q_streaming_geofence": QuerySpec(
+        q_streaming_geofence,
+        geo.geofence_oracle_sql(_LOC_CTE),
+    ),
     # enter/exit detection: membership lag over the single-sort
     # (user, fence) window chain, rolled up per fence
     "q_geofence_transitions": QuerySpec(
@@ -6685,7 +6717,6 @@ _PRIORITY = [
     # latest row is r1/r2
     "q_asof_join",
     "q_knn_cosine",
-    "q_text_stats",
     "q_lang_id",
     "q_token_counts",
     "q_streaming_tumbling",
@@ -6704,6 +6735,7 @@ _PRIORITY = [
     "q_kmv_overlap",
     "q_knn_binary",
     "q_media_audio_features",
+    "q_streaming_geofence",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

@@ -832,3 +832,38 @@ def test_geofence_transitions_counts(spark, sf_smoke):
     assert got == want
     for name, (entries, exits, _) in want.items():
         assert 0 <= entries - exits, name
+
+
+def test_geofence_store_merge_replay_compact(spark, sf_smoke, tmp_path):
+    """Accumulated (fence, user) grain equals the one-shot
+    classification; replay is a no-op; compaction preserves totals."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.geo import geofence_visits
+    from heatmap_spark.sources.locations import load_locations
+    from heatmap_spark.streaming.geofence import (
+        compact_geofence_store,
+        merge_batch_into_geofence_store,
+        read_geofence_counts,
+    )
+
+    store = str(tmp_path / "geo")
+    loc = load_locations(spark, sf_smoke).where("source <> 'background'")
+    split = F.pmod(F.hash("user_id", "ts"), F.lit(3))
+    for b in range(3):
+        assert merge_batch_into_geofence_store(
+            spark, loc.where(split == b), store, b
+        )
+
+    def snap(df):
+        return {r["fence"]: (r["n_points"], r["n_users"]) for r in df.collect()}
+
+    want = snap(geofence_visits(spark, sf_smoke))
+    assert snap(read_geofence_counts(spark, store)) == want
+
+    assert not merge_batch_into_geofence_store(spark, loc.limit(5), store, 2)
+    assert snap(read_geofence_counts(spark, store)) == want
+
+    assert compact_geofence_store(spark, store) == 3
+    assert snap(read_geofence_counts(spark, store)) == want
+    assert compact_geofence_store(spark, store) == 0

@@ -654,3 +654,16 @@ def test_geofence_is_scan_plus_one_aggregation(spark, sf_smoke):
     assert "Join" not in plan, plan
     assert not has_python_eval(df)
     assert count_exchanges(df) <= 2, plan
+
+
+def test_knn_binary_scoring_path_broadcasts_queries(spark, sf_smoke):
+    """Binary-quantized search keeps the sq8 plan promises: the code
+    scan never shuffles for scoring (queries broadcast), no cartesian
+    product, no Python eval anywhere."""
+    from heatmap_spark.operators.similarity import knn_binary_rerank
+
+    df = knn_binary_rerank(spark, sf_smoke)
+    p = plan_string(df, "simple")
+    assert not has_python_eval(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
