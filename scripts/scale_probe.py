@@ -2197,6 +2197,105 @@ def probe_joinview(spark, n: int) -> None:
         shutil.rmtree(os.path.dirname(store), ignore_errors=True)
 
 
+def probe_binaryann(spark, n: int) -> None:
+    """Binary 1-bit search at 100× bench scale: code-build rate (map
+    only), Hamming-shortlist+rerank latency for 10 queries, and the
+    realized recall vs exact brute force."""
+    from pyspark.sql.window import Window as W
+
+    from heatmap_spark.operators.similarity import (
+        binary_codes,
+        dot_expr,
+        knn_cosine_df,
+        norm_expr,
+    )
+
+    emb = synthetic_clustered_embeddings(spark, n).select(
+        "vec_id", F.col("vec").cast("array<double>").alias("vec")
+    )
+    t0 = time.perf_counter()
+    codes = binary_codes(emb).localCheckpoint(eager=True)
+    t_build = time.perf_counter() - t0
+
+    shortlist = 4096
+    queries = codes.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code_lo").alias("qlo"),
+        F.col("code_hi").alias("qhi"),
+    )
+    ham = (
+        F.bit_count(F.col("qlo").bitwiseXOR(F.col("code_lo")))
+        + F.bit_count(F.col("qhi").bitwiseXOR(F.col("code_hi")))
+    ).cast("int")
+    w = W.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    t0 = time.perf_counter()
+    short = (
+        codes.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), ham.alias("hamming"))
+        .select("query_id", "neighbor_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= shortlist)
+    )
+    nvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        norm_expr(F.col("vec")).alias("nn"),
+    )
+    qvec = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        norm_expr(F.col("vec")).alias("qn"),
+    )
+    cos = F.round(
+        dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    top = (
+        short.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .select("query_id", "neighbor_id", F.row_number().over(w2).alias("rk"))
+        .where(F.col("rk") <= 5)
+        .localCheckpoint(eager=True)
+    )
+    t_search = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    exact = knn_cosine_df(emb, 10, 5).select("query_id", "neighbor_id")
+    ne = exact.count()
+    hits = exact.join(top.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]).count()
+    t_exact = time.perf_counter() - t0
+    print(
+        f"binary ANN {n:,} vecs: code build {t_build:.1f}s "
+        f"({n / t_build / 1e6:.1f}M vecs/s, 16 B/vec); shortlist {shortlist} "
+        f"+ rerank for 10 queries {t_search:.1f}s vs exact {t_exact:.1f}s; "
+        f"recall@5 {hits / ne:.2f}"
+    )
+
+
+def probe_unigram(spark, n: int) -> None:
+    """Unigram-LM trainer at scale: the corpus pass is the word
+    aggregate; EM cost tracks DISTINCT words (the vocabulary table),
+    not corpus rows."""
+    from heatmap_spark.operators.textops import unigram_train
+
+    docs = synthetic_documents(spark, n)
+    t0 = time.perf_counter()
+    vocab = unigram_train(docs, vocab_size=96)
+    t = time.perf_counter() - t0
+    n_words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+        .count()
+    )
+    multi = sum(1 for p, _, _ in vocab if len(p) > 1)
+    print(
+        f"unigram-LM {n:,} docs ({n_words:,} distinct words): train "
+        f"{t:.1f}s → {len(vocab)} pieces ({multi} multi-char); EM ran on "
+        f"the word table, corpus touched once"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -2207,7 +2306,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000, "graphann": 50_000, "geofence": 10_000_000, "hll": 20_000_000, "dsir": 2_000_000, "joinview": 2_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000, "graphann": 50_000, "geofence": 10_000_000, "hll": 20_000_000, "dsir": 2_000_000, "joinview": 2_000_000, "binaryann": 1_000_000, "unigram": 500_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -2221,7 +2320,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec, "graphann": probe_graphann, "geofence": probe_geofence, "hll": probe_hll, "dsir": probe_dsir, "joinview": probe_joinview}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec, "graphann": probe_graphann, "geofence": probe_geofence, "hll": probe_hll, "dsir": probe_dsir, "joinview": probe_joinview, "binaryann": probe_binaryann, "unigram": probe_unigram}[which](spark, n)
 
 
 if __name__ == "__main__":
