@@ -6672,7 +6672,17 @@ FROM weighted""",
 # pruning/union code moved in r8, then spends the rest on the
 # STALEST evidence: the streaming-store family (compaction/marker
 # code keeps evolving; most rows date to r3/r4) and every remaining
-# query whose latest row is r1/r2.
+# query whose latest row is r1/r2.  The extended r9 session swapped
+# ten stale r1/r2 re-pins for this session's landings (see tail).
+#
+# ROUND-10 WINDOW LEADS: (a) q_unigram_vocab — landed r9 with no
+# window slot (rows-only; its raise pins should run under the driver
+# once); (b) the r1/r2 re-pins displaced by the r9 landings:
+# q_text_stats, q_multimodal_meta, q_edit_distance_pairs,
+# q_knn_cosine_ivf_exact, q_curation_pipeline, q_gopher_quality,
+# q_repetition_metrics, q_tfidf_top_terms, q_chunk_documents,
+# q_tpch_q18, q_trajectory_similarity; (c) streaming stores again if
+# their shared protocol moves in r10.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
