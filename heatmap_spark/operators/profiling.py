@@ -1187,3 +1187,88 @@ def kmv_audience_overlap(
         .alias("exact_union"),
         F.coalesce("exact_inter", F.lit(0)).cast("bigint").alias("exact_inter"),
     )
+
+
+def drift_report(spark: SparkSession, sf_dir: str, n_bins: int = 10) -> DataFrame:
+    """Distribution-drift report between the first and second half of
+    the event stream (split at the median timestamp): per event type,
+    row counts, exact value sums, and the Population Stability Index
+    over ``n_bins`` fixed-width value bins — the standard
+    training-data / feature-drift monitor (PSI < 0.1 stable, > 0.25
+    action).
+
+    Determinism policy: bin edges come from per-type min/max (exact
+    double comparisons), smoothed bin shares use add-0.5 counts
+    (integers), and each PSI term (pa−pb)·ln(pa/pb) is FLOOR-quantized
+    to 1e-12 and summed as an exact bigint — floor is tie-free and
+    implementation-identical across engines, unlike round-on-double,
+    and the integer sum is order-independent.  The final /1e12 divides
+    identical integers in both engines.
+
+    Scale shape: two scan passes (median, then one aggregate tree);
+    every derived relation is ≤ |types|·n_bins rows and broadcasts.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    split = ev.agg(
+        F.expr("percentile(unix_timestamp(ts), 0.5)")
+    ).first()[0]
+    base = ev.select(
+        "event_type",
+        F.when(F.unix_timestamp("ts") <= F.lit(split), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("half"),
+        "value",
+    )
+    rng = base.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    wb = (F.col("mx") - F.col("mn")) / F.lit(float(n_bins))
+    binned = base.join(F.broadcast(rng), "event_type").select(
+        "event_type",
+        "half",
+        "value",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / wb),
+                F.lit(n_bins - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("bin"),
+    )
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    totals = binned.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("half") == "a", dec("value"))).alias("sa"),
+        F.sum(F.when(F.col("half") == "b", dec("value"))).alias("sb"),
+    )
+    pa = (F.col("ca").cast("double") + F.lit(0.5)) / (
+        F.col("na").cast("double") + F.lit(0.5 * n_bins)
+    )
+    pb = (F.col("cb").cast("double") + F.lit(0.5)) / (
+        F.col("nb").cast("double") + F.lit(0.5 * n_bins)
+    )
+    term = F.floor((pa - pb) * F.log(pa / pb) * F.lit(1e12)).cast("bigint")
+    psi = (
+        per_bin.join(F.broadcast(totals.select("event_type", "na", "nb")), "event_type")
+        .groupBy("event_type")
+        .agg(F.sum(term).alias("psi_int"))
+        .select(
+            "event_type",
+            (F.col("psi_int").cast("double") / F.lit(1e12)).alias("psi"),
+        )
+    )
+    return totals.join(psi, "event_type").select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_first_half"),
+        F.col("nb").cast("bigint").alias("n_second_half"),
+        F.col("sa").cast("double").alias("value_sum_first"),
+        F.col("sb").cast("double").alias("value_sum_second"),
+        "psi",
+    )

@@ -2755,6 +2755,54 @@ SELECT CAST(count(*) AS BIGINT) AS n_attributed,
   max(gap_s) AS max_s
 FROM gaps""",
     ),
+    # PSI drift monitor between stream halves: bin shares smoothed,
+    # each PSI term floor-quantized@1e-12 and summed as exact bigint
+    # (round-on-double differs across engines; floor never does)
+    "q_drift_report": QuerySpec(
+        profiling.drift_report,
+        """WITH sp AS (SELECT median(epoch(ts)) AS split FROM events),
+base AS (
+  SELECT event_type,
+    CASE WHEN epoch(ts) <= split THEN 'a' ELSE 'b' END AS half, value
+  FROM events CROSS JOIN sp),
+rng AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM base GROUP BY 1),
+binned AS (
+  SELECT b.event_type, half, value,
+    CASE WHEN mx > mn THEN CAST(least(floor((value - mn) / ((mx - mn) / 10.0)),
+                                     9) AS INTEGER)
+         ELSE 0 END AS bin
+  FROM base b JOIN rng USING (event_type)),
+per_bin AS (
+  SELECT event_type, bin,
+    sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS ca,
+    sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM binned GROUP BY 1, 2),
+totals AS (
+  SELECT event_type,
+    sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS na,
+    sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS nb,
+    sum(CASE WHEN half = 'a' THEN CAST(value AS DECIMAL(12,4)) END) AS sa,
+    sum(CASE WHEN half = 'b' THEN CAST(value AS DECIMAL(12,4)) END) AS sb
+  FROM binned GROUP BY 1),
+psi AS (
+  SELECT p.event_type,
+    sum(CAST(floor(
+      ((CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0)
+       - (CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0))
+      * ln(((CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0))
+           / ((CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0)))
+      * 1e12) AS BIGINT)) AS psi_int
+  FROM per_bin p JOIN totals t USING (event_type) GROUP BY 1)
+SELECT t.event_type,
+  CAST(na AS BIGINT) AS n_first_half,
+  CAST(nb AS BIGINT) AS n_second_half,
+  CAST(sa AS DOUBLE) AS value_sum_first,
+  CAST(sb AS DOUBLE) AS value_sum_second,
+  CAST(psi_int AS DOUBLE) / 1e12 AS psi
+FROM totals t JOIN psi USING (event_type)""",
+    ),
     # robust twin of q_zscore_outliers: median/MAD modified z-score —
     # statistics broadcast, stream never shuffles (3 scan passes)
     "q_mad_outliers": QuerySpec(
@@ -6728,7 +6776,6 @@ _PRIORITY = [
     "q_asof_join",
     "q_knn_cosine",
     "q_lang_id",
-    "q_token_counts",
     "q_streaming_tumbling",
     "q_streaming_join",
     # latest row is r2
@@ -6746,6 +6793,7 @@ _PRIORITY = [
     "q_knn_binary",
     "q_media_audio_features",
     "q_streaming_geofence",
+    "q_drift_report",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

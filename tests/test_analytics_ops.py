@@ -925,3 +925,58 @@ def test_kmv_overlap_estimates_within_sketch_error(spark, sf_smoke):
         # KMV-intersection envelope (jaccard resolution is 1/64)
         slack = 3 * r["exact_union"] / 8  # 3·(1/√63 + 1/64)·union, loose
         assert abs(r["inter_est"] - r["exact_inter"]) < max(slack, 80), r
+
+
+def test_drift_report_matches_python_psi(spark, sf_smoke):
+    """PSI per type equals a pure-python replay (same floor-quantized
+    terms), counts cover the stream, and PSI is non-negative up to the
+    quantization floor — each (x−y)·ln(x/y) term is ≥ 0."""
+    import math
+
+    from heatmap_spark.operators.profiling import drift_report
+    from heatmap_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_type", "ts", "value"
+    )
+    rows = ev.collect()
+    import statistics
+
+    split = statistics.median(r["ts"].timestamp() for r in rows)
+    by_type = {}
+    for r in rows:
+        half = "a" if r["ts"].timestamp() <= split else "b"
+        by_type.setdefault(r["event_type"], []).append((half, r["value"]))
+    want = {}
+    for t, vals in by_type.items():
+        mn = min(v for _, v in vals)
+        mx = max(v for _, v in vals)
+        w = (mx - mn) / 10.0
+        ca = [0] * 10
+        cb = [0] * 10
+        na = nb = 0
+        for half, v in vals:
+            b = min(int(math.floor((v - mn) / w)), 9) if mx > mn else 0
+            if half == "a":
+                ca[b] += 1
+                na += 1
+            else:
+                cb[b] += 1
+                nb += 1
+        psi_int = 0
+        for b in range(10):
+            if ca[b] == 0 and cb[b] == 0:
+                continue  # bin absent from the aggregate relation
+            pa = (ca[b] + 0.5) / (na + 5.0)
+            pb = (cb[b] + 0.5) / (nb + 5.0)
+            psi_int += math.floor((pa - pb) * math.log(pa / pb) * 1e12)
+        want[t] = (na, nb, psi_int / 1e12)
+    got = {
+        r["event_type"]: (r["n_first_half"], r["n_second_half"], r["psi"])
+        for r in drift_report(spark, sf_smoke).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == want[t][0] and got[t][1] == want[t][1], t
+        assert abs(got[t][2] - want[t][2]) < 1e-12, t
+        assert got[t][2] >= -1e-9  # PSI ≥ 0 up to quantization
