@@ -980,3 +980,31 @@ def test_drift_report_matches_python_psi(spark, sf_smoke):
         assert got[t][0] == want[t][0] and got[t][1] == want[t][1], t
         assert abs(got[t][2] - want[t][2]) < 1e-12, t
         assert got[t][2] >= -1e-9  # PSI ≥ 0 up to quantization
+
+
+def test_kmv_sketch_merge_identity(spark, sf_smoke):
+    """KMV mergeability: the k smallest hashes of A ∪ B equal the k
+    smallest of (sketch(A) ∪ sketch(B)) — stored 64-row sketches
+    combine without touching raw data, like HLL registers."""
+    from pyspark.sql import functions as F
+
+    from heatmap_spark.operators.profiling import kmv_hashes
+    from heatmap_spark.sources.tables import load_table
+
+    k = 64
+    ev = load_table(spark, sf_smoke, "events").select("event_type", "user_id")
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "view")
+
+    def sketch(df):
+        hv = sorted(
+            r["hv"]
+            for r in kmv_hashes(
+                df.select(F.lit("g").alias("g"), "user_id"), "user_id", ["g"]
+            ).collect()
+        )
+        return hv[:k]
+
+    merged_from_sketches = sorted(set(sketch(a)) | set(sketch(b)))[:k]
+    direct = sketch(a.unionByName(b))
+    assert merged_from_sketches == direct
