@@ -1272,3 +1272,77 @@ def drift_report(spark: SparkSession, sf_dir: str, n_bins: int = 10) -> DataFram
         F.col("sb").cast("double").alias("value_sum_second"),
         "psi",
     )
+
+
+def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per event type
+    between the first and second half of the stream (median-ts split,
+    like drift_report): D = sup |F̂_a(x) − F̂_b(x)|, the
+    distribution-free companion to the binned PSI — PSI says how much
+    mass moved between coarse bins, KS catches any shape change at
+    full resolution.
+
+    Exactness without a single float until the end: at each observed
+    value the CDF gap is |ca·nb − cb·na| / (na·nb) with integer
+    numerator, so the sup is an integer MAX and D divides two exact
+    integers once.  The scaled statistic
+    KS = D·√(na·nb/(na+nb)) (≳1.36 ⇒ p<0.05) is one sqrt on top.
+
+    Scale shape: one window per event type over the merged relation
+    (cumulative a/b counts off a single sort — the §11 single-sort
+    chain), then a per-type max.  Ties are handled correctly by
+    evaluating the gap only at the LAST row of each distinct value
+    (cumulative counts there include the whole tie group)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    split = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
+    base = ev.select(
+        "event_type",
+        F.when(F.unix_timestamp("ts") <= F.lit(split), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+        "value",
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # per-row cumulative counts, then the MAX within each distinct
+    # value collapses the tie group to its end-of-group CDF point —
+    # intra-tie row order (arbitrary) cannot affect the result
+    cum = (
+        base.select(
+            "event_type",
+            "value",
+            F.sum("is_a").over(wcum).alias("ca"),
+            F.sum(F.lit(1) - F.col("is_a")).over(wcum).alias("cb"),
+        )
+        .groupBy("event_type", "value")
+        .agg(F.max("ca").alias("ca"), F.max("cb").alias("cb"))
+    )
+    totals = base.groupBy("event_type").agg(
+        F.sum("is_a").alias("na"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("nb"),
+    )
+    gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    sup = (
+        cum.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type", "na", "nb")
+        .agg(F.max(gap).alias("sup_num"))
+    )
+    d = F.col("sup_num").cast("double") / (
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    ks = d * F.sqrt(
+        F.col("na").cast("double")
+        * F.col("nb").cast("double")
+        / (F.col("na").cast("double") + F.col("nb").cast("double"))
+    )
+    return sup.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_first_half"),
+        F.col("nb").cast("bigint").alias("n_second_half"),
+        F.col("sup_num").cast("bigint").alias("sup_numerator"),
+        d.alias("ks_d"),
+        ks.alias("ks_scaled"),
+    )

@@ -2803,6 +2803,42 @@ SELECT t.event_type,
   CAST(psi_int AS DOUBLE) / 1e12 AS psi
 FROM totals t JOIN psi USING (event_type)""",
     ),
+    # exact two-sample KS per type between stream halves: the sup of
+    # |F̂_a − F̂_b| stays an INTEGER max (|ca·nb − cb·na|) until one
+    # final division — the full-resolution companion to the PSI bins
+    "q_ks_test": QuerySpec(
+        profiling.ks_test,
+        """WITH sp AS (SELECT median(epoch(ts)) AS split FROM events),
+base AS (
+  SELECT event_type,
+    CASE WHEN epoch(ts) <= split THEN 1 ELSE 0 END AS is_a, value
+  FROM events CROSS JOIN sp),
+cum0 AS (
+  SELECT event_type, value,
+    sum(is_a) OVER (PARTITION BY event_type ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+    sum(1 - is_a) OVER (PARTITION BY event_type ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM base),
+cum AS (
+  SELECT event_type, value, max(ca) AS ca, max(cb) AS cb
+  FROM cum0 GROUP BY 1, 2),
+totals AS (
+  SELECT event_type, sum(is_a) AS na, sum(1 - is_a) AS nb
+  FROM base GROUP BY 1),
+sup AS (
+  SELECT c.event_type, na, nb, max(abs(ca * nb - cb * na)) AS sup_num
+  FROM cum c JOIN totals USING (event_type) GROUP BY 1, 2, 3)
+SELECT event_type,
+  CAST(na AS BIGINT) AS n_first_half,
+  CAST(nb AS BIGINT) AS n_second_half,
+  CAST(sup_num AS BIGINT) AS sup_numerator,
+  CAST(sup_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d,
+  CAST(sup_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+    * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+           / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) AS ks_scaled
+FROM sup""",
+    ),
     # robust twin of q_zscore_outliers: median/MAD modified z-score —
     # statistics broadcast, stream never shuffles (3 scan passes)
     "q_mad_outliers": QuerySpec(
@@ -6775,7 +6811,6 @@ _PRIORITY = [
     # latest row is r1/r2
     "q_asof_join",
     "q_knn_cosine",
-    "q_lang_id",
     "q_streaming_tumbling",
     "q_streaming_join",
     # latest row is r2
@@ -6794,6 +6829,7 @@ _PRIORITY = [
     "q_media_audio_features",
     "q_streaming_geofence",
     "q_drift_report",
+    "q_ks_test",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

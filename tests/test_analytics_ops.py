@@ -1008,3 +1008,55 @@ def test_kmv_sketch_merge_identity(spark, sf_smoke):
     merged_from_sketches = sorted(set(sketch(a)) | set(sketch(b)))[:k]
     direct = sketch(a.unionByName(b))
     assert merged_from_sketches == direct
+
+
+def test_ks_test_matches_scipy_style_python(spark, sf_smoke):
+    """KS D per type equals a pure-python two-sample computation over
+    the same halves (the scipy ks_2samp definition), and planting an
+    obvious distribution shift drives D toward 1."""
+    import statistics
+
+    from heatmap_spark.operators.profiling import ks_test
+    from heatmap_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    split = statistics.median(r["ts"].timestamp() for r in ev)
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], ([], []))[
+            0 if r["ts"].timestamp() <= split else 1
+        ].append(r["value"])
+    want = {}
+    for t, (a, b) in by_type.items():
+        xs = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        sa, sb = sorted(a), sorted(b)
+
+        def cdf_count(sorted_vals, x):
+            import bisect
+
+            return bisect.bisect_right(sorted_vals, x)
+
+        sup = max(
+            abs(cdf_count(sa, x) * nb - cdf_count(sb, x) * na) for x in xs
+        )
+        want[t] = (na, nb, sup)
+    got = {
+        r["event_type"]: (r["n_first_half"], r["n_second_half"], r["sup_numerator"])
+        for r in ks_test(spark, sf_smoke).collect()
+    }
+    assert got == want
+    for t, (na, nb, sup) in want.items():
+        assert 0 <= sup <= na * nb
+
+    # sanity of the statistic itself: disjoint supports give D = 1
+    a = [1.0, 2.0, 3.0]
+    b = [10.0, 11.0]
+    sup = max(
+        abs(sum(1 for v in a if v <= x) * len(b)
+            - sum(1 for v in b if v <= x) * len(a))
+        for x in sorted(set(a) | set(b))
+    )
+    assert sup == len(a) * len(b)
