@@ -1346,3 +1346,75 @@ def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.alias("ks_d"),
         ks.alias("ks_scaled"),
     )
+
+
+def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) per event type between
+    the stream halves — the rank-based location test completing the
+    drift trio (PSI: binned mass, KS: CDF shape, MWU: stochastic
+    dominance).
+
+    Tie-exactness trick: the average rank of a tie group is the
+    half-integer (2·rank() + t − 1)/2, so DOUBLED ranks are integers —
+    the rank sum R2a, the doubled statistic U2 = R2a − na(na+1) = 2U,
+    and the tie-correction term Σ(t³−t) all stay exact bigints; the
+    normal-approximation z (with tie-corrected variance) is the single
+    float expression at the end, computed in one fixed operand order.
+
+    Scale shape: one sorted window per type (rank + per-value tie
+    count off the same sort), two vocabulary-sized aggregates; nothing
+    but the window exchange touches data."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    split = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
+    base = ev.select(
+        "event_type",
+        F.when(F.unix_timestamp("ts") <= F.lit(split), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+        "value",
+    )
+    wr = W.partitionBy("event_type").orderBy("value")
+    wv = W.partitionBy("event_type", "value")
+    ranked = base.select(
+        "event_type",
+        "is_a",
+        "value",
+        F.rank().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wv).alias("t"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("is_a") == 1,
+                F.lit(2) * F.col("rk") + F.col("t") - F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("r2a"),
+        F.sum("is_a").alias("na"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("nb"),
+    )
+    ties = (
+        ranked.groupBy("event_type", "value")
+        .agg(F.max("t").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie_term")
+        )
+    )
+    j = agg.join(ties, "event_type")
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + F.lit(1))
+    na_d, nb_d = F.col("na").cast("double"), F.col("nb").cast("double")
+    n_d = na_d + nb_d
+    sigma2 = (na_d * nb_d / F.lit(12.0)) * (
+        (n_d + F.lit(1.0)) - F.col("tie_term").cast("double") / (n_d * (n_d - F.lit(1.0)))
+    )
+    z = (u2.cast("double") - na_d * nb_d) / (F.lit(2.0) * F.sqrt(sigma2))
+    return j.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_first_half"),
+        F.col("nb").cast("bigint").alias("n_second_half"),
+        u2.cast("bigint").alias("u2"),
+        F.col("tie_term").cast("bigint").alias("tie_term"),
+        z.alias("z"),
+    )

@@ -2839,6 +2839,44 @@ SELECT event_type,
            / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) AS ks_scaled
 FROM sup""",
     ),
+    # Mann–Whitney U completes the drift trio: DOUBLED ranks keep tie
+    # averages integer, so U2 = 2U and the tie term are exact bigints;
+    # the tie-corrected z is the single float expression at the end
+    "q_mann_whitney": QuerySpec(
+        profiling.mann_whitney,
+        """WITH sp AS (SELECT median(epoch(ts)) AS split FROM events),
+base AS (
+  SELECT event_type,
+    CASE WHEN epoch(ts) <= split THEN 1 ELSE 0 END AS is_a, value
+  FROM events CROSS JOIN sp),
+ranked AS (
+  SELECT event_type, is_a, value,
+    rank() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+    count(*) OVER (PARTITION BY event_type, value) AS t
+  FROM base),
+agg AS (
+  SELECT event_type,
+    sum(CASE WHEN is_a = 1 THEN 2 * rk + t - 1 ELSE 0 END) AS r2a,
+    sum(is_a) AS na, sum(1 - is_a) AS nb
+  FROM ranked GROUP BY 1),
+ties AS (
+  SELECT event_type, sum(t * t * t - t) AS tie_term FROM (
+    SELECT event_type, value, max(t) AS t FROM ranked GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT a.event_type,
+  CAST(na AS BIGINT) AS n_first_half,
+  CAST(nb AS BIGINT) AS n_second_half,
+  CAST(r2a - na * (na + 1) AS BIGINT) AS u2,
+  CAST(tie_term AS BIGINT) AS tie_term,
+  (CAST(r2a - na * (na + 1) AS DOUBLE)
+     - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+  / (2.0 * sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+      * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+         - CAST(tie_term AS DOUBLE)
+           / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+              * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0))))) AS z
+FROM agg a JOIN ties USING (event_type)""",
+    ),
     # robust twin of q_zscore_outliers: median/MAD modified z-score —
     # statistics broadcast, stream never shuffles (3 scan passes)
     "q_mad_outliers": QuerySpec(
@@ -6811,7 +6849,6 @@ _PRIORITY = [
     # latest row is r1/r2
     "q_asof_join",
     "q_knn_cosine",
-    "q_streaming_tumbling",
     "q_streaming_join",
     # latest row is r2
     # late round-9 landings (first hard driver rows): portable HLL +
@@ -6830,6 +6867,7 @@ _PRIORITY = [
     "q_streaming_geofence",
     "q_drift_report",
     "q_ks_test",
+    "q_mann_whitney",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

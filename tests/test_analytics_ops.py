@@ -1060,3 +1060,45 @@ def test_ks_test_matches_scipy_style_python(spark, sf_smoke):
         for x in sorted(set(a) | set(b))
     )
     assert sup == len(a) * len(b)
+
+
+def test_mann_whitney_matches_scipy_when_available(spark, sf_smoke):
+    """U and tie-corrected z match scipy.stats.mannwhitneyu where
+    scipy exists; a pure-python rank-sum replay pins U2 regardless."""
+    import statistics
+
+    from heatmap_spark.operators.profiling import mann_whitney
+    from heatmap_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    split = statistics.median(r["ts"].timestamp() for r in ev)
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], ([], []))[
+            0 if r["ts"].timestamp() <= split else 1
+        ].append(r["value"])
+
+    got = {r["event_type"]: r for r in mann_whitney(spark, sf_smoke).collect()}
+    for t, (a, b) in by_type.items():
+        pooled = sorted(a + b)
+        # doubled average rank per value: 2*min_rank + t - 1
+        first = {}
+        cnt = {}
+        for i, v in enumerate(pooled):
+            first.setdefault(v, i + 1)
+            cnt[v] = cnt.get(v, 0) + 1
+        r2a = sum(2 * first[v] + cnt[v] - 1 for v in a)
+        na, nb = len(a), len(b)
+        u2 = r2a - na * (na + 1)
+        assert got[t]["u2"] == u2, t
+        assert got[t]["tie_term"] == sum(
+            c**3 - c for c in cnt.values()
+        ), t
+        try:
+            from scipy import stats as ss
+        except ImportError:
+            continue
+        res = ss.mannwhitneyu(a, b, alternative="two-sided", method="asymptotic")
+        assert abs(u2 / 2.0 - res.statistic) < 1e-9, t
