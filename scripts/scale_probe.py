@@ -2296,6 +2296,51 @@ def probe_unigram(spark, n: int) -> None:
     )
 
 
+def probe_drifttests(spark, n: int) -> None:
+    """The drift trio at 100× bench scale over synthetic events: PSI
+    (binned), KS (one sorted window/type), MWU (one ranked window/type)
+    — the windows dominate; PSI is aggregate-only."""
+    from heatmap_spark.operators import profiling as P_
+
+    ev = _synthetic_events(spark, n)
+    # deterministic value with a planted second-half mean shift so the
+    # tests have something to detect
+    drift = F.when(
+        F.col("event_id") > n // 2, F.lit(7.5)
+    ).otherwise(F.lit(0.0))
+    tmp = ev.select(
+        "event_type",
+        "ts",
+        (((F.col("event_id") * 104729) % 100000).cast("double") / 100.0 + drift)
+        .alias("value"),
+    )
+    tmp.createOrReplaceTempView("__drift_probe_events")
+
+    import types
+
+    fake_load = lambda spark_, sf_, name_: spark_.table("__drift_probe_events")  # noqa: E731
+    saved = P_.load_table
+    P_.load_table = fake_load
+    try:
+        t0 = time.perf_counter()
+        n_psi = P_.drift_report(spark, "unused").count()
+        t_psi = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_ks = P_.ks_test(spark, "unused").count()
+        t_ks = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_mwu = P_.mann_whitney(spark, "unused").count()
+        t_mwu = time.perf_counter() - t0
+    finally:
+        P_.load_table = saved
+    print(
+        f"drift trio {n:,} events × 5 types: PSI {t_psi:.1f}s "
+        f"({n_psi} rows), KS {t_ks:.1f}s ({n_ks}), MWU {t_mwu:.1f}s "
+        f"({n_mwu}) — PSI is aggregate-only; KS/MWU pay one sorted "
+        f"window per type"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     which = args.pop(0) if args and not args[0].isdigit() else "pyramid"
@@ -2306,7 +2351,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000, "graphann": 50_000, "geofence": 10_000_000, "hll": 20_000_000, "dsir": 2_000_000, "joinview": 2_000_000, "binaryann": 1_000_000, "unigram": 500_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000, "graphann": 50_000, "geofence": 10_000_000, "hll": 20_000_000, "dsir": 2_000_000, "joinview": 2_000_000, "binaryann": 1_000_000, "unigram": 500_000, "drifttests": 10_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -2320,7 +2365,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec, "graphann": probe_graphann, "geofence": probe_geofence, "hll": probe_hll, "dsir": probe_dsir, "joinview": probe_joinview, "binaryann": probe_binaryann, "unigram": probe_unigram}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec, "graphann": probe_graphann, "geofence": probe_geofence, "hll": probe_hll, "dsir": probe_dsir, "joinview": probe_joinview, "binaryann": probe_binaryann, "unigram": probe_unigram, "drifttests": probe_drifttests}[which](spark, n)
 
 
 if __name__ == "__main__":
