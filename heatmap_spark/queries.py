@@ -6803,7 +6803,8 @@ FROM weighted""",
 # q_text_stats, q_multimodal_meta, q_edit_distance_pairs,
 # q_knn_cosine_ivf_exact, q_curation_pipeline, q_gopher_quality,
 # q_repetition_metrics, q_tfidf_top_terms, q_chunk_documents,
-# q_tpch_q18, q_trajectory_similarity; (c) streaming stores again if
+# q_tpch_q18, q_trajectory_similarity, q_text_stats, q_token_counts,
+# q_lang_id, q_streaming_tumbling; (c) streaming stores again if
 # their shared protocol moves in r10.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
