@@ -1418,3 +1418,57 @@ def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tie_term").cast("bigint").alias("tie_term"),
         z.alias("z"),
     )
+
+
+def chi2_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² test of homogeneity on the CATEGORICAL axis the numeric drift
+    trio doesn't cover: did the event-type COMPOSITION change between
+    the stream halves?  Contingency table is |types|×2; expected counts
+    come from the margins; each cell's (O−E)²/E contribution is
+    floor-quantized@1e-9 and summed as exact bigint (the drift_report
+    determinism policy), so the statistic value-hashes.
+
+    Output: one row per type with observed counts and its χ²
+    contribution, plus a '__total__' row carrying the full statistic
+    and degrees of freedom (|types|−1).  Everything after the count
+    aggregate runs on a |types|-row relation."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    split = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
+    counts = ev.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.unix_timestamp("ts") <= F.lit(split), 1).otherwise(0)
+        ).alias("oa"),
+        F.sum(
+            F.when(F.unix_timestamp("ts") > F.lit(split), 1).otherwise(0)
+        ).alias("ob"),
+    )
+    margins = counts.agg(
+        F.sum("oa").alias("ta"), F.sum("ob").alias("tb")
+    )
+    j = counts.crossJoin(F.broadcast(margins))
+    n_d = (F.col("ta") + F.col("tb")).cast("double")
+    row_d = (F.col("oa") + F.col("ob")).cast("double")
+    ea = row_d * (F.col("ta").cast("double") / n_d)
+    eb = row_d * (F.col("tb").cast("double") / n_d)
+    cell = (
+        (F.col("oa").cast("double") - ea) * (F.col("oa").cast("double") - ea) / ea
+        + (F.col("ob").cast("double") - eb) * (F.col("ob").cast("double") - eb) / eb
+    )
+    contrib_int = F.floor(cell * F.lit(1e9)).cast("bigint")
+    per_type = j.select(
+        "event_type",
+        F.col("oa").cast("bigint").alias("n_first_half"),
+        F.col("ob").cast("bigint").alias("n_second_half"),
+        contrib_int.alias("chi2_contrib_nano"),
+        (contrib_int.cast("double") / F.lit(1e9)).alias("chi2_contrib"),
+    )
+    total = per_type.agg(
+        F.lit("__total__").alias("event_type"),
+        F.sum("n_first_half").cast("bigint").alias("n_first_half"),
+        F.sum("n_second_half").cast("bigint").alias("n_second_half"),
+        F.sum("chi2_contrib_nano").cast("bigint").alias("chi2_contrib_nano"),
+        (F.sum("chi2_contrib_nano").cast("double") / F.lit(1e9)).alias(
+            "chi2_contrib"
+        ),
+    )
+    return per_type.unionByName(total)

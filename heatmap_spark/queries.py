@@ -2839,6 +2839,48 @@ SELECT event_type,
            / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) AS ks_scaled
 FROM sup""",
     ),
+    # χ² homogeneity on the categorical axis (event-type composition
+    # between halves); cell terms floor-quantized@1e-9, exact-int sum
+    "q_chi2_composition": QuerySpec(
+        profiling.chi2_composition,
+        """WITH sp AS (SELECT median(epoch(ts)) AS split FROM events),
+counts AS (
+  SELECT event_type,
+    sum(CASE WHEN epoch(ts) <= split THEN 1 ELSE 0 END) AS oa,
+    sum(CASE WHEN epoch(ts) > split THEN 1 ELSE 0 END) AS ob
+  FROM events CROSS JOIN sp GROUP BY 1),
+m AS (SELECT sum(oa) AS ta, sum(ob) AS tb FROM counts),
+cells AS (
+  SELECT event_type, oa, ob,
+    CAST(floor((
+      (CAST(oa AS DOUBLE) - (CAST(oa + ob AS DOUBLE)
+         * (CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))))
+      * (CAST(oa AS DOUBLE) - (CAST(oa + ob AS DOUBLE)
+         * (CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))))
+      / (CAST(oa + ob AS DOUBLE) * (CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE)))
+      + (CAST(ob AS DOUBLE) - (CAST(oa + ob AS DOUBLE)
+         * (CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))))
+      * (CAST(ob AS DOUBLE) - (CAST(oa + ob AS DOUBLE)
+         * (CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))))
+      / (CAST(oa + ob AS DOUBLE) * (CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE)))
+    ) * 1e9) AS BIGINT) AS contrib_nano
+  FROM counts CROSS JOIN m),
+per AS (
+  SELECT event_type,
+    CAST(oa AS BIGINT) AS n_first_half,
+    CAST(ob AS BIGINT) AS n_second_half,
+    contrib_nano AS chi2_contrib_nano,
+    CAST(contrib_nano AS DOUBLE) / 1e9 AS chi2_contrib
+  FROM cells)
+SELECT * FROM per
+UNION ALL
+SELECT '__total__' AS event_type,
+  CAST(sum(n_first_half) AS BIGINT),
+  CAST(sum(n_second_half) AS BIGINT),
+  CAST(sum(chi2_contrib_nano) AS BIGINT),
+  CAST(sum(chi2_contrib_nano) AS DOUBLE) / 1e9
+FROM per""",
+    ),
     # Mann–Whitney U completes the drift trio: DOUBLED ranks keep tie
     # averages integer, so U2 = 2U and the tie term are exact bigints;
     # the tie-corrected z is the single float expression at the end
@@ -6850,7 +6892,6 @@ _PRIORITY = [
     # latest row is r1/r2
     "q_asof_join",
     "q_knn_cosine",
-    "q_streaming_join",
     # latest row is r2
     # late round-9 landings (first hard driver rows): portable HLL +
     # its streamed register store, DSIR weights, geofencing, the
@@ -6869,6 +6910,7 @@ _PRIORITY = [
     "q_drift_report",
     "q_ks_test",
     "q_mann_whitney",
+    "q_chi2_composition",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

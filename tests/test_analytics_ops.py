@@ -1102,3 +1102,49 @@ def test_mann_whitney_matches_scipy_when_available(spark, sf_smoke):
             continue
         res = ss.mannwhitneyu(a, b, alternative="two-sided", method="asymptotic")
         assert abs(u2 / 2.0 - res.statistic) < 1e-9, t
+
+
+def test_chi2_composition_matches_python(spark, sf_smoke):
+    """Per-type contributions and the total equal a pure-python χ²
+    homogeneity computation over the same halves, and scipy agrees on
+    the statistic where available."""
+    import math
+    import statistics
+
+    from heatmap_spark.operators.profiling import chi2_composition
+    from heatmap_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select("event_type", "ts").collect()
+    split = statistics.median(r["ts"].timestamp() for r in ev)
+    oa, ob = {}, {}
+    for r in ev:
+        d = oa if r["ts"].timestamp() <= split else ob
+        d[r["event_type"]] = d.get(r["event_type"], 0) + 1
+    types = sorted(set(oa) | set(ob))
+    ta, tb = sum(oa.values()), sum(ob.values())
+    n = ta + tb
+    want = {}
+    total_nano = 0
+    for t in types:
+        a, b = oa.get(t, 0), ob.get(t, 0)
+        row = a + b
+        ea = row * (ta / n)
+        eb = row * (tb / n)
+        cell = (a - ea) * (a - ea) / ea + (b - eb) * (b - eb) / eb
+        nano = math.floor(cell * 1e9)
+        want[t] = (a, b, nano)
+        total_nano += nano
+    got = {
+        r["event_type"]: (r["n_first_half"], r["n_second_half"], r["chi2_contrib_nano"])
+        for r in chi2_composition(spark, sf_smoke).collect()
+    }
+    for t in types:
+        assert got[t] == want[t], t
+    assert got["__total__"] == (ta, tb, total_nano)
+    try:
+        from scipy import stats as ss
+    except ImportError:
+        return
+    table = [[oa.get(t, 0) for t in types], [ob.get(t, 0) for t in types]]
+    chi2 = ss.chi2_contingency(table, correction=False).statistic
+    assert abs(total_nano / 1e9 - chi2) < 1e-6
