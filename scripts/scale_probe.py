@@ -2316,7 +2316,6 @@ def probe_drifttests(spark, n: int) -> None:
     )
     tmp.createOrReplaceTempView("__drift_probe_events")
 
-    import types
 
     fake_load = lambda spark_, sf_, name_: spark_.table("__drift_probe_events")  # noqa: E731
     saved = P_.load_table

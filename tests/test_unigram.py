@@ -104,7 +104,6 @@ def test_worker_viterbi_copy_matches_module_function(spark):
     the two can never drift."""
     import random
 
-    from pyspark.sql import functions as F
 
     from heatmap_spark.operators.textops import _unigram_estep_counts
 
