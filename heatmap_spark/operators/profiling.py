@@ -1288,11 +1288,15 @@ def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers once.  The scaled statistic
     KS = D·√(na·nb/(na+nb)) (≳1.36 ⇒ p<0.05) is one sqrt on top.
 
-    Scale shape: one window per event type over the merged relation
-    (cumulative a/b counts off a single sort — the §11 single-sort
-    chain), then a per-type max.  Ties are handled correctly by
-    evaluating the gap only at the LAST row of each distinct value
-    (cumulative counts there include the whole tie group)."""
+    Scale shape (distributed-rank spelling): the raw relation is first
+    REDUCED to the distinct-value table (event_type, value, da, db)
+    by a hash aggregate — partial map-side combine, keys spread over
+    (type, value) so a hot type still fans out — and the single sorted
+    window runs over THAT table, whose partition size is distinct
+    values per type, not rows per type.  The CDF at the end of each
+    tie group is just the running sum of per-value counts, so the
+    statistic is bit-identical to the per-row spelling while a
+    90%-skewed hot type no longer serializes a corpus-sized sort."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     split = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
     base = ev.select(
@@ -1302,27 +1306,27 @@ def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_a"),
         "value",
     )
+    per_val = base.groupBy("event_type", "value").agg(
+        F.sum("is_a").alias("da"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("db"),
+    )
     wcum = (
         W.partitionBy("event_type")
         .orderBy("value")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    # per-row cumulative counts, then the MAX within each distinct
-    # value collapses the tie group to its end-of-group CDF point —
-    # intra-tie row order (arbitrary) cannot affect the result
-    cum = (
-        base.select(
-            "event_type",
-            "value",
-            F.sum("is_a").over(wcum).alias("ca"),
-            F.sum(F.lit(1) - F.col("is_a")).over(wcum).alias("cb"),
-        )
-        .groupBy("event_type", "value")
-        .agg(F.max("ca").alias("ca"), F.max("cb").alias("cb"))
+    # each distinct-value row IS the end of its tie group: the running
+    # sums of the per-value counts are exactly the end-of-group
+    # cumulative CDF counts of the per-row spelling
+    cum = per_val.select(
+        "event_type",
+        "value",
+        F.sum("da").over(wcum).alias("ca"),
+        F.sum("db").over(wcum).alias("cb"),
     )
-    totals = base.groupBy("event_type").agg(
-        F.sum("is_a").alias("na"),
-        F.sum(F.lit(1) - F.col("is_a")).alias("nb"),
+    totals = per_val.groupBy("event_type").agg(
+        F.sum("da").alias("na"),
+        F.sum("db").alias("nb"),
     )
     gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
     sup = (
@@ -1361,9 +1365,15 @@ def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     normal-approximation z (with tie-corrected variance) is the single
     float expression at the end, computed in one fixed operand order.
 
-    Scale shape: one sorted window per type (rank + per-value tie
-    count off the same sort), two vocabulary-sized aggregates; nothing
-    but the window exchange touches data."""
+    Scale shape (distributed-rank spelling): reduce to the
+    distinct-value table (event_type, value, ta, tb) with a hash
+    aggregate first, then run the single sorted window over that
+    table.  For a tie group of size t = ta+tb ending at running total
+    cum_t, the group starts at rank cum_t−t+1, so every member's
+    DOUBLED average rank is 2·(cum_t−t+1)+t−1 = 2·cum_t−t+1 — the
+    group contributes ta·(2·cum_t−t+1) to R2a and t³−t to the tie
+    term, bit-identical to ranking raw rows while the window
+    partition holds distinct values, not rows."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     split = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
     base = ev.select(
@@ -1373,36 +1383,33 @@ def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_a"),
         "value",
     )
-    wr = W.partitionBy("event_type").orderBy("value")
-    wv = W.partitionBy("event_type", "value")
-    ranked = base.select(
+    per_val = base.groupBy("event_type", "value").agg(
+        F.sum("is_a").alias("ta"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("tb"),
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t = F.col("ta") + F.col("tb")
+    cum = per_val.select(
         "event_type",
-        "is_a",
-        "value",
-        F.rank().over(wr).alias("rk"),
-        F.count(F.lit(1)).over(wv).alias("t"),
+        "ta",
+        t.alias("t"),
+        F.sum(t).over(wcum).alias("cum_t"),
     )
-    agg = ranked.groupBy("event_type").agg(
+    j = cum.groupBy("event_type").agg(
         F.sum(
-            F.when(
-                F.col("is_a") == 1,
-                F.lit(2) * F.col("rk") + F.col("t") - F.lit(1),
-            ).otherwise(F.lit(0))
+            F.col("ta")
+            * (F.lit(2) * F.col("cum_t") - F.col("t") + F.lit(1))
         ).alias("r2a"),
-        F.sum("is_a").alias("na"),
-        F.sum(F.lit(1) - F.col("is_a")).alias("nb"),
+        F.sum("ta").alias("na"),
+        F.sum(F.col("t") - F.col("ta")).alias("nb"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_term"),
     )
-    ties = (
-        ranked.groupBy("event_type", "value")
-        .agg(F.max("t").alias("t"))
-        .groupBy("event_type")
-        .agg(
-            F.sum(
-                F.col("t") * F.col("t") * F.col("t") - F.col("t")
-            ).alias("tie_term")
-        )
-    )
-    j = agg.join(ties, "event_type")
     u2 = F.col("r2a") - F.col("na") * (F.col("na") + F.lit(1))
     na_d, nb_d = F.col("na").cast("double"), F.col("nb").cast("double")
     n_d = na_d + nb_d

@@ -2335,8 +2335,42 @@ def probe_drifttests(spark, n: int) -> None:
     print(
         f"drift trio {n:,} events × 5 types: PSI {t_psi:.1f}s "
         f"({n_psi} rows), KS {t_ks:.1f}s ({n_ks}), MWU {t_mwu:.1f}s "
-        f"({n_mwu}) — PSI is aggregate-only; KS/MWU pay one sorted "
-        f"window per type"
+        f"({n_mwu}) — PSI is aggregate-only; KS/MWU rank the "
+        f"distinct-value table, not raw rows"
+    )
+
+    # worst case the r9 verdict flagged: one hot type holding 90% of
+    # rows.  With the distributed-rank spelling the window partition
+    # is the hot type's DISTINCT values (quantized to ~4k here), so
+    # the hot type costs a hash aggregate spread over (type, value),
+    # never a 0.9·n single-task sort.
+    skewed = ev.select(
+        F.when((F.col("event_id") % 10) < 9, F.lit("hot"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        "ts",
+        (((F.col("event_id") * 104729) % 4096).cast("double") / 16.0 + drift)
+        .alias("value"),
+    )
+    skewed.createOrReplaceTempView("__drift_probe_events")
+    n_distinct = skewed.where(F.col("event_type") == "hot").select(
+        "value"
+    ).distinct().count()
+    P_.load_table = fake_load
+    try:
+        t0 = time.perf_counter()
+        n_ks = P_.ks_test(spark, "unused").count()
+        t_ks = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_mwu = P_.mann_whitney(spark, "unused").count()
+        t_mwu = time.perf_counter() - t0
+    finally:
+        P_.load_table = saved
+    print(
+        f"drift skew {n:,} events, hot type 90% ({n_distinct:,} distinct "
+        f"values): KS {t_ks:.1f}s ({n_ks} rows), MWU {t_mwu:.1f}s "
+        f"({n_mwu}) — hot-type window sorts {n_distinct:,} rows, not "
+        f"{int(n * 0.9):,}"
     )
 
 
