@@ -252,16 +252,25 @@ def search_graph_store(
     store: str,
     n_queries: int = 10,
     k: int = 5,
-    beam: int = 16,
+    beam: int | None = None,
     hops: int = 4,
     branch: int = 16,
 ) -> DataFrame:
     """Serve top-k from the accumulated store: brute-force the
     hash-promoted coarse member set as the entry selector (the
     hierarchy's top-layer role — 1/branch of the corpus, broadcast
-    scoring), then beam-search the maintained graph."""
+    scoring), then beam-search the maintained graph.
+
+    ``beam=None`` derives the beam from the STORE's current row count
+    (adaptive_beam ~ 2·log2(N)) — a store that grew 5× since the last
+    caller retune keeps its recall without anyone touching the serving
+    config."""
+    from heatmap_spark.operators.similarity import adaptive_beam
+
     vecs = read_vectors(spark, store)
     graph = read_graph_edges(spark, store)
+    if beam is None:
+        beam = adaptive_beam(vecs.count())
     queries = vecs.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),

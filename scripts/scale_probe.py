@@ -2022,16 +2022,20 @@ def probe_graphann(spark, n: int) -> None:
     t0 = time.perf_counter()
     r_hier = recall(hnsw_search(emb, graphs, 10, 5, beam=16, hops=5))
     t_hier = time.perf_counter() - t0
+    from heatmap_spark.operators.similarity import adaptive_beam
+
+    auto = adaptive_beam(n)
     t0 = time.perf_counter()
-    r_wide = recall(hnsw_search(emb, graphs, 10, 5, beam=32, hops=5))
-    t_wide = time.perf_counter() - t0
+    r_auto = recall(hnsw_search(emb, graphs, 10, 5, beam=None, hops=5))
+    t_auto = time.perf_counter() - t0
     print(
         f"graph-ANN {n:,} clustered vecs: hierarchy({len(graphs)} levels, "
         f"deg 12, 3 rounds) {t_build:.1f}s ({n_edges:,} L0 edges); flat "
         f"L0-only search recall@5 {r_flat:.2f} in {t_flat:.1f}s vs "
         f"HIERARCHICAL descent recall@5 {r_hier:.2f} in {t_hier:.1f}s "
-        f"(beam 16) / {r_wide:.2f} in {t_wide:.1f}s (beam 32 — the ef "
-        f"dial; widen beam as the corpus grows)"
+        f"(fixed beam 16) / {r_auto:.2f} in {t_auto:.1f}s (ADAPTIVE "
+        f"beam=None → {auto} = 2·log2(N); recall should hold at any N "
+        f"without retuning)"
     )
 
 

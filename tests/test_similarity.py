@@ -590,3 +590,19 @@ def test_knn_binary_rerank_recall(spark, sf_smoke):
         hits += sum(1 for r in rs if r["in_exact_topk"])
         total += len(rs)
     assert hits / total >= 0.8, hits / total
+
+
+def test_adaptive_beam_schedule():
+    """beam=None derives ~2·log2(N) with floor 16: fixture-sized
+    corpora stay at the floor (registry pins unchanged) while the
+    probe ladder gets the widths that held recall@5 at 0.98/0.96/0.94
+    (20k/50k/100k clustered — BASELINE.md)."""
+    from heatmap_spark.operators.similarity import adaptive_beam
+
+    assert adaptive_beam(2) == 16
+    assert adaptive_beam(500) == 18
+    assert adaptive_beam(20_000) == 29
+    assert adaptive_beam(50_000) == 31
+    assert adaptive_beam(100_000) == 33
+    assert adaptive_beam(100_000_000) == 53
+    assert adaptive_beam(500, floor=32) == 32
