@@ -1555,7 +1555,9 @@ WAV_FEATURES_SCHEMA = (
 )
 
 
-def media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_decode_wav(
+    spark: SparkSession, sf_dir: str, kernel=None
+) -> DataFrame:
     """Real AUDIO decode round trip: each document's byte values become
     int16 PCM samples in a real WAV container, decoded back through
     the RIFF parser; the emitted stats (and an md5 over the decoded
@@ -1565,9 +1567,14 @@ def media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixture assumption (as in media_resize): documents.text is
     pure-ASCII, so the oracle's codepoint indexing equals this side's
     UTF-8 byte view; the WAV codec itself is byte-based and holds for
-    any payload — only the oracle pairing relies on ASCII."""
+    any payload — only the oracle pairing relies on ASCII.
+
+    ``kernel``: optional replacement decoder with the wav_decode
+    contract ``bytes -> (rate, int16 ndarray)`` (e.g. a soundfile/
+    libsndfile wrapper); plan shape unchanged."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    enc, dec = wav_encode, wav_decode  # closure-captured, by value
+    # closure-captured, by value
+    enc, dec = wav_encode, (kernel or wav_decode)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -1604,7 +1611,9 @@ JPEG_FEATURES_SCHEMA = (
 )
 
 
-def media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_decode_jpeg(
+    spark: SparkSession, sf_dir: str, kernel=None
+) -> DataFrame:
     """Real JPEG decode round trip under the value-hash gate: each
     document's byte values become the levels of CONSTANT 8×8 blocks
     (block grid bw=(L%12)+1 across, bh=ceil(L/bw) down, space-padded),
@@ -1621,9 +1630,20 @@ def media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fixture assumption (as in media_decode): documents.text is
     pure-ASCII, so the oracle's codepoint indexing equals this side's
-    UTF-8 byte view."""
+    UTF-8 byte view.
+
+    ``kernel`` is the measured swap-to-libjpeg point (the from-scratch
+    entropy decoder is ~100× a C kernel at 88% of task wall — see
+    BASELINE.md codec probe): any callable with the jpeg_decode
+    contract ``bytes -> (h, w, channels, flat uint8 ndarray)`` drops
+    in — e.g. :func:`library_kernels`'s PIL-backed one — and ONLY the
+    per-batch Python kernel changes; the plan (one Arrow-batched
+    mapInPandas over the scan, map-only) is untouched.  The
+    from-scratch decoder stays the test oracle for any injected
+    kernel (tests/test_media_kernels.py)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    jenc, jdec = jpeg_encode, jpeg_decode  # closure-captured, by value
+    # closure-captured, by value
+    jenc, jdec = jpeg_encode, (kernel or jpeg_decode)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -2066,7 +2086,9 @@ GIF_ANIM_SCHEMA = (
 )
 
 
-def media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_decode_gif(
+    spark: SparkSession, sf_dir: str, kernel=None
+) -> DataFrame:
     """ANIMATED GIF decode round trip under the value hash: each
     document's bytes (mod 64) index a fixed analytic 64-entry palette
     (i -> (4i, 7i, 13i) mod 256 — the media-ingestion fixture's
@@ -2081,9 +2103,14 @@ def media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsing without ever seeing a GIF.
 
     Fixture assumption (as in media_decode): ASCII text, so oracle
-    codepoint indexing equals this side's byte view."""
+    codepoint indexing equals this side's byte view.
+
+    ``kernel``: optional replacement decoder with the gif_decode
+    contract ``bytes -> (h, w, [RGB frame ndarrays], [delays_cs])``
+    (e.g. a PIL wrapper); plan shape unchanged."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    genc, gdec = gif_encode, gif_decode  # closures, pickled by value
+    # closures, pickled by value
+    genc, gdec = gif_encode, (kernel or gif_decode)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -2146,7 +2173,9 @@ BMP_SCHEMA = (
 )
 
 
-def media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_decode_bmp(
+    spark: SparkSession, sf_dir: str, kernel=None
+) -> DataFrame:
     """BMP decode round trip under the value hash, BOTH supported
     encode arms per document: 'rgb24' (text bytes space-padded to a
     3-channel (L%16)+1-wide raster through BI_RGB 24-bit BGR,
@@ -2158,9 +2187,14 @@ def media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays both expansions from the raw text — certifying the BGR
     flip, bottom-up row order, row padding, and palette expansion.
 
-    Fixture assumption (as in media_decode): ASCII text."""
+    Fixture assumption (as in media_decode): ASCII text.
+
+    ``kernel``: optional replacement decoder with the bmp_decode
+    contract ``bytes -> (h, w, channels, flat uint8 ndarray)``; plan
+    shape unchanged."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    benc, bdec = bmp_encode, bmp_decode  # closures, pickled by value
+    # closures, pickled by value
+    benc, bdec = bmp_encode, (kernel or bmp_decode)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -2662,7 +2696,9 @@ def avi_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(batches, schema=AVI_MEDIA_SCHEMA)
 
 
-def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
+def video_frame_sample(
+    media: DataFrame, every: int = 2, kernel=None
+) -> DataFrame:
     """Frame sampling over real AVI payloads: parse the container,
     keep every ``every``-th frame, and FULLY DECODE the kept frames
     (container → MJPEG → pixels), emitting the decoded dimensions —
@@ -2670,8 +2706,13 @@ def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
     walk.  Arrow-batched, map-only: each payload is independent, no
     shuffle; at scale the sampled-frame decode is the only CPU and it
     skips (every-1)/every of the entropy-decode work by never opening
-    the dropped frames' blobs."""
-    blobs_of, dec = avi_frame_blobs, jpeg_decode  # closure-captured
+    the dropped frames' blobs.
+
+    ``kernel``: optional per-frame JPEG decoder (jpeg_decode
+    contract) — the same swap point as media_decode_jpeg, since MJPEG
+    frame decode IS the measured 88%-of-wall kernel here."""
+    # closure-captured
+    blobs_of, dec = avi_frame_blobs, (kernel or jpeg_decode)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -3322,6 +3363,54 @@ decode_real = _decode_real_factory(
     png_decode_ex, jpeg_decode, wav_decode, avi_frame_blobs, gif_decode,
     bmp_decode,
 )
+
+
+def library_kernels() -> dict:
+    """PIL/libjpeg-class kernels for the ``kernel=`` injection points
+    of the decode operators, each adapted to the matching from-scratch
+    decoder's contract so they are drop-in (the plan never changes —
+    only the per-Arrow-batch Python callable).  Import-gated: this
+    container ships no imaging libraries, so callers must try/except
+    ImportError; the from-scratch decoders remain the default AND the
+    correctness oracle for any kernel returned here
+    (tests/test_media_kernels.py pins the interface with a wrapped
+    kernel; the PIL arm activates if the environment ever gains PIL).
+
+    Returns {"jpeg": bytes -> (h, w, ch, flat uint8), "gif": bytes ->
+    (h, w, [RGB frames], [delays_cs]), "bmp": same contract as jpeg}.
+    """
+    import io
+
+    import numpy as np
+    from PIL import Image  # raises ImportError cleanly when absent
+
+    def jpeg_k(data):
+        im = Image.open(io.BytesIO(bytes(data)))
+        arr = np.asarray(im)
+        if arr.ndim == 2:
+            h, w = arr.shape
+            return h, w, 1, arr.astype(np.uint8).reshape(-1)
+        h, w, ch = arr.shape
+        return h, w, ch, arr.astype(np.uint8).reshape(-1)
+
+    def gif_k(data):
+        im = Image.open(io.BytesIO(bytes(data)))
+        frames, delays = [], []
+        for fi in range(getattr(im, "n_frames", 1)):
+            im.seek(fi)
+            frames.append(np.asarray(im.convert("RGB"), dtype=np.uint8))
+            # PIL reports ms; the container stores centiseconds
+            delays.append(int(im.info.get("duration", 0)) // 10)
+        h, w = frames[0].shape[:2]
+        return h, w, frames, delays
+
+    def bmp_k(data):
+        im = Image.open(io.BytesIO(bytes(data))).convert("RGB")
+        arr = np.asarray(im, dtype=np.uint8)
+        h, w, ch = arr.shape
+        return h, w, ch, arr.reshape(-1)
+
+    return {"jpeg": jpeg_k, "gif": gif_k, "bmp": bmp_k}
 
 
 AUDIO_FEATURES_SCHEMA = (
