@@ -1077,6 +1077,52 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KMV (θ-sketch) cardinality store: events arrive as
+    3 deterministic batches (event_id thirds); each batch writes its
+    ≤64-row-per-type k-minimum-values partial into the log-structured
+    sketch store, with an LSM compaction after batch 1 so the final
+    read spans (compacted base + 1 partial).  The accumulated sketch
+    equals the one-shot sketch of the whole table by the exact KMV
+    merge identity (top-k of unioned top-ks == top-k of the set), so
+    the streamed ESTIMATES are bit-identical to a batch build and the
+    DuckDB oracle replays them from raw events — the value hash
+    certifies incremental sketch maintenance end-to-end, extending the
+    HLL store's argument from registers to set-algebra sketches."""
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.kmv import (
+        compact_kmv_store,
+        merge_batch_into_kmv_store,
+        serve_kmv_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    mx = ev.agg(F.max("event_id")).first()[0] + 1
+    store = _scratch_dir("kmv_store_q_") + "/store"
+    for b in range(3):
+        batch = ev.where(
+            F.expr(f"CAST(event_id * 3 DIV {mx} AS INT)") == b
+        ).select("event_type", "user_id")
+        merge_batch_into_kmv_store(spark, batch, store, b)
+        if b == 1:
+            compact_kmv_store(spark, store)
+    est = serve_kmv_estimates(spark, store)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    exact_all = ev.agg(F.count_distinct("user_id").alias("exact_users")).select(
+        F.lit("__all__").alias("event_type"), "exact_users"
+    )
+    return est.join(exact.unionByName(exact_all), "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        "kmv_users",
+        "sketch_size",
+    )
+
+
 def q_streaming_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained geofence dashboard: locations arrive as
     3 deterministic batches (hash thirds); each batch's (fence, user)
@@ -4693,6 +4739,42 @@ FROM walk GROUP BY zoom, row, col""",
     # registers == one-shot registers by the max-merge identity, so the
     # value hash certifies incremental sketch maintenance end-to-end
     "q_streaming_hll": QuerySpec(q_streaming_hll, _HLL_PORTABLE_SQL),
+    # streamed KMV (θ-sketch) store: the oracle is the ONE-SHOT sketch
+    # of all events — the exact merge identity makes the 3-batch
+    # incremental build hash-equal to it
+    "q_streaming_kmv": QuerySpec(
+        q_streaming_kmv,
+        """WITH h AS (
+  SELECT DISTINCT event_type,
+    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS hv
+  FROM events),
+allh AS (
+  SELECT event_type, hv FROM h
+  UNION ALL
+  SELECT '__all__' AS event_type, hv FROM (SELECT DISTINCT hv FROM h)),
+rk AS (
+  SELECT event_type, hv,
+    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM allh),
+sk AS (SELECT * FROM rk WHERE rn <= 64),
+agg AS (
+  SELECT event_type, count(*) AS m,
+    max(CASE WHEN rn = 64 THEN hv END) AS kth
+  FROM sk GROUP BY 1),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT '__all__' AS event_type, count(DISTINCT user_id) FROM events)
+SELECT a.event_type,
+  CAST(ex.exact_users AS BIGINT) AS exact_users,
+  round(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+        ELSE CAST(63 AS DOUBLE)
+             / (CAST(kth AS DOUBLE) / CAST(281474976710656 AS DOUBLE)) END,
+        4) AS kmv_users,
+  CAST(m AS INTEGER) AS sketch_size
+FROM agg a JOIN ex USING (event_type)""",
+    ),
     # incrementally maintained JOIN view (delta rule ΔL⋈R ∪ L⋈ΔR ∪
     # ΔL⋈ΔR): the oracle is the ONE-SHOT join — pair-exactly-once makes
     # the streamed view hash-equal to it
@@ -6829,88 +6911,83 @@ FROM weighted""",
 
 
 # The grading driver records hard correctness rows for the FIRST 50
-# registry entries only.  After the round-8 rotation every pre-r8
-# declared query carries a hard driver row.  Round 9 leads with the
-# seven round-8 landings (sim-green, no driver row yet) and the nine
-# round-9 landings, re-pins the two rowstore queries whose
-# pruning/union code moved in r8, then spends the rest on the
-# STALEST evidence: the streaming-store family (compaction/marker
-# code keeps evolving; most rows date to r3/r4) and every remaining
-# query whose latest row is r1/r2.  The extended r9 session swapped
-# ten stale r1/r2 re-pins for this session's landings (see tail).
+# registry entries only.  Window selection is now GOVERNED by the
+# pinned freshness invariant (scripts/freshness.py +
+# tests/test_window_freshness.py): every query whose implementation
+# text changed since its latest driver row — and every query with no
+# driver row at all — MUST hold a slot; remaining slots go to the
+# stalest evidence.
 #
-# ROUND-10 WINDOW LEADS: (a) q_unigram_vocab — landed r9 with no
-# window slot (rows-only; its raise pins should run under the driver
-# once); (b) the r1/r2 re-pins displaced by the r9 landings:
-# q_text_stats, q_multimodal_meta, q_edit_distance_pairs,
-# q_knn_cosine_ivf_exact, q_curation_pipeline, q_gopher_quality,
-# q_repetition_metrics, q_tfidf_top_terms, q_chunk_documents,
-# q_tpch_q18, q_trajectory_similarity, q_text_stats, q_token_counts,
-# q_lang_id, q_streaming_tumbling; (c) streaming stores again if
-# their shared protocol moves in r10.
+# Round 10: (a) q_unigram_vocab gets its first-ever driver row
+# (→ 285/285 ever checked); (b) all 19 queries whose latest row is
+# r2 (displaced by the r9 landings); (c) the round-10 churn re-pins
+# the invariant demands — KS/MWU (distributed-rank rewrite), the
+# media decode family (kernel= injection point), graph-ANN
+# (adaptive beam) — plus the q_streaming_kmv landing; (d) 14
+# stalest-r3 re-pins.  Remaining r3 evidence (TPC-H q2-q22 family,
+# scd2, salted_join, tile_smooth, triangle_count, window_variety,
+# semantic_dedup) is round-11's rotation pool.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
     "q_heatmap_pyramid_cascade",
     "q_heatmap_resultsets",
     "q_heatmap_table",
-    # round-8 landings — first hard driver rows
-    "q_pmi_collocations",
-    "q_readability",
-    "q_char_entropy",
-    "q_zipf_fit",
-    "q_media_video_frames",
-    "q_media_ingest",
-    "q_rowstore_evolution",
-    # round-9 landings — first hard driver rows (q_knn_graph_recall is
-    # rows-only by design; its recall pin runs under the driver)
-    "q_rowstore_skipping",
-    "q_rowstore_cdc_evolution",
-    "q_rowstore_conditional_merge",
+    # first-ever driver row (rows-only with in-registry raise pins)
+    "q_unigram_vocab",
+    # latest row is r2 — all 19
+    "q_chunk_documents",
+    "q_curation_pipeline",
+    "q_edit_distance_pairs",
+    "q_gopher_quality",
+    "q_knn_cosine_ivf",
+    "q_knn_cosine_ivf_exact",
+    "q_knn_ivf_recall",
+    "q_lang_id",
+    "q_leakage_safe_split",
+    "q_mixing_sample",
+    "q_multimodal_meta",
+    "q_repetition_metrics",
+    "q_streaming_join",
+    "q_streaming_tumbling",
+    "q_text_stats",
+    "q_tfidf_top_terms",
+    "q_token_counts",
+    "q_tpch_q18",
+    "q_trajectory_similarity",
+    # round-10 churn (freshness invariant): KS/MWU distributed-rank
+    # rewrite, media kernel injection, graph-ANN adaptive beam (the
+    # two video/audio queries changed only via helpers — re-pinned
+    # anyway, the invariant is the floor not the ceiling)
+    "q_ks_test",
+    "q_mann_whitney",
     "q_media_jpeg",
     "q_media_gif",
     "q_media_bmp",
-    "q_knn_filtered",
+    "q_media_wav",
+    "q_media_decode",
+    "q_media_video_frames",
+    "q_media_audio_features",
     "q_knn_graph_recall",
     "q_streaming_graph_ann",
-    # rowstore re-pins: pruning/union code moved in r8, and r9 touched
-    # the rewrite/tombstone path
-    "q_rowstore_pruned_read",
-    "q_rowstore_merge",
-    # streaming-store family: rows date to r3/r4, code keeps changing
-    "q_streaming_tile_store",
-    "q_streaming_tile_store_partitioned",
-    "q_streaming_dedup",
-    "q_streaming_duplicated_passages",
-    "q_streaming_funnel",
-    "q_streaming_sessions",
-    "q_streaming_heatmap",
-    "q_streaming_enrich",
-    "q_streaming_stateful",
-    "q_streaming_incremental_dedup",
-    "q_tile_store_serving",
-    # latest row is r1/r2
-    "q_asof_join",
-    "q_knn_cosine",
-    # latest row is r2
-    # late round-9 landings (first hard driver rows): portable HLL +
-    # its streamed register store, DSIR weights, geofencing, the
-    # incremental join view, robust MAD, KMV set algebra, binary ANN
-    "q_hll_portable",
-    "q_streaming_hll",
-    "q_dsir_weights",
-    "q_geofence",
-    "q_geofence_transitions",
-    "q_streaming_join_view",
-    "q_mad_outliers",
-    "q_kmv_overlap",
-    "q_knn_binary",
-    "q_media_audio_features",
-    "q_streaming_geofence",
-    "q_drift_report",
-    "q_ks_test",
-    "q_mann_whitney",
-    "q_chi2_composition",
+    # round-10 landing — first hard driver row (never-checked queries
+    # must hold a slot per the freshness invariant)
+    "q_streaming_kmv",
+    # stalest remaining evidence (r3)
+    "q_asof_join_cogroup",
+    "q_cdc_merge",
+    "q_cohort_retention",
+    "q_containment_pairs",
+    "q_dense_regions",
+    "q_duplicated_passages",
+    "q_heatmap_bbox",
+    "q_heatmap_drilldown",
+    "q_heatmap_pyramid_sql",
+    "q_jaccard_prefix_filter",
+    "q_od_matrix",
+    "q_pagerank_near_dup",
+    "q_range_join",
+    "q_recursive_pyramid",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))
