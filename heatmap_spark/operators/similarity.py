@@ -2648,3 +2648,217 @@ def knn_binary_rerank(
         "rank",
         F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
     )
+
+
+def _rabitq_signs(dim: int = 64) -> list[int]:
+    """Deterministic ±1 diagonal for the RaBitQ rotation: sign i is
+    the parity of md5(i) — reproducible anywhere (the DuckDB oracle
+    embeds the same list as a literal, the geofence-polygon idiom)."""
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(str(i).encode()).hexdigest(), 16) % 2 == 0 else -1
+        for i in range(dim)
+    ]
+
+
+def fwht_rotate(vec: Column, dim: int = 64) -> Column:
+    """Deterministic structured rotation x → H·D·x (sign-flip diagonal
+    D, then the unnormalized Walsh–Hadamard transform) — the
+    randomized-rotation ingredient of RaBitQ, made a fixed plan
+    constant.  H is orthogonal up to the scalar √D, which cancels in
+    every cosine/ratio the estimator forms, so no normalization pass
+    is needed.
+
+    Spelled as the FLAT matrix product (out_j = Σ_i ±(x_i·D_i) with
+    the Hadamard sign parity(popcount(j & i))), not the log-stage
+    butterfly: each butterfly stage references the previous 64-slot
+    array twice per element, and Catalyst's projection collapsing
+    inlines the reference — 2^6 copies of the chain, a measured
+    driver OOM at plan build.  The flat form is 64×64 fixed-order
+    terms, linear and codegen-friendly, and the DuckDB oracle writes
+    the identical nested-lambda sum, so every float op pairs up
+    bitwise across engines."""
+    signs = _rabitq_signs(dim)
+    flipped = [
+        F.element_at(vec, i + 1) * F.lit(float(signs[i])) for i in range(dim)
+    ]
+
+    def out_j(j: int) -> Column:
+        acc = None
+        for i in range(dim):
+            t = flipped[i] if bin(j & i).count("1") % 2 == 0 else -flipped[i]
+            acc = t if acc is None else acc + t
+        return acc
+
+    return F.array(*[out_j(j) for j in range(dim)])
+
+
+def rabitq_codes(emb: DataFrame) -> DataFrame:
+    """RaBitQ-style EXTENDED binary codes (Gao & Long, SIGMOD 2024):
+    rotate each vector with the deterministic H·D rotation
+    (:func:`fwht_rotate`), then store the 1-bit sign words plus the
+    two floats the asymmetric estimator needs — ``nn`` = ‖Rv‖ and
+    ``sum_abs`` = Σ|Rv_i| = ⟨sign(Rv), Rv⟩.  Their ratio is the
+    paper's per-vector correction ⟨v̄, v̂⟩ = Σ|Rv_i| / (√D·‖Rv‖): how
+    well the rotated vector's quantized direction explains it.  The
+    The rotated corpus is MATERIALIZED (localCheckpoint) before the
+    code/correction projections — this is the index build, computed
+    once, and it stops Catalyst's projection collapse from inlining
+    the 64×64 rotation tree into every downstream expression (the
+    collapsed plan's codegen is a measured heap OOM).  The rotation
+    makes the correction CONCENTRATE (→ √(2/π) for isotropic
+    directions).  Measured regimes (scripts/scale_probe.py
+    binaryann): on the near-isotropic fixture the estimator shortlist
+    reaches recall@5 1.00 where Hamming reads 0.86; on HEAVILY
+    CLUSTERED synthetic data with a tight shortlist the order flips
+    (0.22 vs 0.42 at 100k / shortlist 64, rotation or not) because
+    the true neighbors share the query's exact code — code-match-
+    first is optimal there — and at D=64 the estimator's O(1/√D)
+    noise exceeds the cosine gaps between cluster members.  Both
+    saturate at serving-sized shortlists (1.00 at 4096).  24 bytes
+    per vector against 512 for the floats — still a ~21×
+    resident-set cut."""
+    rot = emb.select(
+        "vec_id", fwht_rotate(F.col("vec")).alias("vec")
+    ).localCheckpoint(eager=True)
+    return binary_codes(rot).join(
+        rot.select(
+            "vec_id",
+            norm_expr(F.col("vec")).alias("nn"),
+            F.aggregate(
+                F.col("vec"), F.lit(0.0), lambda a, x: a + F.abs(x)
+            ).alias("sum_abs"),
+        ),
+        "vec_id",
+    )
+
+
+def knn_rabitq_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = 64,
+) -> DataFrame:
+    """Two-stage binary search with the RaBitQ ASYMMETRIC estimator
+    (q_knn_rabitq): instead of symmetric Hamming (which quantizes the
+    query too and loses its magnitudes), the compressed-domain scan
+    estimates each cosine from the corpus side's 1-bit code + 2-float
+    correction and the FULL float query:
+
+        ⟨v̂, q̂⟩ ≈ ⟨v̄, q̂⟩ / ⟨v̄, v̂⟩
+                = (Σ_i ±q_i) · ‖v‖ / (‖q‖ · Σ|v_i|)      (± = bit i)
+
+    — the paper's collaborative estimator with the √D factors
+    cancelled.  Signed query-coordinate sums replace popcounts, so the
+    scan is still code-words × broadcast queries with no float corpus
+    access; the shortlist then reranks exactly like knn_binary_rerank.
+    On the near-isotropic fixture the estimator shortlist dominates
+    the Hamming one (1.00 vs 0.86 recall@5, pinned ≥ in tests)
+    because it sees query magnitudes the symmetric distance throws
+    away; on heavily clustered corpora with tight shortlists prefer
+    the Hamming twin (see rabitq_codes for the measured regime
+    analysis).
+
+    Determinism: the estimator is a fixed-order signed fold over the
+    query array divided by two stored floats, round@6 — value-hashes
+    cross-engine like every stage here (DuckDB replays it from the
+    same bit definitions).  Scale shape unchanged from the binary
+    path: codes never shuffle, queries broadcast, rerank touches
+    shortlist·n_queries originals via an id equi-join.
+
+    Both sides are rotated with the deterministic H·D rotation
+    (fwht_rotate) before quantization/scoring — the paper's
+    distribution-robustness ingredient, without which the correction
+    factor's cross-vector variance makes the estimator WORSE than
+    Hamming on clustered data (measured; see rabitq_codes).  The
+    exact rerank runs on the original vectors (cosine is
+    rotation-invariant, so the two stages agree)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    codes = rabitq_codes(emb)
+    # rotate only the filtered queries, and materialize so the 64×64
+    # rotation tree never collapses into the per-corpus-row estimator
+    rqueries = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select("vec_id", fwht_rotate(F.col("vec")).alias("vec"))
+        .localCheckpoint(eager=True)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            norm_expr(F.col("vec")).alias("qn"),
+        )
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        norm_expr(F.col("vec")).alias("qn"),
+    )
+
+    def signed_sum(code: Column, lo: int) -> Column:
+        # Σ over the word's 32 dims of ±q_i, sign from bit i — the
+        # compressed-domain replacement for XOR+popcount.  Built as a
+        # static left-associated 32-term Column chain so the float
+        # accumulation order matches the oracle's list_sum exactly.
+        from functools import reduce
+        from operator import add
+
+        terms = [
+            F.when(
+                code.bitwiseAND(F.lit(1 << i)) != 0,
+                F.element_at(F.col("qvec"), lo + i + 1),
+            ).otherwise(-F.element_at(F.col("qvec"), lo + i + 1))
+            for i in range(32)
+        ]
+        return reduce(add, terms)
+
+    sdot = signed_sum(F.col("code_lo"), 0) + signed_sum(F.col("code_hi"), 32)
+    est = F.round(
+        sdot * F.col("nn") / (F.col("qn") * F.col("sum_abs")), 6
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(rqueries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), est.alias("est")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("est"), F.asc("neighbor_id"))
+    short = scored.select(
+        "query_id", "neighbor_id", "est", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= shortlist)
+
+    nvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        norm_expr(F.col("vec")).alias("nn2"),
+    )
+    cos = F.round(
+        dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn2")), 6
+    )
+    rer = (
+        short.join(nvec, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "neighbor_id", "est", cos.alias("cosine"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    top = rer.select(
+        "query_id",
+        "neighbor_id",
+        "est",
+        "cosine",
+        F.row_number().over(w2).cast("int").alias("rank"),
+    ).where(F.col("rank") <= k)
+    exact = knn_cosine_df(emb, n_queries, k).select(
+        "query_id", "neighbor_id", F.lit(True).alias("in_exact_topk")
+    )
+    return top.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "neighbor_id",
+        F.col("est").alias("est_cosine"),
+        "cosine",
+        "rank",
+        F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
+    )

@@ -6100,6 +6100,99 @@ SELECT t.query_id, t.neighbor_id, t.hamming, t.cosine, t.rank,
 FROM topk t LEFT JOIN exact e
   ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id""",
     ),
+    # RaBitQ asymmetric estimator over rotation-extended binary codes:
+    # deterministic H·D rotation (sign diagonal + 6 FWHT butterflies),
+    # signed query-coordinate sums (corpus bits × rotated float query)
+    # scaled by the per-vector correction ‖Rv‖/Σ|Rv_i|, exact rerank
+    "q_knn_rabitq": QuerySpec(
+        similarity.knn_rabitq_rerank,
+        """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+s0 AS (
+  SELECT vec_id, list_transform(range(1, 65), i -> vec[i] *
+    ([1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0,
+      1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0,
+      -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0,
+      1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0,
+      1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0,
+      1.0, -1.0, 1.0, 1.0])[i]) AS v
+  FROM emb),
+rot AS (
+  SELECT vec_id, list_transform(range(0, 64), j ->
+    list_sum(list_transform(range(0, 64), i ->
+      CASE WHEN bit_count(j & i) % 2 = 0 THEN v[i + 1]
+           ELSE -v[i + 1] END))) AS v
+  FROM s0),
+codes AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN v[i + 1] > 0.0
+      THEN CAST(pow(2.0, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS code_lo,
+    CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN v[i + 33] > 0.0
+      THEN CAST(pow(2.0, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS code_hi,
+    sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS nn,
+    list_sum(list_transform(range(1, len(v) + 1), i -> abs(v[i]))) AS sum_abs
+  FROM rot),
+q AS (
+  SELECT vec_id AS query_id, v AS qvec,
+    sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS qn
+  FROM rot WHERE vec_id < 10),
+qo AS (
+  SELECT vec_id AS query_id, vec AS qvec,
+    sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * vec[i]))) AS qn
+  FROM emb WHERE vec_id < 10),
+es AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+    round((list_sum(list_transform(range(0, 32), i ->
+             CASE WHEN (c.code_lo >> i) & 1 = 1 THEN qvec[i + 1]
+                  ELSE -qvec[i + 1] END))
+         + list_sum(list_transform(range(0, 32), i ->
+             CASE WHEN (c.code_hi >> i) & 1 = 1 THEN qvec[i + 33]
+                  ELSE -qvec[i + 33] END)))
+      * c.nn / (qn * c.sum_abs), 6) AS est
+  FROM codes c CROSS JOIN q WHERE c.vec_id <> query_id),
+short AS (
+  SELECT query_id, neighbor_id, est FROM (
+    SELECT query_id, neighbor_id, est,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY est DESC, neighbor_id) AS rn
+    FROM es) WHERE rn <= 64),
+rer AS (
+  SELECT sh.query_id, sh.neighbor_id, sh.est,
+    round(
+      list_sum(list_transform(range(1, len(qq.qvec) + 1), i -> qq.qvec[i] * nv.vec[i])) /
+      (qq.qn *
+       sqrt(list_sum(list_transform(range(1, len(nv.vec) + 1), i -> nv.vec[i] * nv.vec[i])))),
+      6) AS cosine
+  FROM short sh
+  JOIN emb nv ON nv.vec_id = sh.neighbor_id
+  JOIN qo qq ON qq.query_id = sh.query_id),
+topk AS (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id, est, cosine,
+      CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+    FROM rer) WHERE rank <= 5),
+exact_scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+    round(
+      list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * e.vec[i])) /
+      (sqrt(list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * qvec[i]))) *
+       sqrt(list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * e.vec[i])))),
+      6) AS cosine
+  FROM emb e CROSS JOIN
+    (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 10) qq
+  WHERE e.vec_id <> query_id),
+exact AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM exact_scored)
+  WHERE rk <= 5)
+SELECT t.query_id, t.neighbor_id, t.est AS est_cosine, t.cosine, t.rank,
+  (e.neighbor_id IS NOT NULL) AS in_exact_topk
+FROM topk t LEFT JOIN exact e
+  ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id""",
+    ),
     # Two-stage serving search: SQ8 integer shortlist (20) + exact
     # cosine rerank to top-5; both stages deterministic, final ranking
     # fully value-hashed with per-row exact-agreement flags.
@@ -6923,10 +7016,11 @@ FROM weighted""",
 # r2 (displaced by the r9 landings); (c) the round-10 churn re-pins
 # the invariant demands — KS/MWU (distributed-rank rewrite), the
 # media decode family (kernel= injection point), graph-ANN
-# (adaptive beam) — plus the q_streaming_kmv landing; (d) 14
-# stalest-r3 re-pins.  Remaining r3 evidence (TPC-H q2-q22 family,
-# scd2, salted_join, tile_smooth, triangle_count, window_variety,
-# semantic_dedup) is round-11's rotation pool.
+# (adaptive beam) — plus the q_streaming_kmv and q_knn_rabitq
+# landings; (d) 13 stalest-r3 re-pins.  Remaining r3 evidence
+# (TPC-H q2-q22 family, scd2, salted_join, recursive_pyramid,
+# tile_smooth, triangle_count, window_variety, semantic_dedup) is
+# round-11's rotation pool.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
@@ -6970,9 +7064,10 @@ _PRIORITY = [
     "q_media_audio_features",
     "q_knn_graph_recall",
     "q_streaming_graph_ann",
-    # round-10 landing — first hard driver row (never-checked queries
-    # must hold a slot per the freshness invariant)
+    # round-10 landings — first hard driver rows (never-checked
+    # queries must hold a slot per the freshness invariant)
     "q_streaming_kmv",
+    "q_knn_rabitq",
     # stalest remaining evidence (r3)
     "q_asof_join_cogroup",
     "q_cdc_merge",
@@ -6987,7 +7082,6 @@ _PRIORITY = [
     "q_od_matrix",
     "q_pagerank_near_dup",
     "q_range_join",
-    "q_recursive_pyramid",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

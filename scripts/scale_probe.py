@@ -2275,6 +2275,97 @@ def probe_binaryann(spark, n: int) -> None:
         f"recall@5 {hits / ne:.2f}"
     )
 
+    # RaBitQ asymmetric-estimator arm: same codes + 2 corpus floats,
+    # shortlist by signed query-coordinate sums instead of Hamming —
+    # compare recall at the SAME shortlist size
+    from functools import reduce
+    from operator import add
+
+    from heatmap_spark.operators.similarity import fwht_rotate, rabitq_codes
+
+    rcodes = rabitq_codes(emb).localCheckpoint(eager=True)
+    rqvec = (
+        emb.where(F.col("vec_id") < 10)
+        .select("vec_id", fwht_rotate(F.col("vec")).alias("vec"))
+        .localCheckpoint(eager=True)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            norm_expr(F.col("vec")).alias("qn"),
+        )
+    )
+
+    def signed_sum(code, lo):
+        return reduce(
+            add,
+            [
+                F.when(
+                    code.bitwiseAND(F.lit(1 << i)) != 0,
+                    F.element_at(F.col("qvec"), lo + i + 1),
+                ).otherwise(-F.element_at(F.col("qvec"), lo + i + 1))
+                for i in range(32)
+            ],
+        )
+
+    est = (
+        (signed_sum(F.col("code_lo"), 0) + signed_sum(F.col("code_hi"), 32))
+        * F.col("nn")
+        / (F.col("qn") * F.col("sum_abs"))
+    )
+    we = W.partitionBy("query_id").orderBy(F.desc("est"), F.asc("neighbor_id"))
+    t0 = time.perf_counter()
+    rshort = (
+        rcodes.crossJoin(F.broadcast(rqvec))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), est.alias("est"))
+        .select("query_id", "neighbor_id", F.row_number().over(we).alias("rn"))
+        .where(F.col("rn") <= shortlist)
+    )
+    rtop = (
+        rshort.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .select("query_id", "neighbor_id", F.row_number().over(w2).alias("rk"))
+        .where(F.col("rk") <= 5)
+        .localCheckpoint(eager=True)
+    )
+    t_rab = time.perf_counter() - t0
+    rhits = exact.join(
+        rtop.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    print(
+        f"rabitq ANN {n:,} vecs: estimator shortlist {shortlist} + rerank "
+        f"{t_rab:.1f}s (24 B/vec); recall@5 {rhits / ne:.2f} vs Hamming "
+        f"{hits / ne:.2f} at the same shortlist"
+    )
+
+    # the estimator's edge is at TIGHT shortlists (the memory-bound
+    # serving point): re-rank only the top-64 of each arm's ranking
+    def small_recall(sl):
+        t5 = (
+            sl.where(F.col("rn") <= 64)
+            .join(nvec, "neighbor_id")
+            .join(F.broadcast(qvec), "query_id")
+            .select("query_id", "neighbor_id", cos.alias("cosine"))
+            .select("query_id", "neighbor_id", F.row_number().over(w2).alias("rk"))
+            .where(F.col("rk") <= 5)
+        )
+        return (
+            exact.join(
+                t5.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+            ).count()
+            / ne
+        )
+
+    print(
+        f"rabitq vs Hamming at shortlist 64 ({n:,} vecs, clustered): "
+        f"estimator recall@5 {small_recall(rshort):.2f} vs Hamming "
+        f"{small_recall(short):.2f} — on clustered corpora the true "
+        f"neighbors share the query's exact code, so code-match-first "
+        f"(Hamming) wins tight shortlists; the estimator wins on "
+        f"near-isotropic data (fixture: 1.00 vs 0.86)"
+    )
+
 
 def probe_unigram(spark, n: int) -> None:
     """Unigram-LM trainer at scale: the corpus pass is the word

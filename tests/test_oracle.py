@@ -78,18 +78,24 @@ def test_rows_only_runs(spark, sf_smoke, name, spec):
 
 def test_priority_window_is_first_50():
     """The grading driver hash-checks REGISTRY positions 0-49: the
-    curated _PRIORITY list must be exactly that prefix.  The round-9
-    rotation leads with the seven round-8 landings and the round-9
-    landings (their first hard driver rows — including the late
-    portable-HLL/DSIR/geofence additions), then refreshes the
-    stalest evidence (streaming-store family, r1/r2-only rows); its
-    two rows-only entries are the NEW graph-ANN queries
-    (q_knn_graph_recall, q_streaming_graph_ann), whose recall
-    raise-pins must run under the driver once.  Any OTHER rows-only
-    entry in the window is a wasted hash slot and fails here."""
+    curated _PRIORITY list must be exactly that prefix.  Every
+    rows-only entry in the window must be individually justified
+    (each is a hash slot spent on a weaker check) — the round-10 set
+    is q_unigram_vocab (first-ever driver row for the one
+    never-checked query) plus the four ANN recall raise-pins whose
+    evidence or code the freshness invariant flagged
+    (q_knn_cosine_ivf / q_knn_ivf_recall: r2-stale; q_knn_graph_recall
+    / q_streaming_graph_ann: adaptive-beam churn).  Any OTHER
+    rows-only entry is a wasted hash slot and fails here."""
     from heatmap_spark.queries import _PRIORITY, REGISTRY
 
     keys = list(REGISTRY)
     assert keys[:50] == _PRIORITY
     rows_only = {k for k in keys[:50] if REGISTRY[k].oracle is None}
-    assert rows_only == {"q_knn_graph_recall", "q_streaming_graph_ann"}
+    assert rows_only == {
+        "q_unigram_vocab",
+        "q_knn_cosine_ivf",
+        "q_knn_ivf_recall",
+        "q_knn_graph_recall",
+        "q_streaming_graph_ann",
+    }

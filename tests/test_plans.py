@@ -667,3 +667,24 @@ def test_knn_binary_scoring_path_broadcasts_queries(spark, sf_smoke):
     assert not has_python_eval(df)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_ks_mwu_rank_over_distinct_values(spark, sf_smoke):
+    """Distributed-rank spelling pin (VERDICT r9 item 4): both exact
+    rank tests must feed their single sorted window from the
+    (event_type, value) hash aggregate — partial map-side combine,
+    keys spread over the value axis — never from raw rows.  If a
+    refactor re-attaches the window to the row-level relation, the
+    aggregate-below-window pattern disappears and this fails."""
+    import re
+
+    from heatmap_spark.operators.profiling import ks_test, mann_whitney
+
+    for fn in (ks_test, mann_whitney):
+        plan = plan_string(fn(spark, sf_smoke), "simple")
+        w = plan.index("Window ")
+        below = plan[w:]
+        assert re.search(
+            r"HashAggregate\(keys=\[event_type#\d+, (?:knownfloatingpointnormalized\()?.*value#\d+",
+            below,
+        ), below[:2000]
