@@ -2126,6 +2126,65 @@ def probe_hll(spark, n: int) -> None:
     )
 
 
+def probe_kmvstore(spark, n: int) -> None:
+    """Streaming KMV (θ-sketch) store at 100× bench scale: per-batch
+    cost is one distinct + per-type top-k over the BATCH (partials
+    ≤64 rows/type), compaction folds k-row tables, and the
+    accumulated estimate must match the one-shot sketch exactly (the
+    KMV merge identity is exact, not approximate)."""
+    import tempfile
+
+    from heatmap_spark.operators.profiling import kmv_hashes
+    from heatmap_spark.streaming.kmv import (
+        _topk,
+        accumulated_sketch,
+        compact_kmv_store,
+        merge_batch_into_kmv_store,
+        serve_kmv_estimates,
+    )
+
+    m = max(n // 3, 1)
+    ev = spark.range(n).select(
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("event_type"),
+        ((F.col("id") * 2654435761) % m).alias("user_id"),
+        F.col("id").alias("event_id"),
+    )
+    store = tempfile.mkdtemp(prefix="kmv_probe_") + "/store"
+    t0 = time.perf_counter()
+    for b in range(3):
+        batch = ev.where(
+            F.expr(f"CAST(event_id * 3 DIV {n} AS INT)") == b
+        ).select("event_type", "user_id")
+        merge_batch_into_kmv_store(spark, batch, store, b)
+        if b == 1:
+            compact_kmv_store(spark, store)
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ests = {
+        r["event_type"]: r["kmv_users"]
+        for r in serve_kmv_estimates(spark, store).collect()
+    }
+    t_est = time.perf_counter() - t0
+    one_shot = sorted(
+        (r["event_type"], r["hv"])
+        for r in _topk(kmv_hashes(ev, "user_id", ["event_type"]), 64).collect()
+    )
+    streamed = sorted(
+        (r["event_type"], r["hv"])
+        for r in accumulated_sketch(spark, store).collect()
+    )
+    exact_all = ev.select("user_id").distinct().count()
+    err = abs(ests["__all__"] - exact_all) / exact_all
+    print(
+        f"KMV store {n:,} events, 3 batches + mid-stream compaction: "
+        f"ingest {t_build:.1f}s ({n / t_build / 1e6:.1f}M rows/s, ≤64 "
+        f"rows/type state); serve {t_est:.1f}s; accumulated sketch "
+        f"{'==' if streamed == one_shot else '!='} one-shot (exact merge "
+        f"identity); '__all__' est {ests['__all__']:,.0f} vs exact "
+        f"{exact_all:,} (rel err {err:.3f}; k=64 ⇒ σ≈12.6%)"
+    )
+
+
 def probe_dsir(spark, n: int) -> None:
     """DSIR weights at 100× bench scale: the λ table stays ≤1024 rows
     no matter the corpus, so cost is two tokenize passes + three hash
@@ -2479,7 +2538,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000, "graphann": 50_000, "geofence": 10_000_000, "hll": 20_000_000, "dsir": 2_000_000, "joinview": 2_000_000, "binaryann": 1_000_000, "unigram": 500_000, "drifttests": 10_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000, "graphann": 50_000, "geofence": 10_000_000, "hll": 20_000_000, "kmvstore": 20_000_000, "dsir": 2_000_000, "joinview": 2_000_000, "binaryann": 1_000_000, "unigram": 500_000, "drifttests": 10_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -2493,7 +2552,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec, "graphann": probe_graphann, "geofence": probe_geofence, "hll": probe_hll, "dsir": probe_dsir, "joinview": probe_joinview, "binaryann": probe_binaryann, "unigram": probe_unigram, "drifttests": probe_drifttests}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec, "graphann": probe_graphann, "geofence": probe_geofence, "hll": probe_hll, "kmvstore": probe_kmvstore, "dsir": probe_dsir, "joinview": probe_joinview, "binaryann": probe_binaryann, "unigram": probe_unigram, "drifttests": probe_drifttests}[which](spark, n)
 
 
 if __name__ == "__main__":
