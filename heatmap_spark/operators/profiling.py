@@ -1274,29 +1274,12 @@ def drift_report(spark: SparkSession, sf_dir: str, n_bins: int = 10) -> DataFram
     )
 
 
-def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample Kolmogorov–Smirnov statistic per event type
-    between the first and second half of the stream (median-ts split,
-    like drift_report): D = sup |F̂_a(x) − F̂_b(x)|, the
-    distribution-free companion to the binned PSI — PSI says how much
-    mass moved between coarse bins, KS catches any shape change at
-    full resolution.
-
-    Exactness without a single float until the end: at each observed
-    value the CDF gap is |ca·nb − cb·na| / (na·nb) with integer
-    numerator, so the sup is an integer MAX and D divides two exact
-    integers once.  The scaled statistic
-    KS = D·√(na·nb/(na+nb)) (≳1.36 ⇒ p<0.05) is one sqrt on top.
-
-    Scale shape (distributed-rank spelling): the raw relation is first
-    REDUCED to the distinct-value table (event_type, value, da, db)
-    by a hash aggregate — partial map-side combine, keys spread over
-    (type, value) so a hot type still fans out — and the single sorted
-    window runs over THAT table, whose partition size is distinct
-    values per type, not rows per type.  The CDF at the end of each
-    tie group is just the running sum of per-value counts, so the
-    statistic is bit-identical to the per-row spelling while a
-    90%-skewed hot type no longer serializes a corpus-sized sort."""
+def drift_value_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, value, da, db): DISTINCT-VALUE counts per stream
+    half (median-ts split) — the relation both exact rank tests run
+    over, and an EXACTLY-MERGEABLE summary: counts sum across
+    batches, so the streaming drift store (streaming/drift.py) keeps
+    this grain and serves KS/MWU bit-identical to a one-shot build."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     split = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
     base = ev.select(
@@ -1306,10 +1289,17 @@ def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_a"),
         "value",
     )
-    per_val = base.groupBy("event_type", "value").agg(
+    return base.groupBy("event_type", "value").agg(
         F.sum("is_a").alias("da"),
         F.sum(F.lit(1) - F.col("is_a")).alias("db"),
     )
+
+
+def ks_from_value_table(per_val: DataFrame) -> DataFrame:
+    """KS tail over a (event_type, value, da, db) distinct-value
+    table — shared by the batch query and the streaming drift store
+    (whose accumulated table is identical by the sum-merge
+    identity)."""
     wcum = (
         W.partitionBy("event_type")
         .orderBy("value")
@@ -1352,50 +1342,45 @@ def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Mann–Whitney U (Wilcoxon rank-sum) per event type between
-    the stream halves — the rank-based location test completing the
-    drift trio (PSI: binned mass, KS: CDF shape, MWU: stochastic
-    dominance).
+def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per event type
+    between the first and second half of the stream (median-ts split,
+    like drift_report): D = sup |F̂_a(x) − F̂_b(x)|, the
+    distribution-free companion to the binned PSI — PSI says how much
+    mass moved between coarse bins, KS catches any shape change at
+    full resolution.
 
-    Tie-exactness trick: the average rank of a tie group is the
-    half-integer (2·rank() + t − 1)/2, so DOUBLED ranks are integers —
-    the rank sum R2a, the doubled statistic U2 = R2a − na(na+1) = 2U,
-    and the tie-correction term Σ(t³−t) all stay exact bigints; the
-    normal-approximation z (with tie-corrected variance) is the single
-    float expression at the end, computed in one fixed operand order.
+    Exactness without a single float until the end: at each observed
+    value the CDF gap is |ca·nb − cb·na| / (na·nb) with integer
+    numerator, so the sup is an integer MAX and D divides two exact
+    integers once.  The scaled statistic
+    KS = D·√(na·nb/(na+nb)) (≳1.36 ⇒ p<0.05) is one sqrt on top.
 
-    Scale shape (distributed-rank spelling): reduce to the
-    distinct-value table (event_type, value, ta, tb) with a hash
-    aggregate first, then run the single sorted window over that
-    table.  For a tie group of size t = ta+tb ending at running total
-    cum_t, the group starts at rank cum_t−t+1, so every member's
-    DOUBLED average rank is 2·(cum_t−t+1)+t−1 = 2·cum_t−t+1 — the
-    group contributes ta·(2·cum_t−t+1) to R2a and t³−t to the tie
-    term, bit-identical to ranking raw rows while the window
-    partition holds distinct values, not rows."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-    split = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
-    base = ev.select(
-        "event_type",
-        F.when(F.unix_timestamp("ts") <= F.lit(split), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("is_a"),
-        "value",
-    )
-    per_val = base.groupBy("event_type", "value").agg(
-        F.sum("is_a").alias("ta"),
-        F.sum(F.lit(1) - F.col("is_a")).alias("tb"),
-    )
+    Scale shape (distributed-rank spelling): the raw relation is first
+    REDUCED to the distinct-value table (event_type, value, da, db)
+    by a hash aggregate — partial map-side combine, keys spread over
+    (type, value) so a hot type still fans out — and the single sorted
+    window runs over THAT table, whose partition size is distinct
+    values per type, not rows per type.  The CDF at the end of each
+    tie group is just the running sum of per-value counts, so the
+    statistic is bit-identical to the per-row spelling while a
+    90%-skewed hot type no longer serializes a corpus-sized sort."""
+    return ks_from_value_table(drift_value_table(spark, sf_dir))
+
+
+def mwu_from_value_table(per_val: DataFrame) -> DataFrame:
+    """Mann–Whitney tail over a (event_type, value, da, db)
+    distinct-value table — shared by the batch query and the
+    streaming drift store."""
     wcum = (
         W.partitionBy("event_type")
         .orderBy("value")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    t = F.col("ta") + F.col("tb")
+    t = F.col("da") + F.col("db")
     cum = per_val.select(
         "event_type",
-        "ta",
+        F.col("da").alias("ta"),
         t.alias("t"),
         F.sum(t).over(wcum).alias("cum_t"),
     )
@@ -1425,6 +1410,31 @@ def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tie_term").cast("bigint").alias("tie_term"),
         z.alias("z"),
     )
+
+
+def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) per event type between
+    the stream halves — the rank-based location test completing the
+    drift trio (PSI: binned mass, KS: CDF shape, MWU: stochastic
+    dominance).
+
+    Tie-exactness trick: the average rank of a tie group is the
+    half-integer (2·rank() + t − 1)/2, so DOUBLED ranks are integers —
+    the rank sum R2a, the doubled statistic U2 = R2a − na(na+1) = 2U,
+    and the tie-correction term Σ(t³−t) all stay exact bigints; the
+    normal-approximation z (with tie-corrected variance) is the single
+    float expression at the end, computed in one fixed operand order.
+
+    Scale shape (distributed-rank spelling): reduce to the
+    distinct-value table (event_type, value, ta, tb) with a hash
+    aggregate first, then run the single sorted window over that
+    table.  For a tie group of size t = ta+tb ending at running total
+    cum_t, the group starts at rank cum_t−t+1, so every member's
+    DOUBLED average rank is 2·(cum_t−t+1)+t−1 = 2·cum_t−t+1 — the
+    group contributes ta·(2·cum_t−t+1) to R2a and t³−t to the tie
+    term, bit-identical to ranking raw rows while the window
+    partition holds distinct values, not rows."""
+    return mwu_from_value_table(drift_value_table(spark, sf_dir))
 
 
 def chi2_composition(spark: SparkSession, sf_dir: str) -> DataFrame:

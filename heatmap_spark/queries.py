@@ -1123,6 +1123,63 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drift_store_build(spark: SparkSession, sf_dir: str) -> str:
+    """Shared harness for the streaming drift twins: label events with
+    the median-ts split (the caller-owned policy — computed once, like
+    q_streaming_hll's max event_id), ingest as 3 deterministic
+    event_id-third batches into the value-table store with an LSM
+    compaction after batch 1, and return the store path."""
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.drift import (
+        compact_drift_store,
+        merge_batch_into_drift_store,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value", "event_id"
+    )
+    split = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
+    mx = ev.agg(F.max("event_id")).first()[0] + 1
+    labeled = ev.select(
+        "event_type",
+        F.when(F.unix_timestamp("ts") <= F.lit(split), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+        "value",
+        "event_id",
+    )
+    store = _scratch_dir("drift_store_q_") + "/store"
+    for b in range(3):
+        batch = labeled.where(
+            F.expr(f"CAST(event_id * 3 DIV {mx} AS INT)") == b
+        ).select("event_type", "is_a", "value")
+        merge_batch_into_drift_store(spark, batch, store, b)
+        if b == 1:
+            compact_drift_store(spark, store)
+    return store
+
+
+def q_streaming_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained exact KS drift monitor: events arrive
+    as 3 deterministic batches into the (type, value, per-half counts)
+    store — an exactly sum-mergeable summary — and the served
+    statistic is BIT-IDENTICAL to the one-shot ks_test, so this shares
+    q_ks_test's oracle verbatim: the driver value-hash certifies
+    incremental maintenance of an exact order statistic."""
+    from heatmap_spark.streaming.drift import serve_drift_ks
+
+    return serve_drift_ks(spark, _drift_store_build(spark, sf_dir))
+
+
+def q_streaming_drift_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained exact Mann–Whitney U from the same
+    value-table store — shares q_mann_whitney's oracle verbatim (see
+    q_streaming_drift_ks)."""
+    from heatmap_spark.streaming.drift import serve_drift_mwu
+
+    return serve_drift_mwu(spark, _drift_store_build(spark, sf_dir))
+
+
 def q_streaming_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained geofence dashboard: locations arrive as
     3 deterministic batches (hash thirds); each batch's (fence, user)
@@ -2116,6 +2173,75 @@ _NDCG_W_SQL = "[" + ", ".join(str(x) for x in textops.NDCG_W_INT) + "]"
 _NDCG_CUM_SQL = "[" + ", ".join(str(x) for x in textops.NDCG_CUM_INT) + "]"
 
 
+# Shared oracles for the exact rank tests (q_ks_test / q_mann_whitney)
+# and their streaming drift-store twins (q_streaming_drift_ks / _mwu):
+# the (type, value, per-half counts) grain is exactly sum-mergeable,
+# so the incremental build must hash-match the same SQL.
+_KS_SQL = """WITH sp AS (SELECT median(epoch(ts)) AS split FROM events),
+base AS (
+  SELECT event_type,
+    CASE WHEN epoch(ts) <= split THEN 1 ELSE 0 END AS is_a, value
+  FROM events CROSS JOIN sp),
+cum0 AS (
+  SELECT event_type, value,
+    sum(is_a) OVER (PARTITION BY event_type ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+    sum(1 - is_a) OVER (PARTITION BY event_type ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM base),
+cum AS (
+  SELECT event_type, value, max(ca) AS ca, max(cb) AS cb
+  FROM cum0 GROUP BY 1, 2),
+totals AS (
+  SELECT event_type, sum(is_a) AS na, sum(1 - is_a) AS nb
+  FROM base GROUP BY 1),
+sup AS (
+  SELECT c.event_type, na, nb, max(abs(ca * nb - cb * na)) AS sup_num
+  FROM cum c JOIN totals USING (event_type) GROUP BY 1, 2, 3)
+SELECT event_type,
+  CAST(na AS BIGINT) AS n_first_half,
+  CAST(nb AS BIGINT) AS n_second_half,
+  CAST(sup_num AS BIGINT) AS sup_numerator,
+  CAST(sup_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d,
+  CAST(sup_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+    * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+           / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) AS ks_scaled
+FROM sup"""
+
+_MWU_SQL = """WITH sp AS (SELECT median(epoch(ts)) AS split FROM events),
+base AS (
+  SELECT event_type,
+    CASE WHEN epoch(ts) <= split THEN 1 ELSE 0 END AS is_a, value
+  FROM events CROSS JOIN sp),
+ranked AS (
+  SELECT event_type, is_a, value,
+    rank() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+    count(*) OVER (PARTITION BY event_type, value) AS t
+  FROM base),
+agg AS (
+  SELECT event_type,
+    sum(CASE WHEN is_a = 1 THEN 2 * rk + t - 1 ELSE 0 END) AS r2a,
+    sum(is_a) AS na, sum(1 - is_a) AS nb
+  FROM ranked GROUP BY 1),
+ties AS (
+  SELECT event_type, sum(t * t * t - t) AS tie_term FROM (
+    SELECT event_type, value, max(t) AS t FROM ranked GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT a.event_type,
+  CAST(na AS BIGINT) AS n_first_half,
+  CAST(nb AS BIGINT) AS n_second_half,
+  CAST(r2a - na * (na + 1) AS BIGINT) AS u2,
+  CAST(tie_term AS BIGINT) AS tie_term,
+  (CAST(r2a - na * (na + 1) AS DOUBLE)
+     - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+  / (2.0 * sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+      * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+         - CAST(tie_term AS DOUBLE)
+           / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+              * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0))))) AS z
+FROM agg a JOIN ties USING (event_type)"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # ---- heatmap family (the reference's own capability surface) ----
     "q_locations": QuerySpec(q_locations, locations_sql("duckdb")),
@@ -2854,37 +2980,13 @@ FROM totals t JOIN psi USING (event_type)""",
     # final division — the full-resolution companion to the PSI bins
     "q_ks_test": QuerySpec(
         profiling.ks_test,
-        """WITH sp AS (SELECT median(epoch(ts)) AS split FROM events),
-base AS (
-  SELECT event_type,
-    CASE WHEN epoch(ts) <= split THEN 1 ELSE 0 END AS is_a, value
-  FROM events CROSS JOIN sp),
-cum0 AS (
-  SELECT event_type, value,
-    sum(is_a) OVER (PARTITION BY event_type ORDER BY value
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
-    sum(1 - is_a) OVER (PARTITION BY event_type ORDER BY value
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
-  FROM base),
-cum AS (
-  SELECT event_type, value, max(ca) AS ca, max(cb) AS cb
-  FROM cum0 GROUP BY 1, 2),
-totals AS (
-  SELECT event_type, sum(is_a) AS na, sum(1 - is_a) AS nb
-  FROM base GROUP BY 1),
-sup AS (
-  SELECT c.event_type, na, nb, max(abs(ca * nb - cb * na)) AS sup_num
-  FROM cum c JOIN totals USING (event_type) GROUP BY 1, 2, 3)
-SELECT event_type,
-  CAST(na AS BIGINT) AS n_first_half,
-  CAST(nb AS BIGINT) AS n_second_half,
-  CAST(sup_num AS BIGINT) AS sup_numerator,
-  CAST(sup_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d,
-  CAST(sup_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
-    * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
-           / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) AS ks_scaled
-FROM sup""",
+        _KS_SQL,
     ),
+    # streamed drift store twin: the (type, value, per-half counts)
+    # grain is exactly sum-mergeable, so the 3-batch incremental build
+    # serves a BIT-IDENTICAL statistic and shares q_ks_test's oracle
+    "q_streaming_drift_ks": QuerySpec(q_streaming_drift_ks, _KS_SQL),
+    "q_streaming_drift_mwu": QuerySpec(q_streaming_drift_mwu, _MWU_SQL),
     # χ² homogeneity on the categorical axis (event-type composition
     # between halves); cell terms floor-quantized@1e-9, exact-int sum
     "q_chi2_composition": QuerySpec(
@@ -2932,38 +3034,7 @@ FROM per""",
     # the tie-corrected z is the single float expression at the end
     "q_mann_whitney": QuerySpec(
         profiling.mann_whitney,
-        """WITH sp AS (SELECT median(epoch(ts)) AS split FROM events),
-base AS (
-  SELECT event_type,
-    CASE WHEN epoch(ts) <= split THEN 1 ELSE 0 END AS is_a, value
-  FROM events CROSS JOIN sp),
-ranked AS (
-  SELECT event_type, is_a, value,
-    rank() OVER (PARTITION BY event_type ORDER BY value) AS rk,
-    count(*) OVER (PARTITION BY event_type, value) AS t
-  FROM base),
-agg AS (
-  SELECT event_type,
-    sum(CASE WHEN is_a = 1 THEN 2 * rk + t - 1 ELSE 0 END) AS r2a,
-    sum(is_a) AS na, sum(1 - is_a) AS nb
-  FROM ranked GROUP BY 1),
-ties AS (
-  SELECT event_type, sum(t * t * t - t) AS tie_term FROM (
-    SELECT event_type, value, max(t) AS t FROM ranked GROUP BY 1, 2)
-  GROUP BY 1)
-SELECT a.event_type,
-  CAST(na AS BIGINT) AS n_first_half,
-  CAST(nb AS BIGINT) AS n_second_half,
-  CAST(r2a - na * (na + 1) AS BIGINT) AS u2,
-  CAST(tie_term AS BIGINT) AS tie_term,
-  (CAST(r2a - na * (na + 1) AS DOUBLE)
-     - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
-  / (2.0 * sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
-      * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
-         - CAST(tie_term AS DOUBLE)
-           / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
-              * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0))))) AS z
-FROM agg a JOIN ties USING (event_type)""",
+        _MWU_SQL,
     ),
     # robust twin of q_zscore_outliers: median/MAD modified z-score —
     # statistics broadcast, stream never shuffles (3 scan passes)
@@ -7016,11 +7087,12 @@ FROM weighted""",
 # r2 (displaced by the r9 landings); (c) the round-10 churn re-pins
 # the invariant demands — KS/MWU (distributed-rank rewrite), the
 # media decode family (kernel= injection point), graph-ANN
-# (adaptive beam) — plus the q_streaming_kmv and q_knn_rabitq
-# landings; (d) 13 stalest-r3 re-pins.  Remaining r3 evidence
-# (TPC-H q2-q22 family, scd2, salted_join, recursive_pyramid,
-# tile_smooth, triangle_count, window_variety, semantic_dedup) is
-# round-11's rotation pool.
+# (adaptive beam) — plus the four round-10 landings (streaming KMV,
+# RaBitQ, the two streaming drift twins); (d) 11 stalest-r3 re-pins.
+# Remaining r3 evidence (TPC-H q2-q22 family, scd2, salted_join,
+# recursive_pyramid, range_join, pagerank_near_dup, tile_smooth,
+# triangle_count, window_variety, semantic_dedup) is round-11's
+# rotation pool.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
@@ -7068,6 +7140,8 @@ _PRIORITY = [
     # queries must hold a slot per the freshness invariant)
     "q_streaming_kmv",
     "q_knn_rabitq",
+    "q_streaming_drift_ks",
+    "q_streaming_drift_mwu",
     # stalest remaining evidence (r3)
     "q_asof_join_cogroup",
     "q_cdc_merge",
@@ -7080,8 +7154,6 @@ _PRIORITY = [
     "q_heatmap_pyramid_sql",
     "q_jaccard_prefix_filter",
     "q_od_matrix",
-    "q_pagerank_near_dup",
-    "q_range_join",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))
