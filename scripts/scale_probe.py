@@ -2185,6 +2185,57 @@ def probe_kmvstore(spark, n: int) -> None:
     )
 
 
+def probe_driftstore(spark, n: int) -> None:
+    """Streaming drift store at 100× bench scale: per-batch cost is
+    one hash aggregate over the batch, state is the distinct-value
+    table (quantized values here, the store's intended regime), and
+    the served KS must equal the one-shot statistic exactly."""
+    import tempfile
+
+    from heatmap_spark.operators import profiling as P_
+    from heatmap_spark.operators.profiling import ks_from_value_table
+    from heatmap_spark.streaming.drift import (
+        accumulated_value_table,
+        compact_drift_store,
+        merge_batch_into_drift_store,
+        serve_drift_ks,
+    )
+
+    ev = _synthetic_events(spark, n)
+    drift = F.when(F.col("event_id") > n // 2, F.lit(7.5)).otherwise(F.lit(0.0))
+    labeled = ev.select(
+        "event_type",
+        F.when(F.col("event_id") <= n // 2, F.lit(1)).otherwise(F.lit(0)).alias("is_a"),
+        (((F.col("event_id") * 104729) % 4096).cast("double") / 16.0 + drift).alias("value"),
+        "event_id",
+    )
+    store = tempfile.mkdtemp(prefix="drift_probe_") + "/store"
+    t0 = time.perf_counter()
+    for b in range(3):
+        batch = labeled.where(
+            F.expr(f"CAST(event_id * 3 DIV {n} AS INT)") == b
+        ).select("event_type", "is_a", "value")
+        merge_batch_into_drift_store(spark, batch, store, b)
+        if b == 1:
+            compact_drift_store(spark, store)
+    t_build = time.perf_counter() - t0
+    n_state = accumulated_value_table(spark, store).count()
+    t0 = time.perf_counter()
+    served = sorted(tuple(r) for r in serve_drift_ks(spark, store).collect())
+    t_serve = time.perf_counter() - t0
+    per_val = labeled.groupBy("event_type", "value").agg(
+        F.sum("is_a").alias("da"), F.sum(F.lit(1) - F.col("is_a")).alias("db")
+    )
+    one_shot = sorted(tuple(r) for r in ks_from_value_table(per_val).collect())
+    print(
+        f"drift store {n:,} events, 3 batches + mid-stream compaction: "
+        f"ingest {t_build:.1f}s ({n / t_build / 1e6:.1f}M rows/s), state "
+        f"{n_state:,} (type, value) rows; serve KS {t_serve:.1f}s, "
+        f"{'BIT-IDENTICAL to' if served == one_shot else 'DIFFERS from'} "
+        f"the one-shot statistic"
+    )
+
+
 def probe_dsir(spark, n: int) -> None:
     """DSIR weights at 100× bench scale: the λ table stays ≤1024 rows
     no matter the corpus, so cost is two tokenize passes + three hash
@@ -2538,7 +2589,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000, "graphann": 50_000, "geofence": 10_000_000, "hll": 20_000_000, "kmvstore": 20_000_000, "dsir": 2_000_000, "joinview": 2_000_000, "binaryann": 1_000_000, "unigram": 500_000, "drifttests": 10_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000, "graphann": 50_000, "geofence": 10_000_000, "hll": 20_000_000, "kmvstore": 20_000_000, "driftstore": 10_000_000, "dsir": 2_000_000, "joinview": 2_000_000, "binaryann": 1_000_000, "unigram": 500_000, "drifttests": 10_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -2552,7 +2603,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec, "graphann": probe_graphann, "geofence": probe_geofence, "hll": probe_hll, "kmvstore": probe_kmvstore, "dsir": probe_dsir, "joinview": probe_joinview, "binaryann": probe_binaryann, "unigram": probe_unigram, "drifttests": probe_drifttests}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec, "graphann": probe_graphann, "geofence": probe_geofence, "hll": probe_hll, "kmvstore": probe_kmvstore, "driftstore": probe_driftstore, "dsir": probe_dsir, "joinview": probe_joinview, "binaryann": probe_binaryann, "unigram": probe_unigram, "drifttests": probe_drifttests}[which](spark, n)
 
 
 if __name__ == "__main__":
