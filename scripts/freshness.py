@@ -80,40 +80,89 @@ def _file_at(commit: str, relpath: str) -> str | None:
         return None  # file did not exist at that commit
 
 
+@lru_cache(maxsize=64)
+def _def_index(src: str) -> dict[str, str]:
+    """name → source text of every top-level def in `src` (cached —
+    see _entry_index)."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return {}
+    return {
+        node.name: ast.get_source_segment(src, node)
+        for node in tree.body
+        if isinstance(node, ast.FunctionDef)
+    }
+
+
 def _def_segment(src: str, fn_name: str) -> str | None:
-    """Source text of top-level `def fn_name` in `src`."""
+    return _def_index(src).get(fn_name)
+
+
+@lru_cache(maxsize=32)
+def _entry_index(src: str) -> dict[str, str]:
+    """One-pass index of every `"name": QuerySpec(...)` dict entry in
+    `src` → entry source text (covers the oracle SQL) PLUS the
+    segments of any module-level constants the entry references (so
+    `QuerySpec(fn, _KS_SQL)` is fingerprinted through to the SQL
+    text).  Cached per source string: fingerprinting 289 queries
+    against N markers must not reparse the 7k-line registry 289·N
+    times."""
     try:
         tree = ast.parse(src)
     except SyntaxError:
-        return None
+        return {}
+    assigns: dict[str, str] = {}
     for node in tree.body:
-        if isinstance(node, ast.FunctionDef) and node.name == fn_name:
-            return ast.get_source_segment(src, node)
-    return None
-
-
-def _registry_entry_segment(src: str, query_name: str) -> str | None:
-    """Source text of the `"query_name": QuerySpec(...)` value in any
-    top-level dict literal (covers lambda-registered queries AND the
-    oracle SQL next to them)."""
-    try:
-        tree = ast.parse(src)
-    except SyntaxError:
-        return None
+        if isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name):
+                    assigns[tgt.id] = ast.get_source_segment(src, node.value)
+    out: dict[str, str] = {}
     for node in ast.walk(tree):
         if isinstance(node, ast.Dict):
             for k, v in zip(node.keys, node.values):
-                if isinstance(k, ast.Constant) and k.value == query_name:
-                    return ast.get_source_segment(src, v)
-    return None
+                if isinstance(k, ast.Constant) and isinstance(k.value, str):
+                    seg = ast.get_source_segment(src, v)
+                    refs = sorted(
+                        {
+                            n.id
+                            for n in ast.walk(v)
+                            if isinstance(n, ast.Name) and n.id in assigns
+                        }
+                    )
+                    out.setdefault(
+                        k.value,
+                        seg
+                        + "".join(f"\n# {r}:\n{assigns[r]}" for r in refs),
+                    )
+    return out
 
 
-def _fingerprint(src: str | None, fn_name: str | None, query: str) -> str | None:
-    if src is None:
+def _registry_entry_segment(src: str, query_name: str) -> str | None:
+    return _entry_index(src).get(query_name)
+
+
+def _fingerprint(
+    mod_src: str | None,
+    reg_src: str | None,
+    fn_name: str | None,
+    query: str,
+) -> str | None:
+    """def text (from the fn's module) + registry entry text incl.
+    referenced constants (from queries.py) — so BOTH an implementation
+    edit and an oracle edit invalidate old driver evidence."""
+    if reg_src is None:
         return None
-    if fn_name is not None:
-        return _def_segment(src, fn_name)
-    return _registry_entry_segment(src, query)
+    entry = _registry_entry_segment(reg_src, query)
+    if fn_name is None:
+        return entry
+    if mod_src is None:
+        return None
+    seg = _def_segment(mod_src, fn_name)
+    if seg is None:
+        return None
+    return seg + "\n" + (entry or "")
 
 
 def stale_queries() -> dict[str, str]:
@@ -124,11 +173,14 @@ def stale_queries() -> dict[str, str]:
 
     latest = latest_rows()
     markers = round_markers()
+    reg_rel = "heatmap_spark/queries.py"
+    with open(os.path.join(REPO, reg_rel)) as fh:
+        reg_now = fh.read()
     stale: dict[str, str] = {}
     for name, spec in Q.REGISTRY.items():
         fn = spec.fn
         if fn.__name__ == "<lambda>":
-            relpath, fn_name = "heatmap_spark/queries.py", None
+            relpath, fn_name = reg_rel, None
         else:
             mod = sys.modules[fn.__module__]
             relpath = os.path.relpath(mod.__file__, REPO)
@@ -140,13 +192,24 @@ def stale_queries() -> dict[str, str]:
         if r not in markers:
             # row is from the round in progress — tested current code
             continue
-        with open(os.path.join(REPO, relpath)) as fh:
-            now = _fingerprint(fh.read(), fn_name, name)
-        then = _fingerprint(_file_at(markers[r], relpath), fn_name, name)
+        if relpath == reg_rel:
+            mod_now = reg_now
+        else:
+            with open(os.path.join(REPO, relpath)) as fh:
+                mod_now = fh.read()
+        now = _fingerprint(mod_now, reg_now, fn_name, name)
+        then = _fingerprint(
+            _file_at(markers[r], relpath),
+            _file_at(markers[r], reg_rel),
+            fn_name,
+            name,
+        )
         if now is None:
-            stale[name] = f"cannot locate def in {relpath} at HEAD"
+            stale[name] = f"cannot locate def/entry for {name} at HEAD"
         elif then != now:
-            stale[name] = f"code changed since its r{r} driver row ({relpath})"
+            stale[name] = (
+                f"code or oracle changed since its r{r} driver row ({relpath})"
+            )
     return stale
 
 
