@@ -3366,23 +3366,41 @@ decode_real = _decode_real_factory(
 
 
 def library_kernels() -> dict:
-    """PIL/libjpeg-class kernels for the ``kernel=`` injection points
-    of the decode operators, each adapted to the matching from-scratch
+    """Library-backed kernels for the ``kernel=`` injection points of
+    the decode operators, each adapted to the matching from-scratch
     decoder's contract so they are drop-in (the plan never changes —
-    only the per-Arrow-batch Python callable).  Import-gated: this
-    container ships no imaging libraries, so callers must try/except
-    ImportError; the from-scratch decoders remain the default AND the
-    correctness oracle for any kernel returned here
-    (tests/test_media_kernels.py pins the interface with a wrapped
-    kernel; the PIL arm activates if the environment ever gains PIL).
+    only the per-Arrow-batch Python callable).  The from-scratch
+    decoders remain the default AND the correctness oracle for any
+    kernel returned here (tests/test_media_kernels.py).
 
-    Returns {"jpeg": bytes -> (h, w, ch, flat uint8), "gif": bytes ->
-    (h, w, [RGB frames], [delays_cs]), "bmp": same contract as jpeg}.
-    """
+    Always returned: {"wav": bytes -> (rate, int16 ndarray)} — backed
+    by the stdlib ``wave`` module, so this adapter is live in every
+    environment and cross-validates the from-scratch RIFF parser
+    against an independent implementation.  When PIL exists the dict
+    also carries {"jpeg": bytes -> (h, w, ch, flat uint8), "gif":
+    bytes -> (h, w, [RGB frames], [delays_cs]), "bmp": like jpeg};
+    without PIL those keys are simply absent (no ImportError — check
+    membership)."""
     import io
 
     import numpy as np
-    from PIL import Image  # raises ImportError cleanly when absent
+
+    def wav_k(data):
+        import wave
+
+        with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise ValueError("stdlib wav kernel: mono 16-bit PCM only")
+            pcm = np.frombuffer(
+                w.readframes(w.getnframes()), dtype="<i2"
+            ).astype(np.int16)
+            return w.getframerate(), pcm
+
+    kernels = {"wav": wav_k}
+    try:
+        from PIL import Image
+    except ImportError:
+        return kernels
 
     def jpeg_k(data):
         im = Image.open(io.BytesIO(bytes(data)))
@@ -3410,7 +3428,8 @@ def library_kernels() -> dict:
         h, w, ch = arr.shape
         return h, w, ch, arr.reshape(-1)
 
-    return {"jpeg": jpeg_k, "gif": gif_k, "bmp": bmp_k}
+    kernels.update({"jpeg": jpeg_k, "gif": gif_k, "bmp": bmp_k})
+    return kernels
 
 
 AUDIO_FEATURES_SCHEMA = (

@@ -80,14 +80,30 @@ def test_bad_kernel_fails_loudly(spark, sf_smoke):
     assert all(bad[d] != base[d] for d in base)
 
 
-def test_library_kernels_gate():
-    """library_kernels() activates iff PIL exists; when it does, its
-    JPEG adapter must match the from-scratch decoder on the unit-quant
-    path (constant 8x8 blocks decode bit-exactly in any conformant
+def test_stdlib_wave_kernel_cross_validates(spark, sf_smoke):
+    """The stdlib `wave` adapter is live in EVERY environment: an
+    independent RIFF implementation must agree with the from-scratch
+    parser sample-for-sample, unit-level and through the operator."""
+    import numpy as np
+
+    kernels = M.library_kernels()
+    pcm = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int16)
+    data = M.wav_encode(pcm)
+    rate, out = kernels["wav"](data)
+    ref_rate, ref = M.wav_decode(data)
+    assert rate == ref_rate and (out == ref).all()
+    base = _rows(M.media_decode_wav(spark, sf_smoke))
+    injected = _rows(M.media_decode_wav(spark, sf_smoke, kernel=kernels["wav"]))
+    assert injected == base
+
+
+def test_library_kernels_pil_arm():
+    """The PIL arms are present iff PIL exists; when it does, the JPEG
+    adapter must match the from-scratch decoder on the unit-quant path
+    (constant 8x8 blocks decode bit-exactly in any conformant
     decoder)."""
-    try:
-        kernels = M.library_kernels()
-    except ImportError:
+    kernels = M.library_kernels()
+    if "jpeg" not in kernels:
         pytest.skip("no imaging library in this environment")
     import numpy as np
 
