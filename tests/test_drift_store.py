@@ -83,3 +83,17 @@ def test_replayed_batch_is_noop(spark, sf_smoke):
     replay = labeled.limit(200).select("event_type", "is_a", "value")
     assert merge_batch_into_drift_store(spark, replay, store, 2) is False
     assert _rows(accumulated_value_table(spark, store)) == before
+
+
+def test_uncommitted_partial_is_invisible(spark, sf_smoke):
+    """Crash window: a value-table partial written without the marker
+    advancing must not change reads or the served statistics."""
+    labeled = _labeled(spark, sf_smoke)
+    store = tempfile.mkdtemp(prefix="drift_t_") + "/s"
+    _build(spark, labeled, store)
+    before = _rows(serve_drift_ks(spark, store))
+    labeled.limit(500).groupBy("event_type", "value").agg(
+        F.sum("is_a").alias("da"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("db"),
+    ).write.mode("overwrite").parquet(store + "/vals/batch=9")
+    assert _rows(serve_drift_ks(spark, store)) == before

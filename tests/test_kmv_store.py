@@ -91,3 +91,19 @@ def test_estimates_bounded_and_exact_below_k(spark, sf_smoke):
             assert row["kmv_users"] == float(n), et
         else:
             assert abs(row["kmv_users"] - n) / n < 0.5, (et, row["kmv_users"], n)
+
+
+def test_uncommitted_partial_is_invisible(spark, sf_smoke):
+    """Crash window: a partial directory written without the marker
+    advancing (process died mid-ingest) must not change reads — the
+    committed-batch filter is what makes the overwrite-on-replay
+    protocol exactly-once."""
+    ev = _events(spark, sf_smoke)
+    store = tempfile.mkdtemp(prefix="kmv_t_") + "/s"
+    _build(spark, ev, store)
+    before = _sk(accumulated_sketch(spark, store))
+    _topk(kmv_hashes(ev.limit(500).select("event_type", "user_id"),
+                     "user_id", ["event_type"]), _KMV_K).write.mode(
+        "overwrite"
+    ).parquet(store + "/sk/batch=7")
+    assert _sk(accumulated_sketch(spark, store)) == before
