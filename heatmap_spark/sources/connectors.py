@@ -174,3 +174,25 @@ def write_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
             writer.createOrReplace()
     except Exception as e:
         _raise_if_missing(df.sparkSession, "iceberg", e)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source (gated): the row-oriented interchange format of the
+    Kafka/schema-registry world — the natural landing format for the
+    reference's location feed when it arrives via a log pipeline.
+    Spark's `avro` format lives in the external spark-avro module, so
+    this gates exactly like the Kafka/Delta connectors; the multi-
+    format parquet/ORC/CSV/JSON surface (sources/formats.py) is the
+    in-container tested path."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:
+        _raise_if_missing(spark, "avro", e)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink (gated like read_avro)."""
+    try:
+        df.write.format("avro").mode(mode).save(path)
+    except Exception as e:
+        _raise_if_missing(df.sparkSession, "avro", e)

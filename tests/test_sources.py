@@ -146,3 +146,24 @@ def test_lakehouse_writers_gate_cleanly(spark, tmp_path):
     assert not os.path.exists(os.path.join(target, "_delta_log"))
     with pytest.raises(ConnectorUnavailable):
         write_iceberg(df, "local.db.t")
+
+
+def test_avro_io_gates_cleanly(spark, tmp_path):
+    """spark-avro is an external module: absent here, both directions
+    must raise the uniform ConnectorUnavailable (never a raw
+    ClassNotFound), exactly like the Kafka/Delta gates.  If the module
+    ever lands, the second branch round-trips instead."""
+    from heatmap_spark.sources.connectors import read_avro, write_avro
+
+    df = spark.range(3).selectExpr("id", "CAST(id AS STRING) AS s")
+    try:
+        write_avro(df, str(tmp_path / "a"))
+    except ConnectorUnavailable as e:
+        assert "avro" in str(e)
+        with pytest.raises(ConnectorUnavailable, match="avro"):
+            read_avro(spark, str(tmp_path / "a"))
+        return
+    got = read_avro(spark, str(tmp_path / "a"))
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
