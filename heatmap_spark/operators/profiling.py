@@ -1368,6 +1368,68 @@ def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_from_value_table(drift_value_table(spark, sf_dir))
 
 
+def w1_from_value_table(per_val: DataFrame) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance between the stream halves
+    from the (event_type, value, da, db) distinct-value table:
+    W₁ = Σ_i |F̂_a(v_i) − F̂_b(v_i)| · (v_{i+1} − v_i) — the integrated
+    CDF gap, completing the drift family's geometry (PSI: binned mass,
+    KS: sup gap, W₁: integrated gap, MWU: rank dominance, χ²:
+    categorical).  Unlike KS it scales with HOW FAR mass moved, not
+    just whether it did.
+
+    Determinism policy (as PSI/χ²): each term's float product
+    |ca·nb − cb·na|/(na·nb) · gap is computed in one fixed operand
+    order, floor-quantized@1e-9, and summed as exact bigint — so the
+    statistic value-hashes cross-engine.  Scale shape: the SAME single
+    sorted window as KS (cumulative counts + lead(value) off one
+    sort of the distinct-value table)."""
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    word = W.partitionBy("event_type").orderBy("value")
+    cum = per_val.select(
+        "event_type",
+        "value",
+        F.sum("da").over(wcum).alias("ca"),
+        F.sum("db").over(wcum).alias("cb"),
+        F.lead("value").over(word).alias("v_next"),
+    )
+    totals = per_val.groupBy("event_type").agg(
+        F.sum("da").alias("na"),
+        F.sum("db").alias("nb"),
+    )
+    gap_num = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    term = (
+        gap_num.cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+        * (F.col("v_next") - F.col("value"))
+    )
+    agg = (
+        cum.join(F.broadcast(totals), "event_type")
+        .where(F.col("v_next").isNotNull())
+        .groupBy("event_type", "na", "nb")
+        .agg(
+            F.sum(F.floor(term * F.lit(1e9)).cast("bigint")).alias("w1_nano")
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_first_half"),
+        F.col("nb").cast("bigint").alias("n_second_half"),
+        F.col("w1_nano").cast("bigint").alias("w1_nano"),
+        (F.col("w1_nano").cast("double") / F.lit(1e9)).alias("w1"),
+    )
+
+
+def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query (q_wasserstein_drift): exact-quantized W₁ drift
+    per event type between the stream halves, off the shared
+    distinct-value table (one hash aggregate + one sorted window)."""
+    return w1_from_value_table(drift_value_table(spark, sf_dir))
+
+
 def mwu_from_value_table(per_val: DataFrame) -> DataFrame:
     """Mann–Whitney tail over a (event_type, value, da, db)
     distinct-value table — shared by the batch query and the

@@ -3036,6 +3036,40 @@ FROM per""",
         profiling.mann_whitney,
         _MWU_SQL,
     ),
+    # 1-Wasserstein drift (integrated CDF gap — completes the family's
+    # geometry beside PSI/KS/MWU/χ²); terms floor-quantized@1e-9 and
+    # summed as exact bigint off the shared distinct-value table
+    "q_wasserstein_drift": QuerySpec(
+        profiling.wasserstein_drift,
+        """WITH sp AS (SELECT median(epoch(ts)) AS split FROM events),
+base AS (
+  SELECT event_type,
+    CASE WHEN epoch(ts) <= split THEN 1 ELSE 0 END AS is_a, value
+  FROM events CROSS JOIN sp),
+pv AS (
+  SELECT event_type, value, sum(is_a) AS da, sum(1 - is_a) AS db
+  FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, value,
+    sum(da) OVER w AS ca, sum(db) OVER w AS cb,
+    lead(value) OVER (PARTITION BY event_type ORDER BY value) AS v_next
+  FROM pv
+  WINDOW w AS (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (SELECT event_type, sum(da) AS na, sum(db) AS nb FROM pv GROUP BY 1),
+terms AS (
+  SELECT c.event_type, na, nb,
+    CAST(floor(CAST(abs(ca * nb - cb * na) AS DOUBLE)
+      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      * (v_next - value) * 1e9) AS BIGINT) AS t
+  FROM cum c JOIN tot USING (event_type) WHERE v_next IS NOT NULL)
+SELECT event_type,
+  CAST(na AS BIGINT) AS n_first_half,
+  CAST(nb AS BIGINT) AS n_second_half,
+  CAST(sum(t) AS BIGINT) AS w1_nano,
+  CAST(sum(t) AS DOUBLE) / 1e9 AS w1
+FROM terms GROUP BY 1, 2, 3""",
+    ),
     # robust twin of q_zscore_outliers: median/MAD modified z-score —
     # statistics broadcast, stream never shuffles (3 scan passes)
     "q_mad_outliers": QuerySpec(
@@ -7087,12 +7121,12 @@ FROM weighted""",
 # r2 (displaced by the r9 landings); (c) the round-10 churn re-pins
 # the invariant demands — KS/MWU (distributed-rank rewrite), the
 # media decode family (kernel= injection point), graph-ANN
-# (adaptive beam) — plus the four round-10 landings (streaming KMV,
-# RaBitQ, the two streaming drift twins); (d) 11 stalest-r3 re-pins.
-# Remaining r3 evidence (TPC-H q2-q22 family, scd2, salted_join,
-# recursive_pyramid, range_join, pagerank_near_dup, tile_smooth,
-# triangle_count, window_variety, semantic_dedup) is round-11's
-# rotation pool.
+# (adaptive beam) — plus the five round-10 landings (streaming KMV,
+# RaBitQ, the two streaming drift twins, Wasserstein drift); (d) 10
+# stalest-r3 re-pins.  Remaining r3 evidence (TPC-H q2-q22 family,
+# scd2, salted_join, recursive_pyramid, range_join,
+# pagerank_near_dup, od_matrix, tile_smooth, triangle_count,
+# window_variety, semantic_dedup) is round-11's rotation pool.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
@@ -7142,6 +7176,7 @@ _PRIORITY = [
     "q_knn_rabitq",
     "q_streaming_drift_ks",
     "q_streaming_drift_mwu",
+    "q_wasserstein_drift",
     # stalest remaining evidence (r3)
     "q_asof_join_cogroup",
     "q_cdc_merge",
@@ -7153,7 +7188,6 @@ _PRIORITY = [
     "q_heatmap_drilldown",
     "q_heatmap_pyramid_sql",
     "q_jaccard_prefix_filter",
-    "q_od_matrix",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from heatmap_spark.operators.profiling import (
     ks_from_value_table,
     mwu_from_value_table,
+    w1_from_value_table,
 )
 from heatmap_spark.streaming.passages import (
     _batch_id,
@@ -176,3 +177,9 @@ def serve_drift_mwu(spark: SparkSession, store_path: str) -> DataFrame:
     """Exact tie-corrected Mann–Whitney U from the accumulated value
     table — bit-identical to the one-shot mann_whitney."""
     return mwu_from_value_table(accumulated_value_table(spark, store_path))
+
+
+def serve_drift_w1(spark: SparkSession, store_path: str) -> DataFrame:
+    """Exact-quantized 1-Wasserstein drift from the accumulated value
+    table — bit-identical to the one-shot wasserstein_drift."""
+    return w1_from_value_table(accumulated_value_table(spark, store_path))

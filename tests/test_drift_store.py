@@ -9,6 +9,7 @@ from heatmap_spark.operators.profiling import (
     drift_value_table,
     ks_test,
     mann_whitney,
+    wasserstein_drift,
 )
 from heatmap_spark.sources.tables import load_table
 from heatmap_spark.streaming.drift import (
@@ -17,6 +18,7 @@ from heatmap_spark.streaming.drift import (
     merge_batch_into_drift_store,
     serve_drift_ks,
     serve_drift_mwu,
+    serve_drift_w1,
 )
 
 
@@ -72,6 +74,9 @@ def test_served_statistics_bit_identical(spark, sf_smoke):
     )
     assert _rows(serve_drift_mwu(spark, store)) == _rows(
         mann_whitney(spark, sf_smoke)
+    )
+    assert _rows(serve_drift_w1(spark, store)) == _rows(
+        wasserstein_drift(spark, sf_smoke)
     )
 
 
