@@ -1536,13 +1536,16 @@ def q_heatmap_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_heatmap_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-path drill-down: the 4 children (zoom 9) of every zoom-8
-    tile with ≥ 20 visits, with the parent id attached — the quadtree
+    tile with ≥ 2 visits, with the parent id attached — the quadtree
     navigation step (children = integer (2r+{0,1}, 2c+{0,1}), exact
-    per functions/tiles.tile_children)."""
+    per functions/tiles.tile_children).  Threshold 2 = the sf0.01
+    maximum (VERDICT r10: the old ≥20 matched the oracle only on
+    empty results), so the join logic is exercised at driver scale.
+    """
     df = pyr.build_pyramid(
         load_locations(spark, sf_dir), mode="explode", min_zoom=8, max_zoom=9
     )
-    hot = df.where((F.col("zoom") == 8) & (F.col("user_group") == "all") & (F.col("visits") >= 20)).select(
+    hot = df.where((F.col("zoom") == 8) & (F.col("user_group") == "all") & (F.col("visits") >= 2)).select(
         F.col("row").alias("p_row"), F.col("col").alias("p_col")
     )
     kids = df.where((F.col("zoom") == 9) & (F.col("user_group") == "all"))
@@ -4408,7 +4411,7 @@ l9 AS (SELECT row9, col9, sum(weight) AS visits FROM pts GROUP BY 1, 2),
 l8 AS (
   SELECT CAST(floor(row9/2.0) AS BIGINT) AS p_row, CAST(floor(col9/2.0) AS BIGINT) AS p_col,
          sum(visits) AS pv
-  FROM l9 GROUP BY 1, 2 HAVING sum(visits) >= 20)
+  FROM l9 GROUP BY 1, 2 HAVING sum(visits) >= 2)
 SELECT '8_' || CAST(p_row AS VARCHAR) || '_' || CAST(p_col AS VARCHAR) AS parent_id,
        '9_' || CAST(row9 AS VARCHAR) || '_' || CAST(col9 AS VARCHAR) AS child_id,
        visits
@@ -7117,77 +7120,70 @@ FROM weighted""",
 # stalest evidence.
 #
 # Round 10: (a) q_unigram_vocab gets its first-ever driver row
-# (→ 285/285 ever checked); (b) all 19 queries whose latest row is
-# r2 (displaced by the r9 landings); (c) the round-10 churn re-pins
-# the invariant demands — KS/MWU (distributed-rank rewrite), the
-# media decode family (kernel= injection point), graph-ANN
-# (adaptive beam) — plus the five round-10 landings (streaming KMV,
-# RaBitQ, the two streaming drift twins, Wasserstein drift); (d) 10
-# stalest-r3 re-pins.  Remaining r3 evidence (TPC-H q2-q22 family,
-# scd2, salted_join, recursive_pyramid, range_join,
-# pagerank_near_dup, od_matrix, tile_smooth, triangle_count,
-# window_variety, semantic_dedup) is round-11's rotation pool.
+# Round-11 window: (a) the 4 pyramid sentinels, every round; (b) the
+# churn re-pin the freshness invariant demands — q_heatmap_drilldown
+# (threshold de-vacuized per VERDICT r10 item 1: the old >=20 matched
+# the oracle only on empty results at sf0.01); (c) all 27 queries
+# whose latest driver row is r3 — the new MAX-AGE rule
+# (scripts/freshness.py AGE_LIMIT=7, current round 11 → floor r4)
+# makes this mandatory, not advisory; (d) 18 of the 43 r4 rows, the
+# next-oldest evidence tier, pre-empting their r12 age-out (the
+# remaining 25 r4 rows are round-12's mandatory rotation pool).
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
     "q_heatmap_pyramid_cascade",
     "q_heatmap_resultsets",
     "q_heatmap_table",
-    # first-ever driver row (rows-only with in-registry raise pins)
-    "q_unigram_vocab",
-    # latest row is r2 — all 19
-    "q_chunk_documents",
-    "q_curation_pipeline",
-    "q_edit_distance_pairs",
-    "q_gopher_quality",
-    "q_knn_cosine_ivf",
-    "q_knn_cosine_ivf_exact",
-    "q_knn_ivf_recall",
-    "q_lang_id",
-    "q_leakage_safe_split",
-    "q_mixing_sample",
-    "q_multimodal_meta",
-    "q_repetition_metrics",
-    "q_streaming_join",
-    "q_streaming_tumbling",
-    "q_text_stats",
-    "q_tfidf_top_terms",
-    "q_token_counts",
-    "q_tpch_q18",
-    "q_trajectory_similarity",
-    # round-10 churn (freshness invariant): KS/MWU distributed-rank
-    # rewrite, media kernel injection, graph-ANN adaptive beam (the
-    # two video/audio queries changed only via helpers — re-pinned
-    # anyway, the invariant is the floor not the ceiling)
-    "q_ks_test",
-    "q_mann_whitney",
-    "q_media_jpeg",
-    "q_media_gif",
-    "q_media_bmp",
-    "q_media_wav",
-    "q_media_decode",
-    "q_media_video_frames",
-    "q_media_audio_features",
-    "q_knn_graph_recall",
-    "q_streaming_graph_ann",
-    # round-10 landings — first hard driver rows (never-checked
-    # queries must hold a slot per the freshness invariant)
-    "q_streaming_kmv",
-    "q_knn_rabitq",
-    "q_streaming_drift_ks",
-    "q_streaming_drift_mwu",
-    "q_wasserstein_drift",
-    # stalest remaining evidence (r3)
-    "q_asof_join_cogroup",
-    "q_cdc_merge",
-    "q_cohort_retention",
-    "q_containment_pairs",
-    "q_dense_regions",
-    "q_duplicated_passages",
-    "q_heatmap_bbox",
+    # churn re-pin: drilldown threshold 20→2 (de-vacuized, r10 item 1)
     "q_heatmap_drilldown",
-    "q_heatmap_pyramid_sql",
-    "q_jaccard_prefix_filter",
+    # max-age rule: all 27 queries with r3-latest evidence
+    "q_od_matrix",
+    "q_pagerank_near_dup",
+    "q_range_join",
+    "q_recursive_pyramid",
+    "q_salted_join",
+    "q_scd2_intervals",
+    "q_semantic_dedup",
+    "q_tile_smooth",
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_triangle_count",
+    "q_window_variety",
+    # next-oldest tier (r4) — pre-empt the r12 age-out
+    "q_attribution",
+    "q_bitmap_distinct",
+    "q_collation",
+    "q_collection_functions",
+    "q_column_profile",
+    "q_conditional_safety",
+    "q_conversion_latency",
+    "q_corr_stats",
+    "q_data_expectations",
+    "q_datetime_functions",
+    "q_dedup_fusion",
+    "q_doc_length_histogram",
+    "q_entity_resolution",
+    "q_ewma",
+    "q_ewma_segmented",
+    "q_exists_subqueries",
+    "q_feature_hashing",
+    "q_filtered_aggs",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

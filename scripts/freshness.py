@@ -26,6 +26,21 @@ rest; the pinned check is the floor, not the ceiling.
 Round markers are the driver's `round N: verdict/advice/correctness/
 bench` commits: the tree at marker(N) is exactly what round N's
 correctness run tested.
+
+VERDICT r10 item 2 adds a second, age-based rule on top of the
+code-churn rule: untouched queries must not carry ancient evidence
+forever as the registry grows.
+
+    MAX-AGE INVARIANT: every declared query whose latest driver row
+    is older than (current_round - AGE_LIMIT) must sit in the
+    current 50-slot window.
+
+AGE_LIMIT = 7 by capacity arithmetic, not taste: 290 declared
+queries over ~46 effective slots per round (50 minus the 4
+every-round pyramid sentinels, minus slots consumed by new
+landings and churn re-pins) is a ~6.3-round full-rotation period,
+so 7 is the tightest bound the window can actually sustain; 6 would
+demand 70 re-pins in a 50-slot round-11 window.
 """
 
 from __future__ import annotations
@@ -41,6 +56,11 @@ from functools import lru_cache
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _MARKER_RE = re.compile(r"^round (\d+): verdict/advice/correctness/bench$")
+
+#: Max rounds a query's latest driver row may lag the current round
+#: before it MUST be re-windowed (see module docstring for the
+#: capacity arithmetic behind 7).
+AGE_LIMIT = 7
 
 
 def _git(*args: str) -> str:
@@ -213,11 +233,37 @@ def stale_queries() -> dict[str, str]:
     return stale
 
 
+def current_round() -> int:
+    """The round in progress = latest recorded correctness round + 1."""
+    rounds = [
+        int(re.search(r"_r(\d+)\.json$", f).group(1))
+        for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    return (max(rounds) if rounds else 0) + 1
+
+
+def overage_queries(age_limit: int = AGE_LIMIT) -> dict[str, str]:
+    """query -> reason, for every declared query whose latest driver
+    row is older than current_round - age_limit (never-checked queries
+    are reported by stale_queries, not here)."""
+    sys.path.insert(0, REPO)
+    from heatmap_spark import queries as Q
+
+    latest = latest_rows()
+    floor = current_round() - age_limit
+    return {
+        name: f"latest driver row r{latest[name]} older than floor r{floor}"
+        for name in Q.REGISTRY
+        if name in latest and latest[name] < floor
+    }
+
+
 if __name__ == "__main__":
     sys.path.insert(0, REPO)
     from heatmap_spark import queries as Q
 
     window = set(Q._PRIORITY)
-    for q, why in sorted(stale_queries().items()):
+    merged = {**overage_queries(), **stale_queries()}
+    for q, why in sorted(merged.items()):
         mark = "WINDOWED" if q in window else "UNCOVERED"
         print(f"{mark:9s} {q}: {why}")

@@ -41,6 +41,25 @@ def test_every_stale_query_holds_a_window_slot():
     )
 
 
+def test_every_overage_query_holds_a_window_slot():
+    """Max-age rule (VERDICT r10 item 2): untouched code must not
+    carry ancient evidence — any query whose latest driver row is
+    older than current_round - AGE_LIMIT rotates back into the
+    window.  AGE_LIMIT=7 is the tightest sustainable bound at 290
+    queries / ~46 effective slots per round (see scripts/freshness.py
+    module docstring)."""
+    fresh = _freshness()
+    from heatmap_spark import queries as Q
+
+    overage = fresh.overage_queries()
+    window = set(Q._PRIORITY)
+    uncovered = {q: why for q, why in overage.items() if q not in window}
+    assert not uncovered, (
+        "queries with over-age driver evidence are outside the 50-slot "
+        f"window — rotate queries.py _PRIORITY: {uncovered}"
+    )
+
+
 def test_window_is_exactly_the_driver_prefix():
     """The driver checks the FIRST 50 registry entries; the rotation
     reorder must actually put the window there."""
@@ -55,4 +74,4 @@ def test_marker_parsing_sees_all_rounds():
     would silently mark everything fresh."""
     fresh = _freshness()
     markers = fresh.round_markers()
-    assert set(markers) >= set(range(1, 10)), sorted(markers)
+    assert set(markers) >= set(range(1, 11)), sorted(markers)
