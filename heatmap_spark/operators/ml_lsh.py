@@ -22,7 +22,20 @@ def ml_minhash_candidates(
 ) -> DataFrame:
     """Near-dup candidate pairs via spark.ml MinHashLSH over hashed
     shingle vocabulary vectors (approxSimilarityJoin on Jaccard
-    distance <= 1 - threshold)."""
+    distance <= 1 - threshold).
+
+    Why no oracle can exist: spark.ml's MinHash coefficients are an
+    engine-internal seeded hash family DuckDB cannot reproduce, so the
+    candidate set is not cross-engine comparable — declared rows-only.
+    In its place the query RAISES on a deterministic in-query recall
+    pin (seed=42 makes the LSH tables, hence the candidate set, a pure
+    function of the data): every pair the EXACT shingle-Jaccard join
+    finds at the same threshold must appear in the LSH output, and
+    every emitted jaccard must agree with the recomputed exact shingle
+    Jaccard within 1e-4 (the 2^18-bucket HashingTF can only merge
+    shingles, and at fixture vocabularies collisions are absent).  The
+    exact arm reuses the same bounded pair math as the PPJoin
+    operator; the check is anti-join count-sized, no collects."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -33,27 +46,93 @@ def ml_minhash_candidates(
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42)
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_dist")
-    return (
+    out = (
         joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round(F.lit(1.0) - F.col("jaccard_dist"), 6).alias("jaccard"),
         )
+        .localCheckpoint(eager=True)
     )
+    # exact twin: recompute shingle-set Jaccard on the emitted pairs
+    # (output-sized) and on the full exact pair set (prefix postings
+    # would scale this; brute pair math is fine for the raise pin
+    # because it joins through doc_id equality, not a cross join).
+    sets = docs.select("doc_id", F.array_distinct("shingles").alias("s"))
+    recheck = (
+        out.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"), "doc_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb"), "doc_b")
+        .select(
+            "jaccard",
+            (
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("exact_j"),
+        )
+    )
+    drifted = recheck.where(F.abs(F.col("jaccard") - F.col("exact_j")) > 1e-4).count()
+    if drifted:
+        raise AssertionError(
+            f"MinHashLSH emitted jaccard diverges from exact shingle "
+            f"Jaccard on {drifted} pair(s) — HashingTF collision or "
+            f"distance regression"
+        )
+    # recall pin: the exact pair set (token-postings join — candidates
+    # only from shared shingles, never a cross join) must be covered.
+    toks = docs.select("doc_id", F.explode(F.array_distinct("shingles")).alias("t"))
+    sizes = docs.select("doc_id", F.size(F.array_distinct("shingles")).alias("n"))
+    inter = (
+        toks.alias("a")
+        .join(toks.alias("b"), "t")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    exact_pairs = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .where(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
+    )
+    missed = exact_pairs.join(out, ["doc_a", "doc_b"], "left_anti").count()
+    if missed:
+        raise AssertionError(
+            f"MinHashLSH missed {missed} pair(s) the exact Jaccard join "
+            f"finds at threshold {threshold} (seed=42 makes this "
+            f"deterministic — a real regression, not sampling noise)"
+        )
+    return out
 
 
 def ml_brp_neighbors(
     spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 3
 ) -> DataFrame:
     """Approximate nearest neighbors on embeddings via
-    BucketedRandomProjectionLSH (Euclidean)."""
+    BucketedRandomProjectionLSH (Euclidean).
+
+    Why no oracle can exist: the random-projection directions are an
+    engine-internal seeded draw DuckDB cannot reproduce, so which
+    k candidates surface is not cross-engine comparable — declared
+    rows-only.  The query instead RAISES on two in-query invariants
+    (seed=42 makes the result a pure function of the data): every
+    emitted euclidean_dist must equal the exact distance recomputed
+    from the raw embedding arrays within 1e-6 (approxNearestNeighbors
+    reports TRUE distances on its candidates — only the candidate set
+    is approximate), and every query must return exactly k neighbors.
+    Both checks are output-sized joins, no collects."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
+    emb = raw.select("vec_id", array_to_vector("vec").alias("features"))
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
     )
@@ -74,4 +153,33 @@ def ml_brp_neighbors(
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
+    res = res.localCheckpoint(eager=True)
+    # invariant 1: reported distances are exact (sequential fold, same
+    # op order both sides — recomputed from the raw arrays)
+    sq = (
+        res.join(raw.withColumnRenamed("vec_id", "query_id").withColumnRenamed("vec", "qv"), "query_id")
+        .join(raw.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("vec", "nv"), "neighbor_id")
+        .select(
+            "euclidean_dist",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("qv", "nv", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("exact_dist"),
+        )
+    )
+    drifted = sq.where(F.abs(F.col("euclidean_dist") - F.col("exact_dist")) > 1e-6).count()
+    if drifted:
+        raise AssertionError(
+            f"BRP-LSH reported distance diverges from the exact "
+            f"euclidean distance on {drifted} row(s)"
+        )
+    # invariant 2: k results per query
+    short = res.groupBy("query_id").count().where(F.col("count") != k).count()
+    if short:
+        raise AssertionError(
+            f"BRP-LSH returned != {k} neighbors for {short} query(ies)"
+        )
     return res

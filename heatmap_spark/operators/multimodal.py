@@ -226,8 +226,35 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """media table → stubbed decode features (query-registry shape)."""
-    return decode_stub_features(media_table(spark, sf_dir))
+    """media table → stubbed decode features (query-registry shape).
+
+    Why no oracle can exist: the features come from a mapInPandas
+    byte-statistics pass over BINARY payloads, and DuckDB has no
+    per-byte aggregate over blobs — declared rows-only.  The exact
+    semantics are pinned by pytest against the codec round-trip suite
+    (tests/test_multimodal.py); in-query the driver row stays a live
+    gate by RAISING on the feature envelope every real decode must
+    satisfy: byte_min <= byte_mean <= byte_max, byte values in
+    [0, 255], and the deterministic fake dimensions in their declared
+    ranges (1..64 x 1..48).  The check is a count over the result —
+    no collects."""
+    out = decode_stub_features(media_table(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    bad = out.where(
+        (F.col("byte_min") > F.col("byte_mean"))
+        | (F.col("byte_mean") > F.col("byte_max"))
+        | (F.col("byte_min") < 0)
+        | (F.col("byte_max") > 255)
+        | ~F.col("fake_width").between(1, 64)
+        | ~F.col("fake_height").between(1, 48)
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"decode_stub_features envelope (min<=mean<=max, bytes in "
+            f"[0,255], fake dims in range) violated for {bad} row(s)"
+        )
+    return out
 
 
 def media_frames(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> DataFrame:

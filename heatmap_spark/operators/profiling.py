@@ -182,8 +182,13 @@ def hll_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition / day / type, persist the binary sketches, and merge them
     later without rescanning raw data — `hll_union_agg` over stored
     sketches replaces a full recount.  Estimates are engine-specific
-    (DuckDB uses a different HLL), so this query is declared rows-only;
-    the accuracy bound is pinned in tests against the exact count."""
+    (DuckDB uses a different HLL), so no cross-engine value oracle can
+    exist; declared rows-only.  The exact twin rides the SAME result
+    (the ``exact_users`` column), and the query RAISES if any row's
+    estimate strays beyond 5 % relative error (3x the ~1.6 % RSE of
+    the lgK=12 DataSketches default) — the driver row is a live
+    accuracy gate, not just a shape check.  The validation collect is
+    group-cardinality sized (#event_types + 1)."""
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
@@ -203,7 +208,17 @@ def hll_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
         )
     )
-    return per_type.unionByName(overall)
+    out = per_type.unionByName(overall).localCheckpoint(eager=True)
+    bad = out.where(
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        > 0.05 * F.col("exact_users")
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"HLL estimate strayed beyond 5% relative error vs the exact "
+            f"twin for {bad} row(s)"
+        )
+    return out
 
 
 def run_with_metrics(df, metrics, action=None):
@@ -386,25 +401,51 @@ def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch saw (get_n — always exact).
 
     Like the HLL query this is declared rows-only (KLL is a randomized
-    compactor; estimates are engine-specific), with the rank-error
-    bound pinned in tests against exact percentile_cont.  The point is
-    the LIFECYCLE: per-partition sketch partials merge associatively,
-    so per-day sketches persist once and any later quantile query is
+    compactor; estimates are engine-specific — no cross-engine value
+    oracle can exist), with the rank-error bound pinned in tests
+    against exact percentile_cont.  In-query the driver row is kept a
+    live gate by RAISING on three invariants that hold at ANY scale
+    without a data-sized sort: (1) ``n_seen`` must equal the exact
+    per-group count of non-null values (get_n is exact by the KLL
+    contract); (2) quantiles are monotone p50 <= p90 <= p99;
+    (3) every quantile lies inside the exact [min, max] of the group
+    (KLL returns only values it saw).  The point is the LIFECYCLE:
+    per-partition sketch partials merge associatively, so per-day
+    sketches persist once and any later quantile query is
     sketch-merge-sized, not data-sized.
 
     Reference: none — SURVEY.md §2.8 (sketch/profiling extension).
     """
     ev = load_table(spark, sf_dir, "events")
     sk = ev.groupBy("event_type").agg(
-        F.kll_sketch_agg_double("value").alias("sk")
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.count("value").alias("exact_n"),
+        F.min("value").alias("exact_min"),
+        F.max("value").alias("exact_max"),
     )
-    return sk.select(
+    out = sk.select(
         "event_type",
         F.kll_sketch_get_n_double("sk").alias("n_seen"),
         F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 6).alias("p50"),
         F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 6).alias("p90"),
         F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 6).alias("p99"),
-    )
+        "exact_n",
+        F.round("exact_min", 6).alias("exact_min"),
+        F.round("exact_max", 6).alias("exact_max"),
+    ).localCheckpoint(eager=True)
+    bad = out.where(
+        (F.col("n_seen") != F.col("exact_n"))
+        | (F.col("p50") > F.col("p90"))
+        | (F.col("p90") > F.col("p99"))
+        | (F.col("p50") < F.col("exact_min"))
+        | (F.col("p99") > F.col("exact_max"))
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"KLL invariant (exact n / monotone quantiles / [min,max] "
+            f"envelope) violated for {bad} group(s)"
+        )
+    return out.select("event_type", "n_seen", "p50", "p90", "p99")
 
 
 def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -193,12 +193,30 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct — sketch semantics differ across engines,
-    so this is declared without a value oracle (rows-only check)."""
+    """HLL approximate distinct — sketch semantics differ across engines
+    (Spark's HLL++ vs DuckDB's HLL give different estimates on the same
+    input), so no cross-engine value oracle can exist; declared
+    rows-only.  Instead the exact twin is cross-checked IN-QUERY: the
+    same scan computes ``count_distinct`` per group and the query
+    RAISES if any group's estimate strays beyond 15 % relative error
+    (3x the default rsd=0.05 of approx_count_distinct), so the driver
+    row stays a live accuracy gate.  The collect is group-cardinality
+    sized (|l_returnflag| = 3), not data-sized."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
-    )
+    out = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    ).localCheckpoint(eager=True)
+    bad = out.where(
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        > 0.15 * F.col("exact_parts")
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"approx_count_distinct strayed beyond 15% relative error vs "
+            f"the exact twin for {bad} group(s)"
+        )
+    return out.select("l_returnflag", "approx_parts")
 
 
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -160,7 +160,16 @@ def knn_cosine_ivf(
 ) -> DataFrame:
     """Approximate top-k: search only the query's ``nprobe`` nearest
     IVF bucket(s).  With nprobe == n_buckets every bucket is probed and
-    the result equals the exact brute force (oracle-checkable)."""
+    the result equals the exact brute force (oracle-checkable).
+
+    Why no oracle can exist FOR THIS ENTRY: at nprobe=1 which
+    neighbors surface depends on the trained centroids (k-means on a
+    seeded sample), which DuckDB cannot reproduce — declared
+    rows-only by construction.  The family is pinned elsewhere in the
+    registry: its exactness twin q_knn_cosine_ivf_exact (nprobe=all)
+    is hash-checked against the brute-force oracle every window, and
+    its quality floor RAISES inside q_knn_ivf_recall (recall@k at
+    nprobe=1 vs the exact top-k, same parameters as here)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
