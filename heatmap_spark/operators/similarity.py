@@ -2863,7 +2863,7 @@ def knn_rabitq_rerank(
     exact = knn_cosine_df(emb, n_queries, k).select(
         "query_id", "neighbor_id", F.lit(True).alias("in_exact_topk")
     )
-    return top.join(exact, ["query_id", "neighbor_id"], "left").select(
+    out = top.join(exact, ["query_id", "neighbor_id"], "left").select(
         "query_id",
         "neighbor_id",
         F.col("est").alias("est_cosine"),
@@ -2871,3 +2871,16 @@ def knn_rabitq_rerank(
         "rank",
         F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
     )
+    # in-registry floor pin (VERDICT r10 item 6): realized recall@k vs
+    # the exact twin the result already carries must clear the binary
+    # family's 0.8 floor — the same bar the pytest pin and the 1M
+    # scale probe assert.  One tiny agg over the k·n_queries result.
+    stats = out.agg(
+        F.avg(F.col("in_exact_topk").cast("double")).alias("recall"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if stats["n"] > 0 and stats["recall"] < 0.8:
+        raise AssertionError(
+            f"rabitq recall@{k} {stats['recall']:.3f} < pinned 0.8 floor"
+        )
+    return out

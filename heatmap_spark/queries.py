@@ -1180,6 +1180,118 @@ def q_streaming_drift_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_drift_mwu(spark, _drift_store_build(spark, sf_dir))
 
 
+def q_streaming_kll_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift family's BOUNDED-STATE half: the same labeled stream
+    as the exact drift twins (median-ts split, 3 event_id-third
+    batches, mid-stream compaction), but the store keeps one KLL
+    quantile sketch per (event_type, half) — state is fixed-size per
+    key (KBs at k=200) instead of linear in distinct values — and
+    serves an approximate KS by reconstructing both CDFs from literal
+    rank grids (streaming/kll_store.py).
+
+    Rows-only with raise pins (the KLL compactor is randomized and
+    engine-specific — DataSketches binary images have no DuckDB
+    replay, so no cross-engine value oracle can exist):
+    (1) the store's per-half counts must EQUAL the exact labeled
+    counts (the n side-channel is exact by construction);
+    (2) per type, |ks_approx − ks_exact| ≤ 0.08 — the theoretical
+    bound is 2·(rank_err + 1/grid) ≈ 0.037 at k=200/grid=200, pinned
+    with slack (the exact KS comes from the value-table path the
+    oracle-gated q_ks_test certifies);
+    (3) the served approximate W₁ (CDF-gap integral over the same
+    grids) within 0.05·(value range) of the exact q_wasserstein_drift
+    statistic — the sketch arm of serve_drift_w1;
+    (4) served quantiles are monotone p50 ≤ p90 ≤ p99 per half."""
+    from heatmap_spark.operators.profiling import (
+        ks_from_value_table,
+        w1_from_value_table,
+    )
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.kll_store import (
+        compact_kll_store,
+        merge_batch_into_kll_store,
+        serve_kll_drift,
+        serve_kll_quantiles,
+        serve_kll_w1,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value", "event_id"
+    )
+    split = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
+    mx = ev.agg(F.max("event_id")).first()[0] + 1
+    labeled = ev.select(
+        "event_type",
+        F.when(F.unix_timestamp("ts") <= F.lit(split), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+        "value",
+        "event_id",
+    )
+    store = _scratch_dir("kll_store_q_") + "/store"
+    for b in range(3):
+        batch = labeled.where(
+            F.expr(f"CAST(event_id * 3 DIV {mx} AS INT)") == b
+        ).select("event_type", "is_a", "value")
+        merge_batch_into_kll_store(spark, batch, store, b)
+        if b == 1:
+            compact_kll_store(spark, store)
+    out = (
+        serve_kll_drift(spark, store)
+        .join(
+            serve_kll_w1(spark, store).select("event_type", "w1_approx"),
+            "event_type",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    per_val = labeled.groupBy("event_type", "value").agg(
+        F.sum("is_a").alias("da"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("db"),
+    )
+    exact = ks_from_value_table(per_val).select(
+        "event_type", F.col("ks_d").alias("ks_exact")
+    )
+    exact_w1 = w1_from_value_table(per_val).select(
+        "event_type", F.col("w1").alias("w1_exact")
+    )
+    exact_n = labeled.groupBy("event_type").agg(
+        F.sum("is_a").alias("na_x"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("nb_x"),
+        (F.max("value") - F.min("value")).alias("vrange"),
+    )
+    bad = (
+        out.join(exact, "event_type")
+        .join(exact_w1, "event_type")
+        .join(exact_n, "event_type")
+        .where(
+            (F.col("na") != F.col("na_x"))
+            | (F.col("nb") != F.col("nb_x"))
+            | (F.abs(F.col("ks_approx") - F.col("ks_exact")) > 0.08)
+            | (
+                F.abs(F.col("w1_approx") - F.col("w1_exact"))
+                > 0.05 * F.col("vrange")
+            )
+        )
+        .count()
+    )
+    if bad:
+        raise AssertionError(
+            f"KLL drift store invariant (exact half counts / KS within "
+            f"the 0.08 sketch bound / W1 within 0.05·range) violated "
+            f"for {bad} type(s)"
+        )
+    mono = serve_kll_quantiles(spark, store).where(
+        (F.col("p50") > F.col("p90")) | (F.col("p90") > F.col("p99"))
+    ).count()
+    if mono:
+        raise AssertionError(
+            f"KLL drift store served non-monotone quantiles for {mono} "
+            f"(type, half) row(s)"
+        )
+    return out
+
+
 def q_streaming_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained geofence dashboard: locations arrive as
     3 deterministic batches (hash thirds); each batch's (fence, user)
@@ -1384,6 +1496,79 @@ def q_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()):
         raise AssertionError(
             "streamed ANN store diverged from the one-shot frozen-model build"
+        )
+    return (
+        got.groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+        .select(F.col("bucket").cast("int"), "n_vecs")
+    )
+
+
+def q_streaming_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ANN store's OPQ arm (the FAISS ``OPQ,IVF,PQ``
+    chain as an incremental index): batch 0 trains the frozen model
+    INCLUDING the learned residual rotation, every batch
+    rotates-then-encodes through it — per-batch cost identical to the
+    plain-IVFPQ arm because the rotation fuses into the encode scan.
+
+    Rows-only with two raise pins: (1) the streamed codes must be
+    BIT-IDENTICAL to a one-shot ivfpq_opq_build trained on the same
+    prefix (frozen model + per-row-deterministic encode, the same
+    contract q_streaming_ann_index pins for the unrotated arm — no
+    DuckDB oracle can replay the learned SVD rotation, which is why
+    this is rows-only); (2) a search served from the store (rotation
+    reloaded from parquet, handed to ivfpq_topk's R= hook) must clear
+    the family's recall floor vs exact brute force.  Returns
+    per-bucket code counts."""
+    from heatmap_spark.operators.similarity import (
+        ivfpq_opq_build,
+        knn_cosine_df,
+    )
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.ann_store import (
+        ann_store_topk,
+        compact_ann_store,
+        merge_batch_into_ann_store,
+        read_ann_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    n = emb.count()
+    n0 = (n + 2) // 3
+    store = _scratch_dir("ann_opq_store_q_") + "/store"
+    bounds = [(0, n0), (n0, 2 * n0), (2 * n0, n + 1)]
+    for b, (lo, hi) in enumerate(bounds):
+        batch = emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        merge_batch_into_ann_store(
+            spark, batch, store, b, opq=True, opq_iters=2
+        )
+        if b == 1:
+            compact_ann_store(spark, store)
+    got = read_ann_codes(spark, store).select("vec_id", "bucket", "codes")
+    _, _, _, want = ivfpq_opq_build(
+        emb, opq_iters=2, train_iters=1, train_sample_n=n0
+    )
+    want = want.select("vec_id", "bucket", "codes")
+    if not (got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()):
+        raise AssertionError(
+            "streamed OPQ ANN store diverged from the one-shot "
+            "frozen-model ivfpq_opq_build"
+        )
+    exact = knn_cosine_df(emb, 10, 5).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    # full probe: measures the frozen OPQ quantizer's quality (the
+    # family bar ivfpq_opq_recall pins at 0.75 full-probe when trained
+    # on the whole corpus; the store trains on the FIRST THIRD, so the
+    # floor carries the prefix-training discount)
+    served = ann_store_topk(spark, store, emb, nprobe=8)
+    hits = exact.join(
+        served.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    if n_exact and hits / n_exact < 0.6:
+        raise AssertionError(
+            f"OPQ-store served recall@5 {hits / n_exact:.3f} < pinned 0.6"
         )
     return (
         got.groupBy("bucket")
@@ -2990,6 +3175,7 @@ FROM totals t JOIN psi USING (event_type)""",
     # serves a BIT-IDENTICAL statistic and shares q_ks_test's oracle
     "q_streaming_drift_ks": QuerySpec(q_streaming_drift_ks, _KS_SQL),
     "q_streaming_drift_mwu": QuerySpec(q_streaming_drift_mwu, _MWU_SQL),
+    "q_streaming_kll_drift": QuerySpec(q_streaming_kll_drift, None),
     # χ² homogeneity on the categorical axis (event-type composition
     # between halves); cell terms floor-quantized@1e-9, exact-int sum
     "q_chi2_composition": QuerySpec(
@@ -5753,6 +5939,7 @@ FROM per_doc p JOIN documents d USING (doc_id)""",
     # function ASSERTS bit-equality with the one-shot build on every
     # run, so divergence turns the driver red.
     "q_streaming_ann_index": QuerySpec(q_streaming_ann_index, None),
+    "q_streaming_ann_opq": QuerySpec(q_streaming_ann_opq, None),
     # Streaming HNSW twin: incremental graph maintenance, recall
     # raise-pinned at 0.8 (measured 0.98/1.00 at the fixtures).
     "q_streaming_graph_ann": QuerySpec(q_streaming_graph_ann, None),
@@ -7176,14 +7363,17 @@ _PRIORITY = [
     "q_corr_stats",
     "q_data_expectations",
     "q_datetime_functions",
-    "q_dedup_fusion",
-    "q_doc_length_histogram",
-    "q_entity_resolution",
-    "q_ewma",
-    "q_ewma_segmented",
-    "q_exists_subqueries",
-    "q_feature_hashing",
-    "q_filtered_aggs",
+    # new this round: OPQ ANN-store arm + KLL sketch-drift arm
+    "q_streaming_ann_opq",
+    "q_streaming_kll_drift",
+    # churn re-pin: in-registry recall floor added (r10 item 6)
+    "q_knn_rabitq",
+    # churn re-pins: rows-only pins strengthened this round (r10 item 4)
+    "q_approx_distinct",
+    "q_hll_sketches",
+    "q_kll_quantiles",
+    "q_knn_cosine_ivf",
+    "q_media_features",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

@@ -26,6 +26,16 @@ served from the store go through the ordinary :func:`ivfpq_topk`.
 Model drift is the operational caveat (a frozen quantizer degrades as
 the corpus distribution moves); pair with the vocabulary-drift monitor
 pattern (streaming/vocab.py) to decide when to retrain+re-encode.
+
+``opq=True`` adds the OPQ arm (the FAISS ``OPQ..,IVF..,PQ..`` chain):
+the first batch additionally learns the orthonormal residual rotation
+(operators/similarity.py opq_train) and freezes it beside the
+codebooks (``model/opq_r``); every batch then rotates-then-encodes —
+the per-batch cost is unchanged (the rotation fuses into the encode
+scan) and the streamed codes stay bit-identical to a one-shot
+ivfpq_opq_build on the same prefix (q_streaming_ann_opq raises on
+divergence).  Serving reloads the rotation and hands it to
+ivfpq_topk's ``R=`` hook, where only per-query residuals rotate.
 """
 
 from __future__ import annotations
@@ -37,8 +47,10 @@ from heatmap_spark.operators.similarity import (
     _assign_to_codebook,
     _l2_normalize,
     ivf_codebook,
+    opq_train,
     pq_codebooks,
     pq_encode_np,
+    rotate_vectors,
 )
 from heatmap_spark.streaming.passages import (
     _batch_id,
@@ -54,7 +66,7 @@ _LATEST = "_LATEST"
 _MODEL_READY = "_MODEL_READY"
 
 
-def _write_model(spark, store_path, coarse, cb, dim):
+def _write_model(spark, store_path, coarse, cb, dim, R=None):
     rows = [(int(b), [float(x) for x in v]) for b, v in coarse.items()]
     spark.createDataFrame(rows, "bucket int, vec array<double>").write.mode(
         "overwrite"
@@ -65,6 +77,11 @@ def _write_model(spark, store_path, coarse, cb, dim):
     spark.createDataFrame(
         rows, "s int, c int, vec array<double>"
     ).write.mode("overwrite").parquet(_join(store_path, "model", "cb"))
+    if R is not None:
+        rows = [(i, [float(x) for x in row]) for i, row in enumerate(R)]
+        spark.createDataFrame(rows, "i int, row array<double>").write.mode(
+            "overwrite"
+        ).parquet(_join(store_path, "model", "opq_r"))
     # Commit marker LAST: model reuse is gated on this file, not on the
     # parquet dirs existing — a crash between the two writes above
     # leaves a partial model that replay must retrain over, preserving
@@ -88,7 +105,17 @@ def load_ann_model(spark: SparkSession, store_path: str):
     return coarse, cb
 
 
-def _encode_batch(batch_emb, coarse, cb, m, k, dim):
+def load_ann_rotation(spark: SparkSession, store_path: str):
+    """The frozen OPQ rotation (dim×dim nested list), or None for a
+    plain-IVFPQ store (the rotation dir only exists when the model was
+    trained with ``opq=True``)."""
+    if not _Fs().exists(_join(store_path, "model", "opq_r")):
+        return None
+    rows = spark.read.parquet(_join(store_path, "model", "opq_r")).collect()
+    return [list(r["row"]) for r in sorted(rows, key=lambda r: r["i"])]
+
+
+def _encode_batch(batch_emb, coarse, cb, m, k, dim, R=None):
     nv = batch_emb.select("vec_id", _l2_normalize(F.col("vec")).alias("vec"))
     assigned = _assign_to_codebook(nv, coarse)
     cents = F.array(
@@ -101,7 +128,12 @@ def _encode_batch(batch_emb, coarse, cb, m, k, dim):
             "vec", F.element_at(cents, F.col("bucket") + 1), lambda a, b: a - b
         ).alias("vec"),
     )
-    return pq_encode_np(resid, cb, m, k, dim, normalize=False).join(
+    enc_in = resid.select("vec_id", "vec")
+    if R is not None:
+        # OPQ arm: residuals pass through the frozen rotation before
+        # PQ — still map-only, the rotation fuses into the encode scan
+        enc_in = rotate_vectors(enc_in, R)
+    return pq_encode_np(enc_in, cb, m, k, dim, normalize=False).join(
         resid.select("vec_id", "bucket"), "vec_id"
     )
 
@@ -116,10 +148,17 @@ def merge_batch_into_ann_store(
     k: int = 32,
     dim: int = 64,
     train_iters: int = 1,
+    opq: bool = False,
+    opq_iters: int = 4,
 ) -> bool:
     """Ingest one batch of (vec_id, vec) rows.  The FIRST committed
     batch trains and persists the frozen model; every batch (including
     the first) is assigned + encoded through it — map-only, O(batch).
+    With ``opq=True`` the first batch additionally learns the OPQ
+    rotation on its residuals (the FAISS ``OPQ..,IVF..,PQ..`` chain,
+    see ivfpq_opq_build) and freezes it with the codebooks, so later
+    batches rotate-then-encode — still per-row deterministic, so the
+    streamed store stays bit-identical to the one-shot build.
     Returns False (no-op) on replay of a committed batch."""
     if batch_id <= _read_last_batch(store_path):
         return False
@@ -141,10 +180,17 @@ def merge_batch_into_ann_store(
                 "vec", F.element_at(cents, F.col("bucket") + 1), lambda a, b: a - b
             ).alias("vec"),
         )
-        cb = pq_codebooks(resid, m, k, dim, train_iters, normalize=False)
-        _write_model(spark, store_path, coarse, cb, dim)
+        if opq:
+            R, cb = opq_train(
+                resid, m, k, dim, opq_iters, train_iters, normalize=False
+            )
+        else:
+            R = None
+            cb = pq_codebooks(resid, m, k, dim, train_iters, normalize=False)
+        _write_model(spark, store_path, coarse, cb, dim, R=R)
     coarse, cb = load_ann_model(spark, store_path)
-    codes = _encode_batch(batch_emb, coarse, cb, m, k, dim)
+    R = load_ann_rotation(spark, store_path)
+    codes = _encode_batch(batch_emb, coarse, cb, m, k, dim, R=R)
     codes.write.mode("overwrite").parquet(
         _join(store_path, "codes", f"batch={batch_id}")
     )
@@ -220,7 +266,9 @@ def ann_store_topk(
     nprobe: int = 2,
 ) -> DataFrame:
     """Serve a top-k search straight from the store: frozen model +
-    accumulated codes through the ordinary IVFADC search kernel."""
+    accumulated codes through the ordinary IVFADC search kernel (the
+    frozen OPQ rotation, when the store has one, rides the ``R=``
+    hook — only per-query residuals rotate, driver-side)."""
     from heatmap_spark.operators.similarity import ivfpq_topk
 
     coarse, cb = load_ann_model(spark, store_path)
@@ -228,5 +276,6 @@ def ann_store_topk(
     if codes is None:
         raise ValueError("ANN store has no committed codes")
     return ivfpq_topk(
-        emb, coarse, cb, codes, n_queries, topk, m, k, dim, nprobe=nprobe
+        emb, coarse, cb, codes, n_queries, topk, m, k, dim, nprobe=nprobe,
+        R=load_ann_rotation(spark, store_path),
     )

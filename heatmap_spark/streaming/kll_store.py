@@ -1,0 +1,322 @@
+"""Streaming KLL quantile-sketch drift store: the drift family's
+bounded-state half.
+
+The exact drift store (streaming/drift.py) keeps the distinct-value
+table — exact KS/MWU/W1, state linear in distinct values.  This store
+keeps a KLL quantile sketch per (event_type, stream-half) instead:
+state is FIXED-SIZE per key (a few KB at the default k=200) no matter
+how many distinct values the stream produces, and the served
+statistics are approximate with the KLL rank-error guarantee
+(~1.33% double-sided at k=200).  Together the two arms cover the
+drift design space: quantized/low-cardinality values → exact arm;
+continuous/unbounded values → this sketch arm.
+
+Mergeability is the whole design: KLL sketches merge associatively
+(``kll_merge_agg_double``), so per-batch partials written to the
+shared log-structured store protocol sum-fold exactly like the count
+tables every other store here keeps:
+
+* ``sk/batch=<id>``   — per (event_type) row: the batch's two half
+  sketches (binary), plus exact n/min/max per half (cheap exact
+  side-channels the serve-time invariants check against).
+* ``sk_base/v=<n>``   — LSM compaction target (sketch-merge-folded).
+* ``_LATEST``         — marker-committed exactly-once, the same
+  replay semantics as every store in this package.
+
+Serving inverts the sketches on a literal rank grid (Spark's
+``kll_sketch_get_rank/quantile`` require foldable arguments, so the
+empirical CDFs are reconstructed from each half's quantile function
+— native array expressions, no UDF): the approximate two-sample KS is
+``max_x |F̂_A(x) − F̂_B(x)|`` over the union of both grids, within
+2·(rank_err + 1/grid) of the exact statistic.  Unlike the exact arm
+the served value is NOT bit-identical to a one-shot computation (the
+compactor is randomized and merge trees differ) — the in-registry
+query pins the error bound against the exact KS instead.
+
+Reference: none — SURVEY.md §2.8 streaming-store + profiling
+families; KLL per Karnin/Lang/Liberty, "Optimal Quantile
+Approximation in Streams" (FOCS 2016), via Spark's built-in
+DataSketches bindings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from heatmap_spark.streaming.passages import (
+    _batch_id,
+    _committed_batches,
+    _parse_base_marker,
+    _read_last_batch,
+)
+from heatmap_spark.streaming.tile_store import _Fs, _join
+
+_LATEST = "_LATEST"
+
+#: literal rank grid resolution for CDF inversion at serve time —
+#: matched to the default sketch k=200 so grid error (1/g) stays
+#: below the sketch's own rank error rather than dominating it.
+GRID = 200
+
+
+def _half_sketch_partial(labeled_batch: DataFrame) -> DataFrame:
+    """One row per event_type: KLL sketch + exact n/min/max for each
+    stream half.  The sketch aggs skip the other half's NULLs, so one
+    scan of the batch builds both."""
+    va = F.when(F.col("is_a") == 1, F.col("value"))
+    vb = F.when(F.col("is_a") == 0, F.col("value"))
+    return labeled_batch.groupBy("event_type").agg(
+        F.kll_sketch_agg_double(va).alias("sk_a"),
+        F.kll_sketch_agg_double(vb).alias("sk_b"),
+        F.count(va).alias("na"),
+        F.count(vb).alias("nb"),
+        F.min(va).alias("min_a"),
+        F.max(va).alias("max_a"),
+        F.min(vb).alias("min_b"),
+        F.max(vb).alias("max_b"),
+    )
+
+
+def _sketch_fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.kll_merge_agg_double("sk_a").alias("sk_a"),
+        F.kll_merge_agg_double("sk_b").alias("sk_b"),
+        F.sum("na").alias("na"),
+        F.sum("nb").alias("nb"),
+        F.min("min_a").alias("min_a"),
+        F.max("max_a").alias("max_a"),
+        F.min("min_b").alias("min_b"),
+        F.max("max_b").alias("max_b"),
+    )
+
+
+def _sk_base(
+    spark: SparkSession, store_path: str
+) -> tuple[DataFrame | None, int, int]:
+    fs = _Fs()
+    marker = _join(store_path, "sk_base", _LATEST)
+    if not fs.exists(marker):
+        return None, -1, -1
+    ver, folded = _parse_base_marker(fs.read_text(marker))
+    return (
+        spark.read.parquet(_join(store_path, "sk_base", f"v={ver}")),
+        ver,
+        folded,
+    )
+
+
+def merge_batch_into_kll_store(
+    spark: SparkSession,
+    labeled_batch: DataFrame,
+    store_path: str,
+    batch_id: int,
+) -> bool:
+    """Ingest one labeled micro-batch (event_type, is_a, value): write
+    its per-type half-sketch partial, then commit the marker.  Cost is
+    one hash aggregate over the batch; the partial is sketch-sized
+    (KBs per event_type), not batch-sized.  Returns False (no-op) on
+    replay of a committed batch."""
+    if batch_id <= _read_last_batch(store_path):
+        return False
+    fs = _Fs(spark)
+    _half_sketch_partial(labeled_batch).write.mode("overwrite").parquet(
+        _join(store_path, "sk", f"batch={batch_id}")
+    )
+    fs.write_text_atomic(_join(store_path, _LATEST), str(batch_id))
+    return True
+
+
+def accumulated_sketches(
+    spark: SparkSession, store_path: str
+) -> DataFrame | None:
+    """(event_type, sk_a, sk_b, na, nb, min/max per half) merged over
+    compacted base + partials since its fold.  The exact counters
+    (n/min/max) sum/min/max-merge exactly; the sketches merge with the
+    KLL guarantee."""
+    base, _, folded = _sk_base(spark, store_path)
+    dirs = _committed_batches(store_path, "sk", min_batch=folded)
+    parts = [spark.read.parquet(*dirs)] if dirs else []
+    if base is not None:
+        parts.append(base)
+    if not parts:
+        return None
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return _sketch_fold(allp)
+
+
+def compact_kll_store(spark: SparkSession, store_path: str) -> int:
+    """LSM compaction: sketch-merge committed partials into a new
+    base, folded-batch marker + pure-GC deletes — the crash-safe
+    protocol shared by every store in this package."""
+    fs = _Fs(spark)
+    base, ver, folded = _sk_base(spark, store_path)
+    partials = _committed_batches(store_path, "sk", min_batch=folded)
+    if not partials:
+        for p in _committed_batches(store_path, "sk"):
+            if _batch_id(p) <= folded:
+                fs.delete(p)
+        return 0
+    new_folded = max(_batch_id(p) for p in partials)
+    allp = spark.read.parquet(*partials)
+    if base is not None:
+        allp = allp.unionByName(base)
+    merged = _sketch_fold(allp)
+    merged.write.mode("overwrite").parquet(
+        _join(store_path, "sk_base", f"v={ver + 1}")
+    )
+    fs.write_text_atomic(
+        _join(store_path, "sk_base", _LATEST), f"{ver + 1}:{new_folded}"
+    )
+    removed = 0
+    for p in _committed_batches(store_path, "sk"):
+        if _batch_id(p) <= new_folded:
+            fs.delete(p)
+            removed += 1
+    return removed
+
+
+def stream_kll_drift(
+    labeled_stream: DataFrame, store_path: str, checkpoint_path: str
+):
+    """Maintain the sketch store from a labeled (event_type, is_a,
+    value) stream via foreachBatch (availableNow trigger)."""
+    spark = labeled_stream.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_batch_into_kll_store(spark, batch_df, store_path, batch_id)
+
+    return (
+        labeled_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _quantile_grid(sk_col: str, grid: int = GRID):
+    """Array of the sketch's quantiles at ranks 1/g .. (g-1)/g — the
+    rank arguments must be literals (Spark's DataSketches bindings
+    reject non-foldable ranks), so the grid is built as g-1 scalar
+    calls; quantile arrays are monotone by the KLL contract."""
+    return F.array(
+        *[
+            F.kll_sketch_get_quantile_double(sk_col, F.lit(i / grid))
+            for i in range(1, grid)
+        ]
+    )
+
+
+def serve_kll_quantiles(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """Per (event_type, half): n (exact), p50/p90/p99 from the merged
+    sketch — the store's basic monitoring read."""
+    acc = accumulated_sketches(spark, store_path)
+    rows = []
+    for half, sk, n in (("a", "sk_a", "na"), ("b", "sk_b", "nb")):
+        rows.append(
+            acc.select(
+                "event_type",
+                F.lit(half).alias("half"),
+                F.col(n).cast("bigint").alias("n_seen"),
+                *[
+                    F.round(
+                        F.kll_sketch_get_quantile_double(sk, F.lit(p)), 6
+                    ).alias(name)
+                    for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+                ],
+            )
+        )
+    return rows[0].unionByName(rows[1])
+
+
+def serve_kll_drift(
+    spark: SparkSession, store_path: str, grid: int = GRID
+) -> DataFrame:
+    """Approximate two-sample KS per event_type from the merged
+    sketches: reconstruct each half's empirical CDF from its quantile
+    function on a literal rank grid, evaluate both CDFs on the UNION
+    of the two grids, and take the max gap — all native array
+    expressions.  Error vs the exact KS is bounded by
+    2·(kll_rank_err + 1/grid) ≈ 0.037 at the defaults; the registry
+    query pins 0.08.  Also returns the exact per-half counts the
+    invariant checks use."""
+    acc = accumulated_sketches(spark, store_path)
+    g = float(grid)
+    qa = _quantile_grid("sk_a", grid)
+    qb = _quantile_grid("sk_b", grid)
+    with_grids = acc.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        qa.alias("qa"),
+        qb.alias("qb"),
+    )
+
+    def cdf(grid_col, x):
+        # F̂(x) from the quantile grid: fraction of grid ranks whose
+        # quantile is <= x (grid arrays are sorted/monotone)
+        return F.size(F.filter(grid_col, lambda v: v <= x)) / F.lit(g)
+
+    gap = F.array_max(
+        F.transform(
+            F.array_union("qa", "qb"),
+            lambda x: F.abs(cdf(F.col("qa"), x) - cdf(F.col("qb"), x)),
+        )
+    )
+    return with_grids.select(
+        "event_type",
+        "na",
+        "nb",
+        F.round(gap, 6).alias("ks_approx"),
+    )
+
+
+def serve_kll_w1(
+    spark: SparkSession, store_path: str, grid: int = GRID
+) -> DataFrame:
+    """Approximate 1-Wasserstein drift per event_type from the merged
+    sketches — the sketch arm of serve_drift_w1: reconstruct both
+    CDFs on the sorted union of the two quantile grids and integrate
+    the gap, W₁ ≈ Σ_i |F̂_A(x_i) − F̂_B(x_i)|·(x_{i+1} − x_i).  All
+    native array expressions.  Error vs the exact statistic is
+    bounded by 2·(rank_err + 1/grid)·(vmax − vmin) ≈ 0.037·range at
+    the defaults; the registry query pins 0.05·range."""
+    acc = accumulated_sketches(spark, store_path)
+    g = float(grid)
+    qa = _quantile_grid("sk_a", grid)
+    qb = _quantile_grid("sk_b", grid)
+    with_grids = acc.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        F.array_sort(F.array_union(qa, qb)).alias("xs"),
+        qa.alias("qa"),
+        qb.alias("qb"),
+    )
+
+    def cdf(grid_col, x):
+        return F.size(F.filter(grid_col, lambda v: v <= x)) / F.lit(g)
+
+    xs = F.col("xs")
+    w1 = F.aggregate(
+        F.sequence(F.lit(1), F.size(xs) - 1),
+        F.lit(0.0),
+        lambda acc_, i: acc_
+        + F.abs(
+            cdf(F.col("qa"), F.element_at(xs, i))
+            - cdf(F.col("qb"), F.element_at(xs, i))
+        )
+        * (F.element_at(xs, i + 1) - F.element_at(xs, i)),
+    )
+    return with_grids.select(
+        "event_type",
+        "na",
+        "nb",
+        F.round(w1, 6).alias("w1_approx"),
+    )

@@ -2193,12 +2193,18 @@ def probe_driftstore(spark, n: int) -> None:
     import tempfile
 
     from heatmap_spark.operators import profiling as P_
-    from heatmap_spark.operators.profiling import ks_from_value_table
+    from heatmap_spark.operators.profiling import (
+        ks_from_value_table,
+        mwu_from_value_table,
+        w1_from_value_table,
+    )
     from heatmap_spark.streaming.drift import (
         accumulated_value_table,
         compact_drift_store,
         merge_batch_into_drift_store,
         serve_drift_ks,
+        serve_drift_mwu,
+        serve_drift_w1,
     )
 
     ev = _synthetic_events(spark, n)
@@ -2220,19 +2226,117 @@ def probe_driftstore(spark, n: int) -> None:
             compact_drift_store(spark, store)
     t_build = time.perf_counter() - t0
     n_state = accumulated_value_table(spark, store).count()
+    per_val = labeled.groupBy("event_type", "value").agg(
+        F.sum("is_a").alias("da"), F.sum(F.lit(1) - F.col("is_a")).alias("db")
+    )
+    # all three served statistics must be bit-identical to their
+    # one-shot twins over the full history (VERDICT r10 item 5 extends
+    # the original KS-only parity to MWU and W1)
+    arms = [
+        ("KS", serve_drift_ks, ks_from_value_table),
+        ("MWU", serve_drift_mwu, mwu_from_value_table),
+        ("W1", serve_drift_w1, w1_from_value_table),
+    ]
+    lines = []
+    for name, serve_fn, oneshot_fn in arms:
+        t0 = time.perf_counter()
+        served = sorted(tuple(r) for r in serve_fn(spark, store).collect())
+        t_serve = time.perf_counter() - t0
+        one_shot = sorted(tuple(r) for r in oneshot_fn(per_val).collect())
+        verdict = "BIT-IDENTICAL" if served == one_shot else "DIFFERS"
+        lines.append(f"{name} {t_serve:.1f}s {verdict}")
+    print(
+        f"drift store {n:,} events, 3 batches + mid-stream compaction: "
+        f"ingest {t_build:.1f}s ({n / t_build / 1e6:.1f}M rows/s), state "
+        f"{n_state:,} (type, value) rows; served vs one-shot: "
+        + "; ".join(lines)
+    )
+
+
+def probe_kllstore(spark, n: int) -> None:
+    """KLL sketch-drift store at 100× bench scale: per-batch cost is
+    one hash aggregate; state is FIXED-SIZE per (type, half) sketch
+    regardless of distinct values (the exact drift arm's state grows
+    with them); served approximate KS must sit inside the pinned 0.08
+    bound of the exact statistic."""
+    import tempfile
+
+    from heatmap_spark.operators.profiling import (
+        ks_from_value_table,
+        w1_from_value_table,
+    )
+    from heatmap_spark.streaming.kll_store import (
+        accumulated_sketches,
+        compact_kll_store,
+        merge_batch_into_kll_store,
+        serve_kll_drift,
+        serve_kll_w1,
+    )
+
+    ev = _synthetic_events(spark, n)
+    drift = F.when(F.col("event_id") > n // 2, F.lit(7.5)).otherwise(F.lit(0.0))
+    # CONTINUOUS values (hash-noise added) — the regime where the
+    # exact arm's distinct-value state would approach n rows and the
+    # sketch arm is the only viable store
+    labeled = ev.select(
+        "event_type",
+        F.when(F.col("event_id") <= n // 2, F.lit(1)).otherwise(F.lit(0)).alias("is_a"),
+        (
+            ((F.col("event_id") * 104729) % 4096).cast("double") / 16.0
+            + drift
+            + F.pmod(F.hash("event_id"), F.lit(1000000)).cast("double") / 1e9
+        ).alias("value"),
+        "event_id",
+    )
+    store = tempfile.mkdtemp(prefix="kll_probe_") + "/store"
     t0 = time.perf_counter()
-    served = sorted(tuple(r) for r in serve_drift_ks(spark, store).collect())
+    for b in range(3):
+        batch = labeled.where(
+            F.expr(f"CAST(event_id * 3 DIV {n} AS INT)") == b
+        ).select("event_type", "is_a", "value")
+        merge_batch_into_kll_store(spark, batch, store, b)
+        if b == 1:
+            compact_kll_store(spark, store)
+    t_build = time.perf_counter() - t0
+    acc = accumulated_sketches(spark, store)
+    state_rows = acc.count()
+    state_bytes = sum(
+        len(bytes(r["sk_a"])) + len(bytes(r["sk_b"])) for r in acc.collect()
+    )
+    n_distinct = labeled.select("event_type", "value").distinct().count()
+    t0 = time.perf_counter()
+    served = {
+        r["event_type"]: r["ks_approx"]
+        for r in serve_kll_drift(spark, store).collect()
+    }
     t_serve = time.perf_counter() - t0
     per_val = labeled.groupBy("event_type", "value").agg(
         F.sum("is_a").alias("da"), F.sum(F.lit(1) - F.col("is_a")).alias("db")
     )
-    one_shot = sorted(tuple(r) for r in ks_from_value_table(per_val).collect())
+    exact = {
+        r["event_type"]: r["ks_d"]
+        for r in ks_from_value_table(per_val).collect()
+    }
+    gap = max(abs(served[t] - exact[t]) for t in exact)
+    served_w1 = {
+        r["event_type"]: r["w1_approx"]
+        for r in serve_kll_w1(spark, store).collect()
+    }
+    exact_w1 = {
+        r["event_type"]: r["w1"]
+        for r in w1_from_value_table(per_val).collect()
+    }
+    vrange = labeled.agg(F.max("value") - F.min("value")).first()[0]
+    gap_w1 = max(abs(served_w1[t] - exact_w1[t]) for t in exact_w1)
     print(
-        f"drift store {n:,} events, 3 batches + mid-stream compaction: "
+        f"kll drift store {n:,} events ({n_distinct:,} distinct (type,value) "
+        f"— the exact arm's state), 3 batches + mid-stream compaction: "
         f"ingest {t_build:.1f}s ({n / t_build / 1e6:.1f}M rows/s), state "
-        f"{n_state:,} (type, value) rows; serve KS {t_serve:.1f}s, "
-        f"{'BIT-IDENTICAL to' if served == one_shot else 'DIFFERS from'} "
-        f"the one-shot statistic"
+        f"{state_rows} sketch rows / {state_bytes / 1024:.0f} KiB total; "
+        f"serve approx KS {t_serve:.1f}s, max |approx-exact| {gap:.4f} "
+        f"({'INSIDE' if gap <= 0.08 else 'OUTSIDE'} the pinned 0.08 bound); "
+        f"W1 max gap {gap_w1:.3f} of range {vrange:.0f} "
+        f"({'INSIDE' if gap_w1 <= 0.05 * vrange else 'OUTSIDE'} 0.05·range)"
     )
 
 
@@ -2589,7 +2693,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000, "graphann": 50_000, "geofence": 10_000_000, "hll": 20_000_000, "kmvstore": 20_000_000, "driftstore": 10_000_000, "dsir": 2_000_000, "joinview": 2_000_000, "binaryann": 1_000_000, "unigram": 500_000, "drifttests": 10_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000, "graphann": 50_000, "geofence": 10_000_000, "hll": 20_000_000, "kmvstore": 20_000_000, "driftstore": 10_000_000, "kllstore": 10_000_000, "dsir": 2_000_000, "joinview": 2_000_000, "binaryann": 1_000_000, "unigram": 500_000, "drifttests": 10_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -2603,7 +2707,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec, "graphann": probe_graphann, "geofence": probe_geofence, "hll": probe_hll, "kmvstore": probe_kmvstore, "driftstore": probe_driftstore, "dsir": probe_dsir, "joinview": probe_joinview, "binaryann": probe_binaryann, "unigram": probe_unigram, "drifttests": probe_drifttests}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec, "graphann": probe_graphann, "geofence": probe_geofence, "hll": probe_hll, "kmvstore": probe_kmvstore, "driftstore": probe_driftstore, "kllstore": probe_kllstore, "dsir": probe_dsir, "joinview": probe_joinview, "binaryann": probe_binaryann, "unigram": probe_unigram, "drifttests": probe_drifttests}[which](spark, n)
 
 
 if __name__ == "__main__":

@@ -80,3 +80,42 @@ def test_replay_and_compaction_preserve_codes_and_search(spark, sf_smoke, tmp_pa
     assert len(res_after) == 10 * 5  # topk rows per query
     # second compaction: nothing unfolded remains
     assert compact_ann_store(spark, store) == 0
+
+
+def test_opq_arm_codes_equal_one_shot_and_serve(spark, sf_smoke, tmp_path):
+    """OPQ arm: the frozen model gains the learned rotation; streamed
+    codes must be bit-identical to a one-shot ivfpq_opq_build on the
+    same prefix, the rotation must round-trip through parquet, and
+    serving must pick it up automatically (R= hook)."""
+    from heatmap_spark.operators.similarity import ivfpq_opq_build
+    from heatmap_spark.streaming.ann_store import load_ann_rotation
+
+    emb = _emb(spark, sf_smoke)
+    batches = _range_batches(emb)
+    n0 = batches[0].count()
+    store = str(tmp_path / "store")
+    for b, batch in enumerate(batches):
+        assert merge_batch_into_ann_store(
+            spark, batch, store, b, opq=True, opq_iters=2
+        )
+        if b == 1:
+            compact_ann_store(spark, store)
+    got = read_ann_codes(spark, store).select("vec_id", "bucket", "codes")
+    _, R, _, want = ivfpq_opq_build(
+        emb, opq_iters=2, train_iters=1, train_sample_n=n0
+    )
+    want = want.select("vec_id", "bucket", "codes")
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # rotation round-trips through the store and is orthonormal
+    R2 = load_ann_rotation(spark, store)
+    assert R2 == R
+    import numpy as np
+
+    Rm = np.asarray(R2)
+    assert np.allclose(Rm @ Rm.T, np.eye(Rm.shape[0]), atol=1e-9)
+    res = ann_store_topk(spark, store, emb, nprobe=8)
+    assert res.count() == 10 * 5
+    # plain store has no rotation
+    store2 = str(tmp_path / "plain")
+    assert merge_batch_into_ann_store(spark, batches[0], store2, 0)
+    assert load_ann_rotation(spark, store2) is None

@@ -1,0 +1,182 @@
+"""Streaming KLL sketch-drift store: exact side-channel merge
+identity, replay idempotence, compaction transparency, crash-window
+invisibility, and the approximate-KS error bound vs the exact arm."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from heatmap_spark.operators.profiling import (
+    ks_from_value_table,
+    w1_from_value_table,
+)
+from heatmap_spark.sources.tables import load_table
+from heatmap_spark.streaming.kll_store import (
+    accumulated_sketches,
+    compact_kll_store,
+    merge_batch_into_kll_store,
+    serve_kll_drift,
+    serve_kll_quantiles,
+    serve_kll_w1,
+)
+
+
+def _labeled(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_type", "ts", "value", "event_id"
+    )
+    split = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
+    return ev.select(
+        "event_type",
+        F.when(F.unix_timestamp("ts") <= F.lit(split), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+        "value",
+        "event_id",
+    )
+
+
+def _build(spark, labeled, store, compact_at=None):
+    mx = labeled.agg(F.max("event_id")).first()[0] + 1
+    for b in range(3):
+        batch = labeled.where(
+            F.expr(f"CAST(event_id * 3 DIV {mx} AS INT)") == b
+        ).select("event_type", "is_a", "value")
+        merge_batch_into_kll_store(spark, batch, store, b)
+        if compact_at == b:
+            compact_kll_store(spark, store)
+
+
+def _exact_counts(labeled):
+    return {
+        r["event_type"]: (r["na"], r["nb"], r["vmin"], r["vmax"])
+        for r in labeled.groupBy("event_type")
+        .agg(
+            F.sum("is_a").alias("na"),
+            F.sum(F.lit(1) - F.col("is_a")).alias("nb"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+
+
+def test_exact_side_channels_merge_exactly(spark, sf_smoke):
+    """n/min/max per half are plain sums/mins/maxes — the streamed
+    store must reproduce them exactly through partials + compaction."""
+    labeled = _labeled(spark, sf_smoke)
+    store = tempfile.mkdtemp(prefix="kll_t_") + "/s"
+    _build(spark, labeled, store, compact_at=1)
+    want = _exact_counts(labeled)
+    for r in accumulated_sketches(spark, store).collect():
+        na, nb, vmin, vmax = want[r["event_type"]]
+        assert (r["na"], r["nb"]) == (na, nb)
+        assert min(r["min_a"], r["min_b"]) == vmin
+        assert max(r["max_a"], r["max_b"]) == vmax
+
+
+def test_served_ks_within_sketch_bound(spark, sf_smoke):
+    """|approx − exact| per type must stay inside the pinned 0.08
+    bound (theory: 2·(rank_err + 1/grid) ≈ 0.037 at the defaults),
+    and compaction must not move the served value's guarantee."""
+    labeled = _labeled(spark, sf_smoke)
+    store = tempfile.mkdtemp(prefix="kll_t_") + "/s"
+    _build(spark, labeled, store, compact_at=1)
+    per_val = labeled.groupBy("event_type", "value").agg(
+        F.sum("is_a").alias("da"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("db"),
+    )
+    exact = {
+        r["event_type"]: r["ks_d"]
+        for r in ks_from_value_table(per_val).collect()
+    }
+    served = serve_kll_drift(spark, store).collect()
+    assert len(served) == len(exact)
+    for r in served:
+        assert abs(r["ks_approx"] - exact[r["event_type"]]) <= 0.08, (
+            r["event_type"],
+            r["ks_approx"],
+            exact[r["event_type"]],
+        )
+
+
+def test_served_w1_within_sketch_bound(spark, sf_smoke):
+    """|W1_approx − W1_exact| per type must stay inside 0.05·range
+    (theory: 2·(rank_err + 1/grid)·range ≈ 0.037·range)."""
+    labeled = _labeled(spark, sf_smoke)
+    store = tempfile.mkdtemp(prefix="kll_t_") + "/s"
+    _build(spark, labeled, store, compact_at=1)
+    per_val = labeled.groupBy("event_type", "value").agg(
+        F.sum("is_a").alias("da"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("db"),
+    )
+    exact = {
+        r["event_type"]: r["w1"]
+        for r in w1_from_value_table(per_val).collect()
+    }
+    vmin, vmax = labeled.agg(F.min("value"), F.max("value")).first()
+    bound = 0.05 * (vmax - vmin)
+    served = serve_kll_w1(spark, store).collect()
+    assert len(served) == len(exact)
+    for r in served:
+        assert abs(r["w1_approx"] - exact[r["event_type"]]) <= bound, (
+            r["event_type"],
+            r["w1_approx"],
+            exact[r["event_type"]],
+        )
+
+
+def test_served_quantiles_monotone_and_in_envelope(spark, sf_smoke):
+    labeled = _labeled(spark, sf_smoke)
+    store = tempfile.mkdtemp(prefix="kll_t_") + "/s"
+    _build(spark, labeled, store)
+    want = _exact_counts(labeled)
+    rows = serve_kll_quantiles(spark, store).collect()
+    assert {(r["event_type"], r["half"]) for r in rows} == {
+        (t, h) for t in want for h in ("a", "b")
+    }
+    for r in rows:
+        _, _, vmin, vmax = want[r["event_type"]]
+        assert r["p50"] <= r["p90"] <= r["p99"]
+        # KLL returns only values it saw — the global envelope holds
+        # for either half
+        assert vmin <= r["p50"] and r["p99"] <= vmax
+
+
+def test_replayed_batch_is_noop(spark, sf_smoke):
+    labeled = _labeled(spark, sf_smoke)
+    store = tempfile.mkdtemp(prefix="kll_t_") + "/s"
+    _build(spark, labeled, store)
+    before = {
+        r["event_type"]: (r["na"], r["nb"])
+        for r in accumulated_sketches(spark, store).collect()
+    }
+    replay = labeled.limit(200).select("event_type", "is_a", "value")
+    assert merge_batch_into_kll_store(spark, replay, store, 2) is False
+    after = {
+        r["event_type"]: (r["na"], r["nb"])
+        for r in accumulated_sketches(spark, store).collect()
+    }
+    assert after == before
+
+
+def test_uncommitted_partial_is_invisible(spark, sf_smoke):
+    """Crash window: a sketch partial written without the marker
+    advancing must not change the accumulated read."""
+    from heatmap_spark.streaming.kll_store import _half_sketch_partial
+
+    labeled = _labeled(spark, sf_smoke)
+    store = tempfile.mkdtemp(prefix="kll_t_") + "/s"
+    _build(spark, labeled, store)
+    before = {
+        r["event_type"]: (r["na"], r["nb"])
+        for r in accumulated_sketches(spark, store).collect()
+    }
+    _half_sketch_partial(
+        labeled.limit(500).select("event_type", "is_a", "value")
+    ).write.mode("overwrite").parquet(store + "/sk/batch=9")
+    after = {
+        r["event_type"]: (r["na"], r["nb"])
+        for r in accumulated_sketches(spark, store).collect()
+    }
+    assert after == before
