@@ -970,6 +970,35 @@ def probe_ann_store(spark, n: int) -> None:
         f"{t_q:.1f}s ({rows} rows)"
     )
 
+    # OPQ arm: same lifecycle with the learned residual rotation —
+    # batch 0 additionally pays opq_train; later batches must stay
+    # flat (the rotation is one fused matmul inside the encode scan)
+    store2 = tempfile.mkdtemp(prefix="ann_store_opq_probe_") + "/store"
+    per2 = []
+    for b in range(nb_batches):
+        batch = emb.where(
+            (F.col("vec_id") >= b * n0) & (F.col("vec_id") < (b + 1) * n0)
+        )
+        t0 = time.perf_counter()
+        merge_batch_into_ann_store(
+            spark, batch, store2, b, n_buckets=nb, m=m, k=k,
+            opq=True, opq_iters=2,
+        )
+        per2.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    rows2 = ann_store_topk(spark, store2, emb, nprobe=8, m=m, k=k).count()
+    t_q2 = time.perf_counter() - t0
+    steady = sum(per[1:]) / (nb_batches - 1)
+    steady2 = sum(per2[1:]) / (nb_batches - 1)
+    print(
+        f"ann-store OPQ arm {n:,} vecs: per-batch "
+        + "/".join(f"{t:.1f}" for t in per2)
+        + f" s (batch 0 includes opq_train); steady-state encode "
+        f"{steady2:.1f}s vs plain {steady:.1f}s "
+        f"({steady2 / steady:.2f}x — the frozen rotation's cost inside "
+        f"the scan), rotated-store query x 10 {t_q2:.1f}s ({rows2} rows)"
+    )
+
 
 def probe_holt(spark, n: int) -> None:
     """Forecasting folds at n events (default 10M) over 100k keys:
