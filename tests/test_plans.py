@@ -688,3 +688,39 @@ def test_ks_mwu_rank_over_distinct_values(spark, sf_smoke):
             r"HashAggregate\(keys=\[event_type#\d+, (?:knownfloatingpointnormalized\()?.*value#\d+",
             below,
         ), below[:2000]
+
+
+def test_kll_store_serve_is_native_single_aggregate(spark, sf_smoke):
+    """KLL sketch-drift store plan pins (round 11): the per-batch
+    partial is ONE hash aggregate over the batch (kll_sketch_agg is an
+    ordinary partial/final aggregate — map-side combinable), and the
+    serve path (grid inversion + CDF reconstruction) is pure native
+    array expressions — no Python eval anywhere."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from heatmap_spark.sources.tables import load_table
+    from heatmap_spark.streaming.kll_store import (
+        _half_sketch_partial,
+        merge_batch_into_kll_store,
+        serve_kll_drift,
+        serve_kll_w1,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_type",
+        (F2.col("event_id") % 2).cast("int").alias("is_a"),
+        "value",
+    )
+    partial_plan = plan_string(_half_sketch_partial(ev), "simple")
+    assert not has_python_eval(_half_sketch_partial(ev))
+    # one logical aggregate = two physical HashAggregate stages
+    # (partial + final) and exactly one exchange between them
+    assert partial_plan.count("HashAggregate") == 2, partial_plan[:1500]
+    assert count_exchanges(_half_sketch_partial(ev)) == 1
+
+    store = tempfile.mkdtemp(prefix="kll_plan_") + "/s"
+    merge_batch_into_kll_store(spark, ev, store, 0)
+    for serve in (serve_kll_drift, serve_kll_w1):
+        assert not has_python_eval(serve(spark, store))
