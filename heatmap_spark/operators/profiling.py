@@ -155,6 +155,79 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_binning(
+    spark: SparkSession, sf_dir: str, n_bins: int = 10
+) -> DataFrame:
+    """EXACT equal-frequency binning (the ML QuantileDiscretizer
+    pattern, made deterministic and oracle-shareable): per event_type,
+    the n_bins−1 boundaries are percentile_disc values — the smallest
+    observed value whose cumulative count reaches ceil(j·N/n_bins) —
+    and every row is assigned bin = 1 + #(boundaries < value).
+    Output: one row per (event_type, bin) with its row count and
+    exact [lo, hi] value range.
+
+    Scale shape (the drift family's distinct-value-table argument):
+    boundaries come from ONE hash aggregate to the (type, value)
+    grain + ONE sorted window over distinct values (not rows) + a
+    constant-size explode (n_bins−1 threshold slots per distinct
+    value row, pruned immediately); the boundary arrays are n_bins−1
+    doubles per type, broadcast back to the row scan; binning itself
+    is a native array filter, map-only.  Ties share bins (disc
+    semantics), so bins can be uneven under heavy ties — exactly what
+    percentile_disc gives, and exactly reproducible cross-engine:
+    thresholds use pure integer arithmetic ((j·N + n_bins − 1) DIV
+    n_bins), no float ceil.
+
+    At 100 TB: the distinct-value window is the only sort and it
+    sorts the value table; quantized/low-cardinality columns are
+    cheap, continuous columns can pre-quantize or swap the boundary
+    source for the KLL store's approximate grid (kll_store) without
+    touching the binning tail.
+
+    Reference: none — SURVEY.md §2.8 (profiling/ML-prep extension).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    per_val = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    word = W.partitionBy("event_type").orderBy("value")
+    wall = W.partitionBy("event_type")
+    cum = per_val.select(
+        "event_type",
+        "value",
+        F.sum("cnt").over(word).alias("cum"),
+        (F.sum("cnt").over(word) - F.col("cnt")).alias("prev_cum"),
+        F.sum("cnt").over(wall).alias("n_total"),
+    )
+    # distinct value v is the percentile_disc boundary for every j
+    # whose threshold T_j = (j*N + nb - 1) DIV nb lands in
+    # (prev_cum, cum]; nb is tiny so a constant explode + filter is
+    # cheaper than a range join
+    j = F.explode(F.sequence(F.lit(1), F.lit(n_bins - 1))).alias("j")
+    thr = F.floor(
+        (F.col("j") * F.col("n_total") + F.lit(n_bins - 1)) / F.lit(n_bins)
+    )
+    bnd = (
+        cum.select("event_type", "value", "prev_cum", "cum", "n_total", j)
+        .where((F.col("prev_cum") < thr) & (thr <= F.col("cum")))
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("value")).alias("bounds"))
+    )
+    binned = ev.join(F.broadcast(bnd), "event_type").select(
+        "event_type",
+        "value",
+        (
+            F.lit(1)
+            + F.size(F.filter("bounds", lambda b: b < F.col("value")))
+        ).cast("int").alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
 def reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 'reservoir' sample: k=3 events per event_type,
     ranked by md5 of the event id.  Equivalent in distribution to a

@@ -4883,6 +4883,31 @@ FROM orders GROUP BY 1""",
   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1, 2""",
     ),
+    "q_quantile_binning": QuerySpec(
+        profiling.quantile_binning,
+        """WITH per_val AS (
+  SELECT event_type, value, count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, value,
+    sum(cnt) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+    sum(cnt) OVER (PARTITION BY event_type ORDER BY value) - cnt AS prev_cum,
+    sum(cnt) OVER (PARTITION BY event_type) AS n_total
+  FROM per_val),
+bnd AS (
+  SELECT event_type, list_sort(list(value)) AS bounds
+  FROM cum, generate_series(1, 9) AS g(j)
+  WHERE prev_cum < (j * n_total + 9) // 10 AND (j * n_total + 9) // 10 <= cum
+  GROUP BY event_type),
+binned AS (
+  SELECT e.event_type,
+    CAST(1 + len(list_filter(bounds, b -> b < e.value)) AS INTEGER) AS bin,
+    e.value
+  FROM events e JOIN bnd USING (event_type))
+SELECT event_type, bin, count(*) AS n_rows,
+  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+FROM binned GROUP BY 1, 2""",
+    ),
     "q_range_join": QuerySpec(
         relational.range_join_price_bands,
         f"""WITH bands(band, lo, hi) AS (
@@ -7362,8 +7387,8 @@ _PRIORITY = [
     "q_conversion_latency",
     "q_corr_stats",
     "q_data_expectations",
-    "q_datetime_functions",
-    # new this round: OPQ ANN-store arm + KLL sketch-drift arm
+    # new this round: exact quantile binning + the two store arms
+    "q_quantile_binning",
     "q_streaming_ann_opq",
     "q_streaming_kll_drift",
     # churn re-pin: in-registry recall floor added (r10 item 6)

@@ -318,3 +318,42 @@ def test_embargo_split_properties(spark, sf_smoke):
     assert mn_test_us > cutoff + 3600 * 1_000_000
     assert mx_train is not None and mn_test is not None
     assert sum(counts.values()) == n
+
+
+def test_quantile_binning_invariants(spark, sf_smoke):
+    """Exact equal-frequency binning (round 11): per type the bin
+    counts must sum to the row count, bins are 1..n_bins when the
+    type has enough distinct values, value ranges are ordered and
+    non-overlapping across bins (hi of bin j <= lo of bin j+1 up to
+    the rounding the query applies), and no bin exceeds the
+    percentile_disc ceiling ceil(N/n_bins) + tie slack (bins absorb
+    whole tie groups, so the slack is the largest tie group)."""
+    from heatmap_spark.operators.profiling import quantile_binning
+    from heatmap_spark.sources.tables import load_table
+
+    out = quantile_binning(spark, sf_smoke).collect()
+    ev = load_table(spark, sf_smoke, "events")
+    n_per_type = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("value").alias("n")).collect()
+    }
+    max_tie = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type", "value")
+        .count()
+        .groupBy("event_type")
+        .agg(F.max("count").alias("m"))
+        .collect()
+    }
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert set(by_type) == set(n_per_type)
+    for t, rows in by_type.items():
+        rows.sort(key=lambda r: r["bin"])
+        assert sum(r["n_rows"] for r in rows) == n_per_type[t]
+        assert [r["bin"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a["hi"] <= b["lo"]
+        ceiling = -(-n_per_type[t] // 10) + max_tie[t]
+        assert all(r["n_rows"] <= ceiling for r in rows), (t, rows)
