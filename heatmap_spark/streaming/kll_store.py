@@ -277,6 +277,52 @@ def serve_kll_drift(
     )
 
 
+def serve_kll_bins(
+    spark: SparkSession,
+    store_path: str,
+    rows: DataFrame,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equal-frequency binning with boundaries served from the merged
+    sketches — the bounded-state arm of profiling.quantile_binning
+    (its docstring names this exact swap): boundaries are the pooled
+    sketch's quantiles at j/n_bins (the two halves merged, literal
+    ranks), broadcast to the row scan for the same map-only native
+    binning tail.  Bin populations are equal within the KLL rank
+    error instead of exactly; everything downstream of the boundary
+    source is unchanged.  ``rows`` must carry (event_type, value)."""
+    acc = accumulated_sketches(spark, store_path)
+    pooled = F.kll_sketch_merge_double("sk_a", "sk_b")
+    bnd = acc.select(
+        "event_type",
+        F.array_sort(
+            F.array_distinct(
+                F.array(
+                    *[
+                        F.kll_sketch_get_quantile_double(
+                            pooled, F.lit(j / n_bins)
+                        )
+                        for j in range(1, n_bins)
+                    ]
+                )
+            )
+        ).alias("bounds"),
+    )
+    binned = rows.join(F.broadcast(bnd), "event_type").select(
+        "event_type",
+        "value",
+        (
+            F.lit(1)
+            + F.size(F.filter("bounds", lambda b: b < F.col("value")))
+        ).cast("int").alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
 def serve_kll_w1(
     spark: SparkSession, store_path: str, grid: int = GRID
 ) -> DataFrame:

@@ -143,6 +143,49 @@ def test_served_quantiles_monotone_and_in_envelope(spark, sf_smoke):
         assert vmin <= r["p50"] and r["p99"] <= vmax
 
 
+def test_served_bins_near_equal_frequency(spark, sf_smoke):
+    """Sketch-served binning (the quantile_binning swap point): per
+    type the bins must partition all rows, be ordered and
+    non-overlapping, and each bin's population must sit within the
+    sketch tolerance of the ideal N/n_bins — rank error + grid
+    rounding + the largest tie group (a boundary absorbs whole tie
+    groups exactly like the exact arm)."""
+    from heatmap_spark.streaming.kll_store import serve_kll_bins
+
+    labeled = _labeled(spark, sf_smoke)
+    store = tempfile.mkdtemp(prefix="kll_t_") + "/s"
+    _build(spark, labeled, store, compact_at=1)
+    rows = labeled.select("event_type", "value")
+    out = serve_kll_bins(spark, store, rows).collect()
+    n_per_type = {
+        r["event_type"]: r["n"]
+        for r in rows.groupBy("event_type").agg(F.count("value").alias("n")).collect()
+    }
+    max_tie = {
+        r["event_type"]: r["m"]
+        for r in rows.groupBy("event_type", "value")
+        .count()
+        .groupBy("event_type")
+        .agg(F.max("count").alias("m"))
+        .collect()
+    }
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert set(by_type) == set(n_per_type)
+    for t, brs in by_type.items():
+        brs.sort(key=lambda r: r["bin"])
+        n = n_per_type[t]
+        assert sum(r["n_rows"] for r in brs) == n
+        for a, b in zip(brs, brs[1:]):
+            assert a["hi"] <= b["lo"]
+        # KLL default k=200: double-sided rank error ~1.33%; slack
+        # for tie absorption
+        tol = 0.03 * n + max_tie[t]
+        for r in brs:
+            assert abs(r["n_rows"] - n / 10) <= tol, (t, r, n)
+
+
 def test_replayed_batch_is_noop(spark, sf_smoke):
     labeled = _labeled(spark, sf_smoke)
     store = tempfile.mkdtemp(prefix="kll_t_") + "/s"
