@@ -7331,74 +7331,72 @@ FROM weighted""",
 # driver row at all — MUST hold a slot; remaining slots go to the
 # stalest evidence.
 #
-# Round 10: (a) q_unigram_vocab gets its first-ever driver row
-# Round-11 window: (a) the 4 pyramid sentinels, every round; (b) the
-# churn re-pin the freshness invariant demands — q_heatmap_drilldown
-# (threshold de-vacuized per VERDICT r10 item 1: the old >=20 matched
-# the oracle only on empty results at sf0.01); (c) all 27 queries
-# whose latest driver row is r3 — the new MAX-AGE rule
-# (scripts/freshness.py AGE_LIMIT=7, current round 11 → floor r4)
-# makes this mandatory, not advisory; (d) 18 of the 43 r4 rows, the
-# next-oldest evidence tier, pre-empting their r12 age-out (the
-# remaining 25 r4 rows are round-12's mandatory rotation pool).
+# Round-12 window (VERDICT r11 item 1 — the max-age gate was already
+# red at the round boundary): (a) the 4 pyramid sentinels, every
+# round; (b) ALL 34 queries whose latest driver row is r4 — mandatory
+# under the MAX-AGE rule (scripts/freshness.py AGE_LIMIT=7, current
+# round 12 → floor r5); (c) the churn re-pins this round's edits
+# create — q_quantile_binning (integer-DIV threshold fix, ADVICE r11),
+# q_knn_rabitq (materialize-before-pin fix, ADVICE r11),
+# q_streaming_kll_drift (null-guarded pins + the new served MWU arm),
+# q_approx_quantiles (exact-twin bracket pin, VERDICT r11 item 2);
+# (d) 8 of the 40 r6 rows, the next-oldest evidence tier (no r5 tier
+# exists; r6 ages out at round 14 → floor r7).
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
     "q_heatmap_pyramid_cascade",
     "q_heatmap_resultsets",
     "q_heatmap_table",
-    # churn re-pin: drilldown threshold 20→2 (de-vacuized, r10 item 1)
-    "q_heatmap_drilldown",
-    # max-age rule: all 27 queries with r3-latest evidence
-    "q_od_matrix",
-    "q_pagerank_near_dup",
-    "q_range_join",
-    "q_recursive_pyramid",
-    "q_salted_join",
-    "q_scd2_intervals",
-    "q_semantic_dedup",
-    "q_tile_smooth",
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_triangle_count",
-    "q_window_variety",
-    # next-oldest tier (r4) — pre-empt the r12 age-out
-    "q_attribution",
-    "q_bitmap_distinct",
-    "q_collation",
-    "q_collection_functions",
-    "q_column_profile",
-    "q_conditional_safety",
-    "q_conversion_latency",
-    "q_corr_stats",
-    "q_data_expectations",
-    # new this round: exact quantile binning + the two store arms
+    # max-age rule: all 34 queries with r4-latest evidence
+    "q_datetime_functions",
+    "q_dedup_fusion",
+    "q_doc_length_histogram",
+    "q_entity_resolution",
+    "q_ewma",
+    "q_ewma_segmented",
+    "q_exists_subqueries",
+    "q_feature_hashing",
+    "q_filtered_aggs",
+    "q_gap_fill_hourly",
+    "q_lang_id_metrics",
+    "q_map_functions",
+    "q_media_resize",
+    "q_normalized_text",
+    "q_novelty",
+    "q_null_semantics",
+    "q_pack_sequences",
+    "q_pii_scrub",
+    "q_price_histogram",
+    "q_regression_per_group",
+    "q_remove_duplicated_passages",
+    "q_reservoir_per_group",
+    "q_rolling_revenue_7d",
+    "q_sample_hash",
+    "q_set_ops_all",
+    "q_theta_audience_overlap",
+    "q_token_positions",
+    "q_trending",
+    "q_udtf_ngrams",
+    "q_unigram_logprob",
+    "q_weighted_sample",
+    "q_window_distribution",
+    "q_window_ignore_nulls",
+    "q_zscore_outliers",
+    # churn re-pins: defs edited this round (freshness stale rule)
     "q_quantile_binning",
-    "q_streaming_ann_opq",
-    "q_streaming_kll_drift",
-    # churn re-pin: in-registry recall floor added (r10 item 6)
     "q_knn_rabitq",
-    # churn re-pins: rows-only pins strengthened this round (r10 item 4)
-    "q_approx_distinct",
-    "q_hll_sketches",
-    "q_kll_quantiles",
-    "q_knn_cosine_ivf",
-    "q_media_features",
+    "q_streaming_kll_drift",
+    "q_approx_quantiles",
+    # next-oldest tier (r6) — pre-empt the r14 age-out
+    "q_approx_top_k",
+    "q_basket_pairs",
+    "q_cross_join_pairs",
+    "q_daily_rollup",
+    "q_event_funnel",
+    "q_file_provenance",
+    "q_full_outer_join",
+    "q_group_by_all",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))
