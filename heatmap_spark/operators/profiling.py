@@ -204,9 +204,10 @@ def quantile_binning(
     # (prev_cum, cum]; nb is tiny so a constant explode + filter is
     # cheaper than a range join
     j = F.explode(F.sequence(F.lit(1), F.lit(n_bins - 1))).alias("j")
-    thr = F.floor(
-        (F.col("j") * F.col("n_total") + F.lit(n_bins - 1)) / F.lit(n_bins)
-    )
+    # `div` is Spark's integer division on longs — exact at any N,
+    # matching the oracle's `//`; the earlier F.floor(a / b) spelling
+    # routed through DOUBLE division (exact only while j*N+9 < 2^53)
+    thr = F.expr(f"(j * n_total + {n_bins - 1}) div {n_bins}")
     bnd = (
         cum.select("event_type", "value", "prev_cum", "cum", "n_total", j)
         .where((F.col("prev_cum") < thr) & (thr <= F.col("cum")))

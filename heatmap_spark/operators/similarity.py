@@ -2875,6 +2875,10 @@ def knn_rabitq_rerank(
     # the exact twin the result already carries must clear the binary
     # family's 0.8 floor — the same bar the pytest pin and the 1M
     # scale probe assert.  One tiny agg over the k·n_queries result.
+    # Materialized first so the pin agg and the returned DataFrame
+    # share one computation (otherwise every caller pays the full
+    # two-stage pipeline twice — ADVICE r11).
+    out = out.localCheckpoint(eager=True)
     stats = out.agg(
         F.avg(F.col("in_exact_topk").cast("double")).alias("recall"),
         F.count(F.lit(1)).alias("n"),

@@ -1201,9 +1201,18 @@ def q_streaming_kll_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3) the served approximate W₁ (CDF-gap integral over the same
     grids) within 0.05·(value range) of the exact q_wasserstein_drift
     statistic — the sketch arm of serve_drift_w1;
-    (4) served quantiles are monotone p50 ≤ p90 ≤ p99 per half."""
+    (4) the served approximate MWU effect size (grid-averaged AUC,
+    serve_kll_mwu) within 0.08 of the exact U₂/(2·na·nb) from
+    mwu_from_value_table — the sketch arm of serve_drift_mwu,
+    completing the KS/W₁/MWU trio (tie-bias caveat in the module
+    docstring; events.value is continuous, the sound regime);
+    (5) served quantiles are monotone p50 ≤ p90 ≤ p99 per half.
+    A NULL served statistic (a degenerate one-sided type would
+    aggregate all NULLs) counts as a VIOLATION, not a silent pass —
+    the predicate guards three-valued logic explicitly."""
     from heatmap_spark.operators.profiling import (
         ks_from_value_table,
+        mwu_from_value_table,
         w1_from_value_table,
     )
     from heatmap_spark.sources.tables import load_table
@@ -1211,6 +1220,7 @@ def q_streaming_kll_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_kll_store,
         merge_batch_into_kll_store,
         serve_kll_drift,
+        serve_kll_mwu,
         serve_kll_quantiles,
         serve_kll_w1,
     )
@@ -1242,6 +1252,10 @@ def q_streaming_kll_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             serve_kll_w1(spark, store).select("event_type", "w1_approx"),
             "event_type",
         )
+        .join(
+            serve_kll_mwu(spark, store).select("event_type", "auc_approx"),
+            "event_type",
+        )
         .localCheckpoint(eager=True)
     )
 
@@ -1255,6 +1269,17 @@ def q_streaming_kll_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_w1 = w1_from_value_table(per_val).select(
         "event_type", F.col("w1").alias("w1_exact")
     )
+    exact_mwu = mwu_from_value_table(per_val).select(
+        "event_type",
+        (
+            F.col("u2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_first_half").cast("double")
+                * F.col("n_second_half").cast("double")
+            )
+        ).alias("auc_exact"),
+    )
     exact_n = labeled.groupBy("event_type").agg(
         F.sum("is_a").alias("na_x"),
         F.sum(F.lit(1) - F.col("is_a")).alias("nb_x"),
@@ -1263,22 +1288,30 @@ def q_streaming_kll_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = (
         out.join(exact, "event_type")
         .join(exact_w1, "event_type")
+        .join(exact_mwu, "event_type")
         .join(exact_n, "event_type")
         .where(
             (F.col("na") != F.col("na_x"))
             | (F.col("nb") != F.col("nb_x"))
+            # NULL served statistics are violations, not three-valued
+            # silent passes (ADVICE r11): guard before comparing
+            | F.col("ks_approx").isNull()
+            | F.col("w1_approx").isNull()
+            | F.col("auc_approx").isNull()
             | (F.abs(F.col("ks_approx") - F.col("ks_exact")) > 0.08)
             | (
                 F.abs(F.col("w1_approx") - F.col("w1_exact"))
                 > 0.05 * F.col("vrange")
             )
+            | (F.abs(F.col("auc_approx") - F.col("auc_exact")) > 0.08)
         )
         .count()
     )
     if bad:
         raise AssertionError(
-            f"KLL drift store invariant (exact half counts / KS within "
-            f"the 0.08 sketch bound / W1 within 0.05·range) violated "
+            f"KLL drift store invariant (exact half counts / non-NULL "
+            f"served stats / KS within the 0.08 sketch bound / W1 "
+            f"within 0.05·range / MWU AUC within 0.08) violated "
             f"for {bad} type(s)"
         )
     mono = serve_kll_quantiles(spark, store).where(

@@ -33,6 +33,21 @@ the served value is NOT bit-identical to a one-shot computation (the
 compactor is randomized and merge trees differ) — the in-registry
 query pins the error bound against the exact KS instead.
 
+The store now serves the full drift trio the exact arm serves
+(KS / W₁ / MWU).  The MWU arm (``serve_kll_mwu``) estimates the
+normalized rank-sum statistic — the AUC effect size
+θ = P(A > B) + ½·P(A = B) = U_A/(na·nb) — as the grid average of
+1 − F̂_A over B's quantile grid.  Soundness caveat, and why MWU is
+the weakest of the trio to sketch: a quantile sketch observes RANKS,
+not tie structure, so the ½-credit on exact ties is unrecoverable —
+the estimator's bias is bounded by half the largest tie mass, which
+is 0 for continuous distributions (this arm's design regime) but can
+reach ½·max_x P(X = x) under heavy quantization; for quantized
+values use the exact arm (streaming/drift.py serve_drift_mwu), whose
+distinct-value table handles ties exactly.  On continuous data the
+grid/rank error bound is the same 2·(rank_err + 1/grid) ≈ 0.037 as
+KS; the registry query pins 0.08.
+
 Reference: none — SURVEY.md §2.8 streaming-store + profiling
 families; KLL per Karnin/Lang/Liberty, "Optimal Quantile
 Approximation in Streams" (FOCS 2016), via Spark's built-in
@@ -198,6 +213,17 @@ def stream_kll_drift(
     )
 
 
+def _acc_or_raise(spark: SparkSession, store_path: str) -> DataFrame:
+    """Serve-path accumulation with the explicit empty-store error the
+    other stores raise (ann_store's 'no committed codes' pattern) —
+    otherwise an uncommitted store surfaces as an opaque
+    AttributeError on None."""
+    acc = accumulated_sketches(spark, store_path)
+    if acc is None:
+        raise ValueError("KLL store has no committed batches")
+    return acc
+
+
 def _quantile_grid(sk_col: str, grid: int = GRID):
     """Array of the sketch's quantiles at ranks 1/g .. (g-1)/g — the
     rank arguments must be literals (Spark's DataSketches bindings
@@ -216,7 +242,7 @@ def serve_kll_quantiles(
 ) -> DataFrame:
     """Per (event_type, half): n (exact), p50/p90/p99 from the merged
     sketch — the store's basic monitoring read."""
-    acc = accumulated_sketches(spark, store_path)
+    acc = _acc_or_raise(spark, store_path)
     rows = []
     for half, sk, n in (("a", "sk_a", "na"), ("b", "sk_b", "nb")):
         rows.append(
@@ -246,7 +272,7 @@ def serve_kll_drift(
     2·(kll_rank_err + 1/grid) ≈ 0.037 at the defaults; the registry
     query pins 0.08.  Also returns the exact per-half counts the
     invariant checks use."""
-    acc = accumulated_sketches(spark, store_path)
+    acc = _acc_or_raise(spark, store_path)
     g = float(grid)
     qa = _quantile_grid("sk_a", grid)
     qb = _quantile_grid("sk_b", grid)
@@ -291,7 +317,7 @@ def serve_kll_bins(
     binning tail.  Bin populations are equal within the KLL rank
     error instead of exactly; everything downstream of the boundary
     source is unchanged.  ``rows`` must carry (event_type, value)."""
-    acc = accumulated_sketches(spark, store_path)
+    acc = _acc_or_raise(spark, store_path)
     pooled = F.kll_sketch_merge_double("sk_a", "sk_b")
     bnd = acc.select(
         "event_type",
@@ -333,7 +359,7 @@ def serve_kll_w1(
     native array expressions.  Error vs the exact statistic is
     bounded by 2·(rank_err + 1/grid)·(vmax − vmin) ≈ 0.037·range at
     the defaults; the registry query pins 0.05·range."""
-    acc = accumulated_sketches(spark, store_path)
+    acc = _acc_or_raise(spark, store_path)
     g = float(grid)
     qa = _quantile_grid("sk_a", grid)
     qb = _quantile_grid("sk_b", grid)
@@ -365,4 +391,51 @@ def serve_kll_w1(
         "na",
         "nb",
         F.round(w1, 6).alias("w1_approx"),
+    )
+
+
+def serve_kll_mwu(
+    spark: SparkSession, store_path: str, grid: int = GRID
+) -> DataFrame:
+    """Approximate Mann–Whitney effect size per event_type from the
+    merged sketches — the sketch arm of serve_drift_mwu, completing
+    the KS/W₁/MWU trio on the bounded-state side.
+
+    Served statistic: the AUC / common-language effect size
+    θ = P(A > B) + ½·P(A = B) = U_A/(na·nb), estimated as the grid
+    average of 1 − F̂_A(x) over B's quantile grid (each of B's g−1
+    grid quantiles carries mass 1/g of B; F̂_A is the same
+    grid-reconstructed CDF the KS serve uses).  All native array
+    expressions over the sketch relation — no row data touched.
+
+    Error: rank/grid error ≤ 2·(kll_rank_err + 1/grid) ≈ 0.037 at the
+    defaults, PLUS a tie bias ≤ ½·max tie mass that a rank sketch
+    cannot observe (module docstring) — sound on continuous values,
+    the exact arm owns quantized ones.  The registry query pins 0.08
+    against the exact U₂/(2·na·nb)."""
+    acc = _acc_or_raise(spark, store_path)
+    g = float(grid)
+    qa = _quantile_grid("sk_a", grid)
+    qb = _quantile_grid("sk_b", grid)
+    with_grids = acc.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        qa.alias("qa"),
+        qb.alias("qb"),
+    )
+
+    def cdf_a(x):
+        return F.size(F.filter(F.col("qa"), lambda v: v <= x)) / F.lit(g)
+
+    theta = F.aggregate(
+        F.col("qb"),
+        F.lit(0.0),
+        lambda acc_, x: acc_ + (F.lit(1.0) - cdf_a(x)),
+    ) / F.lit(g)
+    return with_grids.select(
+        "event_type",
+        "na",
+        "nb",
+        F.round(theta, 6).alias("auc_approx"),
     )

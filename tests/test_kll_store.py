@@ -186,6 +186,64 @@ def test_served_bins_near_equal_frequency(spark, sf_smoke):
             assert abs(r["n_rows"] - n / 10) <= tol, (t, r, n)
 
 
+def test_served_mwu_within_sketch_bound(spark, sf_smoke):
+    """|AUC_approx − AUC_exact| per type must stay inside the pinned
+    0.08 bound (theory: 2·(rank_err + 1/grid) ≈ 0.037 on continuous
+    values; tie bias is ~0 on events.value).  Exact twin is
+    U₂/(2·na·nb) from the distinct-value arm."""
+    from heatmap_spark.operators.profiling import mwu_from_value_table
+    from heatmap_spark.streaming.kll_store import serve_kll_mwu
+
+    labeled = _labeled(spark, sf_smoke)
+    store = tempfile.mkdtemp(prefix="kll_t_") + "/s"
+    _build(spark, labeled, store, compact_at=1)
+    per_val = labeled.groupBy("event_type", "value").agg(
+        F.sum("is_a").alias("da"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("db"),
+    )
+    exact = {
+        r["event_type"]: r["u2"]
+        / (2.0 * r["n_first_half"] * r["n_second_half"])
+        for r in mwu_from_value_table(per_val).collect()
+    }
+    served = serve_kll_mwu(spark, store).collect()
+    assert len(served) == len(exact)
+    for r in served:
+        assert 0.0 <= r["auc_approx"] <= 1.0
+        assert abs(r["auc_approx"] - exact[r["event_type"]]) <= 0.08, (
+            r["event_type"],
+            r["auc_approx"],
+            exact[r["event_type"]],
+        )
+
+
+def test_empty_store_serve_raises_value_error(spark):
+    """Every serve path on an uncommitted store must raise the
+    explicit empty-store error, not an AttributeError on None
+    (ADVICE r11) — matching ann_store's 'no committed codes'."""
+    import pytest
+
+    from heatmap_spark.streaming.kll_store import (
+        serve_kll_bins,
+        serve_kll_mwu,
+    )
+
+    store = tempfile.mkdtemp(prefix="kll_empty_") + "/s"
+    rows = spark.createDataFrame(
+        [("t", 1.0)], "event_type string, value double"
+    )
+    for serve in (
+        serve_kll_quantiles,
+        serve_kll_drift,
+        serve_kll_w1,
+        serve_kll_mwu,
+    ):
+        with pytest.raises(ValueError, match="no committed batches"):
+            serve(spark, store)
+    with pytest.raises(ValueError, match="no committed batches"):
+        serve_kll_bins(spark, store, rows)
+
+
 def test_replayed_batch_is_noop(spark, sf_smoke):
     labeled = _labeled(spark, sf_smoke)
     store = tempfile.mkdtemp(prefix="kll_t_") + "/s"
