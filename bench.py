@@ -52,6 +52,14 @@ def _stage_totals(spark) -> dict[str, int]:
 # calib_ratio>1 ⇒ divide the raw headline by it for the comparable one.
 CALIB_REF_SEC = 0.25  # pinned 2026-08-15, loadavg ~1.0, min of 9 runs 0.243
 
+# Loaded-box retry gate (VERDICT r11 item 3): if an attempt's observed
+# calibration exceeds 1.5× reference, the raw numbers carry co-tenant
+# noise that costs judge time as phantom regressions — retry the whole
+# suite once after a cooldown and keep the quieter attempt.  Both
+# attempts land in the diagnostics line either way.
+CALIB_RETRY_RATIO = 1.5
+RETRY_COOLDOWN_SEC = 60.0
+
 
 def _calibrate(spark) -> float:
     """Fixed CPU-bound workload: hash-fold 2e8 longs across all cores,
@@ -69,14 +77,9 @@ def _calibrate(spark) -> float:
     return best
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-
-    spark = get_spark("heatmap-spark-bench")
-    # Warm the JVM/session so per-query numbers measure the queries.
-    load_table(spark, sf_dir, "lineitem").count()
+def _run_suite(spark, sf_dir: str, warm: bool) -> dict:
+    """One full measurement attempt: calibrate, time every headline
+    query (variance-bounded min of ≤4 runs), calibrate again."""
 
     def cleanup() -> None:
         # drop caches/checkpoint blocks a query may have pinned so later
@@ -86,12 +89,7 @@ def main() -> None:
         for rid in list(jmap.keySet().toArray()):
             jmap.get(rid).unpersist()
 
-    # Same plan → same generated code, so a tiny-SF run warms the
-    # Janino codegen cache and JIT-compiles the hot generated methods
-    # for pennies; the timed runs then measure the query, not the JVM.
     warm_dir = "/root/testdata/sf0.001"
-    warm = os.path.isdir(warm_dir) and warm_dir != sf_dir
-
     timings: dict[str, float] = {}
     raw_samples: dict[str, list[float]] = {}
     stage_metrics: dict[str, dict[str, int]] = {}
@@ -124,15 +122,49 @@ def main() -> None:
         stage_metrics[name] = {
             k: max(0, (after[k] - before[k]) // len(samples)) for k in after
         }
-
     calib_post = _calibrate(spark)
-    # the round's slower calibration reading is the honest load proxy
-    # (load can arrive mid-run); never report BETTER than measured —
-    # the ratio only discounts co-tenant slowdown, floor 1.0, cap 3.0
-    calib_obs = max(calib_pre, calib_post)
-    calib_ratio = min(3.0, max(1.0, calib_obs / CALIB_REF_SEC))
+    return {
+        "timings": timings,
+        "samples": raw_samples,
+        "stage_metrics": stage_metrics,
+        "calib_pre": calib_pre,
+        "calib_post": calib_post,
+        "loadavg_before": load_before,
+        "loadavg_after": os.getloadavg()[0],
+    }
 
-    total = round(sum(timings.values()), 3)
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("heatmap-spark-bench")
+    # Warm the JVM/session so per-query numbers measure the queries.
+    load_table(spark, sf_dir, "lineitem").count()
+
+    # Same plan → same generated code, so a tiny-SF run warms the
+    # Janino codegen cache and JIT-compiles the hot generated methods
+    # for pennies; the timed runs then measure the query, not the JVM.
+    warm_dir = "/root/testdata/sf0.001"
+    warm = os.path.isdir(warm_dir) and warm_dir != sf_dir
+
+    def obs(a: dict) -> float:
+        # the attempt's slower calibration reading is the honest load
+        # proxy (load can arrive mid-run); never report BETTER than
+        # measured
+        return max(a["calib_pre"], a["calib_post"])
+
+    attempts = [_run_suite(spark, sf_dir, warm)]
+    if obs(attempts[0]) > CALIB_RETRY_RATIO * CALIB_REF_SEC:
+        # loaded box: cool down once and re-measure; keep the quieter
+        # attempt (VERDICT r11 item 3) — both are recorded below
+        time.sleep(RETRY_COOLDOWN_SEC)
+        attempts.append(_run_suite(spark, sf_dir, warm))
+    best = min(attempts, key=obs)
+
+    calib_ratio = min(3.0, max(1.0, obs(best) / CALIB_REF_SEC))
+    total = round(sum(best["timings"].values()), 3)
     total_normalized = round(total / calib_ratio, 3)
     # Self-adjudication diagnostics go on an EARLIER line: raw per-run
     # samples + host load (a noisy reading is visible in the artifact —
@@ -146,39 +178,52 @@ def main() -> None:
         json.dumps(
             {
                 "diagnostics": True,
-                "samples": raw_samples,
+                "samples": best["samples"],
                 "loadavg_1m": {
-                    "before": round(load_before, 2),
-                    "after": round(os.getloadavg()[0], 2),
+                    "before": round(best["loadavg_before"], 2),
+                    "after": round(best["loadavg_after"], 2),
                 },
                 "stage_metrics_unit": "bytes_per_run",
-                "stage_metrics": stage_metrics,
+                "stage_metrics": best["stage_metrics"],
                 "calibration": {
                     "workload": "range(2e8).sum(xxhash64) x3 min, pre+post",
                     "reference_sec": CALIB_REF_SEC,
-                    "observed_pre_sec": round(calib_pre, 3),
-                    "observed_post_sec": round(calib_post, 3),
+                    "retry_gate_ratio": CALIB_RETRY_RATIO,
+                    "attempts": [
+                        {
+                            "observed_pre_sec": round(a["calib_pre"], 3),
+                            "observed_post_sec": round(a["calib_post"], 3),
+                            "total_sec": round(sum(a["timings"].values()), 3),
+                            "kept": a is best,
+                        }
+                        for a in attempts
+                    ],
                 },
             }
         )
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # load-normalized headline: raw / calib_ratio, where
-                # calib_ratio = observed/reference time of the fixed
-                # CPU calibration workload (clamped to [1, 3]) — the
-                # number to compare against BASELINE.md on a noisy box
-                "value_normalized": total_normalized,
-                "calib_ratio": round(calib_ratio, 3),
-            }
-        )
-    )
+    headline = {
+        "metric": "headline_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": best["timings"],
+        "sf": sf,
+        # load-normalized headline: raw / calib_ratio, where
+        # calib_ratio = observed/reference time of the fixed
+        # CPU calibration workload (clamped to [1, 3]) — the
+        # number to compare against BASELINE.md on a noisy box
+        "value_normalized": total_normalized,
+        "calib_ratio": round(calib_ratio, 3),
+    }
+    if calib_ratio > CALIB_RETRY_RATIO:
+        # explicit loaded-box note (VERDICT r11 item 3): both attempts
+        # ran hot — the normalized value is the comparable one
+        headline["loaded_box"] = True
+        headline["attempts_calib_ratio"] = [
+            round(min(3.0, max(1.0, obs(a) / CALIB_REF_SEC)), 3)
+            for a in attempts
+        ]
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

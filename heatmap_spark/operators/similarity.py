@@ -53,14 +53,29 @@ def knn_cosine(
     return knn_cosine_df(emb, n_queries, k)
 
 
-def knn_cosine_df(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+def knn_cosine_df(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    queries: DataFrame | None = None,
+) -> DataFrame:
     """DataFrame-core of :func:`knn_cosine` over any (vec_id, vec)
-    relation (used by the scale probe on synthetic corpora)."""
+    relation (used by the scale probe on synthetic corpora).
+
+    ``queries`` overrides the default ``vec_id < n_queries`` prefix
+    with an explicit (vec_id, vec) query set — the ANN drift monitor
+    probes with queries drawn from the RECENT stream, whose ids are
+    not a corpus prefix (ids absent from the corpus simply never
+    self-exclude)."""
     # norms as carried columns: computed once per row on each side,
     # not once per candidate PAIR (each corpus row is scored against
     # n_queries queries — the naive inline norm_expr re-folds per
     # pair; same bit-identical floats, just factored out)
-    queries = emb.where(F.col("vec_id") < n_queries).select(
+    qsrc = (
+        queries if queries is not None
+        else emb.where(F.col("vec_id") < n_queries)
+    )
+    queries = qsrc.select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
         norm_expr(F.col("vec")).alias("qn"),
@@ -1454,6 +1469,7 @@ def ivfpq_topk(
     nprobe: int = 2,
     rerank_oversample: int = 8,
     R=None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC search: per query, rank coarse centroids by dot product,
     probe the top ``nprobe`` inverted lists, and ADC-score ONLY their
@@ -1471,10 +1487,14 @@ def ivfpq_topk(
 
     Rm = None if R is None else np.asarray(R, dtype=np.float64)
     nv = emb.select("vec_id", _l2_normalize(F.col("vec")).alias("vec"))
-    raw_queries = [
-        (r["vec_id"], r["vec"])
-        for r in nv.where(F.col("vec_id") < n_queries).collect()
-    ]
+    # explicit query set (the drift monitor probes with recent-stream
+    # queries whose ids are not a corpus prefix); default: prefix rule
+    qsrc = (
+        queries.select("vec_id", _l2_normalize(F.col("vec")).alias("vec"))
+        if queries is not None
+        else nv.where(F.col("vec_id") < n_queries)
+    )
+    raw_queries = [(r["vec_id"], r["vec"]) for r in qsrc.collect()]
     d = dim // m
     C = np.array(
         [[cb[(s, c)] for c in range(k)] for s in range(m)], dtype=np.float64

@@ -24,8 +24,12 @@ asserts that equality on every run (raise-on-regression), and searches
 served from the store go through the ordinary :func:`ivfpq_topk`.
 
 Model drift is the operational caveat (a frozen quantizer degrades as
-the corpus distribution moves); pair with the vocabulary-drift monitor
-pattern (streaming/vocab.py) to decide when to retrain+re-encode.
+the corpus distribution moves) — MONITORED, not assumed:
+``monitor_ann_drift`` probes served recall vs the exact brute-force
+twin on a sampled probe set every N batches (the vocabulary-drift
+monitor pattern, streaming/vocab.py) and appends a ``drift/batch=<id>``
+row whose ``retrain_flag`` trips when recall falls below the family's
+0.8 floor — the signal that a retrain + re-encode is warranted.
 
 ``opq=True`` adds the OPQ arm (the FAISS ``OPQ..,IVF..,PQ..`` chain):
 the first batch additionally learns the orthonormal residual rotation
@@ -254,6 +258,120 @@ def compact_ann_store(spark: SparkSession, store_path: str) -> int:
     return len(dirs)
 
 
+#: served-recall floor below which the drift monitor flags a retrain —
+#: the same 0.8 bar the rest of the approximate-ANN family pins.
+RECALL_FLOOR = 0.8
+
+#: drift-log schema: one row per probed batch, `retrain_flag` is the
+#: monitored column (VERDICT r11 item 6).
+DRIFT_SCHEMA = (
+    "batch_id int, n_queries int, topk int, nprobe int, "
+    "recall double, recall_floor double, retrain_flag boolean"
+)
+
+
+def probe_ann_recall(
+    spark: SparkSession,
+    store_path: str,
+    probe_emb: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    m: int = 8,
+    k: int = 32,
+    dim: int = 64,
+    nprobe: int = 2,
+    queries: DataFrame | None = None,
+) -> float:
+    """Served recall@topk vs the exact brute-force twin on a sampled
+    probe set.  Both sides score the IDENTICAL query set: either the
+    ``vec_id < n_queries`` prefix of ``probe_emb`` or an explicit
+    ``queries`` (vec_id, vec) relation — the operational shape, since
+    drift probes draw queries from the RECENT stream, whose ids are
+    not a prefix of the historical corpus.  ``probe_emb`` must be the
+    store's id space (a SAMPLE of the ingested stream) — the exact
+    side is a crossJoin of the broadcast query rows against it,
+    probe-sized by construction, never the full 100 TB corpus."""
+    from heatmap_spark.operators.similarity import knn_cosine_df
+
+    exact = knn_cosine_df(
+        probe_emb, n_queries, topk, queries=queries
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    if n_exact == 0:
+        return 1.0
+    served = ann_store_topk(
+        spark, store_path, probe_emb, n_queries, topk, m, k, dim, nprobe,
+        queries=queries,
+    ).select("query_id", "neighbor_id")
+    hits = served.join(exact, ["query_id", "neighbor_id"]).count()
+    return hits / n_exact
+
+
+def monitor_ann_drift(
+    spark: SparkSession,
+    store_path: str,
+    probe_emb: DataFrame,
+    batch_id: int,
+    every: int = 2,
+    recall_floor: float = RECALL_FLOOR,
+    n_queries: int = 10,
+    topk: int = 5,
+    m: int = 8,
+    k: int = 32,
+    dim: int = 64,
+    nprobe: int = 2,
+    queries: DataFrame | None = None,
+) -> bool | None:
+    """Frozen-model drift trigger (VERDICT r11 item 6): every ``every``
+    batches, probe served recall vs the exact twin on ``probe_emb``
+    (optionally with explicit recent-stream ``queries``) and append a
+    row to the store's drift log; ``retrain_flag`` goes
+    True when recall falls below the floor — the signal that the
+    frozen quantizer has decayed under distribution shift and a
+    retrain + re-encode is warranted (the module docstring's
+    operational caveat, now monitored instead of assumed).
+
+    Call AFTER ``merge_batch_into_ann_store`` commits the batch (the
+    drift row rides the same marker, so an uncommitted probe is
+    invisible to readers — the store-wide crash-window contract).
+    Returns the flag, or None on an off-cadence batch (no probe run:
+    the exact twin costs a probe-sized crossJoin, not something to pay
+    per batch)."""
+    if every <= 0 or batch_id % every != 0:
+        return None
+    recall = probe_ann_recall(
+        spark, store_path, probe_emb, n_queries, topk, m, k, dim, nprobe,
+        queries=queries,
+    )
+    flag = recall < recall_floor
+    spark.createDataFrame(
+        [
+            (
+                batch_id,
+                n_queries,
+                topk,
+                nprobe,
+                float(round(recall, 6)),
+                float(recall_floor),
+                bool(flag),
+            )
+        ],
+        DRIFT_SCHEMA,
+    ).write.mode("overwrite").parquet(
+        _join(store_path, "drift", f"batch={batch_id}")
+    )
+    return flag
+
+
+def read_ann_drift(spark: SparkSession, store_path: str) -> DataFrame:
+    """The committed drift log — one row per probed batch;
+    ``retrain_flag`` is the monitored column."""
+    dirs = _committed_batches(store_path, "drift")
+    if not dirs:
+        return spark.createDataFrame([], DRIFT_SCHEMA)
+    return spark.read.parquet(*dirs)
+
+
 def ann_store_topk(
     spark: SparkSession,
     store_path: str,
@@ -264,11 +382,15 @@ def ann_store_topk(
     k: int = 32,
     dim: int = 64,
     nprobe: int = 2,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Serve a top-k search straight from the store: frozen model +
     accumulated codes through the ordinary IVFADC search kernel (the
     frozen OPQ rotation, when the store has one, rides the ``R=``
-    hook — only per-query residuals rotate, driver-side)."""
+    hook — only per-query residuals rotate, driver-side).  ``queries``
+    optionally supplies an explicit (vec_id, vec) query set instead of
+    the ``vec_id < n_queries`` prefix (the drift monitor's
+    recent-stream probes)."""
     from heatmap_spark.operators.similarity import ivfpq_topk
 
     coarse, cb = load_ann_model(spark, store_path)
@@ -277,5 +399,5 @@ def ann_store_topk(
         raise ValueError("ANN store has no committed codes")
     return ivfpq_topk(
         emb, coarse, cb, codes, n_queries, topk, m, k, dim, nprobe=nprobe,
-        R=load_ann_rotation(spark, store_path),
+        R=load_ann_rotation(spark, store_path), queries=queries,
     )

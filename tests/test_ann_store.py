@@ -82,6 +82,63 @@ def test_replay_and_compaction_preserve_codes_and_search(spark, sf_smoke, tmp_pa
     assert compact_ann_store(spark, store) == 0
 
 
+def test_drift_monitor_trips_on_distribution_shift(spark, sf_smoke, tmp_path):
+    """Frozen-model drift trigger (VERDICT r11 item 6): recall probed
+    against the exact twin stays above the floor while the stream
+    matches the training distribution, and the retrain_flag TRIPS when
+    a shifted batch arrives (vectors in a region the frozen
+    coarse/PQ codebooks never saw — quantized distance estimates
+    degrade, served top-k diverges from exact).  Cadence: off-cadence
+    batches are a no-op (no probe paid)."""
+    from heatmap_spark.streaming.ann_store import (
+        monitor_ann_drift,
+        read_ann_drift,
+    )
+
+    emb = _emb(spark, sf_smoke)
+    n = emb.count()
+    # shifted batch: reversed coordinates, rescaled + offset — a
+    # subspace the frozen residual codebooks never modeled
+    shifted = emb.select(
+        (F.col("vec_id") + n).alias("vec_id"),
+        F.transform(F.reverse("vec"), lambda x: x * 2.0 + 3.0).alias("vec"),
+    )
+    # probe queries are drawn FROM each regime and keyed negatively —
+    # the recent-stream shape the queries= hook exists for (ids never
+    # collide with the store's id space)
+    healthy_q = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") - 10).alias("vec_id"), "vec"
+    )
+    shifted_q = shifted.where(F.col("vec_id") < n + 10).select(
+        (F.col("vec_id") - n - 10).alias("vec_id"), "vec"
+    )
+
+    store = str(tmp_path / "store")
+    assert merge_batch_into_ann_store(spark, emb, store, 0)
+    # healthy: trained-on distribution, recall clears the floor
+    flag0 = monitor_ann_drift(
+        spark, store, emb, 0, every=2, nprobe=8, queries=healthy_q
+    )
+    assert flag0 is False
+    # off-cadence batch: no probe, no row
+    assert (
+        monitor_ann_drift(spark, store, emb, 1, every=2, queries=healthy_q)
+        is None
+    )
+    assert read_ann_drift(spark, store).count() == 1
+
+    assert merge_batch_into_ann_store(spark, shifted, store, 1)
+    probe = emb.unionByName(shifted)  # the full ingested corpus
+    flag1 = monitor_ann_drift(
+        spark, store, probe, 1, every=1, nprobe=8, queries=shifted_q
+    )
+    assert flag1 is True
+    log = {r["batch_id"]: r for r in read_ann_drift(spark, store).collect()}
+    assert set(log) == {0, 1}
+    assert log[0]["retrain_flag"] is False and log[0]["recall"] >= 0.8
+    assert log[1]["retrain_flag"] is True and log[1]["recall"] < 0.8
+
+
 def test_opq_arm_codes_equal_one_shot_and_serve(spark, sf_smoke, tmp_path):
     """OPQ arm: the frozen model gains the learned rotation; streamed
     codes must be bit-identical to a one-shot ivfpq_opq_build on the
