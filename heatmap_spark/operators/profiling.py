@@ -187,6 +187,14 @@ def quantile_binning(
     Reference: none — SURVEY.md §2.8 (profiling/ML-prep extension).
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return equal_frequency_bins(ev, n_bins)
+
+
+def equal_frequency_bins(ev: DataFrame, n_bins: int = 10) -> DataFrame:
+    """DataFrame-core of :func:`quantile_binning` over any
+    (event_type, value) relation — shared by the registry query and
+    the 10M-row scale probe (scripts/scale_probe.py binning).  Plan
+    shape and semantics documented on the wrapper."""
     per_val = ev.groupBy("event_type", "value").agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -2369,6 +2369,108 @@ def probe_kllstore(spark, n: int) -> None:
     )
 
 
+def probe_binning(spark, n: int) -> None:
+    """Equal-frequency quantile binning at 100× bench scale, both
+    boundary sources (VERDICT r11 item 5):
+
+    * EXACT arm on a tie-heavy quantized column (4096 distinct values
+      per type at 10M rows) — the rank window runs over the
+      distinct-value table, not rows, and percentile_disc ties make
+      bin populations uneven by whole tie groups (measured as skew);
+    * SKETCH-SERVED arm (serve_kll_bins) on a CONTINUOUS column where
+      the distinct-value table would approach n rows — boundaries come
+      from the pooled KLL sketches (fixed-size state), binning tail
+      identical and map-only.
+    """
+    import tempfile
+
+    from heatmap_spark.operators.profiling import equal_frequency_bins
+    from heatmap_spark.streaming.kll_store import (
+        accumulated_sketches,
+        compact_kll_store,
+        merge_batch_into_kll_store,
+        serve_kll_bins,
+    )
+
+    ev = _synthetic_events(spark, n)
+    # exact arm: quantized values, heavy ties (~n/4096 rows per value)
+    quantized = ev.select(
+        "event_type",
+        (((F.col("event_id") * 104729) % 4096).cast("double") / 16.0).alias(
+            "value"
+        ),
+    )
+    n_distinct = quantized.distinct().count()
+    t0 = time.perf_counter()
+    bins = equal_frequency_bins(quantized).collect()
+    t_exact = time.perf_counter() - t0
+    per_type_n: dict[str, int] = {}
+    for r in bins:
+        per_type_n[r["event_type"]] = per_type_n.get(r["event_type"], 0) + r["n_rows"]
+    skew = max(
+        abs(r["n_rows"] - per_type_n[r["event_type"]] / 10)
+        / (per_type_n[r["event_type"]] / 10)
+        for r in bins
+    )
+    total = sum(r["n_rows"] for r in bins)
+    print(
+        f"exact quantile binning {n:,} rows ({n_distinct:,} distinct "
+        f"(type,value) — the window's sort size): {t_exact:.1f}s "
+        f"({n / t_exact / 1e6:.1f}M rows/s), {len(bins)} bins cover "
+        f"{total:,} rows, max bin-population skew {skew:.1%} of ideal "
+        f"N/10 (percentile_disc ties absorb whole tie groups)"
+    )
+
+    # sketch arm: continuous values — hash noise makes (type, value)
+    # effectively unique, the regime where the exact arm's window
+    # would sort ~n rows and the KLL boundaries are the scale path
+    continuous = ev.select(
+        "event_type",
+        F.lit(1).alias("is_a"),
+        (
+            ((F.col("event_id") * 104729) % 4096).cast("double") / 16.0
+            + F.pmod(F.hash("event_id"), F.lit(1000000)).cast("double") / 1e9
+        ).alias("value"),
+        "event_id",
+    )
+    store = tempfile.mkdtemp(prefix="bin_probe_") + "/store"
+    t0 = time.perf_counter()
+    for b in range(3):
+        batch = continuous.where(
+            F.expr(f"CAST(event_id * 3 DIV {n} AS INT)") == b
+        ).select("event_type", "is_a", "value")
+        merge_batch_into_kll_store(spark, batch, store, b)
+        if b == 1:
+            compact_kll_store(spark, store)
+    t_build = time.perf_counter() - t0
+    acc = accumulated_sketches(spark, store)
+    state_bytes = sum(
+        len(bytes(r["sk_a"])) + len(bytes(r["sk_b"])) for r in acc.collect()
+    )
+    t0 = time.perf_counter()
+    sbins = serve_kll_bins(
+        spark, store, continuous.select("event_type", "value")
+    ).collect()
+    t_bin = time.perf_counter() - t0
+    per_type_n = {}
+    for r in sbins:
+        per_type_n[r["event_type"]] = per_type_n.get(r["event_type"], 0) + r["n_rows"]
+    sskew = max(
+        abs(r["n_rows"] - per_type_n[r["event_type"]] / 10)
+        / (per_type_n[r["event_type"]] / 10)
+        for r in sbins
+    )
+    stotal = sum(r["n_rows"] for r in sbins)
+    print(
+        f"KLL-served binning {n:,} CONTINUOUS rows (distinct ≈ n — exact "
+        f"arm would sort it): sketch ingest {t_build:.1f}s, state "
+        f"{state_bytes / 1024:.0f} KiB; boundary serve + map-only bin "
+        f"{t_bin:.1f}s ({n / t_bin / 1e6:.1f}M rows/s), {len(sbins)} bins "
+        f"cover {stotal:,} rows, max bin-population skew {sskew:.1%} of "
+        f"ideal (KLL rank error, no tie absorption)"
+    )
+
+
 def probe_dsir(spark, n: int) -> None:
     """DSIR weights at 100× bench scale: the λ table stays ≤1024 rows
     no matter the corpus, so cost is two tokenize passes + three hash
@@ -2722,7 +2824,7 @@ def main() -> None:
                 "curation": 500_000,
                 "passages": 500_000, "semdedup": 100_000,
                 "split": 500_000, "incr": 500_000, "chunk": 2_000_000,
-                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000, "graphann": 50_000, "geofence": 10_000_000, "hll": 20_000_000, "kmvstore": 20_000_000, "driftstore": 10_000_000, "kllstore": 10_000_000, "dsir": 2_000_000, "joinview": 2_000_000, "binaryann": 1_000_000, "unigram": 500_000, "drifttests": 10_000_000}
+                "stream": 2_000_000, "streampart": 2_000_000, "pq": 1_000_000, "opq": 1_000_000, "cc": 10_000_000, "streampass": 500_000, "bpe": 2_000_000, "ivfpq": 1_000_000, "ivfpq_opq": 1_000_000, "entity": 2_000_000, "entity_store": 1_000_000, "holt": 10_000_000, "vocab": 2_000_000, "ann_store": 1_000_000, "serve": 2_000_000, "bpe_drift": 2_000_000, "rowstore": 2_000_000, "kmeans": 500_000, "acf": 10_000_000, "cms": 2_000_000, "classifier": 2_000_000, "textindex": 2_000_000, "cusum": 10_000_000, "merge": 2_000_000, "bigram": 2_000_000, "span": 2_000_000, "textindex_inc": 2_000_000, "mixer": 20_000_000, "entropy": 1_000_000, "pmi": 2_000_000, "skipping": 2_000_000, "codec": 2_000, "graphann": 50_000, "geofence": 10_000_000, "hll": 20_000_000, "kmvstore": 20_000_000, "driftstore": 10_000_000, "kllstore": 10_000_000, "dsir": 2_000_000, "joinview": 2_000_000, "binaryann": 1_000_000, "unigram": 500_000, "drifttests": 10_000_000, "binning": 10_000_000}
     n = int(args[0]) if args else defaults[which]
     spark = get_spark("scale-probe")
     {"pyramid": probe_pyramid, "dedup": probe_dedup, "knn": probe_knn,
@@ -2736,7 +2838,7 @@ def main() -> None:
      "streampart": probe_streampart, "pq": probe_pq,
      "opq": probe_opq, "cc": probe_cc,
      "streampass": probe_streampass, "bpe": probe_bpe,
-     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec, "graphann": probe_graphann, "geofence": probe_geofence, "hll": probe_hll, "kmvstore": probe_kmvstore, "driftstore": probe_driftstore, "kllstore": probe_kllstore, "dsir": probe_dsir, "joinview": probe_joinview, "binaryann": probe_binaryann, "unigram": probe_unigram, "drifttests": probe_drifttests}[which](spark, n)
+     "ivfpq": probe_ivfpq, "ivfpq_opq": probe_ivfpq_opq, "entity": probe_entity, "entity_store": probe_entity_store, "holt": probe_holt, "vocab": probe_vocab, "ann_store": probe_ann_store, "serve": probe_serve, "bpe_drift": probe_bpe_drift, "rowstore": probe_rowstore, "kmeans": probe_kmeans, "acf": probe_acf, "cms": probe_cms, "classifier": probe_classifier, "textindex": probe_textindex, "cusum": probe_cusum, "merge": probe_merge, "bigram": probe_bigram, "span": probe_span, "textindex_inc": probe_textindex_inc, "mixer": probe_mixer, "entropy": probe_entropy, "pmi": probe_pmi, "skipping": probe_skipping, "codec": probe_codec, "graphann": probe_graphann, "geofence": probe_geofence, "hll": probe_hll, "kmvstore": probe_kmvstore, "driftstore": probe_driftstore, "kllstore": probe_kllstore, "dsir": probe_dsir, "joinview": probe_joinview, "binaryann": probe_binaryann, "unigram": probe_unigram, "drifttests": probe_drifttests, "binning": probe_binning}[which](spark, n)
 
 
 if __name__ == "__main__":
