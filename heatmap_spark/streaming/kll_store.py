@@ -20,6 +20,13 @@ tables every other store here keeps:
   sketches (binary), plus exact n/min/max per half (cheap exact
   side-channels the serve-time invariants check against).
 * ``sk_base/v=<n>``   — LSM compaction target (sketch-merge-folded).
+* ``bins/batch=<id>`` — per-batch equal-frequency boundary snapshots
+  (``emit_binning_snapshot``): bins-sized timeline rows the compactor
+  never GCs, so boundary history outlives the sketch partials it was
+  computed from.
+* ``hist/batch=<id>`` — per-batch bin populations vs that batch's own
+  snapshot (``emit_binning_histogram``): the histogram-over-time half
+  of the binning dashboard, read with an L1-vs-uniform drift signal.
 * ``_LATEST``         — marker-committed exactly-once, the same
   replay semantics as every store in this package.
 
@@ -438,4 +445,197 @@ def serve_kll_mwu(
         "na",
         "nb",
         F.round(theta, 6).alias("auc_approx"),
+    )
+
+
+def emit_binning_snapshot(
+    spark: SparkSession,
+    store_path: str,
+    batch_id: int,
+    n_bins: int = 10,
+) -> bool:
+    """Streaming arm of equal-frequency binning (VERDICT r11 item 8):
+    append the store's CURRENT pooled bin boundaries as a
+    ``bins/batch=<id>`` timeline row — one row per event_type holding
+    n_bins−1 pooled-sketch quantiles plus the exact n/min/max
+    side-channels.  Call immediately AFTER
+    ``merge_batch_into_kll_store`` commits the batch (the equality
+    guard enforces it), the same post-commit cadence as the ANN
+    store's drift monitor.
+
+    The timeline row is BINS-sized (a handful of doubles per type),
+    not sketch-sized, so the LSM compactor never touches ``bins/`` —
+    boundary HISTORY survives the compaction that deletes the
+    per-batch sketch partials each snapshot was computed from.
+    Downstream consumers re-bin against the latest snapshot and use
+    :func:`read_binning_timeline`'s ``boundary_shift`` to decide when
+    boundaries have converged enough to freeze (or, on a spike, that
+    the value distribution moved and historical bins are stale).
+
+    Returns False (no-op) when this batch's snapshot already exists —
+    the replay guard every store ingest here shares.  ``n_bins`` must
+    stay constant over a store's lifetime (the reader's shift metric
+    zips consecutive boundary vectors positionally)."""
+    fs = _Fs(spark)
+    dest = _join(store_path, "bins", f"batch={batch_id}")
+    if fs.exists(dest):
+        return False
+    last = _read_last_batch(store_path)
+    if batch_id != last:
+        raise ValueError(
+            f"cannot snapshot batch {batch_id}: the sketch log is at "
+            f"batch {last} — emit immediately after the batch's merge "
+            f"commit, before the next merge"
+        )
+    acc = _acc_or_raise(spark, store_path)
+    pooled = F.kll_sketch_merge_double("sk_a", "sk_b")
+    acc.select(
+        F.lit(batch_id).cast("int").alias("batch_id"),
+        "event_type",
+        (F.col("na") + F.col("nb")).cast("bigint").alias("n_seen"),
+        F.lit(n_bins).cast("int").alias("n_bins"),
+        F.array(
+            *[
+                F.kll_sketch_get_quantile_double(pooled, F.lit(j / n_bins))
+                for j in range(1, n_bins)
+            ]
+        ).alias("bounds"),
+        F.least("min_a", "min_b").alias("vmin"),
+        F.greatest("max_a", "max_b").alias("vmax"),
+    ).write.mode("overwrite").parquet(dest)
+    return True
+
+
+def emit_binning_histogram(
+    spark: SparkSession,
+    store_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> bool:
+    """The histogram half of the binning dashboard: bin THIS batch's
+    (event_type, value) rows against the batch's own boundary snapshot
+    (which pools everything seen so far, this batch included) and
+    append the bins-sized counts as a ``hist/batch=<id>`` row set.
+
+    Under a stationary stream each batch lands ≈uniformly in the
+    current equal-frequency bins, so the per-batch share vector is
+    ≈1/n_bins everywhere; when the distribution moves, the incoming
+    batch concentrates in a few bins and
+    :func:`read_binning_histogram`'s ``l1_vs_uniform`` spikes — the
+    same staleness signal as ``boundary_shift``, read off POPULATIONS
+    instead of boundary positions (a shift the boundaries absorb
+    slowly still shows up immediately in where the new rows fall).
+
+    Cost per batch: one broadcast of the bins-sized boundary row set
+    + one hash aggregate over the batch — map-only, O(batch), no
+    state beyond the appended counts.  Call after
+    :func:`emit_binning_snapshot` for the same batch (the guard
+    checks the snapshot exists); replay is a no-op."""
+    fs = _Fs(spark)
+    dest = _join(store_path, "hist", f"batch={batch_id}")
+    if fs.exists(dest):
+        return False
+    snap_dir = _join(store_path, "bins", f"batch={batch_id}")
+    if not fs.exists(snap_dir):
+        raise ValueError(
+            f"no boundary snapshot for batch {batch_id}: emit the "
+            f"snapshot before its histogram"
+        )
+    bnd = spark.read.parquet(snap_dir).select(
+        "event_type", "n_bins", "bounds"
+    )
+    binned = batch_df.join(F.broadcast(bnd), "event_type").select(
+        F.lit(batch_id).cast("int").alias("batch_id"),
+        "event_type",
+        "n_bins",
+        (
+            F.lit(1)
+            + F.size(F.filter("bounds", lambda b: b < F.col("value")))
+        ).cast("int").alias("bin"),
+    )
+    binned.groupBy("batch_id", "event_type", "n_bins", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    ).write.mode("overwrite").parquet(dest)
+    return True
+
+
+def read_binning_histogram(spark: SparkSession, store_path: str) -> DataFrame:
+    """The committed histogram-over-time dashboard: per (event_type,
+    batch_id), each bin's share of the batch plus ``l1_vs_uniform`` =
+    Σ_bins |share − 1/n_bins| — 0 when the batch falls exactly
+    uniformly into the current equal-frequency bins (the stationary
+    expectation), approaching 2·(1 − 1/n_bins) when the batch
+    concentrates in one bin (a hard distribution break).  Bins a
+    batch produced no rows for count as share 0 (the sequence fill
+    below), so one-sided concentration can't hide.  All aggregation
+    runs over the hist log — (batches × types × bins) rows."""
+    dirs = _committed_batches(store_path, "hist")
+    if not dirs:
+        raise ValueError("KLL store has no committed histogram batches")
+    hist = spark.read.parquet(*dirs)
+    per_batch = hist.groupBy("batch_id", "event_type", "n_bins").agg(
+        F.sum("n_rows").alias("n_batch"),
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("bin"), F.col("n_rows")))
+            )
+        ).alias("by_bin"),
+    )
+    share = F.transform(
+        F.sequence(F.lit(1), F.col("n_bins")),
+        lambda b: F.coalesce(
+            F.element_at("by_bin", b).cast("double"), F.lit(0.0)
+        )
+        / F.col("n_batch"),
+    )
+    return per_batch.select(
+        "batch_id",
+        "event_type",
+        "n_bins",
+        F.col("n_batch").cast("bigint").alias("n_batch"),
+        F.round(
+            F.aggregate(
+                share,
+                F.lit(0.0),
+                lambda acc_, s: acc_
+                + F.abs(s - F.lit(1.0) / F.col("n_bins")),
+            ),
+            6,
+        ).alias("l1_vs_uniform"),
+    )
+
+
+def read_binning_timeline(spark: SparkSession, store_path: str) -> DataFrame:
+    """The committed boundary timeline with its stability metric:
+    per (event_type, batch_id), ``boundary_shift`` = max over bin
+    edges of |b_j − previous snapshot's b_j| normalized by the exact
+    value range seen so far — ≈0 once a stationary stream's
+    boundaries converge, spiking when the value distribution moves
+    (the signal that downstream bin assignments have gone stale).
+    NULL on each type's first snapshot, and on a (misuse) n_bins
+    change mid-store; serve-side pins treat non-first NULLs as
+    violations.  The lag window runs over the timeline relation —
+    (batches × types) rows, bins-sized — never over row data."""
+    from pyspark.sql import Window
+
+    dirs = _committed_batches(store_path, "bins")
+    if not dirs:
+        raise ValueError("KLL store has no committed binning snapshots")
+    snaps = spark.read.parquet(*dirs)
+    w = Window.partitionBy("event_type").orderBy("batch_id")
+    prev = F.lag("bounds").over(w)
+    shift = F.when(
+        prev.isNotNull() & (F.size(prev) == F.size("bounds")),
+        F.array_max(F.zip_with("bounds", prev, lambda b, p: F.abs(b - p)))
+        / F.greatest(F.col("vmax") - F.col("vmin"), F.lit(1e-300)),
+    )
+    return snaps.select(
+        "batch_id",
+        "event_type",
+        "n_seen",
+        "n_bins",
+        "bounds",
+        "vmin",
+        "vmax",
+        F.round(shift, 6).alias("boundary_shift"),
     )

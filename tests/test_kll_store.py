@@ -281,3 +281,134 @@ def test_uncommitted_partial_is_invisible(spark, sf_smoke):
         for r in accumulated_sketches(spark, store).collect()
     }
     assert after == before
+
+
+def test_binning_timeline_survives_compaction_and_guards(spark, sf_smoke):
+    """Boundary snapshots are bins-sized timeline rows the compactor
+    never GCs: after a mid-stream compaction deletes the sketch
+    partials, every (type, batch) snapshot is still readable.  Emit is
+    replay-idempotent and refuses off-commit batches."""
+    import pytest
+
+    from heatmap_spark.streaming.kll_store import (
+        emit_binning_histogram,
+        emit_binning_snapshot,
+        read_binning_histogram,
+        read_binning_timeline,
+    )
+
+    labeled = _labeled(spark, sf_smoke)
+    mx = labeled.agg(F.max("event_id")).first()[0] + 1
+    store = tempfile.mkdtemp(prefix="kll_tl_") + "/s"
+    with pytest.raises(ValueError, match="no committed binning"):
+        read_binning_timeline(spark, store)
+    with pytest.raises(ValueError, match="no committed histogram"):
+        read_binning_histogram(spark, store)
+    for b in range(3):
+        batch = labeled.where(
+            F.expr(f"CAST(event_id * 3 DIV {mx} AS INT)") == b
+        ).select("event_type", "is_a", "value")
+        merge_batch_into_kll_store(spark, batch, store, b)
+        if b == 0:
+            # the histogram needs its batch's snapshot first
+            with pytest.raises(ValueError, match="no boundary snapshot"):
+                emit_binning_histogram(
+                    spark, store, batch.select("event_type", "value"), b
+                )
+        assert emit_binning_snapshot(spark, store, b) is True
+        assert (
+            emit_binning_histogram(
+                spark, store, batch.select("event_type", "value"), b
+            )
+            is True
+        )
+        if b == 1:
+            compact_kll_store(spark, store)
+    n_types = labeled.select("event_type").distinct().count()
+    tl = read_binning_timeline(spark, store)
+    assert tl.count() == 3 * n_types
+    hist = read_binning_histogram(spark, store)
+    assert hist.count() == 3 * n_types
+    # per-batch bin shares sum to 1 via the sequence fill: L1 bounded
+    assert (
+        hist.where(F.col("l1_vs_uniform") > 2.0).count() == 0
+    )
+    # replay of an emitted snapshot/histogram: no-op; off-commit: loud
+    assert emit_binning_snapshot(spark, store, 2) is False
+    assert (
+        emit_binning_histogram(
+            spark,
+            store,
+            labeled.limit(5).select("event_type", "value"),
+            2,
+        )
+        is False
+    )
+    with pytest.raises(ValueError, match="sketch log is at batch 2"):
+        emit_binning_snapshot(spark, store, 5)
+    # first snapshot has no predecessor; later ones must have a shift
+    assert (
+        tl.where(
+            (F.col("batch_id") > 0) & F.col("boundary_shift").isNull()
+        ).count()
+        == 0
+    )
+    assert (
+        tl.where(
+            (F.col("batch_id") == 0) & F.col("boundary_shift").isNotNull()
+        ).count()
+        == 0
+    )
+
+
+def test_binning_timeline_shift_trips_on_distribution_move(spark):
+    """The stability metric is the staleness signal: a planted level
+    shift (values jump by 2x the original range at batch 2) must spike
+    boundary_shift at the shift batch, while the stationary batches
+    before it stay low."""
+    from heatmap_spark.streaming.kll_store import (
+        emit_binning_histogram,
+        emit_binning_snapshot,
+        merge_batch_into_kll_store,
+        read_binning_histogram,
+        read_binning_timeline,
+    )
+
+    base = spark.range(8000).select(
+        F.lit("t").alias("event_type"),
+        F.pmod(F.hash("id"), F.lit(2)).cast("int").alias("is_a"),
+        (F.pmod(F.hash("id", F.lit(7)), F.lit(100000)).cast("double") / 1000.0).alias(
+            "value"
+        ),
+        F.col("id"),
+    )
+    store = tempfile.mkdtemp(prefix="kll_tl_shift_") + "/s"
+    for b in range(4):
+        batch = base.where(F.col("id") % 4 == b)
+        if b >= 2:  # the planted move: +200 on a ~[0, 100) base
+            batch = batch.withColumn("value", F.col("value") + F.lit(200.0))
+        merge_batch_into_kll_store(
+            spark,
+            batch.select("event_type", "is_a", "value"),
+            store,
+            b,
+        )
+        emit_binning_snapshot(spark, store, b)
+        emit_binning_histogram(
+            spark, store, batch.select("event_type", "value"), b
+        )
+    shifts = {
+        r["batch_id"]: r["boundary_shift"]
+        for r in read_binning_timeline(spark, store).collect()
+    }
+    assert shifts[0] is None
+    assert shifts[1] < 0.05, shifts  # stationary: boundaries settled
+    assert shifts[2] > 0.15, shifts  # the move: boundaries jumped
+    l1 = {
+        r["batch_id"]: r["l1_vs_uniform"]
+        for r in read_binning_histogram(spark, store).collect()
+    }
+    # population arm sees the same move: the shifted batch piles into
+    # the top bins of its own pooled snapshot
+    assert l1[1] < 0.25, l1
+    assert l1[2] > 0.5, l1
