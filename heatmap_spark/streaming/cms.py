@@ -151,6 +151,8 @@ def estimate_heavy_hitters(
     also drop a seen token whose OTHER rows all collide, inflating
     min_j over the surviving subset."""
     cells = accumulated_sketch(spark, store_path)
+    if cells is None:
+        raise ValueError("CMS store has no committed batches")
     ch = F.md5(F.col("token"))
     rows_j = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
     cand = candidates.select(

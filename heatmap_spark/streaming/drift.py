@@ -167,19 +167,29 @@ def compact_drift_store(spark: SparkSession, store_path: str) -> int:
     return removed
 
 
+def _acc_or_raise(spark: SparkSession, store_path: str) -> DataFrame:
+    """Serve-path accumulation with the explicit empty-store error the
+    other stores raise (the ann/kll 'no committed' pattern) — otherwise
+    an uncommitted store surfaces as an AttributeError on None."""
+    acc = accumulated_value_table(spark, store_path)
+    if acc is None:
+        raise ValueError("drift store has no committed batches")
+    return acc
+
+
 def serve_drift_ks(spark: SparkSession, store_path: str) -> DataFrame:
     """Exact two-sample KS from the accumulated value table —
     bit-identical to the one-shot ks_test over the same history."""
-    return ks_from_value_table(accumulated_value_table(spark, store_path))
+    return ks_from_value_table(_acc_or_raise(spark, store_path))
 
 
 def serve_drift_mwu(spark: SparkSession, store_path: str) -> DataFrame:
     """Exact tie-corrected Mann–Whitney U from the accumulated value
     table — bit-identical to the one-shot mann_whitney."""
-    return mwu_from_value_table(accumulated_value_table(spark, store_path))
+    return mwu_from_value_table(_acc_or_raise(spark, store_path))
 
 
 def serve_drift_w1(spark: SparkSession, store_path: str) -> DataFrame:
     """Exact-quantized 1-Wasserstein drift from the accumulated value
     table — bit-identical to the one-shot wasserstein_drift."""
-    return w1_from_value_table(accumulated_value_table(spark, store_path))
+    return w1_from_value_table(_acc_or_raise(spark, store_path))

@@ -185,6 +185,8 @@ def serve_kmv_estimates(
     / 2^48.  One double division, round@4 — value-hashes cross-engine.
     Everything runs on k-row relations."""
     sk = accumulated_sketch(spark, store_path, k)
+    if sk is None:
+        raise ValueError("KMV store has no committed batches")
     merged = _topk(
         sk.select(F.lit("__all__").alias("event_type"), "hv").distinct(), k
     )

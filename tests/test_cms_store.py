@@ -64,3 +64,21 @@ def test_estimate_unseen_candidate_is_zero_not_dropped(spark, sf_smoke, tmp_path
     assert len(rows) == 1  # the row SURVIVES the lookup
     assert rows[0]["cms_est"] >= 0
     assert rows[0]["overestimate"] == rows[0]["cms_est"]
+
+
+def test_empty_store_serve_raises_value_error(spark):
+    """estimate_heavy_hitters on an uncommitted store raises the
+    explicit empty-store error (the ann/kll pattern), not an
+    AttributeError."""
+    import tempfile
+
+    import pytest
+
+    from heatmap_spark.streaming.cms import estimate_heavy_hitters
+
+    store = tempfile.mkdtemp(prefix="cms_empty_") + "/s"
+    cand = spark.createDataFrame(
+        [("tok", 1)], "token string, true_cnt bigint"
+    )
+    with pytest.raises(ValueError, match="no committed batches"):
+        estimate_heavy_hitters(spark, store, cand)

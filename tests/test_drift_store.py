@@ -102,3 +102,23 @@ def test_uncommitted_partial_is_invisible(spark, sf_smoke):
         F.sum(F.lit(1) - F.col("is_a")).alias("db"),
     ).write.mode("overwrite").parquet(store + "/vals/batch=9")
     assert _rows(serve_drift_ks(spark, store)) == before
+
+
+def test_empty_store_serve_raises_value_error(spark):
+    """Serve paths on an uncommitted store raise the explicit
+    empty-store error (the ann/kll pattern), not an AttributeError on
+    None."""
+    import tempfile
+
+    import pytest
+
+    from heatmap_spark.streaming.drift import (
+        serve_drift_ks,
+        serve_drift_mwu,
+        serve_drift_w1,
+    )
+
+    store = tempfile.mkdtemp(prefix="drift_empty_") + "/s"
+    for serve in (serve_drift_ks, serve_drift_mwu, serve_drift_w1):
+        with pytest.raises(ValueError, match="no committed batches"):
+            serve(spark, store)

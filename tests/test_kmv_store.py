@@ -107,3 +107,17 @@ def test_uncommitted_partial_is_invisible(spark, sf_smoke):
         "overwrite"
     ).parquet(store + "/sk/batch=7")
     assert _sk(accumulated_sketch(spark, store)) == before
+
+
+def test_empty_store_serve_raises_value_error(spark):
+    """serve_kmv_estimates on an uncommitted store raises the explicit
+    empty-store error (the ann/kll pattern), not an AttributeError."""
+    import tempfile
+
+    import pytest
+
+    from heatmap_spark.streaming.kmv import serve_kmv_estimates
+
+    store = tempfile.mkdtemp(prefix="kmv_empty_") + "/s"
+    with pytest.raises(ValueError, match="no committed batches"):
+        serve_kmv_estimates(spark, store)
