@@ -71,7 +71,12 @@ def ml_minhash_candidates(
             ).alias("exact_j"),
         )
     )
-    drifted = recheck.where(F.abs(F.col("jaccard") - F.col("exact_j")) > 1e-4).count()
+    # NULL exact_j (two empty shingle sets -> 0/0) is a violation, not
+    # a three-valued silent pass — the kll-drift guard pattern
+    drifted = recheck.where(
+        F.col("exact_j").isNull()
+        | (F.abs(F.col("jaccard") - F.col("exact_j")) > 1e-4)
+    ).count()
     if drifted:
         raise AssertionError(
             f"MinHashLSH emitted jaccard diverges from exact shingle "

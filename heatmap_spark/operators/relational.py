@@ -419,15 +419,21 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, p in enumerate(("p50", "p90", "p99"))
     ]
     bad = out.where(
-        (F.col("p50") > F.col("p90"))
+        # NULL estimates (a degenerate all-NULL group) are violations,
+        # not three-valued silent passes — the kll-drift guard pattern
+        F.col("p50").isNull()
+        | F.col("p90").isNull()
+        | F.col("p99").isNull()
+        | F.col("br").isNull()
+        | (F.col("p50") > F.col("p90"))
         | (F.col("p90") > F.col("p99"))
         | ~(in_bracket[0] & in_bracket[1] & in_bracket[2])
     ).count()
     if bad:
         raise AssertionError(
             f"approx_percentile pin violated for {bad} group(s): "
-            f"monotonicity p50<=p90<=p99 or an estimate outside the "
-            f"exact percentile bracket at p∓0.005"
+            f"NULL estimate, monotonicity p50<=p90<=p99, or an estimate "
+            f"outside the exact percentile bracket at p∓0.005"
         )
     return out.drop("br")
 
