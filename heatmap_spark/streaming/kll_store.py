@@ -220,6 +220,47 @@ def stream_kll_drift(
     )
 
 
+def stream_binning(
+    labeled_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    n_bins: int = 10,
+):
+    """Maintain the full binning dashboard from a labeled
+    (event_type, is_a, value) stream via foreachBatch (availableNow
+    trigger): each micro-batch merges its sketch partial, then emits
+    the boundary snapshot and the batch's histogram against it — the
+    same per-batch cadence the declared query drives by hand.  On a
+    restart replay every step is a no-op (marker guard on the merge,
+    directory guards on the emits) — EXCEPT a crash that landed
+    between the merge commit and the emits, which the replay heals:
+    the merge no-ops but the store is still AT this batch, so the
+    missing snapshot/histogram are emitted then (an older replayed
+    batch skips the emits entirely — its snapshot window has
+    passed)."""
+    spark = labeled_stream.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_batch_into_kll_store(spark, batch_df, store_path, batch_id)
+        if batch_id == _read_last_batch(store_path):
+            emit_binning_snapshot(spark, store_path, batch_id, n_bins)
+            emit_binning_histogram(
+                spark,
+                store_path,
+                batch_df.select("event_type", "value"),
+                batch_id,
+            )
+
+    return (
+        labeled_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _acc_or_raise(spark: SparkSession, store_path: str) -> DataFrame:
     """Serve-path accumulation with the explicit empty-store error the
     other stores raise (ann_store's 'no committed codes' pattern) —
@@ -544,6 +585,19 @@ def emit_binning_histogram(
     bnd = spark.read.parquet(snap_dir).select(
         "event_type", "n_bins", "bounds"
     )
+    _histogram_rows(batch_df, bnd, batch_id).write.mode(
+        "overwrite"
+    ).parquet(dest)
+    return True
+
+
+def _histogram_rows(
+    batch_df: DataFrame, bnd: DataFrame, batch_id: int
+) -> DataFrame:
+    """The emit's plan: broadcast the bins-sized boundary relation into
+    the batch scan (a shuffle join here would re-partition every batch
+    at scale — plan-pinned in tests/test_plans.py), native binning
+    tail, one hash aggregate down to (type, bin) counts."""
     binned = batch_df.join(F.broadcast(bnd), "event_type").select(
         F.lit(batch_id).cast("int").alias("batch_id"),
         "event_type",
@@ -553,10 +607,9 @@ def emit_binning_histogram(
             + F.size(F.filter("bounds", lambda b: b < F.col("value")))
         ).cast("int").alias("bin"),
     )
-    binned.groupBy("batch_id", "event_type", "n_bins", "bin").agg(
+    return binned.groupBy("batch_id", "event_type", "n_bins", "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
-    ).write.mode("overwrite").parquet(dest)
-    return True
+    )
 
 
 def read_binning_histogram(spark: SparkSession, store_path: str) -> DataFrame:

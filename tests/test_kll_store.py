@@ -412,3 +412,70 @@ def test_binning_timeline_shift_trips_on_distribution_move(spark):
     # the top bins of its own pooled snapshot
     assert l1[1] < 0.25, l1
     assert l1[2] > 0.5, l1
+
+
+def test_binning_stream_entry_point(spark, sf_smoke, tmp_path):
+    """stream_binning drives the whole dashboard from a file stream:
+    every committed micro-batch leaves a boundary snapshot AND a
+    histogram row set, and the accumulated counts cover the corpus."""
+    from heatmap_spark.streaming.kll_store import (
+        read_binning_histogram,
+        read_binning_timeline,
+        stream_binning,
+    )
+
+    labeled = _labeled(spark, sf_smoke).select(
+        "event_type", "is_a", "value"
+    )
+    store, src = str(tmp_path / "store"), str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    labeled.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(labeled.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_binning(stream, store, ckpt)
+    q.awaitTermination(timeout=300)
+    tl = read_binning_timeline(spark, store)
+    hist = read_binning_histogram(spark, store)
+    n_batches = tl.select("batch_id").distinct().count()
+    assert n_batches >= 3
+    # one snapshot per (type, batch) and one histogram row per too
+    assert tl.count() == hist.count()
+    # the histogram log partitions the corpus exactly
+    assert (
+        hist.agg(F.sum("n_batch")).first()[0] == labeled.count()
+    )
+
+
+def test_binning_histogram_crash_window_invisible(spark, sf_smoke):
+    """A hist dir written without the sketch marker covering it is
+    invisible to the reader — the store-wide crash-window contract."""
+    from heatmap_spark.streaming.kll_store import (
+        emit_binning_histogram,
+        emit_binning_snapshot,
+        read_binning_histogram,
+    )
+
+    labeled = _labeled(spark, sf_smoke)
+    store = tempfile.mkdtemp(prefix="kll_hist_cw_") + "/s"
+    batch = labeled.limit(400).select("event_type", "is_a", "value")
+    merge_batch_into_kll_store(spark, batch, store, 0)
+    emit_binning_snapshot(spark, store, 0)
+    emit_binning_histogram(
+        spark, store, batch.select("event_type", "value"), 0
+    )
+    before = sorted(
+        (r["batch_id"], r["event_type"], r["n_batch"])
+        for r in read_binning_histogram(spark, store).collect()
+    )
+    # orphan hist partial beyond the committed marker
+    spark.read.parquet(store + "/hist/batch=0").withColumn(
+        "batch_id", F.lit(9)
+    ).write.parquet(store + "/hist/batch=9")
+    after = sorted(
+        (r["batch_id"], r["event_type"], r["n_batch"])
+        for r in read_binning_histogram(spark, store).collect()
+    )
+    assert after == before

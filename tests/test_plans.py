@@ -724,3 +724,30 @@ def test_kll_store_serve_is_native_single_aggregate(spark, sf_smoke):
     merge_batch_into_kll_store(spark, ev, store, 0)
     for serve in (serve_kll_drift, serve_kll_w1):
         assert not has_python_eval(serve(spark, store))
+
+
+def test_binning_histogram_emit_broadcasts_bounds(spark, sf_smoke, tmp_path):
+    """The per-batch histogram emit joins batch rows to the bins-sized
+    boundary snapshot — that join must broadcast the snapshot (a
+    shuffle join here would re-partition every batch at 100 TB), and
+    the binning tail stays JVM-side."""
+    from heatmap_spark.streaming.kll_store import (
+        _histogram_rows,
+        emit_binning_snapshot,
+        merge_batch_into_kll_store,
+    )
+
+    labeled = load_table(spark, sf_smoke, "events").select(
+        "event_type",
+        F.lit(1).alias("is_a"),
+        "value",
+    )
+    store = str(tmp_path / "s")
+    merge_batch_into_kll_store(spark, labeled, store, 0)
+    emit_binning_snapshot(spark, store, 0)
+    bnd = spark.read.parquet(store + "/bins/batch=0").select(
+        "event_type", "n_bins", "bounds"
+    )
+    binned = _histogram_rows(labeled, bnd, 0)
+    assert has_broadcast_join(binned), plan_string(binned, "simple")
+    assert not has_python_eval(binned)
