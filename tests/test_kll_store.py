@@ -479,3 +479,64 @@ def test_binning_histogram_crash_window_invisible(spark, sf_smoke):
         for r in read_binning_histogram(spark, store).collect()
     )
     assert after == before
+
+
+def test_dashboard_metrics_match_pure_python_reference(spark, sf_smoke):
+    """boundary_shift and l1_vs_uniform recomputed in plain Python
+    from the raw bins/hist logs must equal the Spark-computed columns
+    (round@6) — pins the metric arithmetic itself, not just its
+    behavior under stationary/shifted streams."""
+    from heatmap_spark.streaming.kll_store import (
+        emit_binning_histogram,
+        emit_binning_snapshot,
+        read_binning_histogram,
+        read_binning_timeline,
+    )
+
+    labeled = _labeled(spark, sf_smoke)
+    mx = labeled.agg(F.max("event_id")).first()[0] + 1
+    store = tempfile.mkdtemp(prefix="kll_ref_") + "/s"
+    for b in range(3):
+        batch = labeled.where(
+            F.expr(f"CAST(event_id * 3 DIV {mx} AS INT)") == b
+        ).select("event_type", "is_a", "value")
+        merge_batch_into_kll_store(spark, batch, store, b)
+        emit_binning_snapshot(spark, store, b)
+        emit_binning_histogram(
+            spark, store, batch.select("event_type", "value"), b
+        )
+
+    # raw logs, straight off parquet
+    snaps = {}
+    for r in spark.read.parquet(store + "/bins/batch=*").collect():
+        snaps[(r["event_type"], r["batch_id"])] = (
+            list(r["bounds"]), r["vmin"], r["vmax"], r["n_bins"]
+        )
+    hists = {}
+    for r in spark.read.parquet(store + "/hist/batch=*").collect():
+        hists.setdefault((r["event_type"], r["batch_id"]), {})[r["bin"]] = r[
+            "n_rows"
+        ]
+
+    for r in read_binning_timeline(spark, store).collect():
+        key = (r["event_type"], r["batch_id"])
+        if r["batch_id"] == 0:
+            assert r["boundary_shift"] is None
+            continue
+        bounds, vmin, vmax, _ = snaps[key]
+        pbounds = snaps[(r["event_type"], r["batch_id"] - 1)][0]
+        want = max(abs(a - b) for a, b in zip(bounds, pbounds)) / (
+            vmax - vmin
+        )
+        assert abs(r["boundary_shift"] - want) < 1e-6, key
+
+    for r in read_binning_histogram(spark, store).collect():
+        key = (r["event_type"], r["batch_id"])
+        by_bin = hists[key]
+        n = sum(by_bin.values())
+        assert r["n_batch"] == n
+        want = sum(
+            abs(by_bin.get(b, 0) / n - 1.0 / r["n_bins"])
+            for b in range(1, r["n_bins"] + 1)
+        )
+        assert abs(r["l1_vs_uniform"] - want) < 1e-6, key
