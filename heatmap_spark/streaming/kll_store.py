@@ -351,6 +351,19 @@ def serve_kll_drift(
     )
 
 
+def _pooled_sketch():
+    """Both halves merged, tolerating a one-sided type: the binning
+    arms pool the halves anyway (the half label is the DRIFT family's
+    concern), so a type whose rows all landed in one half must not
+    produce a NULL pooled sketch (kll_sketch_merge_double is
+    NULL-propagating).  Merging a half with itself preserves every
+    quantile — duplicating each item scales ranks uniformly — so the
+    coalesced spelling is exact, not an approximation."""
+    return F.kll_sketch_merge_double(
+        F.coalesce("sk_a", "sk_b"), F.coalesce("sk_b", "sk_a")
+    )
+
+
 def serve_kll_bins(
     spark: SparkSession,
     store_path: str,
@@ -366,7 +379,7 @@ def serve_kll_bins(
     error instead of exactly; everything downstream of the boundary
     source is unchanged.  ``rows`` must carry (event_type, value)."""
     acc = _acc_or_raise(spark, store_path)
-    pooled = F.kll_sketch_merge_double("sk_a", "sk_b")
+    pooled = _pooled_sketch()
     bnd = acc.select(
         "event_type",
         F.array_sort(
@@ -529,7 +542,7 @@ def emit_binning_snapshot(
             f"commit, before the next merge"
         )
     acc = _acc_or_raise(spark, store_path)
-    pooled = F.kll_sketch_merge_double("sk_a", "sk_b")
+    pooled = _pooled_sketch()
     acc.select(
         F.lit(batch_id).cast("int").alias("batch_id"),
         "event_type",

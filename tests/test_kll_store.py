@@ -540,3 +540,41 @@ def test_dashboard_metrics_match_pure_python_reference(spark, sf_smoke):
             for b in range(1, r["n_bins"] + 1)
         )
         assert abs(r["l1_vs_uniform"] - want) < 1e-6, key
+
+
+def test_binning_tolerates_one_sided_store(spark, sf_smoke):
+    """A store fed entirely into one half (the binning arms pool the
+    halves, so callers that don't care about drift labels may ingest
+    is_a=1 throughout) must still serve non-NULL boundaries and bins —
+    merging a half with itself preserves every quantile."""
+    from heatmap_spark.streaming.kll_store import (
+        emit_binning_histogram,
+        emit_binning_snapshot,
+        read_binning_histogram,
+        read_binning_timeline,
+        serve_kll_bins,
+    )
+
+    labeled = _labeled(spark, sf_smoke).select(
+        "event_type", F.lit(1).alias("is_a"), "value"
+    )
+    store = tempfile.mkdtemp(prefix="kll_oneside_") + "/s"
+    merge_batch_into_kll_store(spark, labeled, store, 0)
+    emit_binning_snapshot(spark, store, 0)
+    emit_binning_histogram(
+        spark, store, labeled.select("event_type", "value"), 0
+    )
+    tl = read_binning_timeline(spark, store)
+    assert tl.where(F.col("bounds").isNull()).count() == 0
+    assert tl.where(F.expr("exists(bounds, b -> b is null)")).count() == 0
+    hist = read_binning_histogram(spark, store)
+    assert hist.where(F.col("l1_vs_uniform").isNull()).count() == 0
+    # and the serve-side binning covers every row
+    total = (
+        serve_kll_bins(
+            spark, store, labeled.select("event_type", "value")
+        )
+        .agg(F.sum("n_rows"))
+        .first()[0]
+    )
+    assert total == labeled.count()
