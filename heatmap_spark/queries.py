@@ -1356,11 +1356,18 @@ def q_streaming_binning_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (measured 0.005 at sf0.01; sketch rank error ≈1.7% at
         k=200);
     (3) stationarity, boundary arm — every type's final
-        boundary_shift ≤ 0.06 of the value range (measured ≤0.018;
-        batches are event_id thirds of one distribution);
+        boundary_shift ≤ 0.04 + 2/√n_seen of the value range: the
+        additive floor is the k=200 sketch rank-error envelope, the
+        √n term the empirical-quantile fluctuation of the batches
+        themselves (measured 0.062 at sf0.001/n≈200 vs pin 0.181,
+        0.018 at sf0.01/n≈2000 vs 0.085, 0.015 at the 10M probe vs
+        0.041 — ~3-5× margin at every scale);
     (4) stationarity, population arm — every (type, batch)
-        l1_vs_uniform ≤ 0.25 (measured ≤0.118 at sf0.01's ~650-row
-        per-type batches — multinomial noise, not drift);
+        l1_vs_uniform ≤ 0.10 + 6/√n_batch: multinomial L1 noise is
+        ≈2.4/√n (n_bins·E|p̂−p| at p=1/n_bins) and the floor is the
+        sketch-boundary error's contribution (measured 0.324 at
+        sf0.001/n≈63 vs pin 0.856, 0.118 at sf0.01/n≈650 vs 0.335,
+        0.049 at the 10M probe's drifted batches vs 0.103);
     (5) NULL/shape guards — a non-first snapshot with NULL shift,
         non-monotone bounds, or a NULL l1 is a violation (three-
         valued logic made loud, per the r11 advice pattern)."""
@@ -1401,7 +1408,9 @@ def q_streaming_binning_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         read_binning_timeline(spark, store)
         .join(
-            hist.select("batch_id", "event_type", "l1_vs_uniform"),
+            hist.select(
+                "batch_id", "event_type", "n_batch", "l1_vs_uniform"
+            ),
             ["batch_id", "event_type"],
         )
         .localCheckpoint(eager=True)
@@ -1440,16 +1449,26 @@ def q_streaming_binning_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     bad_shape = out.where(
         ((F.col("batch_id") > 0) & F.col("boundary_shift").isNull())
-        | ((F.col("batch_id") == 2) & (F.col("boundary_shift") > 0.06))
+        | (
+            (F.col("batch_id") == 2)
+            & (
+                F.col("boundary_shift")
+                > F.lit(0.04) + F.lit(2.0) / F.sqrt("n_seen")
+            )
+        )
         | (F.to_json("bounds") != F.to_json(F.array_sort("bounds")))
         | F.col("l1_vs_uniform").isNull()
-        | (F.col("l1_vs_uniform") > 0.25)
+        | (
+            F.col("l1_vs_uniform")
+            > F.lit(0.10) + F.lit(6.0) / F.sqrt("n_batch")
+        )
     ).count()
     if bad_shape:
         raise AssertionError(
             f"{bad_shape} snapshot(s) violate the stationarity/shape "
-            f"pins (final shift ≤ 0.06, non-first shift non-NULL, "
-            f"monotone bounds, per-batch L1 vs uniform ≤ 0.25)"
+            f"pins (final shift ≤ 0.04+2/√n_seen, non-first shift "
+            f"non-NULL, monotone bounds, per-batch L1 vs uniform ≤ "
+            f"0.10+6/√n_batch)"
         )
     return out.select(
         "batch_id",
@@ -3350,7 +3369,8 @@ FROM totals t JOIN psi USING (event_type)""",
     # (compaction-surviving timeline) + convergence metric; rows-only —
     # the boundaries come from randomized sketch binaries (no DuckDB
     # replay), pins are in-query raises (rank accuracy 0.05,
-    # stationary final shift 0.06, history completeness, NULL guards)
+    # scale-aware stationarity bounds, history completeness, NULL
+    # guards)
     "q_streaming_binning_timeline": QuerySpec(
         q_streaming_binning_timeline, None
     ),

@@ -80,27 +80,21 @@ def test_priority_window_is_first_50():
     """The grading driver hash-checks REGISTRY positions 0-49: the
     curated _PRIORITY list must be exactly that prefix.  Every
     rows-only entry in the window must be individually justified
-    (each is a hash slot spent on a weaker check) — the round-11 set
-    is the two NEW store arms landing their first driver row
-    (q_streaming_ann_opq: bit-identity + recall raise pins;
-    q_streaming_kll_drift: exact-count + KS/W1 error-bound raise
-    pins) plus the five queries whose rows-only pins were
-    strengthened with in-query raises this round and therefore
-    re-enter under the freshness invariant (q_approx_distinct,
-    q_hll_sketches, q_kll_quantiles, q_knn_cosine_ivf,
-    q_media_features).  Any OTHER rows-only entry is a wasted hash
-    slot and fails here."""
+    (each is a hash slot spent on a weaker check) — the round-12 set
+    is the round's one NEW landing (q_streaming_binning_timeline:
+    history-completeness, rank-accuracy, scale-aware stationarity and
+    NULL-guard raise pins) plus the two whose defs churned this round
+    and therefore re-enter under the freshness invariant
+    (q_streaming_kll_drift: served-MWU arm + NULL guards added;
+    q_approx_quantiles: exact-twin bracket pin added).  Any OTHER
+    rows-only entry is a wasted hash slot and fails here."""
     from heatmap_spark.queries import _PRIORITY, REGISTRY
 
     keys = list(REGISTRY)
     assert keys[:50] == _PRIORITY
     rows_only = {k for k in keys[:50] if REGISTRY[k].oracle is None}
     assert rows_only == {
-        "q_streaming_ann_opq",
+        "q_streaming_binning_timeline",
         "q_streaming_kll_drift",
-        "q_approx_distinct",
-        "q_hll_sketches",
-        "q_kll_quantiles",
-        "q_knn_cosine_ivf",
-        "q_media_features",
+        "q_approx_quantiles",
     }
