@@ -2705,9 +2705,18 @@ def fwht_rotate(vec: Column, dim: int = 64) -> Column:
     array twice per element, and Catalyst's projection collapsing
     inlines the reference — 2^6 copies of the chain, a measured
     driver OOM at plan build.  The flat form is 64×64 fixed-order
-    terms, linear and codegen-friendly, and the DuckDB oracle writes
-    the identical nested-lambda sum, so every float op pairs up
-    bitwise across engines."""
+    terms and keeps the PLAN linear, but the 4096-term projection
+    still exceeds Janino's per-method limits: whole-stage codegen
+    logs an InternalCompilerException and the stage falls back to
+    interpreted execution (correct results, one noisy ERROR line).
+    That cost is real but paid ONCE — the rotated relations are
+    localCheckpoint-materialized at index build (and included in the
+    1M-vector probe figures); serving reads the materialized arrays.
+    A codegen-clean respelling is off the table on purpose: the
+    DuckDB oracle writes the identical nested-lambda sum in the
+    identical order, so every float op pairs up bitwise across
+    engines — re-associating the sum to shrink methods would break
+    the value hash."""
     signs = _rabitq_signs(dim)
     flipped = [
         F.element_at(vec, i + 1) * F.lit(float(signs[i])) for i in range(dim)
