@@ -63,7 +63,11 @@ def user_groups_expr(user_id: Column | str) -> Column:
     )
 
 
-def ingest_locations(locations: DataFrame, detail_zoom: int = DETAIL_MAX_ZOOM) -> DataFrame:
+def ingest_locations(
+    locations: DataFrame,
+    detail_zoom: int = DETAIL_MAX_ZOOM,
+    partition_prefix_zoom: int = MIN_PYRAMID_ZOOM,
+) -> DataFrame:
     """P1 (reference heatmap.py:25-36): drop 'background' rows, quantize
     (lat, lon) to integer (row, col) at the detail zoom, project.
 
@@ -78,6 +82,30 @@ def ingest_locations(locations: DataFrame, detail_zoom: int = DETAIL_MAX_ZOOM) -
     (the reshuffle of the filtered input costs far less than running
     the expansion single-threaded; at 100 TB the input naturally has
     thousands of splits and this is a no-op).
+
+    The spread is HASH-partitioned on the ``partition_prefix_zoom``
+    ancestor tile (row >> Δ, col >> Δ), materialized as the
+    ``_pref_row`` / ``_pref_col`` columns, not round-robin (r12, guide
+    §2.3-2.5 + §8): every pyramid tile key at zoom ≥ prefix_zoom is a
+    function of that prefix, so when :func:`_level_agg` includes the
+    prefix columns in its grouping keys (groups are unchanged — the
+    prefix is determined by (zoom, row, col)), HashPartitioning on the
+    prefix SATISFIES the aggregation's required distribution and
+    Catalyst plans the whole 16-level rollup with ZERO further
+    exchanges: the one spread shuffle carries raw points (5 narrow
+    columns), and the per-level partial shuffles disappear outright
+    (guide §2.4 "remove shuffles").  It also skips round-robin's
+    mandatory local sort (spark.sql.execution.sortBeforeRepartition).
+    Balance: the default prefix (zoom 6) has 4096 distinct tiles ≈
+    128× the 32-way local parallelism — past the 20-100× guideline;
+    geographic hotspots at 100 TB can warrant a finer prefix
+    (``partition_prefix_zoom``), trading a bounded re-duplication of
+    coarse-zoom partials for spread.
+
+    At 100 TB the input naturally has more splits than cores, the
+    spread elides, and the aggregation keeps its classic partial →
+    exchange → final shape (no prefix columns are attached, so the
+    exchange carries nothing extra).
     """
     filtered = locations.where(F.col("source") != "background")
     # guard the Mercator domain: NaN / out-of-range coordinates would
@@ -87,6 +115,13 @@ def ingest_locations(locations: DataFrame, detail_zoom: int = DETAIL_MAX_ZOOM) -
         F.col("latitude").between(-85.05112878, 85.05112878)
         & F.col("longitude").between(-180.0, 180.0)
     )
+    quantized = filtered.select(
+        tile_row("latitude", detail_zoom).alias("row"),
+        tile_col("longitude", detail_zoom).alias("col"),
+        F.col("ts"),
+        F.col("user_id"),
+        F.col("weight"),
+    )
     if not locations.isStreaming:  # inputFiles is undefined on streaming plans
         target = locations.sparkSession.sparkContext.defaultParallelism
         # spread decision from file-split count — NOT .rdd.getNumPartitions(),
@@ -95,14 +130,13 @@ def ingest_locations(locations: DataFrame, detail_zoom: int = DETAIL_MAX_ZOOM) -
         # undercounts multi-rowgroup files, which only over-spreads.
         # 0 files = in-memory relation → spread unconditionally (cheap).
         if len(locations.inputFiles()) < target:
-            filtered = filtered.repartition(target)
-    return filtered.select(
-        tile_row("latitude", detail_zoom).alias("row"),
-        tile_col("longitude", detail_zoom).alias("col"),
-        F.col("ts"),
-        F.col("user_id"),
-        F.col("weight"),
-    )
+            shift = max(0, detail_zoom - partition_prefix_zoom)
+            quantized = (
+                quantized.withColumn("_pref_row", F.shiftright("row", shift))
+                .withColumn("_pref_col", F.shiftright("col", shift))
+                .repartition(target, F.col("_pref_row"), F.col("_pref_col"))
+            )
+    return quantized
 
 
 def expand_groups_and_timespans(
@@ -110,23 +144,44 @@ def expand_groups_and_timespans(
 ) -> DataFrame:
     """P2 (reference heatmap.py:57-77) done once at ingest: one row per
     (user_group × timespan label)."""
+    pref = _pref_cols(ingested)
     return ingested.select(
         F.explode(user_groups_expr("user_id")).alias("user_group"),
         F.col("row"),
         F.col("col"),
         F.col("ts"),
         F.col("weight"),
+        *pref,
     ).select(
         "user_group",
         F.explode(timespan_labels("ts", timespans)).alias("timespan"),
         "row",
         "col",
         "weight",
+        *pref,
     )
 
 
+PREF_COLS = ("_pref_row", "_pref_col")
+
+# the pyramid's output contract — prefix partition columns never leak
+PYRAMID_COLS = ("user_group", "timespan", "zoom", "row", "col", "visits")
+
+
+def _pref_cols(df: DataFrame) -> list[str]:
+    return [c for c in PREF_COLS if c in df.columns]
+
+
 def _level_agg(df: DataFrame) -> DataFrame:
-    return df.groupBy("user_group", "timespan", "zoom", "row", "col").agg(
+    """groupBy over the pyramid key.  When the subtree-prefix partition
+    columns are present (small-input spread path, see ingest_locations)
+    they join the grouping key: the prefix is a pure function of
+    (zoom, row, col) at zoom ≥ prefix_zoom, so the groups are
+    IDENTICAL, but HashPartitioning(_pref_row, _pref_col) now satisfies
+    the aggregation's ClusteredDistribution (partitioning expressions ⊆
+    grouping keys) and Catalyst plans the rollup without any exchange
+    (guide §2.4)."""
+    return df.groupBy(*_pref_cols(df), "user_group", "timespan", "zoom", "row", "col").agg(
         F.sum("weight").alias("visits")
     )
 
@@ -145,6 +200,7 @@ def pyramid_explode(
     """
     z = F.col("zoom")
     delta = (F.lit(max_zoom) - z).cast("int")
+    pref = _pref_cols(expanded)
     leveled = expanded.select(
         "user_group",
         "timespan",
@@ -152,6 +208,7 @@ def pyramid_explode(
         "row",
         "col",
         "weight",
+        *pref,
     ).select(
         "user_group",
         "timespan",
@@ -159,8 +216,9 @@ def pyramid_explode(
         F.floor(F.col("row") / F.pow(F.lit(2.0), delta)).alias("row"),
         F.floor(F.col("col") / F.pow(F.lit(2.0), delta)).alias("col"),
         "weight",
+        *pref,
     )
-    return _level_agg(leveled)
+    return _level_agg(leveled).select(*PYRAMID_COLS)
 
 
 RELIABLE_CHECKPOINT_CONF = "heatmap.cascade.reliableCheckpoint"
@@ -243,7 +301,16 @@ def pyramid_cascade(
     recomputes nothing — same plan shape, storage swaps from local
     disk blocks to the DFS.
     """
-    cur = _level_agg(expanded.withColumn("zoom", F.lit(max_zoom)))
+    # The zoom-21 seed aggregation rides the ingest spread's subtree-
+    # prefix partitioning (exchange-free, see _level_agg); the prefix
+    # columns are then DROPPED before the first checkpoint: chunk
+    # inputs are checkpointed RDDs whose partitioning is unknown to
+    # Catalyst (localCheckpoint loses it), so the chunk aggregations
+    # re-exchange regardless and carrying the prefix would only fatten
+    # every checkpoint and chunk shuffle by two long columns (measured
+    # +22% shuffle / +27% checkpoint re-read bytes at sf0.1).
+    cur = _level_agg(expanded.withColumn("zoom", F.lit(max_zoom))).select(*PYRAMID_COLS)
+    pref: list[str] = []
     parts = []
     z = max_zoom
     first = True
@@ -263,6 +330,7 @@ def pyramid_cascade(
             "row",
             "col",
             F.col("visits").alias("weight"),
+            *pref,
         ).select(
             "user_group",
             "timespan",
@@ -270,6 +338,7 @@ def pyramid_cascade(
             F.floor(F.col("row") / F.pow(F.lit(2.0), d)).alias("row"),
             F.floor(F.col("col") / F.pow(F.lit(2.0), d)).alias("col"),
             "weight",
+            *pref,
         )
         chunk = _level_agg(shifted)  # levels z-1 .. z-step
         if persist:
@@ -281,7 +350,7 @@ def pyramid_cascade(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return out.select(*PYRAMID_COLS)
 
 
 def build_pyramid(
@@ -292,7 +361,10 @@ def build_pyramid(
     max_zoom: int = DETAIL_MAX_ZOOM,
 ) -> DataFrame:
     """locations → (user_group, timespan, zoom, row, col, visits)."""
-    expanded = expand_groups_and_timespans(ingest_locations(locations, max_zoom), timespans)
+    expanded = expand_groups_and_timespans(
+        ingest_locations(locations, max_zoom, partition_prefix_zoom=min_zoom),
+        timespans,
+    )
     if mode == "explode":
         return pyramid_explode(expanded, min_zoom, max_zoom)
     if mode == "cascade":

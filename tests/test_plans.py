@@ -34,8 +34,24 @@ def test_q3_and_q5_broadcast_small_dims(spark, sf_smoke):
 
 
 def test_pyramid_explode_is_single_shuffle(spark, sf_smoke):
+    """ONE exchange total for all 16 zoom levels — and it is the
+    small-input parallelism spread, not the aggregation (r12): the
+    spread hash-partitions on the zoom-6 subtree prefix columns
+    (_pref_row, _pref_col = row>>Δ, col>>Δ), the rollup includes them
+    in its grouping key (groups unchanged — the prefix is a function
+    of (zoom, row, col)), so HashPartitioning(prefix) satisfies the
+    aggregation's required distribution and Catalyst inserts ZERO
+    ENSURE_REQUIREMENTS exchanges.  At 100 TB the input has more
+    splits than cores, the spread elides, and the classic partial →
+    exchange → final shape returns."""
     df = q_heatmap_pyramid(spark, sf_smoke)
+    plan = plan_string(df, "formatted")
+    assert plan.count("ENSURE_REQUIREMENTS") == 0, plan
     assert count_exchanges(df) == 1, plan_string(df, "simple")
+    # the spread must be the prefix hash, not round-robin (round-robin
+    # pays a local sort and scatters subtree keys across partitions)
+    assert "RoundRobinPartitioning" not in plan, plan
+    assert "hashpartitioning(_pref_row" in plan, plan
 
 
 def test_no_python_eval_on_hot_paths(spark, sf_smoke):
@@ -596,6 +612,10 @@ def test_round5c_landings_plan_shapes(spark, sf_smoke):
 
     rt = q_heatmap_retraction(spark, sf_smoke)
     assert not has_python_eval(rt)
+    # the only exchange is the small-input parallelism spread on the
+    # subtree prefix; the rollup itself is exchange-free (see
+    # test_pyramid_explode_is_single_shuffle)
+    assert plan_string(rt, "formatted").count("ENSURE_REQUIREMENTS") == 0
     assert count_exchanges(rt) == 1, plan_string(rt, "simple")
 
     pp = preference_pairs(spark, sf_smoke)
