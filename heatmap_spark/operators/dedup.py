@@ -188,10 +188,16 @@ def connected_components(
     i.e. diameter up to ~2^50 via the pointer-jump doubling) somehow
     fails to converge rather than returning wrong labels.
     """
+    # Materialize the (static) edge set ONCE: every round joins against
+    # it, and without the cut each round would recompute the full
+    # upstream lineage (for dense_regions / dedup_clusters that is the
+    # whole candidate-generation pipeline) — O(rounds × input) work for
+    # an O(input) job (r12, guide §1.2 "don't recompute").
     edges = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .union(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")
@@ -209,6 +215,7 @@ def connected_components(
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
@@ -223,18 +230,18 @@ def connected_components(
             stepped.join(parent, stepped.label == parent.p_node, "left")
             .select(
                 "node",
+                "old_label",
                 F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
+        # convergence test on the just-materialized result — the old
+        # label rides along, so this is a filter scan of the checkpoint
+        # blocks, not another labels join+shuffle job (r12)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True
             break

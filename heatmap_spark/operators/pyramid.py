@@ -190,6 +190,8 @@ def pyramid_explode(
     expanded: DataFrame,
     min_zoom: int = MIN_PYRAMID_ZOOM,
     max_zoom: int = DETAIL_MAX_ZOOM,
+    keep_prefix: bool = False,
+    detail_zoom: int | None = None,
 ) -> DataFrame:
     """All zoom levels in ONE aggregation (SURVEY.md §2.5 strategy 1).
 
@@ -197,9 +199,17 @@ def pyramid_explode(
     detail (row, col) (see functions/tiles.py exactness note), so the
     explode is pure codegen arithmetic: no re-quantization float math,
     no string keys, one exchange for the whole 16-level pyramid.
+
+    ``detail_zoom`` is the zoom of the INPUT rows (defaults to
+    ``max_zoom``, the historical single-band call shape); pass it
+    explicitly when emitting a band that stops below the detail level
+    (q_heatmap_table_stats' zoom 6-10 band) — the ancestor shift is
+    ``detail_zoom - z``, not ``max_zoom - z``.
     """
+    if detail_zoom is None:
+        detail_zoom = max_zoom
     z = F.col("zoom")
-    delta = (F.lit(max_zoom) - z).cast("int")
+    delta = (F.lit(detail_zoom) - z).cast("int")
     pref = _pref_cols(expanded)
     leveled = expanded.select(
         "user_group",
@@ -218,7 +228,12 @@ def pyramid_explode(
         "weight",
         *pref,
     )
-    return _level_agg(leveled).select(*PYRAMID_COLS)
+    out = _level_agg(leveled)
+    if keep_prefix:
+        # caller stacks further prefix-keyed aggregations on top
+        # (q_heatmap_table_stats) — hand the partition columns through
+        return out.select(*PYRAMID_COLS, *pref)
+    return out.select(*PYRAMID_COLS)
 
 
 RELIABLE_CHECKPOINT_CONF = "heatmap.cascade.reliableCheckpoint"

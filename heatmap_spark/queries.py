@@ -643,34 +643,67 @@ def q_heatmap_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The stats never need the heatmap map itself, so this path skips
     the collect-to-map ObjectHashAggregate (exercised by
     q_heatmap_resultsets / q_heatmap_table instead): count/sum
-    partial-aggregate map-side, so the exchange carries result-set
-    partials (~300k rows) instead of every detail entry (~2M rows /
-    ~87 MB at sf0.1).  visits are integer-valued doubles (sums of 1.0
-    weights), so the sum is order-exact and hash-matches DuckDB."""
-    p = pyr.build_pyramid(load_locations(spark, sf_dir), mode="explode")
-    return (
-        p.groupBy(
-            "user_group",
-            "timespan",
-            (F.col("zoom") - 5).alias("rs_zoom"),
-            F.shiftright("row", 5).alias("rs_row"),
-            F.shiftright("col", 5).alias("rs_col"),
-        )
-        .agg(
-            F.count("*").cast("int").alias("n_entries"),
-            F.sum("visits").alias("total_visits"),
-        )
-        .select(
-            F.concat_ws(
-                "|",
+    partial-aggregate map-side.  visits are integer-valued doubles
+    (sums of 1.0 weights), so the sum is order-exact and hash-matches
+    DuckDB.
+
+    r12 (guide §2.4): when the small-input ingest spread is active the
+    pyramid is built in two zoom bands over the same spread exchange.
+    For zoom ≥ 11 the result-set tile (rs_zoom = zoom-5 ≥ 6) determines
+    the zoom-6 subtree prefix, so BOTH stacked aggregations (pyramid
+    rollup, then rs stats) keep the spread's prefix partitioning and
+    run with zero further exchanges; only the five coarse levels
+    (zoom 6-10, whose rs tiles are coarser than the prefix) take the
+    classic partial→exchange→final shape over their own small row set.
+    Group sets are disjoint by rs_zoom, so the union is the identical
+    result (hash-verified).  Measured at sf0.1: total shuffle 126 MB
+    (inherited) → 54 MB (prefix rollup) → ~3 MB (this split).
+
+    At cluster scale the spread elides (input splits ≥ cores), no
+    prefix columns exist, and the split would only buy a second scan
+    of the raw input — so the query keeps the single-band r11 shape
+    there (one scan, partial→exchange→final twice, the rs exchange
+    carrying ~result-set-count partial rows)."""
+    expanded = pyr.expand_groups_and_timespans(
+        pyr.ingest_locations(load_locations(spark, sf_dir))
+    )
+
+    def rs_stats(p: DataFrame, pref: tuple[str, ...]) -> DataFrame:
+        return (
+            p.groupBy(
+                *pref,
                 "user_group",
                 "timespan",
-                tl.tile_id_from_zrc(F.col("rs_zoom"), F.col("rs_row"), F.col("rs_col")),
-            ).alias("id"),
-            "n_entries",
-            "total_visits",
+                (F.col("zoom") - 5).alias("rs_zoom"),
+                F.shiftright("row", 5).alias("rs_row"),
+                F.shiftright("col", 5).alias("rs_col"),
+            )
+            .agg(
+                F.count("*").cast("int").alias("n_entries"),
+                F.sum("visits").alias("total_visits"),
+            )
+            .select(
+                F.concat_ws(
+                    "|",
+                    "user_group",
+                    "timespan",
+                    tl.tile_id_from_zrc(
+                        F.col("rs_zoom"), F.col("rs_row"), F.col("rs_col")
+                    ),
+                ).alias("id"),
+                "n_entries",
+                "total_visits",
+            )
         )
-    )
+
+    pref = tuple(c for c in pyr.PREF_COLS if c in expanded.columns)
+    if not pref:
+        # cluster scale: no spread, no prefix — single-band shape
+        return rs_stats(pyr.pyramid_explode(expanded, 6, 21), ())
+    split = 11  # rs_zoom = zoom-5 ≥ 6 keeps the subtree prefix
+    hi = pyr.pyramid_explode(expanded, split, 21, keep_prefix=True)
+    lo = pyr.pyramid_explode(expanded, 6, split - 1, detail_zoom=21)
+    return rs_stats(hi, pref).unionByName(rs_stats(lo, ()))
 
 
 def q_heatmap_table(spark: SparkSession, sf_dir: str) -> DataFrame:
