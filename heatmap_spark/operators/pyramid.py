@@ -551,6 +551,18 @@ def dense_regions(
 
     Reference: none — SURVEY.md §2.8 extension of the reference's own
     geo domain.
+
+    r12 (guide §5): the dense-cell graph is bounded by GEOMETRY, not
+    input size — a zoom-z grid has at most 4^z cells (zoom 6 → 4,096
+    nodes, ≤ 16k undirected 8-neighbor edges) no matter how many
+    points feed it.  For zoom ≤ 8 (≤ 65,536 cells) the component merge
+    therefore runs as union-find on the driver over the collected edge
+    list — the same model-sized-driver-state pattern as the IVF/OPQ
+    codebooks — replacing the measured 21 iterative join rounds
+    (~2 s/round of job latency at any scale) with one collect.  Labels
+    are identical: union-by-min-root yields region_id = min cell_id in
+    the component, exactly the distributed algorithm's fixpoint.
+    Deeper zooms keep the distributed pointer-jumping CC.
     """
     from heatmap_spark.operators.dedup import connected_components
 
@@ -586,9 +598,34 @@ def dense_regions(
         .select(F.col("cell_id").alias("cell_a"), "cell_b")
         .distinct()
     )
-    labels = connected_components(edges, a="cell_a", b="cell_b").select(
-        F.col("doc_id").alias("cell_id"), F.col("cluster_id").alias("region_id")
-    )
+    if (1 << (2 * zoom)) <= (1 << 16):
+        # bounded grid: union-find on the driver (≤ 4^zoom nodes)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            ra, rb = find(r.cell_a), find(r.cell_b)
+            if ra != rb:  # attach the larger root under the smaller →
+                if ra > rb:  # root is always the component's min id
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(int(n), int(find(n))) for n in parent]
+        labels = F.broadcast(
+            cells.sparkSession.createDataFrame(
+                rows, schema="cell_id long, region_id long"
+            )
+        )
+    else:
+        labels = connected_components(edges, a="cell_a", b="cell_b").select(
+            F.col("doc_id").alias("cell_id"), F.col("cluster_id").alias("region_id")
+        )
     return (
         cells.join(labels, "cell_id", "left")
         .select(

@@ -78,41 +78,92 @@ class _Fs:
     non-atomic window milliseconds, and a reader that catches it
     treats the store as "no version committed" and retries.
 
+    Local-filesystem fast path (r12, guide §4/§5): every JVM-backed op
+    here costs 3-8 py4j driver roundtrips; a partitioned-store merge
+    does O(touched buckets) of them per batch (measured: the 255-bucket
+    commit loop alone was 30-43 s/batch at sf0.01, ~all py4j latency).
+    When a path RESOLVES to the local filesystem — an explicit
+    ``file:`` scheme, or no scheme while ``fs.defaultFS`` is ``file:``
+    (checked once per instance) — the op runs as plain POSIX Python
+    (µs, semantically identical: ``os.replace`` is the atomic
+    overwrite-rename, ``os.rename`` the same-FS move Hadoop's
+    RawLocalFileSystem delegates to).  Scheme-qualified remote paths
+    (``hdfs://``, ``s3a://``, ``abfs://``) keep the Hadoop API
+    unchanged, so the commit protocol is still storage-agnostic at
+    cluster scale.
+
     Falls back to POSIX os calls when no SparkSession is active (pure
     unit tests, offline vacuum of a local store).
     """
 
     def __init__(self, spark: SparkSession | None = None):
         self._spark = spark or SparkSession.getActiveSession()
-        if self._spark is not None:
+        self._jvm_ready = False
+        if self._spark is None:
+            self._default_local = True
+        else:
+            # cache the fs.defaultFS locality probe ON the session
+            # object (dies with it) — _Fs() is constructed per marker
+            # read and the probe is 2 py4j roundtrips (r12)
+            cached = getattr(self._spark, "_heatmap_fs_default_local", None)
+            if cached is None:
+                sc = self._spark.sparkContext
+                cached = str(
+                    sc._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+                ).startswith("file:")
+                self._spark._heatmap_fs_default_local = cached
+            self._default_local = cached
+
+    def _ensure_jvm(self) -> None:
+        if not self._jvm_ready:
             sc = self._spark.sparkContext
             self._jvm = sc._jvm
             self._conf = sc._jsc.hadoopConfiguration()
             self._Path = self._jvm.org.apache.hadoop.fs.Path
             self._gateway = sc._gateway
+            self._jvm_ready = True
+
+    def _posix(self, path: str) -> str | None:
+        """The plain OS path when ``path`` lives on the local
+        filesystem (see class docstring), else None → use the JVM."""
+        import re
+
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", path)
+        if m is None:
+            return path if (self._spark is None or self._default_local) else None
+        if m.group(1) != "file":
+            return None
+        p = path[len("file:") :]
+        if p.startswith("//"):  # file:///x or file://host/x → strip authority
+            p = "/" + p[2:].split("/", 1)[1] if "/" in p[2:] else "/"
+        return p
 
     # -- JVM-backed implementations -------------------------------------
     def _fs(self, path: str):
+        self._ensure_jvm()
         return self._Path(path).getFileSystem(self._conf)
 
     def exists(self, path: str) -> bool:
-        if self._spark is None:
+        lp = self._posix(path)
+        if lp is not None:
             import os
 
-            return os.path.exists(path)
+            return os.path.exists(lp)
         return self._fs(path).exists(self._Path(path))
 
     def is_dir(self, path: str) -> bool:
-        if self._spark is None:
+        lp = self._posix(path)
+        if lp is not None:
             import os
 
-            return os.path.isdir(path)
+            return os.path.isdir(lp)
         fs, p = self._fs(path), self._Path(path)
         return fs.exists(p) and fs.getFileStatus(p).isDirectory()
 
     def read_text(self, path: str) -> str:
-        if self._spark is None:
-            with open(path, encoding="utf-8") as f:
+        lp = self._posix(path)
+        if lp is not None:
+            with open(lp, encoding="utf-8") as f:
                 return f.read()
         stream = self._fs(path).open(self._Path(path))
         try:
@@ -126,13 +177,14 @@ class _Fs:
         """Write ``text`` to ``path`` via a sibling temp file + an
         overwriting rename — readers see the old content or the new,
         never a partial write."""
-        if self._spark is None:
+        lp = self._posix(path)
+        if lp is not None:
             import os
 
-            tmp = path + ".tmp"
+            tmp = lp + ".tmp"
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write(text)
-            os.replace(tmp, path)
+            os.replace(tmp, lp)
             return
         tmp = path + ".tmp"
         out = self._fs(path).create(self._Path(tmp), True)
@@ -148,10 +200,11 @@ class _Fs:
 
     def list_names(self, path: str) -> list[str]:
         """Child entry names of a directory ([] if missing)."""
-        if self._spark is None:
+        lp = self._posix(path)
+        if lp is not None:
             import os
 
-            return os.listdir(path) if os.path.isdir(path) else []
+            return os.listdir(lp) if os.path.isdir(lp) else []
         fs, p = self._fs(path), self._Path(path)
         if not fs.exists(p):
             return []
@@ -159,10 +212,18 @@ class _Fs:
 
     def delete(self, path: str) -> None:
         """Recursive delete; missing path is a no-op."""
-        if self._spark is None:
+        lp = self._posix(path)
+        if lp is not None:
+            import os
             import shutil
 
-            shutil.rmtree(path, ignore_errors=True)
+            if os.path.isdir(lp) and not os.path.islink(lp):
+                shutil.rmtree(lp, ignore_errors=True)
+            else:
+                try:
+                    os.remove(lp)
+                except OSError:
+                    pass
             return
         self._fs(path).delete(self._Path(path), True)
 
@@ -170,28 +231,31 @@ class _Fs:
         """Move src → dst (dst must not exist).  Directory moves are
         metadata-only on HDFS/local; a copy on S3A — correct either
         way because the marker swap AFTER this is the commit point."""
-        if self._spark is None:
+        lsrc, ldst = self._posix(src), self._posix(dst)
+        if lsrc is not None and ldst is not None:
             import os
 
-            os.rename(src, dst)
+            os.rename(lsrc, ldst)
             return True
         return self._fs(src).rename(self._Path(src), self._Path(dst))
 
     def mkdirs(self, path: str) -> None:
-        if self._spark is None:
+        lp = self._posix(path)
+        if lp is not None:
             import os
 
-            os.makedirs(path, exist_ok=True)
+            os.makedirs(lp, exist_ok=True)
             return
         self._fs(path).mkdirs(self._Path(path))
 
     def mtime(self, path: str) -> float | None:
         """Modification time (epoch seconds), None if missing/racing."""
-        if self._spark is None:
+        lp = self._posix(path)
+        if lp is not None:
             import os
 
             try:
-                return os.path.getmtime(path)
+                return os.path.getmtime(lp)
             except OSError:
                 return None
         fs, p = self._fs(path), self._Path(path)
@@ -415,9 +479,24 @@ def merge_delta_into_partitioned_store(
     pending = [k for k in touched if _read_bucket_marker(store_path, k)[1] < batch_id]
     if not pending:
         return 0
-    d_pending = d.where(F.col("bucket").isin(pending)).drop("bucket")
+    d_pending = d.where(F.col("bucket").isin(pending))
     base = read_partitioned_store(spark, store_path, buckets=pending)
-    merged = d_pending if base is None else pyramid_merge(base, d_pending)
+    # Merge = union + re-aggregate on the pyramid key — but repartition
+    # by bucket FIRST and fold bucket into the grouping key (bucket is
+    # a pure function of (zoom, row, col), so groups are unchanged):
+    # HashPartitioning(bucket) satisfies the aggregation's required
+    # distribution AND is exactly the layout partitionBy(bucket) wants,
+    # so the whole merge+stage pipeline runs with ONE store-size
+    # shuffle instead of two (r12, guide §2.4 — same subtree-prefix
+    # trick as the pyramid rollup).
+    u = d_pending if base is None else base.withColumn(
+        "bucket", spatial_bucket(bucket_zoom)
+    ).unionByName(d_pending)
+    merged = (
+        u.repartition("bucket")
+        .groupBy("bucket", "user_group", "timespan", "zoom", "row", "col")
+        .agg(F.sum("visits").alias("visits"))
+    )
     if drop_zeros:
         # RETRACTION support: a delta carrying negated visits cancels
         # tiles to exactly zero (unit integer weights — exact in
@@ -425,12 +504,18 @@ def merge_delta_into_partitioned_store(
         # slice, the q_heatmap_retraction algebra flowing through the
         # serving store.
         merged = merged.where(F.col("visits") != 0)
-    staged = merged.withColumn("bucket", spatial_bucket(bucket_zoom))
     staging = _join(store_path, f"_staging_{batch_id}")
     (
-        staged.repartition("bucket")
-        .sortWithinPartitions("bucket", "zoom", "row", "col")
+        merged.sortWithinPartitions("bucket", "zoom", "row", "col")
         .write.mode("overwrite")
+        # Committer v2 (task-commit renames straight into the output
+        # dir) is safe for the STAGING write because staging is not
+        # the commit point — the per-bucket marker swap below is; a
+        # partial staging dir after a crash is simply overwritten on
+        # replay.  v1's sequential driver-side commitJob renamed all
+        # ~256 bucket dirs one by one (measured 13.6 → 7.4 s at
+        # sf0.01, r12 guide §6).
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
         .partitionBy("bucket")
         .parquet(staging)
     )
@@ -447,7 +532,7 @@ def merge_delta_into_partitioned_store(
                 dst = _join(store_path, f"bucket={k}", f"v={ver + 1}")
                 if fs.is_dir(dst):
                     fs.delete(dst)
-                merged.limit(0).write.mode("overwrite").parquet(dst)
+                merged.drop("bucket").limit(0).write.mode("overwrite").parquet(dst)
                 fs.write_text_atomic(
                     _bucket_marker_path(store_path, k), f"{ver + 1}:{batch_id}"
                 )
