@@ -1209,6 +1209,13 @@ def opq_train(
         if normalize
         else emb.select("vec_id", "vec")
     )
+    # ~24 jobs below (4 alternations × rotate/encode/centroid/cross
+    # passes) all consume nv — materialize it ONCE so every pass reads
+    # the normalized corpus from local blocks instead of re-running
+    # the scan + normalize lineage (r12, guide §1.2; at 100 TB this is
+    # 1 corpus scan instead of ~24).  Same floats — the checkpoint
+    # stores exactly what the lineage computed.
+    nv = nv.localCheckpoint(eager=True)
     R = np.eye(dim)
     cb = None
     for _ in range(opq_iters):
@@ -2716,20 +2723,75 @@ def fwht_rotate(vec: Column, dim: int = 64) -> Column:
     DuckDB oracle writes the identical nested-lambda sum in the
     identical order, so every float op pairs up bitwise across
     engines — re-associating the sum to shrink methods would break
-    the value hash."""
+    the value hash.
+
+    r12 (guide §5, driver cost): the Column tree is built from ONE
+    SQL string through a single F.expr call, not ~4,096 Python
+    Column operations — each of those was a py4j driver roundtrip
+    and the build alone measured 11 s per call site.  The parsed
+    tree is node-for-node the old one (Multiply(ElementAt, double
+    literal), left-associated Adds, UnaryMinus on the negated
+    terms — verified bitwise-equal output), so the oracle hash and
+    the codegen-fallback behavior are unchanged.  ``vec`` must be a
+    plain column reference for the SQL spelling; expressions are
+    aliased first."""
+    name = _col_sql_name(vec)
+    return F.expr(
+        "array(" + ", ".join(_fwht_out_j_sql(name, j, dim) for j in range(dim)) + ")"
+    )
+
+
+def _col_sql_name(vec: Column | str) -> str:
+    """SQL identifier for a column reference (quoted against keywords)."""
+    if isinstance(vec, str):
+        return f"`{vec}`"
+    # Column.__repr__ is "Column<'name'>" for plain references
+    r = repr(vec)
+    name = r[len("Column<'") : -len("'>")]
+    if not name.replace("_", "").isalnum():
+        raise ValueError(
+            f"fwht_rotate needs a plain column reference, got {r}; alias it first"
+        )
+    return f"`{name}`"
+
+
+def _fwht_term_sql(name: str, i: int, signs: list[int]) -> str:
+    return f"element_at({name}, {i + 1}) * {float(signs[i])}D"
+
+
+def _fwht_out_j_sql(name: str, j: int, dim: int = 64) -> str:
+    """Output coordinate j of H·D·x as a SQL string — the identical
+    left-associated fixed-order sum the Column spelling produced."""
     signs = _rabitq_signs(dim)
-    flipped = [
-        F.element_at(vec, i + 1) * F.lit(float(signs[i])) for i in range(dim)
+    acc = None
+    for i in range(dim):
+        t = _fwht_term_sql(name, i, signs)
+        if bin(j & i).count("1") % 2 != 0:
+            t = f"-({t})"
+        acc = t if acc is None else f"({acc} + {t})"
+    return acc
+
+
+def fwht_rotate_materialized(df: DataFrame, dim: int = 64) -> DataFrame:
+    """Rotate ``df.vec`` with H·D and MATERIALIZE the result — the
+    index-build spelling both RaBitQ call sites use.
+
+    The rotation lands as ``dim`` separate scalar columns in one
+    projection (each a ``dim``-term chain — small enough that
+    whole-stage codegen compiles them as split methods instead of
+    failing on the single 4,096-term array expression and running
+    interpreted), is localCheckpoint-materialized, and only then
+    assembled into the array column — same floats in the same order,
+    verified bitwise-equal to the one-expression spelling (r12).
+    Other columns of ``df`` ride along untouched."""
+    other = [c for c in df.columns if c != "vec"]
+    cols = [
+        F.expr(_fwht_out_j_sql("`vec`", j, dim)).alias(f"_r{j}") for j in range(dim)
     ]
-
-    def out_j(j: int) -> Column:
-        acc = None
-        for i in range(dim):
-            t = flipped[i] if bin(j & i).count("1") % 2 == 0 else -flipped[i]
-            acc = t if acc is None else acc + t
-        return acc
-
-    return F.array(*[out_j(j) for j in range(dim)])
+    rot = df.select(*other, *cols).localCheckpoint(eager=True)
+    return rot.select(
+        *other, F.array(*[F.col(f"_r{j}") for j in range(dim)]).alias("vec")
+    )
 
 
 def rabitq_codes(emb: DataFrame) -> DataFrame:
@@ -2757,9 +2819,7 @@ def rabitq_codes(emb: DataFrame) -> DataFrame:
     saturate at serving-sized shortlists (1.00 at 4096).  24 bytes
     per vector against 512 for the floats — still a ~21×
     resident-set cut."""
-    rot = emb.select(
-        "vec_id", fwht_rotate(F.col("vec")).alias("vec")
-    ).localCheckpoint(eager=True)
+    rot = fwht_rotate_materialized(emb.select("vec_id", "vec"))
     return binary_codes(rot).join(
         rot.select(
             "vec_id",
@@ -2820,9 +2880,9 @@ def knn_rabitq_rerank(
     # rotate only the filtered queries, and materialize so the 64×64
     # rotation tree never collapses into the per-corpus-row estimator
     rqueries = (
-        emb.where(F.col("vec_id") < n_queries)
-        .select("vec_id", fwht_rotate(F.col("vec")).alias("vec"))
-        .localCheckpoint(eager=True)
+        fwht_rotate_materialized(
+            emb.where(F.col("vec_id") < n_queries).select("vec_id", "vec")
+        )
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("vec").alias("qvec"),
