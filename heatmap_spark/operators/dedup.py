@@ -32,6 +32,31 @@ from heatmap_spark.sources.tables import load_table
 TOKEN_SPLIT = "[^a-z0-9]+"
 
 
+def spread_small_input(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-spread an under-split input across the cluster's cores
+    before a CPU-bound projection (r12, guide §2.3).
+
+    Small fixture files arrive as ONE parquet split, which serializes
+    tokenize/shingle work onto a single core regardless of cluster
+    size.  ``repartition(col)`` alone does not fix this: AQE's
+    partition coalescing folds a tiny REPARTITION_BY_COL shuffle back
+    to one partition (measured: 1 partition, 10 s single-core shingle
+    scan at sf0.01).  Passing an explicit count pins the fan-out —
+    AQE leaves user-numbered repartitions alone.
+
+    Scale behavior: when the input already has at least
+    defaultParallelism file splits (any real corpus), the spread is
+    skipped outright — no shuffle is added at 100 TB.  0 input files
+    (in-memory relation) → spread unconditionally, matching
+    operators/pyramid.py's ingest spread.  Row content is untouched;
+    only physical placement changes.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if not df.isStreaming and len(df.inputFiles()) < target:
+        return df.repartition(target, *[F.col(c) for c in cols])
+    return df
+
+
 def tokens_expr(text: str = "text") -> F.Column:
     """array<string> of distinct lowercase tokens, empties removed."""
     toks = F.split(F.lower(F.col(text)), TOKEN_SPLIT)
@@ -84,15 +109,16 @@ def _doc_shingles(
       shingle transform — Catalyst does no CSE inside lambda bodies, so
       inlining ``split(...)`` into every element_at would re-tokenize
       the document once per shingle element (quadratic per doc);
-    * repartition by doc_id first — small text files arrive as one
-      input split, and the shingle transform is CPU-bound, so without
-      a spread it runs on a single core no matter the cluster size.
+    * spread by doc_id first (``spread_small_input``) — small text
+      files arrive as one input split, and the shingle transform is
+      CPU-bound, so without a spread it runs on a single core no
+      matter the cluster size; a well-split corpus skips the shuffle.
 
     ``carry`` names extra doc-level columns to thread through to the
     postings (e.g. a benchmark-membership flag).
     """
     toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda t: t != "")
-    with_toks = docs.repartition(F.col("doc_id")).select(
+    with_toks = spread_small_input(docs, "doc_id").select(
         "doc_id", *carry, toks.alias("toks")
     )
     grams = F.transform(

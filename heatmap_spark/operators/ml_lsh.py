@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from heatmap_spark.operators.dedup import shingles_expr
+from heatmap_spark.operators.dedup import shingles_expr, spread_small_input
 from heatmap_spark.sources.tables import load_table
 
 
@@ -38,9 +38,23 @@ def ml_minhash_candidates(
     operator; the check is anti-join count-sized, no collects."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingles_expr().alias("shingles")
-    ).where(F.size("shingles") > 0)
+    # Shingle extraction feeds SIX consumers (both sides of the LSH
+    # self-join, the exact-twin sets, the postings explode, the size
+    # table) — materialize it once so the regex/shingling lineage runs
+    # one scan instead of six (r12, guide §1.2/§5; same rows either way).
+    # Shingle extraction feeds SIX consumers (both sides of the LSH
+    # self-join, the exact-twin sets, the postings explode, the size
+    # table) — materialize it once so the regex/shingling lineage runs
+    # one scan instead of six, and spread the small single-split input
+    # across cores first (shingling is the expensive projection; one
+    # file split would run it on one core).  Same rows either way —
+    # MinHash is per-row, seed-deterministic.
+    docs = (
+        spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", shingles_expr().alias("shingles"))
+        .where(F.size("shingles") > 0)
+        .localCheckpoint(eager=True)
+    )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
     feats = tf.transform(docs)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42)
