@@ -2149,16 +2149,20 @@ def adaptive_beam(n: int, floor: int = 16) -> int:
 
 def _score_edges(edges: DataFrame, emb: DataFrame) -> DataFrame:
     """Attach round-6 cosine to (src, dst) id pairs via two keyed
-    joins against the corpus (norms carried once per side)."""
+    joins against the corpus (norms carried once per side; a
+    precomputed ``nrm`` column — e.g. the graph store's vector log —
+    is reused instead of re-deriving the same double)."""
+    if "nrm" not in emb.columns:
+        emb = emb.withColumn("nrm", norm_expr(F.col("vec")))
     s = emb.select(
         F.col("vec_id").alias("src"),
         F.col("vec").alias("svec"),
-        norm_expr(F.col("vec")).alias("sn"),
+        F.col("nrm").alias("sn"),
     )
     d = emb.select(
         F.col("vec_id").alias("dst"),
         F.col("vec").alias("dvec"),
-        norm_expr(F.col("vec")).alias("dn"),
+        F.col("nrm").alias("dn"),
     )
     cos = F.round(
         dot_expr(F.col("svec"), F.col("dvec")) / (F.col("sn") * F.col("dn")), 6
@@ -2297,22 +2301,20 @@ def graph_beam_search(
     ``beam=None`` (the default) derives the beam from the corpus row
     count via :func:`adaptive_beam` so recall holds as the store grows
     without the caller retuning anything."""
-    n = emb.count()
-    if beam is None:
-        beam = adaptive_beam(n)
+    # a precomputed ``nrm`` column (the graph store's vector log
+    # carries one) skips the per-hop norm re-evaluation — identical
+    # double, just computed once at ingest (r12, guide §4)
+    if "nrm" not in emb.columns:
+        emb = emb.withColumn("nrm", norm_expr(F.col("vec")))
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
-        norm_expr(F.col("vec")).alias("qn"),
+        F.col("nrm").alias("qn"),
     )
     corpus = emb.select(
         F.col("vec_id").alias("node"),
         F.col("vec").alias("nvec"),
-        norm_expr(F.col("vec")).alias("nn"),
-    )
-    entry_ids = sorted({(i * n) // n_entries for i in range(n_entries)})
-    entries = emb.select(F.col("vec_id").alias("node")).where(
-        F.col("vec_id").isin(entry_ids)
+        F.col("nrm").alias("nn"),
     )
     cos = F.round(
         dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6
@@ -2325,11 +2327,22 @@ def graph_beam_search(
             .select("query_id", "node", cos.alias("sim"))
         )
 
+    if beam is None or entry_frontier is None:
+        # the corpus count feeds only the adaptive beam and the fixed
+        # entry grid — skip the job entirely when the caller supplied
+        # both (the graph store's serve path does; r12, guide §5)
+        n = emb.count()
+    if beam is None:
+        beam = adaptive_beam(n)
     if entry_frontier is not None:
         # descending the hierarchy: the upper level's beam seeds this
         # level's traversal (per-query entries, HNSW's greedy descent)
         frontier = entry_frontier
     else:
+        entry_ids = sorted({(i * n) // n_entries for i in range(n_entries)})
+        entries = emb.select(F.col("vec_id").alias("node")).where(
+            F.col("vec_id").isin(entry_ids)
+        )
         frontier = queries.select("query_id").crossJoin(F.broadcast(entries))
     visited = frontier
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node"))

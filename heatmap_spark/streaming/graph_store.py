@@ -58,13 +58,18 @@ _LATEST = "_LATEST"
 
 
 def _scored(edges: DataFrame, vecs: DataFrame) -> DataFrame:
+    # use the norm stored at ingest when present (computed once per
+    # vector instead of twice per scoring join — r12, guide §2.2/§4:
+    # identical double either way, parquet round-trips doubles exactly)
+    if "nrm" not in vecs.columns:
+        vecs = vecs.withColumn("nrm", norm_expr(F.col("vec")))
     s = vecs.select(
         F.col("vec_id").alias("src"), F.col("vec").alias("svec"),
-        norm_expr(F.col("vec")).alias("sn"),
+        F.col("nrm").alias("sn"),
     )
     d = vecs.select(
         F.col("vec_id").alias("dst"), F.col("vec").alias("dvec"),
-        norm_expr(F.col("vec")).alias("dn"),
+        F.col("nrm").alias("dn"),
     )
     cos = F.round(
         dot_expr(F.col("svec"), F.col("dvec")) / (F.col("sn") * F.col("dn")), 6
@@ -173,7 +178,15 @@ def merge_batch_into_graph_store(
     if batch_id <= _read_last_batch(store):
         return False
     fs = _Fs(spark)
-    batch = batch.select("vec_id", "vec").localCheckpoint(eager=True)
+    # the vector log stores the norm alongside each vector: the merge
+    # scores candidates in 3 joins and serving in 2 more, and each
+    # scoring side needed the norm — computing it once at ingest
+    # removes ~6 per-corpus-row norm evaluations per batch (r12,
+    # guide §4 "heavyweight work once"); doubles round-trip parquet
+    # bit-exactly, so every sim is the identical float.
+    batch = batch.select(
+        "vec_id", "vec", norm_expr(F.col("vec")).alias("nrm")
+    ).localCheckpoint(eager=True)
     batch.write.mode("overwrite").parquet(
         _join(store, "vectors", f"batch={batch_id}")
     )
@@ -197,8 +210,16 @@ def merge_batch_into_graph_store(
             ),
             reps,
         ).select("src", "dst")
+        # current adjacency is consumed TWICE per merge (hop expansion
+        # here, refresh below) — resolve the per-src-latest read once
+        # and materialize it instead of re-running the multi-batch
+        # read + window per consumer (r12, guide §1.2; the stored set
+        # is the graph itself, the same volume compaction writes).
+        # Lazy: the first consuming job materializes it, so no extra
+        # standalone job is scheduled.
+        cur = read_graph_edges(spark, store).localCheckpoint(eager=False)
         # (2) expand reps through the current graph, 2 hops
-        g = read_graph_edges(spark, store).select(
+        g = cur.select(
             F.col("src").alias("hop_src"), F.col("dst").alias("hop_dst")
         )
         hop1 = rep_edges.join(
@@ -237,7 +258,7 @@ def merge_batch_into_graph_store(
             allv,
         )
         touched = incoming.select("src").distinct()
-        existing = read_graph_edges(spark, store).join(touched, "src")
+        existing = cur.join(touched, "src")
         refreshed = _topk(existing.unionByName(incoming).distinct(), degree)
         edges = new_out.unionByName(refreshed)
     _topk(edges, degree).write.mode("overwrite").parquet(
@@ -268,20 +289,22 @@ def search_graph_store(
     from heatmap_spark.operators.similarity import adaptive_beam
 
     vecs = read_vectors(spark, store)
+    if "nrm" not in vecs.columns:  # store written before norms-at-ingest
+        vecs = vecs.withColumn("nrm", norm_expr(F.col("vec")))
     graph = read_graph_edges(spark, store)
     if beam is None:
         beam = adaptive_beam(vecs.count())
     queries = vecs.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
-        norm_expr(F.col("vec")).alias("qn"),
+        F.col("nrm").alias("qn"),
     )
     members = vecs.where(
         F.pmod(F.hash("vec_id"), F.lit(branch)) == 0
     ).select(
         F.col("vec_id").alias("node"),
         F.col("vec").alias("nvec"),
-        norm_expr(F.col("vec")).alias("nn"),
+        F.col("nrm").alias("nn"),
     )
     sim = F.round(
         dot_expr(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6
