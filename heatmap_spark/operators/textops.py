@@ -889,8 +889,13 @@ def bpe_train_merges(
     count): each round explodes adjacent symbol pairs weighted by word
     frequency, takes the arg-max pair (ties broken (count desc, left
     asc, right asc) — fully deterministic), and rewrites the symbol
-    arrays map-only with one fold.  localCheckpoint each round keeps
-    the 40-round lineage flat.
+    arrays map-only with one fold.  Rewrites stay LAZY and the loop
+    localCheckpoints every 8 rounds (the pyramid cascade's stride
+    idiom, r12 guide §1.2/§5): a round's arg-max scan re-applies at
+    most 7 pending map-only rewrites instead of the loop paying a
+    materialization job per round — 40 vocab materializations become
+    5, and the rewrites themselves are unchanged, so the merge table
+    is byte-identical.
 
     Training stops early when no adjacent pair remains (every word
     fully merged)."""
@@ -910,7 +915,7 @@ def bpe_train_merges(
         "cnt", F.concat(F.split("w", ""), F.array(F.lit("</w>"))).alias("syms")
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str, str, int]] = []
-    for _ in range(n_merges):
+    for rnd in range(n_merges):
         pair_structs = F.when(
             F.size("syms") >= 2,
             F.transform(
@@ -936,7 +941,9 @@ def bpe_train_merges(
         merges.append((l, r, m, c))
         vocab = vocab.withColumn(
             "syms", _bpe_apply_merge(F.col("syms"), l, r, m)
-        ).localCheckpoint(eager=True)
+        )
+        if rnd % 8 == 7:  # stride checkpoint: bound lineage, not per-round
+            vocab = vocab.localCheckpoint(eager=True)
     return merges
 
 
