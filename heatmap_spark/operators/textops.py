@@ -873,8 +873,47 @@ def _bpe_apply_merge(syms, left: str, right: str, merged: str):
     )
 
 
+def _bpe_train_driver(
+    word_counts: dict[str, int], n_merges: int
+) -> list[tuple[str, str, str, int]]:
+    """The BPE merge loop on a driver-resident word-frequency table —
+    BYTE-IDENTICAL to the distributed loop below (exact integer pair
+    counts, arg-max by (count desc, left asc, right asc), greedy
+    left-to-right replacement; tests/test_bpe.py pins the equivalence
+    against this same algorithm).  Called only when the vocabulary is
+    model-sized (guide §5.4, the dense-regions/IVF-codebook class):
+    the loop's state is |vocab| symbol arrays, independent of corpus
+    row count."""
+    vocab = {w: list(w) + ["</w>"] for w in word_counts}
+    merges: list[tuple[str, str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        m = l + r
+        merges.append((l, r, m, c))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = m
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
 def bpe_train_merges(
-    docs: DataFrame, n_merges: int = 40
+    docs: DataFrame,
+    n_merges: int = 40,
+    driver_vocab_limit: int = 8192,
 ) -> list[tuple[str, str, str, int]]:
     """Train BPE merges (Sennrich et al. 2016, "Neural Machine
     Translation of Rare Words with Subword Units" — public method) over
@@ -897,6 +936,19 @@ def bpe_train_merges(
     5, and the rewrites themselves are unchanged, so the merge table
     is byte-identical.
 
+    r13 (guide §5.4): when the vocabulary is MODEL-SIZED
+    (≤ ``driver_vocab_limit`` distinct words — probed with a
+    limit-bounded collect, never an unbounded one), the merge loop runs
+    driver-side on the collected word-frequency table instead of
+    issuing ~2·n_merges driver-synchronous Spark jobs over a tiny
+    relation: 40 arg-max jobs + stride checkpoints become ONE collect
+    plus pure-Python integer arithmetic.  Exact same merges — the loop
+    is integer-exact with identical tie-breaks (pinned byte-identical
+    by tests/test_bpe.py), and the corpus-sized word-frequency
+    aggregate stays distributed either way.  Vocabularies past the
+    bound keep the distributed loop below, so nothing is lost at 100 TB
+    where the vocab can exceed driver memory.
+
     Training stops early when no adjacent pair remains (every word
     fully merged)."""
     words = (
@@ -911,6 +963,9 @@ def bpe_train_merges(
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
+    probe = words.limit(driver_vocab_limit + 1).collect()
+    if len(probe) <= driver_vocab_limit:
+        return _bpe_train_driver({r["w"]: r["cnt"] for r in probe}, n_merges)
     vocab = words.select(
         "cnt", F.concat(F.split("w", ""), F.array(F.lit("</w>"))).alias("syms")
     ).localCheckpoint(eager=True)
