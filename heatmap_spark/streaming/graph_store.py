@@ -57,12 +57,24 @@ from heatmap_spark.streaming.tile_store import _Fs, _join
 _LATEST = "_LATEST"
 
 
+def _with_norms(df: DataFrame) -> DataFrame:
+    """Guarantee a non-null ``nrm`` for every vector row even when some
+    batches predate norms-at-ingest (ADVICE r12): a mixed old/new store
+    reads NULL nrm for the old rows under the merged parquet schema —
+    coalesce onto the identical inline computation (same double either
+    way; parquet round-trips doubles bit-exactly)."""
+    if "nrm" in df.columns:
+        return df.withColumn(
+            "nrm", F.coalesce(F.col("nrm"), norm_expr(F.col("vec")))
+        )
+    return df.withColumn("nrm", norm_expr(F.col("vec")))
+
+
 def _scored(edges: DataFrame, vecs: DataFrame) -> DataFrame:
     # use the norm stored at ingest when present (computed once per
     # vector instead of twice per scoring join — r12, guide §2.2/§4:
     # identical double either way, parquet round-trips doubles exactly)
-    if "nrm" not in vecs.columns:
-        vecs = vecs.withColumn("nrm", norm_expr(F.col("vec")))
+    vecs = _with_norms(vecs)
     s = vecs.select(
         F.col("vec_id").alias("src"), F.col("vec").alias("svec"),
         F.col("nrm").alias("sn"),
@@ -87,8 +99,12 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 def read_vectors(spark: SparkSession, store: str) -> DataFrame:
+    # mergeSchema: batches written before norms-at-ingest lack the nrm
+    # column — the merged schema surfaces it (NULL for old rows) so
+    # _with_norms can backfill instead of a schema-less read silently
+    # dropping the stored norms (ADVICE r12)
     dirs = _committed_batches(store, "vectors")
-    return spark.read.parquet(*dirs)
+    return _with_norms(spark.read.option("mergeSchema", "true").parquet(*dirs))
 
 
 def _edges_base(spark: SparkSession, store: str):
@@ -184,9 +200,12 @@ def merge_batch_into_graph_store(
     # removes ~6 per-corpus-row norm evaluations per batch (r12,
     # guide §4 "heavyweight work once"); doubles round-trip parquet
     # bit-exactly, so every sim is the identical float.
+    # lazy: the vectors write below is the first consumer and
+    # materializes the checkpoint inside its own job (r13 — one fewer
+    # driver-synchronous job per batch, same blocks either way)
     batch = batch.select(
         "vec_id", "vec", norm_expr(F.col("vec")).alias("nrm")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     batch.write.mode("overwrite").parquet(
         _join(store, "vectors", f"batch={batch_id}")
     )
@@ -194,8 +213,10 @@ def merge_batch_into_graph_store(
     if not prior_dirs:
         edges = nn_descent_graph(batch, degree=degree, iters=3)
     else:
-        old = spark.read.parquet(*prior_dirs)
-        allv = old.unionByName(batch)
+        old = _with_norms(
+            spark.read.option("mergeSchema", "true").parquet(*prior_dirs)
+        )  # tolerate pre-norms batches (ADVICE r12)
+        allv = old.unionByName(batch, allowMissingColumns=True)
         new_ids = batch.select(F.col("vec_id").alias("src"))
         # (1) coarse reps: hash-promoted members of the ACCUMULATED set
         coarse = old.where(F.pmod(F.hash("vec_id"), F.lit(branch)) == 0)
@@ -288,9 +309,7 @@ def search_graph_store(
     config."""
     from heatmap_spark.operators.similarity import adaptive_beam
 
-    vecs = read_vectors(spark, store)
-    if "nrm" not in vecs.columns:  # store written before norms-at-ingest
-        vecs = vecs.withColumn("nrm", norm_expr(F.col("vec")))
+    vecs = read_vectors(spark, store)  # nrm guaranteed by _with_norms
     graph = read_graph_edges(spark, store)
     if beam is None:
         beam = adaptive_beam(vecs.count())

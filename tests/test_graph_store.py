@@ -128,3 +128,39 @@ def test_compaction_is_transparent_and_replay_safe(spark, sf_smoke, tmp_path):
         got.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     ).count()
     assert hits / ne >= 0.8, hits / ne
+
+
+def test_pre_norms_store_migrates_transparently(spark, sf_smoke, tmp_path):
+    """A store whose early batches were written BEFORE norms-at-ingest
+    (no nrm column in the vector log) keeps working after the upgrade
+    (ADVICE r12): a later merge unions old and new schemas without
+    throwing, reads backfill nrm for the old rows (never NULL — a NULL
+    norm would silently null every cosine), and serving still clears
+    the recall bar."""
+    from heatmap_spark.streaming.passages import _committed_batches
+    from heatmap_spark.streaming.tile_store import _Fs, _join
+
+    emb = _emb(spark, sf_smoke)
+    store = str(tmp_path / "g")
+    batches = _batches(emb)
+    merge_batch_into_graph_store(spark, batches[0], store, 0)
+    # simulate a pre-norms batch 0: rewrite its vector log without nrm
+    b0 = _committed_batches(store, "vectors")[0]
+    legacy = spark.read.parquet(b0).select("vec_id", "vec").localCheckpoint()
+    _Fs(spark).delete(b0)
+    legacy.write.mode("overwrite").parquet(b0)
+    assert "nrm" not in spark.read.parquet(b0).columns
+    # later merges union old (no nrm) with new (nrm) without throwing
+    merge_batch_into_graph_store(spark, batches[1], store, 1)
+    merge_batch_into_graph_store(spark, batches[2], store, 2)
+    vecs = read_vectors(spark, store)
+    assert vecs.where(F.col("nrm").isNull()).count() == 0
+    assert vecs.count() == emb.count()
+    exact = knn_cosine_df(emb, 10, 5).select("query_id", "neighbor_id")
+    ne = exact.count()
+    got = search_graph_store(spark, store)
+    assert got.where(F.col("cosine").isNull()).count() == 0
+    hits = exact.join(
+        got.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    assert hits / ne >= 0.8, hits / ne
