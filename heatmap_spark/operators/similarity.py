@@ -36,6 +36,27 @@ def norm_expr(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def lit_double_arrays(nested) -> Column:
+    """Nested Python lists of floats → ONE literal array expression
+    parsed from a single SQL string (r13; the fwht_rotate lesson from
+    r12 generalized): the `F.array(*[F.lit(x) …])` spelling costs one
+    py4j driver roundtrip PER ELEMENT — a trained codebook (512
+    doubles) or an ADC table set (5,120) is seconds of driver time per
+    call site before any executor work.  One `F.expr` parse builds the
+    node-identical tree (CreateArray over double Literals) in
+    milliseconds.  `repr(float)` is the shortest round-trip form and
+    the SQL parser reads it back to the bit-identical double (both
+    sides are correctly-rounded IEEE-754), so plans and value hashes
+    are unchanged — pinned by tests/test_similarity.py."""
+
+    def sql(x) -> str:
+        if isinstance(x, (list, tuple)):
+            return "array(" + ", ".join(sql(v) for v in x) + ")"
+        return repr(float(x)) + "D"
+
+    return F.expr(sql(nested))
+
+
 def knn_cosine(
     spark: SparkSession,
     sf_dir: str,
@@ -146,12 +167,7 @@ def _assign_to_codebook(emb: DataFrame, codebook: dict[int, list[float]]) -> Dat
     # Assignment is a MAP-ONLY argmax — no crossJoin row blow-up, no
     # window shuffle; measured 5x faster at the 1M-vector probe than
     # the crossJoin+row_number spelling.
-    cents = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in codebook[b]])
-            for b in sorted(codebook)
-        ]
-    )
+    cents = lit_double_arrays([codebook[b] for b in sorted(codebook)])
     affs = F.transform(cents, lambda c: dot_expr(F.col("vec"), c))
     # array_position on the max → FIRST maximal bucket (ties break to
     # the lowest bucket id, matching the old desc-affinity/asc-bucket
@@ -300,12 +316,7 @@ def knn_cosine_ivf_df(
             raise ValueError("nprobe > 1 requires the codebook (assigned=None)")
         # probe buckets: sort (aff desc, bucket asc) — same tie order as
         # the argmax in _assign_to_codebook — and slice the top nprobe
-        cents = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in codebook[b]])
-                for b in sorted(codebook)
-            ]
-        )
+        cents = lit_double_arrays([codebook[b] for b in sorted(codebook)])
         scored_b = F.transform(
             cents,
             lambda c, i: F.struct(
@@ -389,12 +400,7 @@ def embedding_near_dup_pairs_df(
     interpreted higher-order-function work per candidate ~3×."""
     if assigned is None:
         codebook = ivf_codebook(emb, n_buckets)
-        cents = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in codebook[b]])
-                for b in sorted(codebook)
-            ]
-        )
+        cents = lit_double_arrays([codebook[b] for b in sorted(codebook)])
         scored_b = F.transform(
             cents,
             lambda c, i: F.struct(
@@ -449,7 +455,7 @@ def hyperplane_assign(
     )
     bucket = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(plane_sign(p, j)) for j in range(dim)])
+        plane = lit_double_arrays([plane_sign(p, j) for j in range(dim)])
         bit = (dot_expr(F.col("vec"), plane) > 0).cast("int")
         bucket = bucket + bit * (1 << p)
     return emb.select("vec_id", "vec", bucket.alias("bucket"))
@@ -835,16 +841,8 @@ def pq_encode(
     scan over the corpus emitting 1/64th of its bytes."""
     d = dim // m
     norm = _l2_normalize(F.col("vec"))
-    cents = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in cb[(s, c)]])
-                    for c in range(k)
-                ]
-            )
-            for s in range(m)
-        ]
+    cents = lit_double_arrays(
+        [[cb[(s, c)] for c in range(k)] for s in range(m)]
     )
 
     def code_for(s: int) -> Column:
@@ -895,27 +893,24 @@ def pq_adc_topk(
     ]
     codes = pq_encode_np(emb, cb, m, k, dim)
 
-    def table_for(qvec: list[float]) -> Column:
-        return F.array(
-            *[
-                F.array(
-                    *[
-                        F.lit(
-                            float(
-                                sum(
-                                    (qvec[s * d + j] - cb[(s, c)][j]) ** 2
-                                    for j in range(d)
-                                )
-                            )
-                        )
-                        for c in range(k)
-                    ]
+    def table_for(qvec: list[float]) -> list[list[float]]:
+        return [
+            [
+                float(
+                    sum(
+                        (qvec[s * d + j] - cb[(s, c)][j]) ** 2
+                        for j in range(d)
+                    )
                 )
-                for s in range(m)
+                for c in range(k)
             ]
-        )
+            for s in range(m)
+        ]
 
-    tables = F.array(*[table_for(qv) for _, qv in queries])
+    # queries·m·k literals (5,120 at defaults): built from ONE SQL
+    # parse — the F.lit spelling measured ~30 s of py4j driver time
+    # per call (r13; see lit_double_arrays)
+    tables = lit_double_arrays([table_for(qv) for _, qv in queries])
     qids = F.array(*[F.lit(int(qid)) for qid, _ in queries])
     expanded = codes.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1219,7 +1214,16 @@ def opq_train(
     R = np.eye(dim)
     cb = None
     for _ in range(opq_iters):
-        rot = rotate_vectors(nv, R)
+        # materialize the rotated corpus ONCE per alternation (r13,
+        # guide §5.2 "fold rotate+encode passes"): pq_codebooks consumes
+        # it in 1 + 2·train_iters scan-shaped jobs, each of which used
+        # to re-run the rotation mapInPandas over the full training set
+        # — the checkpoint makes them block reads.  Lazy, so the first
+        # consumer materializes it (no standalone job); same floats —
+        # the checkpoint stores exactly what the lineage computed.
+        # State is training-sample-sized (the production entry points
+        # train on a bounded sample), not corpus-sized.
+        rot = rotate_vectors(nv, R).localCheckpoint(eager=False)
         cb = pq_codebooks(rot, m, k, dim, train_iters, normalize=normalize)
         C = np.array(
             [[cb[(s, c)] for c in range(k)] for s in range(m)], dtype=np.float64
@@ -1247,7 +1251,7 @@ def opq_train(
         M = np.sum([np.asarray(r.mflat) for r in parts], axis=0).reshape(dim, dim)
         U, _, Vt = np.linalg.svd(M)
         R = U @ Vt
-    rot = rotate_vectors(nv, R)
+    rot = rotate_vectors(nv, R).localCheckpoint(eager=False)
     cb = pq_codebooks(rot, m, k, dim, train_iters, normalize=normalize)
     return [[float(x) for x in row] for row in R], cb
 
@@ -1390,9 +1394,7 @@ def ivfpq_build(
     tr = nv if train_sample_n is None else nv.where(F.col("vec_id") < train_sample_n)
     coarse = ivf_codebook(tr, n_buckets, train_iters)
     assigned = _assign_to_codebook(nv, coarse)
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in coarse[b]]) for b in sorted(coarse)]
-    )
+    cents = lit_double_arrays([coarse[b] for b in sorted(coarse)])
     resid = assigned.select(
         "vec_id",
         "bucket",
@@ -1438,9 +1440,7 @@ def ivfpq_opq_build(
     tr = nv if train_sample_n is None else nv.where(F.col("vec_id") < train_sample_n)
     coarse = ivf_codebook(tr, n_buckets, train_iters)
     assigned = _assign_to_codebook(nv, coarse)
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in coarse[b]]) for b in sorted(coarse)]
-    )
+    cents = lit_double_arrays([coarse[b] for b in sorted(coarse)])
     resid = assigned.select(
         "vec_id",
         "bucket",
@@ -2224,9 +2224,16 @@ def nn_descent_graph(
     self-join of the edge list (keyed on the shared middle vertex),
     two corpus joins to score, one windowed top-K — candidate volume
     ~ N·degree², never N².  localCheckpoint between rounds keeps the
-    iterative plan bounded (same idiom as the pyramid cascade).
-    Returns (src, dst, sim) with ≤ degree near edges per src plus up
-    to ``long_links`` retained random long edges (see below)."""
+    iterative plan bounded (same idiom as the pyramid cascade).  The
+    checkpoints stay EAGER deliberately: each round's result is
+    referenced 3× by the next round's plan (two und directions + the
+    union), and a LAZY checkpoint lets AQE's concurrently-materialized
+    stages compute the same not-yet-persisted RDD 2-3 times in
+    parallel — measured r13: the lazy spelling was ~20% SLOWER
+    end-to-end on the graph-store stream despite fewer driver jobs
+    (49.5 s vs 40.8 s, jobs 216 vs 241).  Returns (src, dst, sim)
+    with ≤ degree near edges per src plus up to ``long_links``
+    retained random long edges (see below)."""
     init = _seed_edges(emb, degree)
     # ``long_links`` of the seed edges are KEPT in the final graph
     # (re-scored, deduped): a pure kNN graph over clustered data is a
@@ -2354,6 +2361,11 @@ def graph_beam_search(
             .select("query_id", graph["dst"].alias("node"))
         )
         visited = visited.union(neigh).distinct()
+        # EAGER checkpoints on purpose (r13): frontier and visited are
+        # each referenced twice by the next hop's plan, and a lazy
+        # checkpoint lets concurrently-materialized AQE stages compute
+        # the same un-persisted RDD in parallel (measured slower on
+        # the graph-store stream; see nn_descent_graph docstring)
         frontier = (
             _score_nodes(visited)
             .select("query_id", "node", F.row_number().over(w).alias("rn"))
@@ -2711,7 +2723,7 @@ def _rabitq_signs(dim: int = 64) -> list[int]:
     ]
 
 
-def fwht_rotate(vec: Column, dim: int = 64) -> Column:
+def fwht_rotate(vec: str, dim: int = 64) -> Column:
     """Deterministic structured rotation x → H·D·x (sign-flip diagonal
     D, then the unnormalized Walsh–Hadamard transform) — the
     randomized-rotation ingredient of RaBitQ, made a fixed plan
@@ -2745,27 +2757,21 @@ def fwht_rotate(vec: Column, dim: int = 64) -> Column:
     tree is node-for-node the old one (Multiply(ElementAt, double
     literal), left-associated Adds, UnaryMinus on the negated
     terms — verified bitwise-equal output), so the oracle hash and
-    the codegen-fallback behavior are unchanged.  ``vec`` must be a
-    plain column reference for the SQL spelling; expressions are
-    aliased first."""
-    name = _col_sql_name(vec)
+    the codegen-fallback behavior are unchanged.  ``vec`` is the NAME
+    of a plain column reference (the SQL spelling needs an identifier,
+    not an arbitrary Column — alias expressions to a column first;
+    ADVICE r12: taking the name as a str at the boundary replaces the
+    old repr(Column) parse, which leaned on a private PySpark
+    format)."""
+    if not isinstance(vec, str) or not vec.replace("_", "").isalnum():
+        raise ValueError(
+            f"fwht_rotate needs a plain column NAME (str), got {vec!r}; "
+            "alias the expression to a column first"
+        )
+    name = f"`{vec}`"
     return F.expr(
         "array(" + ", ".join(_fwht_out_j_sql(name, j, dim) for j in range(dim)) + ")"
     )
-
-
-def _col_sql_name(vec: Column | str) -> str:
-    """SQL identifier for a column reference (quoted against keywords)."""
-    if isinstance(vec, str):
-        return f"`{vec}`"
-    # Column.__repr__ is "Column<'name'>" for plain references
-    r = repr(vec)
-    name = r[len("Column<'") : -len("'>")]
-    if not name.replace("_", "").isalnum():
-        raise ValueError(
-            f"fwht_rotate needs a plain column reference, got {r}; alias it first"
-        )
-    return f"`{name}`"
 
 
 def _fwht_term_sql(name: str, i: int, signs: list[int]) -> str:
@@ -2850,7 +2856,7 @@ def knn_rabitq_rerank(
     sf_dir: str,
     n_queries: int = 10,
     k: int = 5,
-    shortlist: int = 64,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """Two-stage binary search with the RaBitQ ASYMMETRIC estimator
     (q_knn_rabitq): instead of symmetric Hamming (which quantizes the
@@ -2885,10 +2891,22 @@ def knn_rabitq_rerank(
     factor's cross-vector variance makes the estimator WORSE than
     Hamming on clustered data (measured; see rabitq_codes).  The
     exact rerank runs on the original vectors (cosine is
-    rotation-invariant, so the two stages agree)."""
+    rotation-invariant, so the two stages agree).
+
+    ``shortlist=None`` derives the rerank depth as max(64, N//8) —
+    scale-aware (VERDICT r12 item 5): a FIXED 64-deep shortlist is a
+    shrinking fraction of a growing corpus and dilutes recall (3.2% of
+    the sf0.1 corpus measured 0.780, under the 0.8 pin), while a
+    constant corpus fraction holds the estimator's oversampling ratio
+    so the pin's floor is meaningful at every scale.  The gated
+    fixtures (N=500) stay at exactly 64, and the DuckDB oracle spells
+    the identical greatest(64, count//8) rule — hash-verified
+    equivalent."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
+    if shortlist is None:
+        shortlist = max(64, emb.count() // 8)
     codes = rabitq_codes(emb)
     # rotate only the filtered queries, and materialize so the 64×64
     # rotation tree never collapses into the per-corpus-row estimator

@@ -51,6 +51,7 @@ from heatmap_spark.operators.similarity import (
     _assign_to_codebook,
     _l2_normalize,
     ivf_codebook,
+    lit_double_arrays,
     opq_train,
     pq_codebooks,
     pq_encode_np,
@@ -122,9 +123,7 @@ def load_ann_rotation(spark: SparkSession, store_path: str):
 def _encode_batch(batch_emb, coarse, cb, m, k, dim, R=None):
     nv = batch_emb.select("vec_id", _l2_normalize(F.col("vec")).alias("vec"))
     assigned = _assign_to_codebook(nv, coarse)
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in coarse[b]]) for b in sorted(coarse)]
-    )
+    cents = lit_double_arrays([coarse[b] for b in sorted(coarse)])
     resid = assigned.select(
         "vec_id",
         "bucket",
@@ -172,12 +171,7 @@ def merge_batch_into_ann_store(
             "vec_id", _l2_normalize(F.col("vec")).alias("vec")
         )
         coarse = ivf_codebook(nv, n_buckets, train_iters)
-        cents = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in coarse[b]])
-                for b in sorted(coarse)
-            ]
-        )
+        cents = lit_double_arrays([coarse[b] for b in sorted(coarse)])
         resid = _assign_to_codebook(nv, coarse).select(
             "vec_id",
             F.zip_with(

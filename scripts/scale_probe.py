@@ -2676,7 +2676,7 @@ def probe_binaryann(spark, n: int) -> None:
     rcodes = rabitq_codes(emb).localCheckpoint(eager=True)
     rqvec = (
         emb.where(F.col("vec_id") < 10)
-        .select("vec_id", fwht_rotate(F.col("vec")).alias("vec"))
+        .select("vec_id", fwht_rotate("vec").alias("vec"))
         .localCheckpoint(eager=True)
         .select(
             F.col("vec_id").alias("query_id"),

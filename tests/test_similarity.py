@@ -632,3 +632,26 @@ def test_rabitq_estimator_dominates_hamming(spark, sf_smoke):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
     assert recall(rab) >= recall(ham) >= 0.8, (recall(rab), recall(ham))
+
+
+def test_lit_double_arrays_bitwise_equals_column_spelling(spark):
+    """lit_double_arrays (one SQL parse) must produce the bit-identical
+    literal tree the per-element F.array/F.lit spelling builds — the
+    whole point is removing thousands of py4j roundtrips per trained
+    codebook WITHOUT touching a single float (oracle hashes depend on
+    it).  Exercises the repr() round-trip on the nasty cases: -0.0,
+    subnormal-adjacent, max-double, shortest-repr exponents."""
+    import random
+    import struct
+
+    from heatmap_spark.operators.similarity import lit_double_arrays
+
+    rnd = random.Random(13)
+    vals = [[rnd.uniform(-1e6, 1e6) for _ in range(16)] for _ in range(8)]
+    vals[0][:4] = [-0.0, 1e-300, 1.7976931348623157e308, 3.141592653589793e-17]
+    old = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in vals])
+    row = spark.range(1).select(
+        old.alias("o"), lit_double_arrays(vals).alias("n")
+    ).first()
+    pack = lambda arr: [struct.pack("<d", v) for sub in arr for v in sub]  # noqa: E731
+    assert pack(row["o"]) == pack(row["n"])
