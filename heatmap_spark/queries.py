@@ -6705,7 +6705,7 @@ short AS (
     SELECT query_id, neighbor_id, est,
       row_number() OVER (PARTITION BY query_id
         ORDER BY est DESC, neighbor_id) AS rn
-    FROM es) WHERE rn <= 64),
+    FROM es) WHERE rn <= greatest(64, (SELECT count(*) FROM emb) // 8)),
 rer AS (
   SELECT sh.query_id, sh.neighbor_id, sh.est,
     round(
@@ -7562,73 +7562,78 @@ FROM weighted""",
 # driver row at all — MUST hold a slot; remaining slots go to the
 # stalest evidence.
 #
-# Round-12 window (VERDICT r11 item 1 — the max-age gate was already
-# red at the round boundary): (a) the 4 pyramid sentinels, every
-# round; (b) ALL 34 queries whose latest driver row is r4 — mandatory
-# under the MAX-AGE rule (scripts/freshness.py AGE_LIMIT=7, current
-# round 12 → floor r5); (c) the churn re-pins this round's edits
-# create — q_quantile_binning (integer-DIV threshold fix, ADVICE r11),
-# q_knn_rabitq (materialize-before-pin fix, ADVICE r11),
-# q_streaming_kll_drift (null-guarded pins + the new served MWU arm),
-# q_approx_quantiles (exact-twin bracket pin, VERDICT r11 item 2);
-# (d) 8 of the 40 r6 rows, the next-oldest evidence tier (no r5 tier
-# exists; r6 ages out at round 14 → floor r7).
+# Round-13 window (VERDICT r12 item 2 — rotate onto round-12 churn
+# and the next age tier): (a) the 4 pyramid sentinels, every round;
+# (b) ALL 33 queries whose latest driver row is r6 — they age out at
+# round 14 (scripts/freshness.py AGE_LIMIT=7, floor r7), so this
+# window pre-empts the gate exactly like r12 pre-empted the r4 tier;
+# conveniently the r6 tier already contains most of this round's
+# optimization churn (BPE trainer, OPQ/PQ/IVFPQ recalls, ml-LSH,
+# link_prediction, streaming_ann_index); (c) churn re-pins VERDICT
+# r12 named (q_heatmap_table_stats — the only mechanically-stale
+# query, rewritten r12 with its last driver row at r8 —
+# q_dedup_minhash_lsh, q_dense_regions) plus this round's own edits
+# (q_knn_rabitq scale-aware shortlist: def AND oracle changed;
+# q_streaming_graph_ann / q_knn_graph_recall: lazy-checkpoint store
+# and beam search; q_streaming_ann_opq: opq_train materialization);
+# (d) 6 of the 43 r7 rows, the next-oldest tier (ages out at r15),
+# preferring families this round's operator edits touch.
 _PRIORITY = [
     # sentinels: the reference's core dataflow, every round
     "q_heatmap_pyramid",
     "q_heatmap_pyramid_cascade",
     "q_heatmap_resultsets",
     "q_heatmap_table",
-    # max-age rule: all 34 queries with r4-latest evidence
-    "q_datetime_functions",
-    "q_dedup_fusion",
-    "q_doc_length_histogram",
-    "q_entity_resolution",
-    "q_ewma",
-    "q_ewma_segmented",
-    "q_exists_subqueries",
-    "q_feature_hashing",
-    "q_filtered_aggs",
-    "q_gap_fill_hourly",
-    "q_lang_id_metrics",
-    "q_map_functions",
-    "q_media_resize",
-    "q_normalized_text",
-    "q_novelty",
-    "q_null_semantics",
-    "q_pack_sequences",
-    "q_pii_scrub",
-    "q_price_histogram",
-    "q_regression_per_group",
-    "q_remove_duplicated_passages",
-    "q_reservoir_per_group",
-    "q_rolling_revenue_7d",
-    "q_sample_hash",
-    "q_set_ops_all",
-    "q_theta_audience_overlap",
-    "q_token_positions",
-    "q_trending",
-    "q_udtf_ngrams",
-    "q_unigram_logprob",
-    "q_weighted_sample",
-    "q_window_distribution",
-    "q_window_ignore_nulls",
-    "q_zscore_outliers",
-    # churn re-pins: defs edited this round (freshness stale rule),
-    # plus this round's new landing (no driver row yet)
-    "q_quantile_binning",
+    # max-age pre-emption: all 33 queries with r6-latest evidence
+    "q_bpe_merges",
+    "q_bpe_token_counts",
+    "q_group_by_all",
+    "q_haversine_nearest",
+    "q_holt_forecast",
+    "q_holt_winters",
+    "q_knn_ivfpq_opq_recall",
+    "q_knn_ivfpq_recall",
+    "q_knn_opq_recall",
+    "q_knn_pq_recall",
+    "q_lateral_topk",
+    "q_left_join_counts",
+    "q_link_prediction",
+    "q_lsh_bucket_stats",
+    "q_media_frames",
+    "q_median_mode",
+    "q_ml_brp_neighbors",
+    "q_ml_minhash_lsh",
+    "q_order_extremes",
+    "q_order_lists",
+    "q_param_query",
+    "q_recursive_cte_rollup",
+    "q_revenue_share",
+    "q_rolling_fingerprint",
+    "q_scalar_subquery",
+    "q_state_episodes",
+    "q_streaming_ann_index",
+    "q_streaming_bpe_drift",
+    "q_streaming_entity_resolution",
+    "q_streaming_vocab_drift",
+    "q_unpivot_events",
+    "q_variant_agg",
+    "q_yoy_revenue",
+    # churn re-pins: VERDICT r12 item 2 + this round's edits
+    "q_heatmap_table_stats",
+    "q_dedup_minhash_lsh",
+    "q_dense_regions",
     "q_knn_rabitq",
-    "q_streaming_kll_drift",
-    "q_approx_quantiles",
-    "q_streaming_binning_timeline",
-    # next-oldest tier (r6) — pre-empt the r14 age-out
-    "q_approx_top_k",
-    "q_basket_pairs",
-    "q_cross_join_pairs",
-    "q_daily_rollup",
-    "q_event_funnel",
-    "q_file_provenance",
-    "q_full_outer_join",
+    "q_streaming_graph_ann",
+    "q_knn_graph_recall",
+    "q_streaming_ann_opq",
+    # next-oldest tier (r7) — pre-empt the r15 age-out, edit-adjacent
+    # families first
+    "q_cluster_representatives",
+    "q_curation_full",
+    "q_kmeans_embeddings",
+    "q_knn_sq8",
+    "q_knn_sq8_rerank",
+    "q_streaming_tile_retraction",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

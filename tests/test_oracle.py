@@ -80,21 +80,36 @@ def test_priority_window_is_first_50():
     """The grading driver hash-checks REGISTRY positions 0-49: the
     curated _PRIORITY list must be exactly that prefix.  Every
     rows-only entry in the window must be individually justified
-    (each is a hash slot spent on a weaker check) — the round-12 set
-    is the round's one NEW landing (q_streaming_binning_timeline:
-    history-completeness, rank-accuracy, scale-aware stationarity and
-    NULL-guard raise pins) plus the two whose defs churned this round
-    and therefore re-enter under the freshness invariant
-    (q_streaming_kll_drift: served-MWU arm + NULL guards added;
-    q_approx_quantiles: exact-twin bracket pin added).  Any OTHER
-    rows-only entry is a wasted hash slot and fails here."""
+    (each is a hash slot spent on a weaker check) — the round-13 set
+    is FORCED by the MAX-AGE invariant (scripts/freshness.py
+    AGE_LIMIT=7): the entire r6-latest-evidence tier (33 queries,
+    ages out at round 14) must hold slots this round, and that tier
+    happens to contain 9 rows-only queries (BPE trainers, the
+    OPQ/PQ/IVFPQ recall pins, ml-LSH, streaming_ann_index — each
+    carrying its own raise pins as the weaker-check compensation),
+    plus 3 rows-only churn re-pins from the r12/r13 optimization
+    edits (q_streaming_graph_ann and q_knn_graph_recall: lazy-
+    checkpoint store + beam search; q_streaming_ann_opq: opq_train
+    materialization).  Any OTHER rows-only entry is a wasted hash
+    slot and fails here."""
     from heatmap_spark.queries import _PRIORITY, REGISTRY
 
     keys = list(REGISTRY)
     assert keys[:50] == _PRIORITY
     rows_only = {k for k in keys[:50] if REGISTRY[k].oracle is None}
     assert rows_only == {
-        "q_streaming_binning_timeline",
-        "q_streaming_kll_drift",
-        "q_approx_quantiles",
+        # r6 age tier (mandatory this round)
+        "q_bpe_merges",
+        "q_bpe_token_counts",
+        "q_knn_ivfpq_opq_recall",
+        "q_knn_ivfpq_recall",
+        "q_knn_opq_recall",
+        "q_knn_pq_recall",
+        "q_ml_brp_neighbors",
+        "q_ml_minhash_lsh",
+        "q_streaming_ann_index",
+        # r13 churn re-pins
+        "q_knn_graph_recall",
+        "q_streaming_ann_opq",
+        "q_streaming_graph_ann",
     }
